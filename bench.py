@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full computation, no
+driver collect). One untimed warmup query initializes the JVM/codegen so
+timings measure the plans, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# benchmark set: scan-heavy, shuffle-heavy, join-heavy, window-heavy
+BENCH_QUERIES = [
+    "tpch_q1",
+    "pz_quarantine_rollup",
+    "pz_validation_matrix",
+    "region_rollup",
+    "top_revenue_orders",
+    "admission_topk",
+    "latest_event_per_user_type",
+    "status_rollup",
+    "transform_typed",
+    "route_clusters",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="spark-graft-bench")
+    qs = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+    extra = [n for n in qs if n not in names and os.environ.get("BENCH_ALL")]
+    names += extra
+
+    # warmup: smallest query, untimed (JVM + codegen init)
+    force(qs["tpch_q1"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
