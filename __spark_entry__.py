@@ -20,7 +20,20 @@ from pyspark.sql.functions import broadcast
 
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
     classify_file_type,
+    nanos_to_timestamp,
     split_part,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as DD,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    multimodal as MM,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    similarity as SM,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    text as TX,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     ledger as ldg,
@@ -243,6 +256,183 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end pipeline parity (SURVEY §3.1/§3.2) ---------------------------
+
+
+def q_price_zone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price_zone pipeline end-to-end on synthesized staging strings:
+    map → single-pass validate (incl. active-opco quarantine) → derive →
+    per-opco rollup (SURVEY §3.1)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.price_zone import (
+        run_price_zone_transform,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.lpad((F.col("l_suppkey") % 50).cast("string"), 3, "0").alias("co_nbr"),
+        F.col("l_partkey").cast("string").alias("supc"),
+        ((F.col("l_linenumber") % 5) + 1).cast("string").alias("prc_zone"),
+        F.col("l_orderkey").cast("string").alias("cust_nbr"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("eff_from_dttm"),
+    )
+    active = [f"{i:03d}" for i in range(50) if i != 7]  # quarantine opco 007
+    result = run_price_zone_transform(staged, active_opcos=active)
+    return result.output.groupBy("opco_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.min("effective_date"), "yyyy-MM-dd HH:mm:ss").alias("min_eff"),
+    )
+
+
+def q_pa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PA transform end-to-end on synthesized pipe-CSV-shaped staging
+    (SURVEY §3.2): drops, renames, date/epoch parses, PRICE_ZONE_ID split,
+    output-order contract."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.transform import (
+        pa_transform,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    staged = o.select(
+        F.col("o_orderkey").cast("string").alias("ITEM_ID"),
+        F.lit("1.0").alias("CURRENT_PRICE"),
+        F.lit("r").alias("REASON"),
+        F.lit("2.0").alias("NEW_PRICE"),
+        F.col("o_totalprice").cast("string").alias("LOCAL_REFERENCE_PRICE"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("EFFECTIVE_DATE"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("EXPORT_DATE"),
+        F.col("o_orderpriority").alias("ITEM_ATTR_5_NM"),
+        F.concat(
+            (F.col("o_custkey") % 100).cast("string"),
+            F.lit("-"),
+            ((F.col("o_orderkey") % 5) + 1).cast("string"),
+        ).alias("PRICE_ZONE_ID"),
+    )
+    out = pa_transform(staged)
+    return out.select(
+        "supc",
+        F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
+        "price",
+        "export_date",
+        "catch_weight_indicator",
+        "price_zone_id",
+        "opco_id",
+    )
+
+
+# --- training-data operators: text analysis (SURVEY §7.1 M6) ------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.text_stats(docs.select("doc_id", "text")).drop("text")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.language_id(docs.select("doc_id", "text")).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# --- training-data operators: dedup -------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(docs, threshold=0.2)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs)
+
+
+# --- training-data operators: embedding similarity ----------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.cosine_pairs(emb, threshold=0.4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF cells, nprobe probing) — rows-only check:
+    recall-vs-exact is pinned in tests/test_similarity_multimodal.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# --- training-data operators: multimodal --------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through Arrow-batched mapInPandas (fake
+    deterministic decode; real kernels are gated stubs)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    return MM.decode_media(media, fake=True)
+
+
+# --- streaming-parity window aggregations -------------------------------------
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows over events (same plan the
+    streaming mode runs per micro-batch)."""
+    e = _t(spark, sf_dir, "events")
+    ts = nanos_to_timestamp("ts")
+    win = F.window(ts, "5 minutes")
+    return (
+        e.groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user: session count per user."""
+    e = _t(spark, sf_dir, "events")
+    ts = nanos_to_timestamp("ts")
+    sessions = (
+        e.withColumn("tsm", ts)
+        .groupBy(F.session_window("tsm", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pz_quarantine_rollup(spark, "/root/testdata/sf0.001")
@@ -267,7 +457,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_orderdate_per_priority": q_min_orderdate_per_priority,
         "status_rollup": q_status_rollup,
         "tpch_q1": q_tpch_q1,
+        "price_zone_pipeline": q_price_zone_pipeline,
+        "pa_pipeline": q_pa_pipeline,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_signatures": q_simhash_signatures,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "events_tumbling_window": q_events_tumbling_window,
+        "events_sessionize": q_events_sessionize,
     }
+
+
+# --- oracle-SQL generators (shared hashing/tokenization shapes) ---------------
+
+_TOKEN_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+_WORD_SQL = r"[a-z0-9]+"
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN(('0x' || substr(md5('mh{j}|' || s), 1, 15))::BIGINT) AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 2, 1) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+            FROM toks),
+        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sig AS (SELECT doc_id, {sig_cols} FROM shx GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        inter AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+            FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+            GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN cand c ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+def _jaccard_oracle(threshold: float = 0.2) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 2, 1) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+            FROM toks),
+        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        inter AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+            FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+            GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END" for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS tok
+            FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5('sh|' || tok), 1, 15))::BIGINT AS h
+              FROM tok),
+        sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({assemble}) AS simhash FROM sums
+    """
+
+
+_TEXT_STATS_SQL = rf"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS stat_n_chars,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS INTEGER) AS stat_n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS INTEGER) AS stat_n_words,
+           ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                 / greatest(length(text), 1), 6) AS stat_punct_ratio,
+           ROUND(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b'))
+                 / greatest(len(regexp_extract_all(lower(text), '{_WORD_SQL}')), 1), 6)
+               AS stat_stopword_ratio,
+           ROUND(length(text)
+                 / greatest(len(regexp_extract_all(lower(text), '{_WORD_SQL}')), 1), 6)
+               AS stat_chars_per_word
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -392,5 +712,134 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "price_zone_pipeline": """
+            WITH staged AS (
+                SELECT lpad(CAST(l_suppkey % 50 AS VARCHAR), 3, '0') AS opco_id,
+                       l_shipdate
+                FROM lineitem)
+            SELECT opco_id, COUNT(*) AS n_rows,
+                   strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_eff
+            FROM staged
+            WHERE opco_id <> '007'
+            GROUP BY opco_id
+        """,
+        "pa_pipeline": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS supc,
+                   strftime(o_orderdate, '%Y-%m-%d') AS effective_date,
+                   o_totalprice AS price,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS export_date,
+                   o_orderpriority AS catch_weight_indicator,
+                   CAST(o_orderkey % 5 + 1 AS VARCHAR) AS price_zone_id,
+                   CAST(o_custkey % 100 AS VARCHAR) AS opco_id
+            FROM orders
+        """,
+        "text_stats": _TEXT_STATS_SQL,
+        "quality_score": rf"""
+            WITH s AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS n_words,
+                       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS n_stop
+                FROM documents)
+            SELECT doc_id,
+                   ROUND((
+                       (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(n_stop / greatest(n_words, 1), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(n_punct / greatest(n_chars, 1), 6) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                   ) / 3.0, 6) AS quality_score
+            FROM s
+        """,
+        "language_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS s_en,
+                       len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en|un)\b')) AS s_es,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|du)\b')) AS s_fr,
+                       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht|zu)\b')) AS s_de
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY 1
+        """,
+        "dedup_jaccard": _jaccard_oracle(threshold=0.2),
+        "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
+        "simhash_signatures": _simhash_oracle(bits=32),
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 5),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                FROM q JOIN e c ON c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored) t
+            WHERE rn <= 5
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        # ann_ivf_topk: intentionally no oracle (approximate ANN); driver
+        # records the weaker rows-only check, recall pinned in tests.
+        "multimodal_decode": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       octet_length(encode(text)) AS n_bytes,
+                       md5(text) AS h
+                FROM documents),
+            v AS (SELECT *, ('0x' || substr(h, 1, 8))::BIGINT AS vv FROM m)
+            SELECT media_id, kind,
+                   CAST(n_bytes AS INTEGER) AS n_bytes,
+                   CAST(CASE WHEN kind IN ('image', 'video') THEN 64 + vv % 1920 END AS INTEGER) AS width,
+                   CAST(CASE WHEN kind IN ('image', 'video') THEN 64 + (vv >> 8) % 1080 END AS INTEGER) AS height,
+                   CAST(CASE WHEN kind = 'audio' THEN 100 + vv % 600000
+                             WHEN kind = 'video' THEN 1000 + vv % 7200000 END AS INTEGER) AS duration_ms,
+                   h AS feature_hash
+            FROM v
+        """,
+        "events_tumbling_window": """
+            SELECT strftime(make_timestamp((epoch_ns(ts) // 300000000000) * 300 * 1000000),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) >= 300000000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+            FROM o GROUP BY user_id
         """,
     }

@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §7.1 M6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle keyed
+  on a 128-bit hash, near-perfectly balanced.
+- **MinHash+LSH**: per-doc signatures are map-side only; candidate
+  generation joins docs on (band_id, band_hash) buckets — the join key
+  is the bucket, so cost is sum of bucket sizes squared, NOT n². Exact
+  Jaccard verification runs only on candidates.
+- **SimHash**: per-doc 32-bit signature map-side; near-dup pairs by
+  banding the signature (bucket join), hamming verify on candidates.
+- **n-gram Jaccard**: the exact (quadratic-within-bucket) baseline used
+  to validate the sketches; joins on shared shingle, so common shingles
+  dominate cost — at scale, drop top-frequency shingles (documented knob).
+
+Hashing is md5-based (seed-prefix trick: ``H(seed || value)``) so every
+operator is deterministic and DuckDB-oracle-checkable: no engine-specific
+murmur/xxhash, no modular-arithmetic overflow concerns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_REGEX, fingerprint
+
+# 2^60 range: 15 hex chars of md5 → non-negative bigint, identical in
+# DuckDB via ('0x' || substr(md5(s),1,15))::bigint
+def hash60(col: Column, seed: str = "") -> Column:
+    c = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (empty-safe:
+    docs shorter than n words yield their full token string)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(WORD_REGEX), 0)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) docs: fingerprint → keeper + count.
+
+    One shuffle on the fingerprint; output has one row per distinct text.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical normalized text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[j] = min over shingles of
+    H('mh<j>|' || shingle). Map-side only (no shuffle).
+
+    Returns (id_col, sig array<bigint>). Deterministic across engines.
+    """
+    shingles = word_shingles(text_col, shingle_n)
+
+    def min_hash_j(j: int) -> Column:
+        seed = f"mh{j}|"
+        return F.array_min(F.transform(shingles, lambda s: hash60(s, seed=seed)))
+
+    sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Explodes each signature into ``bands`` (band_id, band_hash) keys and
+    self-joins on the bucket — the quadratic blow-up is confined to
+    within-bucket, which is the entire point of LSH at scale.
+    Output: (a, b) with a < b, distinct.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Without ``candidates``: joins on shared shingle (each co-occurring
+    shingle contributes one match row; groupBy pair counts the
+    intersection) — the exact baseline. With ``candidates`` (e.g. from
+    LSH): verification runs only on those pairs.
+    Output: (a, b, jaccard) with a < b.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signature → banded candidates → exact
+    Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_pairs(df, text_col, id_col, threshold, candidates=cands)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over word tokens (count-weighted).
+
+    bit b of the signature is 1 iff sum over token occurrences of
+    (+1 if bit b of H(token) else -1) > 0. Built as 32 conditional sums
+    over the exploded token list — one shuffle keyed on doc id.
+    """
+    c = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(WORD_REGEX), 0)
+    tok = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "h", hash60(F.col("tok"), seed="sh|")
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else (sig + bit)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: band the 32-bit signature into 4 bytes; docs
+    sharing any byte-band are candidates (pigeonhole: any pair within
+    hamming<=3 of each other shares a band; larger max_hamming values are
+    verified but candidate recall comes from the banding). Exact hamming
+    verify via bit_count(xor).
+    """
+    sigs = simhash(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

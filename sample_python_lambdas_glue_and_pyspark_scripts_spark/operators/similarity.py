@@ -1,0 +1,171 @@
+"""Embedding similarity search (SURVEY.md §7.1 M6).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run as native ``zip_with``/``aggregate`` expressions in
+  double precision (JVM-side, no Python).
+- ``ivf_topk``: the scale path — IVF-style inverted file with
+  deterministic coarse centroids; each vector is assigned to its nearest
+  centroid (one map-side pass vs a broadcast centroid table), queries
+  probe only ``nprobe`` cells. At 100 TB this turns an O(n) scan per
+  query into O(n * nprobe / ncells) with a shuffle keyed on cell id.
+- ``cosine_pairs``: embedding near-duplicate pairs above a threshold.
+
+All cosine math is computed on ``double``-cast arrays so results are
+bit-comparable with a DuckDB oracle using
+``list_cosine_similarity(CAST(e AS DOUBLE[]), ...)`` (rounded to 6dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, sim).
+
+    The query side broadcasts (queries are few); the corpus streams
+    through map-side; the only shuffle is the per-query top-k window over
+    candidate rows. Self-matches (same id) are excluded. Ranking uses the
+    rounded similarity with neighbor-id tiebreak so the cut is
+    deterministic across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF assignment: each vector gets its ``nprobe`` nearest centroid
+    ids (by cosine, ties → lower centroid id). Centroids broadcast."""
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), _dbl(vec_col).alias("centv")
+    )
+    v = vectors.select(F.col(id_col), _dbl(vec_col).alias("v"), F.col(vec_col))
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "csim", F.round(cosine(F.col("v"), F.col("centv")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= nprobe)
+        .select(id_col, vec_col, F.col("centroid_id").alias(cell_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via a deterministic IVF index.
+
+    Coarse centroids = the first ``ncells`` corpus vectors by id (a
+    deterministic stand-in for k-means — swap in trained centroids for
+    production recall). Corpus vectors live in exactly one cell; queries
+    probe their ``nprobe`` nearest cells; exact cosine runs only within
+    probed cells. Output schema matches ``cosine_topk``.
+    """
+    centroids = corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(ncells)
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cq = query_cells.select(
+        F.col(id_col).alias("query_id"), F.col("cell"), _dbl(vec_col).alias("qv")
+    )
+    cc = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell"), _dbl(vec_col).alias("cv")
+    )
+    scored = (
+        cq.join(cc, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a neighbor can appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: (a, b, sim) with a < b, sim >= threshold.
+
+    Brute-force O(n²) within the join — correct baseline; at scale,
+    pre-bucket with ``assign_cells`` and join on cell (the IVF trick) or
+    random-hyperplane LSH before verifying.
+    """
+    l = vectors.select(F.col(id_col).alias("a"), _dbl(vec_col).alias("va"))
+    r = vectors.select(F.col(id_col).alias("b"), _dbl(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.1 M6): language ID, quality
+scoring, token counting, and document fingerprinting over a ``documents``
+table. Everything is native Spark column expressions — JVM-side,
+whole-stage codegen, no Python in the hot path — so these run at
+100 TB as pure map-side projections (no shuffle at all).
+
+All primitives are chosen for cross-engine determinism (md5-based
+hashing, RE2/Java-compatible regexes) so every operator has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/punctuation tokenizer: runs of word chars, or single
+# non-word non-space symbols (each punctuation mark is its own token).
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+# plain word tokenizer for shingles / language ID
+WORD_REGEX = r"[a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "it", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "du"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Tokenize into words+punctuation (BPE-ish regex)."""
+    return F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), 0)
+
+
+def words(col: Column | str) -> Column:
+    """Lowercased alphanumeric word tokens."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(WORD_REGEX), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return _count_matches(F.lower(_c(col)), pat)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature set: lengths, ratios, counts.
+
+    Ratios are rounded to 6dp for cross-engine comparability.
+    """
+    c = _c(text_col)
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_words = F.size(words(c))
+    n_punct = _count_matches(c, r"[.,!?;:]")
+    n_stop = stopword_count(c)
+    return df.select(
+        "*",
+        n_chars.alias("stat_n_chars"),
+        n_tok.alias("stat_n_tokens"),
+        n_words.alias("stat_n_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("stat_punct_ratio"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("stat_stopword_ratio"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 6).alias("stat_chars_per_word"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score (length + stopword presence + sane
+    punctuation), the usual pre-training heuristic filter shape."""
+    stats = text_stats(df, text_col)
+    len_ok = F.when(F.col("stat_n_chars").between(50, 100000), 1.0).otherwise(0.0)
+    stop_ok = F.when(F.col("stat_stopword_ratio") >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("stat_punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    return stats.withColumn(
+        "quality_score", F.round((len_ok + stop_ok + punct_ok) / 3.0, 6)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax of per-language stopword counts,
+    ties broken by fixed language order, 'und' when all scores are 0."""
+    c = F.lower(_c(text_col))
+    scores = {
+        lang: _count_matches(c, r"\b(" + "|".join(sw) + r")\b")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    # argmax: walk languages in declaration order; strictly-greater
+    # replaces, so earlier languages win ties.
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_STOPWORDS:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select("*", best.alias("lang_pred"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed text.
+
+    The normalize-then-hash shape used for exact dedup; md5 keeps it
+    oracle-comparable (rolling/xxhash variants are engine-specific).
+    """
+    norm = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,103 @@
+"""Embedding similarity + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    multimodal as M,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    similarity as S,
+)
+
+VEC_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [0.0, 0.0, 1.0]),
+        (5, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_cosine_topk_exact(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.cosine_topk(vecs, q, k=2).collect()
+    assert [(r["neighbor_id"]) for r in out] == [1, 2]  # 1 closest, then orthogonals tie→lowest id
+    assert out[0]["sim"] == pytest.approx(0.993884, abs=1e-6)
+    # self excluded
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_cosine_pairs_threshold(spark, vecs):
+    pairs = {(r["a"], r["b"]): r["sim"] for r in S.cosine_pairs(vecs, 0.9).collect()}
+    assert set(pairs) == {(0, 1), (2, 3)}
+
+
+def test_ivf_topk_subset_of_exact(spark, vecs):
+    q = vecs.filter(F.col("vec_id") <= 1)
+    exact = S.cosine_topk(vecs, q, k=3)
+    approx = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=2)
+    # approximate results must be a subset of scored (query, neighbor) space
+    # and every returned sim must equal the exact sim for that pair
+    ex = {(r["a"], r["b"]): r["sim"] for r in S.cosine_pairs(vecs, -1.0).collect()}
+    for r in approx.collect():
+        a, b = sorted((r["query_id"], r["neighbor_id"]))
+        assert ex[(a, b)] == r["sim"]
+    # with nprobe = ncells it degrades to exact
+    full = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_media_pipeline_fake_decode(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(9)], ["doc_id", "text"]
+    )
+    media = M.media_from_documents(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+    stats = M.media_stats(media)
+    row = stats.filter(F.col("media_id") == 0).first()
+    assert row["n_bytes"] == len("document body 0")
+
+    dec = M.decode_media(media, fake=True)
+    rows = {r["media_id"]: r for r in dec.collect()}
+    assert rows[0]["kind"] == "image" and rows[0]["width"] is not None
+    assert rows[1]["kind"] == "audio" and rows[1]["duration_ms"] is not None
+    assert rows[2]["kind"] == "video" and rows[2]["width"] is not None
+    # deterministic: same payload → same feature hash
+    dec2 = {r["media_id"]: r["feature_hash"] for r in
+            M.decode_media(media, fake=True).collect()}
+    assert dec2 == {k: v["feature_hash"] for k, v in rows.items()}
+
+
+def test_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = M.media_from_documents(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.decode_media(media, fake=False).collect()
+
+
+def test_sample_frames(spark):
+    docs = spark.createDataFrame(
+        [(2, "a video-ish payload with enough text")], ["doc_id", "text"]
+    )
+    media = M.media_from_documents(docs)  # doc 2 → video
+    frames = M.sample_frames(media, every_ms=1000, fake=True).collect()
+    assert len(frames) >= 1
+    assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+    assert all(f["media_id"] == 2 for f in frames)

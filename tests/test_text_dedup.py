@@ -1,0 +1,111 @@
+"""Text-analysis + dedup operator tests (SURVEY.md §7.1 M6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import dedup as D
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "THE  Quick  Brown fox jumps over the lazy dog"),  # normalized dup
+        (4, "the quick brown fox jumps over a sleepy cat"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count_and_stats(spark, docs):
+    out = T.text_stats(docs).filter(F.col("doc_id") == 1).first()
+    assert out["stat_n_words"] == 9
+    assert out["stat_n_tokens"] == 9
+    assert out["stat_punct_ratio"] == 0.0
+    assert out["stat_stopword_ratio"] > 0  # 'the' x2, 'over'... 'the' counted
+
+    punct = spark.createDataFrame([(1, "Hi, there! Ok?")], ["doc_id", "text"])
+    s = T.text_stats(punct).first()
+    assert s["stat_n_tokens"] == 6  # Hi , there ! Ok ?
+    assert s["stat_punct_ratio"] == round(3 / 14, 6)
+
+
+def test_language_id_votes(spark):
+    rows = [
+        (1, "the cat and the dog is in the house"),
+        (2, "el perro y la casa de los gatos en un pueblo"),
+        (3, "zzz qqq xxx"),  # no stopwords anywhere
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"] for r in T.language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalizes(spark, docs):
+    fps = {r["doc_id"]: r["fp"] for r in
+           docs.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # case + whitespace folded
+    assert fps[1] != fps[4]
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_dedup_groups(docs)
+    trio = groups.filter(F.col("n_docs") == 3).first()
+    assert trio["keep_id"] == 1
+    kept = D.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 4, 5, 6}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    sh = df.select(D.word_shingles("text").alias("s")).first()["s"]
+    assert sh == ["a b c", "b c d", "c d e"]
+    # shorter than n words → whole text as one shingle
+    df2 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert df2.select(D.word_shingles("text").alias("s")).first()["s"] == ["a b"]
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             D.jaccard_pairs(docs, threshold=0.3).collect()}
+    # identical docs → jaccard 1.0 for (1,2),(1,3),(2,3)
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert pairs[(2, 3)] == 1.0
+    # near-dup (shares 'the quick brown fox jumps over' shingles)
+    assert (1, 4) in pairs and 0.3 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           D.minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    # exact dups must always collide in every band
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    # LSH output is a subset of exact jaccard pairs
+    exact = {(r["a"], r["b"]) for r in D.jaccard_pairs(docs, threshold=0.3).collect()}
+    assert set(got) <= exact
+
+
+def test_minhash_signature_identical_for_dups(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signature(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+    assert len(sigs[1]) == 16
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]  # identical token multisets
+    assert 0 <= sh[1] < 2**32
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup doc 4 should be close to 1 in hamming space
+    if (1, 4) in pairs:
+        assert pairs[(1, 4)] <= 10
