@@ -256,6 +256,135 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- analytical join suite (TPC-H-shaped; bench anchors) ----------------------
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape: 3-way join (dim broadcast + fact-fact),
+    filtered both sides, top-10 by aggregated revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    return (
+        rev.orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("__rev", 2).alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape: 6-way join with two broadcast dims and
+    a same-nation equality constraint, grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue shape: pure scan + pushed filters + global agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item shape: join + filter on returnflag, top-20 customers
+    by lost revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    return (
+        rev.orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("__rev", 2).alias("revenue"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape: having-filtered aggregate semi-joined
+    back to orders + customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: JSON column decode (props '{"k": 69}') + aggregate by value."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- end-to-end pipeline parity (SURVEY §3.1/§3.2) ---------------------------
 
 
@@ -457,6 +586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_orderdate_per_priority": q_min_orderdate_per_priority,
         "status_rollup": q_status_rollup,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "events_json_props": q_events_json_props,
         "price_zone_pipeline": q_price_zone_pipeline,
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
@@ -483,10 +618,16 @@ _WORD_SQL = r"[a-z0-9]+"
 
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+    )
+
     rows = num_hashes // bands
+    base = "(('0x' || substr(md5(s), 1, 7))::BIGINT % 1073741824)"
     sig_cols = ", ".join(
-        f"MIN(('0x' || substr(md5('mh{j}|' || s), 1, 15))::BIGINT) AS h{j}"
-        for j in range(num_hashes)
+        f"MIN(({base} * {a} + {b}) % {MINHASH_PRIME}) AS h{j}"
+        for j, (a, b) in enumerate(minhash_coefficients(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig".format(
@@ -712,6 +853,74 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(rev, 2) AS revenue
+            FROM (
+                SELECT l_orderkey, o_orderdate,
+                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_orderkey, o_orderdate) t
+            ORDER BY rev DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, ROUND(rev, 2) AS revenue
+            FROM (
+                SELECT c_custkey, c_name,
+                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE l_returnflag = 'R'
+                GROUP BY c_custkey, c_name) t
+            ORDER BY rev DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 150) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "events_json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1
         """,
         "price_zone_pipeline": """
             WITH staged AS (

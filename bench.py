@@ -25,8 +25,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # benchmark set: scan-heavy, shuffle-heavy, join-heavy, window-heavy
 BENCH_QUERIES = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "pz_quarantine_rollup",
     "pz_validation_matrix",
+    "price_zone_pipeline",
     "region_rollup",
     "top_revenue_orders",
     "admission_topk",
@@ -34,6 +40,12 @@ BENCH_QUERIES = [
     "status_rollup",
     "transform_typed",
     "route_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "text_stats",
+    "ann_cosine_topk",
+    "events_tumbling_window",
 ]
 
 

@@ -25,12 +25,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import WORD_REGEX, fingerprint
+from .util import ensure_parallelism
 
 # 2^60 range: 15 hex chars of md5 → non-negative bigint, identical in
 # DuckDB via ('0x' || substr(md5(s),1,15))::bigint
 def hash60(col: Column, seed: str = "") -> Column:
     c = F.concat(F.lit(seed), col) if seed else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# 2^30 range base hash for the MinHash family: md5 runs ONCE per shingle;
+# the k hash functions are affine transforms (a*h+b mod p). 30-bit inputs
+# and 30-bit coefficients keep a*h+b < 2^61 — no int64 overflow in Spark
+# (ANSI) or DuckDB, so the oracle reproduces it exactly.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def hash30(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint") % F.lit(
+        2**30
+    )
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs (Knuth multiplicative constants)."""
+    return [
+        (((2 * j + 1) * 2654435761) % (2**30) | 1, (j * 40503 + 11) % (2**30))
+        for j in range(num_hashes)
+    ]
 
 
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
@@ -87,14 +109,26 @@ def minhash_signature(
 
     Returns (id_col, sig array<bigint>). Deterministic across engines.
     """
-    shingles = word_shingles(text_col, shingle_n)
+    df = ensure_parallelism(df)
+    # materialize the 30-bit shingle hashes ONCE in their own projection;
+    # the k affine transforms then reuse the array. (Inlining the hash
+    # expression into each transform re-evaluates shingling+md5 k times —
+    # Catalyst does not CSE across nested higher-order functions.)
+    hashed_df = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, shingle_n), hash30).alias("__h"),
+    )
 
-    def min_hash_j(j: int) -> Column:
-        seed = f"mh{j}|"
-        return F.array_min(F.transform(shingles, lambda s: hash60(s, seed=seed)))
+    def affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-    sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__h"), affine(a, b)))
+            for a, b in minhash_coefficients(num_hashes)
+        ]
+    )
+    return hashed_df.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -162,6 +196,7 @@ def jaccard_pairs(
     LSH): verification runs only on those pairs.
     Output: (a, b, jaccard) with a < b.
     """
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
@@ -199,6 +234,42 @@ def jaccard_pairs(
     )
 
 
+def verify_jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard on a (small) candidate-pair set via per-row
+    array_intersect/array_union of the two shingle sets.
+
+    This avoids the exploded shingle self-join entirely: the candidate
+    table broadcasts against the shingle table twice, and the set math is
+    a per-row expression — verification cost is O(|candidates| * |doc
+    shingles|), independent of how common individual shingles are.
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = ensure_parallelism(sh)
+    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -211,7 +282,9 @@ def minhash_dedup_pairs(
     Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    return jaccard_pairs(df, text_col, id_col, threshold, candidates=cands)
+    return verify_jaccard_on_candidates(
+        df, cands, text_col, id_col, threshold
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -226,6 +299,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (+1 if bit b of H(token) else -1) > 0. Built as 32 conditional sums
     over the exploded token list — one shuffle keyed on doc id.
     """
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     toks = F.regexp_extract_all(F.lower(c), F.lit(WORD_REGEX), 0)
     tok = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 
 def _dbl(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -61,7 +63,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("cv")
     )
     scored = (
@@ -161,6 +163,7 @@ def cosine_pairs(
     pre-bucket with ``assign_cells`` and join on cell (the IVF trick) or
     random-hyperplane LSH before verifying.
     """
+    vectors = ensure_parallelism(vectors)
     l = vectors.select(F.col(id_col).alias("a"), _dbl(vec_col).alias("va"))
     r = vectors.select(F.col(id_col).alias("b"), _dbl(vec_col).alias("vb"))
     return (

@@ -56,6 +56,9 @@ def get_spark(
         # nanos-since-epoch long (ordering-compatible; convert on output
         # with functions.nanos_to_timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep hive-partition values as strings: 'opco_id=019' must read
+        # back as '019', not int 19 (reference treats opco ids as strings)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

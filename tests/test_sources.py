@@ -1,0 +1,146 @@
+"""Source/sink tests (SURVEY.md §2.1): staged CSV reads, partitioned
+writes, archive-with-verification, run utilities."""
+
+import glob
+import gzip
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark import schemas as S
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.runs import (
+    bytes_to_gb,
+    new_run_id,
+    plan_run_sizing,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources import (
+    read_csv_staged,
+    read_pipe_csv,
+    write_partitioned,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.archive import (
+    archive_and_cleanup,
+    list_files,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+    append_run_metrics,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sources-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+CSV_BODY = "co_nbr,supc,prc_zone,cust_nbr,eff_from_dttm\n019,104612,5,1234567,2020-08-06 00:00:00\n020,104613,4,1234568,2020-08-07 00:00:00\n"
+
+
+def test_read_csv_staged_all_strings(spark, tmpdir):
+    path = f"{tmpdir}/in.csv"
+    with open(path, "w") as f:
+        f.write(CSV_BODY)
+    df = read_csv_staged(spark, path, S.PRICE_ZONE_STAGING_SCHEMA)
+    assert [f.dataType.typeName() for f in df.schema.fields] == ["string"] * 5
+    rows = df.orderBy("co_nbr").collect()
+    assert rows[0]["co_nbr"] == "019" and rows[0]["prc_zone"] == "5"
+
+
+def test_read_csv_gz_native(spark, tmpdir):
+    """S2: the reference's decompress Glue job is eliminated — Spark reads
+    .csv.gz directly; we repartition after (gz is unsplittable)."""
+    path = f"{tmpdir}/in.csv.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(CSV_BODY)
+    df = read_csv_staged(spark, path, S.PRICE_ZONE_STAGING_SCHEMA, repartition_gz=4)
+    assert df.count() == 2
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_read_pipe_csv(spark, tmpdir):
+    path = f"{tmpdir}/pa.csv"
+    with open(path, "w") as f:
+        f.write("ITEM_ID|CURRENT_PRICE|REASON|NEW_PRICE|LOCAL_REFERENCE_PRICE|EFFECTIVE_DATE|EXPORT_DATE|ITEM_ATTR_5_NM|PRICE_ZONE_ID\n")
+        f.write("104612|1|r|2|13.44|2020-08-06 10:11:12|2020-08-07 00:00:00|Y|019-5\n")
+    df = read_pipe_csv(spark, path, S.PA_STAGING_SCHEMA)
+    assert df.first()["PRICE_ZONE_ID"] == "019-5"
+
+
+def test_write_partitioned_parquet_roundtrip_and_pruning(spark, tmpdir):
+    df = spark.createDataFrame(
+        [("019", i, float(i)) for i in range(10)]
+        + [("020", i, float(i)) for i in range(10)],
+        ["opco_id", "k", "v"],
+    )
+    out = f"{tmpdir}/out"
+    write_partitioned(df, out, partition_by="opco_id")
+    assert os.path.isdir(f"{out}/opco_id=019")
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    # partition pruning: the filter must land in the scan's PartitionFilters
+    pruned = back.filter(F.col("opco_id") == "019")
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*opco_id#\d+ = 019\)", plan), plan
+    assert pruned.count() == 10
+
+
+def test_write_partitioned_csv_quote_disabled(spark, tmpdir):
+    """S5 fidelity: the reference writes CSV with quoting disabled
+    (quoteChar: -1, transform_spark_job.py:110)."""
+    df = spark.createDataFrame([("019", 'va"lue')], ["opco_id", "v"])
+    out = f"{tmpdir}/csv"
+    write_partitioned(df, out, partition_by="opco_id", fmt="csv")
+    body = open(glob.glob(f"{out}/opco_id=019/*.csv")[0]).read()
+    assert 'va"lue' in body  # no quote escaping applied
+
+
+def test_append_run_metrics(spark, tmpdir):
+    path = f"{tmpdir}/metrics"
+    m1 = spark.createDataFrame([("run1", 100, 90)], ["run_id", "total", "valid"])
+    m2 = spark.createDataFrame([("run2", 50, 50)], ["run_id", "total", "valid"])
+    append_run_metrics(m1, path)
+    append_run_metrics(m2, path)
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_archive_and_cleanup(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    os.makedirs(f"{src}/opco_id=019", exist_ok=True)
+    for i in range(3):
+        with open(f"{src}/opco_id=019/f{i}.csv", "w") as f:
+            f.write(f"data{i}\n")
+    res = archive_and_cleanup(spark, src, f"{tmpdir}/archive")
+    assert res.copied == 3 and res.deleted == 3
+    assert len(list_files(spark, f"{tmpdir}/archive")) == 3
+    assert len(list_files(spark, src)) == 0  # sources removed
+
+
+def test_archive_keep_source(spark, tmpdir):
+    src = f"{tmpdir}/src2"
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/a.txt", "w") as f:
+        f.write("x")
+    res = archive_and_cleanup(spark, src, f"{tmpdir}/arch2", delete_source=False)
+    assert res.copied == 1 and res.deleted == 0
+    assert len(list_files(spark, src)) == 1
+
+
+def test_run_sizing_decision():
+    # reference truth: <= bound → partial/MIN; above → full/MAX
+    assert bytes_to_gb(10**10) == 9.31
+    r = plan_run_sizing(10**9, partial_upper_bound_gb=5.0)
+    assert (r.mode, r.worker_count) == ("partial", 2)
+    r = plan_run_sizing(10**11, partial_upper_bound_gb=5.0)
+    assert (r.mode, r.worker_count) == ("full", 10)
+    assert r.shuffle_partitions == 80
+
+
+def test_new_run_id_unique():
+    a, b = new_run_id(ts=1700000000), new_run_id(ts=1700000000)
+    assert a != b and a.startswith("etl_output_1700000000_")
