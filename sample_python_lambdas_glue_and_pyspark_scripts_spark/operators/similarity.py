@@ -151,6 +151,101 @@ def ivf_topk(
     )
 
 
+def hyperplane_signature(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH signature.
+
+    bit j = sign(<v, h_j>) with h_j a fixed pseudo-random hyperplane
+    (deterministic per seed, generated driver-side, inlined as literals —
+    no data shuffle, pure map-side). P(bit match) = 1 - angle/pi, so near
+    neighbors collide in signature space.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    v = _dbl(vec_col)
+
+    def plane_dot(plane: list[float]) -> Column:
+        terms = [v[i] * F.lit(w) for i, w in enumerate(plane)]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    sig = None
+    for j, plane in enumerate(planes):
+        bit = F.when(plane_dot(plane) > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else (sig + bit)
+    return vectors.select(F.col(id_col), sig.alias("hp_sig"))
+
+
+def hyperplane_lsh_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-signature banding for
+    candidates, exact cosine verify. Same output contract as
+    ``cosine_pairs`` but candidate generation is a bucket join instead of
+    the O(n²) cross join — the LSH scale path for embeddings."""
+    vectors = ensure_parallelism(vectors)
+    sigs = hyperplane_signature(vectors, dim, n_planes, id_col, vec_col, seed)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("hp_sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("a"), _dbl(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), _dbl(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

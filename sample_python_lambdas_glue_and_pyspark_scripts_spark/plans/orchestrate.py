@@ -1,0 +1,133 @@
+"""End-to-end orchestrated run: the reference's whole Step Function as one
+engine call (SURVEY.md §3.1).
+
+Reference flow: S3 trigger → admission gate → decompress → transform
+(validate/quarantine) → partitioned write → per-opco versioned DB load →
+status roll-up → archive → notify. Here:
+
+    run_pipeline(spark, RunConfig(...)) →
+        classify file → ledger RUNNING + admission → staged read (gz-aware)
+        → single-pass validate + quarantine → derive/cast
+        → partitionBy(opco_id) parquet → per-opco VersionedCatalog load
+        (dual-write rule from the ledger's running full exports)
+        → ledger SUCCEEDED/FAILED with counts → optional archive.
+
+Boundaries that were 8 Lambdas + Step Functions + Glue jobs in the
+reference collapse into one Spark application; per-opco load failures are
+isolated (try/except per opco) exactly like the reference's Map-state
+Catch (etl_controller_step_function.json:23-67).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.versioning import ValidationPolicy, VersionedCatalog
+from ..sources.archive import archive_and_cleanup
+from ..sources.readers import read_csv_staged
+from .. import schemas as S
+from .price_zone import run_price_zone_transform
+from .run_ledger import RunLedger
+from .runs import new_run_id
+
+
+@dataclass
+class RunConfig:
+    input_path: str
+    work_dir: str  # partitioned-output + catalog + ledger root
+    active_opcos: list[str]
+    file_name: str
+    etl_timestamp: str
+    file_type: str = "partial"  # 'partial' | 'full'
+    max_concurrency: int = 2
+    policy: ValidationPolicy = ValidationPolicy.FAIL
+    archive_dir: str | None = None
+    input_sep: str = ","
+
+
+@dataclass
+class RunOutcome:
+    execution_id: str
+    status: str
+    total_count: int
+    valid_count: int
+    invalid_count: int
+    invalid_opcos: list
+    loaded_opcos: list[str] = field(default_factory=list)
+    failed_opcos: list[str] = field(default_factory=list)
+    admitted: bool = True
+
+
+def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
+    ledger = RunLedger(spark, f"{cfg.work_dir}/ledger")
+    catalog = VersionedCatalog(spark, f"{cfg.work_dir}/tables")
+    execution_id = new_run_id()
+
+    # admission (W1): insert RUNNING row, rank, bail out if over capacity
+    received = ",".join(cfg.active_opcos) if cfg.file_type == "full" else ""
+    ledger.record(
+        cfg.file_name, cfg.etl_timestamp, execution_id, "RUNNING",
+        file_type=cfg.file_type, received_opcos=received,
+    )
+    if not ledger.admit(execution_id, cfg.max_concurrency):
+        ledger.record(cfg.file_name, cfg.etl_timestamp, execution_id, "WAITING",
+                      file_type=cfg.file_type)
+        return RunOutcome(execution_id, "WAITING", 0, 0, 0, [], admitted=False)
+
+    try:
+        raw = read_csv_staged(
+            spark, cfg.input_path, S.PRICE_ZONE_STAGING_SCHEMA,
+            sep=cfg.input_sep, repartition_gz=spark.sparkContext.defaultParallelism,
+        )
+        result = run_price_zone_transform(raw, cfg.active_opcos)
+        rep = result.report
+
+        # partitioned staging write (S5) — repartition keyed on opco_id
+        out_path = f"{cfg.work_dir}/partitioned/{execution_id}"
+        result.output.repartition("opco_id").write.partitionBy("opco_id").mode(
+            "overwrite"
+        ).parquet(out_path)
+
+        # per-opco versioned load with failure isolation (O1 Map-state)
+        written = spark.read.parquet(out_path)
+        opcos = sorted(
+            r["opco_id"] for r in written.select("opco_id").distinct().collect()
+        )
+        running_exports = ledger.full_export_opcos()
+        loaded, failed = [], []
+        for opco in opcos:
+            try:
+                catalog.init_opco_if_absent(opco)
+                catalog.load_opco(
+                    written.filter(F.col("opco_id") == opco),
+                    opco,
+                    is_partial=(cfg.file_type != "full"),
+                    running_export_opcos=running_exports,
+                    policy=cfg.policy,
+                )
+                loaded.append(opco)
+            except Exception:
+                failed.append(opco)  # isolated, like the Map-state Catch
+
+        status = "FAILED" if failed else "SUCCEEDED"
+        ledger.record(
+            cfg.file_name, cfg.etl_timestamp, execution_id, status,
+            file_type=cfg.file_type, total_count=rep.total_count,
+            valid_count=rep.valid_count, invalid_count=rep.invalid_count,
+            received_opcos=",".join(opcos),
+        )
+        if cfg.archive_dir:
+            archive_and_cleanup(spark, cfg.input_path, cfg.archive_dir,
+                                delete_source=False)
+        return RunOutcome(
+            execution_id, status, rep.total_count, rep.valid_count,
+            rep.invalid_count, sorted(rep.invalid_groups, key=str),
+            loaded, failed,
+        )
+    except Exception:
+        ledger.record(cfg.file_name, cfg.etl_timestamp, execution_id, "FAILED",
+                      file_type=cfg.file_type)
+        raise

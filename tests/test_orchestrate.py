@@ -1,0 +1,126 @@
+"""End-to-end orchestrated-run test: CSV in → quarantine → partitioned
+write → versioned per-opco load → ledger close-out (SURVEY.md §3.1)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.versioning import (
+    VersionedCatalog,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.orchestrate import (
+    RunConfig,
+    RunOutcome,
+    run_pipeline,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.run_ledger import RunLedger
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="orch-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+CSV = (
+    "co_nbr,supc,prc_zone,cust_nbr,eff_from_dttm\n"
+    "019,104612,5,1234567,2020-08-06 00:00:00\n"
+    "019,104613,4,1234567,2020-08-07 00:00:00\n"
+    "020,104614,9,1234568,2020-08-06 00:00:00\n"   # price_zone 9 → 020 quarantined
+    "021,104615,3,1234569,2020-08-06 00:00:00\n"
+    "022,104616,2,1234570,2020-08-06 00:00:00\n"   # 022 not active → quarantined
+)
+
+
+def test_partial_run_end_to_end(spark, workdir):
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+
+    cfg = RunConfig(
+        input_path=inp,
+        work_dir=f"{workdir}/engine",
+        active_opcos=["019", "020", "021"],
+        file_name="ctt_prices.csv",
+        etl_timestamp="t1",
+        file_type="partial",
+        archive_dir=f"{workdir}/archive",
+    )
+    out = run_pipeline(spark, cfg)
+    assert isinstance(out, RunOutcome)
+    assert out.status == "SUCCEEDED"
+    assert out.total_count == 5
+    assert out.valid_count == 3          # 019 x2 + 021
+    assert out.invalid_count == 2        # 020 (range), 022 (inactive)
+    assert set(out.invalid_opcos) == {"020", "022"}
+    assert out.loaded_opcos == ["019", "021"] and out.failed_opcos == []
+
+    # versioned tables: partial load → ACTIVE only
+    cat = VersionedCatalog(spark, f"{workdir}/engine/tables")
+    active_019 = cat.table_name("019", "ACTIVE")
+    assert spark.read.parquet(cat.table_path(active_019)).count() == 2
+    assert cat.table_is_empty(cat.table_name("019", "FUTURE"))
+
+    # ledger closed out with counts
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    cur = lg.current().collect()
+    assert len(cur) == 1 and cur[0]["status"] == "SUCCEEDED"
+    assert cur[0]["valid_count"] == 3
+
+    # archive populated, source retained
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.archive import (
+        list_files,
+    )
+    assert len(list_files(spark, f"{workdir}/archive")) == 1
+
+
+def test_full_export_then_partial_dual_writes(spark, workdir):
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write("co_nbr,supc,prc_zone,cust_nbr,eff_from_dttm\n"
+                "019,104612,5,1234567,2020-08-06 00:00:00\n")
+
+    base = dict(
+        input_path=inp,
+        work_dir=f"{workdir}/engine",
+        active_opcos=["019"],
+    )
+    # full export loads FUTURE and stays RUNNING?  No — completes; but a
+    # SECOND run arriving while a full export is RUNNING uses the dual rule.
+    # Simulate: record a RUNNING full export in the ledger first.
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    lg.record("wtp_full.csv", "t0", "e-full", "RUNNING", file_type="full",
+              received_opcos="019")
+
+    out = run_pipeline(
+        spark,
+        RunConfig(**base, file_name="ctt_p.csv", etl_timestamp="t1",
+                  file_type="partial", max_concurrency=5),
+    )
+    assert out.status == "SUCCEEDED"
+    cat = VersionedCatalog(spark, f"{workdir}/engine/tables")
+    # dual write: ACTIVE and FUTURE both loaded (full export in flight)
+    assert spark.read.parquet(
+        cat.table_path(cat.table_name("019", "ACTIVE"))).count() == 1
+    assert spark.read.parquet(
+        cat.table_path(cat.table_name("019", "FUTURE"))).count() == 1
+
+
+def test_admission_blocks_over_capacity(spark, workdir):
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write("co_nbr,supc,prc_zone,cust_nbr,eff_from_dttm\n"
+                "019,104612,5,1234567,2020-08-06 00:00:00\n")
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    lg.record("f1", "t1", "e1", "RUNNING")
+    lg.record("f2", "t2", "e2", "RUNNING")
+
+    out = run_pipeline(
+        spark,
+        RunConfig(input_path=inp, work_dir=f"{workdir}/engine",
+                  active_opcos=["019"], file_name="f3", etl_timestamp="t3",
+                  file_type="partial", max_concurrency=2),
+    )
+    assert out.status == "WAITING" and out.admitted is False

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the Spark operators must agree with
+pure-Python reference implementations on randomized inputs. Exceeds the
+reference's test strategy (SURVEY.md §5: no property tests there)."""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark import schemas as S
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    validation as V,
+)
+
+# --- python reference implementations ----------------------------------------
+
+def py_required_numeric_invalid(v):
+    return v is None or v == "" or re.search(r"[^0-9]", v) is not None
+
+
+def py_member_of_invalid(v, values):
+    return v is None or v not in values
+
+
+def py_max_length_invalid(v, n):
+    return v is not None and len(v) > n
+
+
+def py_range_invalid(v, lo, hi):
+    if v is None:
+        return False
+    try:
+        x = int(v)
+    except ValueError:
+        return False  # try_cast null → NULL comparison → passes
+    return x < lo or x > hi
+
+
+value_strategy = st.one_of(
+    st.none(),
+    st.just(""),
+    st.from_regex(r"[0-9]{1,12}", fullmatch=True),
+    st.from_regex(r"[0-9a-z#%]{1,16}", fullmatch=True),
+    st.just("2020-08-06 00:00:00"),
+)
+
+row_strategy = st.tuples(
+    st.sampled_from(["018", "019", "020", "021"]),  # opco_id
+    value_strategy,  # supc
+    value_strategy,  # customer_id
+    st.one_of(st.none(), st.from_regex(r"[0-9]{1,2}", fullmatch=True), st.just("x")),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(row_strategy, min_size=1, max_size=30))
+def test_validation_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(
+        rows, "opco_id string, supc string, customer_id string, price_zone string"
+    )
+    active = ["019", "020"]
+    rules = [
+        V.Rule("active", "opco_id", "member_of", {"values": active}),
+        V.Rule("supc_num", "supc", "required_numeric"),
+        V.Rule("supc_len", "supc", "max_length", {"n": S.SUPC_LENGTH}),
+        V.Rule("cust_num", "customer_id", "required_numeric"),
+        V.Rule(
+            "pz_range",
+            "price_zone",
+            "expr",
+            {
+                "condition": (F.col("price_zone").try_cast("int") < 1)
+                | (F.col("price_zone").try_cast("int") > 5)
+            },
+        ),
+    ]
+    _, report = V.validate(df, rules, "opco_id")
+
+    expected: dict[str, set] = {r.name: set() for r in rules}
+    for opco, supc, cust, pz in rows:
+        if py_member_of_invalid(opco, active):
+            expected["active"].add(opco)
+        if py_required_numeric_invalid(supc):
+            expected["supc_num"].add(opco)
+        if py_max_length_invalid(supc, S.SUPC_LENGTH):
+            expected["supc_len"].add(opco)
+        if py_required_numeric_invalid(cust):
+            expected["cust_num"].add(opco)
+        if pz is not None and re.fullmatch(r"[0-9]{1,2}", pz) and not 1 <= int(pz) <= 5:
+            expected["pz_range"].add(opco)
+
+    assert report.per_rule_invalid_groups == expected
+    exp_invalid = set().union(*expected.values()) if expected else set()
+    assert report.invalid_groups == exp_invalid
+    exp_valid = sum(1 for r in rows if r[0] not in exp_invalid)
+    assert report.valid_count == exp_valid
+
+
+def py_shingles(text, n=3):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    if len(toks) <= n - 1:
+        return {" ".join(toks[:n])}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY.12", min_size=0, max_size=60), min_size=2, max_size=8
+    )
+)
+def test_jaccard_matches_python_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.jaccard_pairs(df, threshold=0.0).collect()
+    }
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            sa, sb = py_shingles(ta), py_shingles(tb)
+            inter = len(sa & sb)
+            expected = inter / len(sa | sb) if inter else None
+            if expected is None:
+                assert (i, j) not in got  # no shared shingle → no pair row
+            else:
+                assert got[(i, j)] == pytest.approx(round(expected, 6), abs=1e-9)

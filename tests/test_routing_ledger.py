@@ -87,21 +87,33 @@ def test_idempotent_latest(spark):
 
 
 def test_plan_load_decision_table():
-    # full export → FUTURE + effective date
-    d = plan_load(is_partial=False, full_export_running=False)
+    """Exact decision tree of find_tables_to_load (load_job.py:304-368)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.versioning import (
+        ETLLoadError,
+    )
+    import pytest as _pytest
+
+    # full export + FUTURE empty → FUTURE + effective date
+    d = plan_load(is_partial=False, future_empty=True)
     assert d == LoadDecision(False, True, True, True, d.reason)
-    # partial, no full export → ACTIVE only
-    d = plan_load(is_partial=True, full_export_running=False)
+    # partial, FUTURE empty, no full export → ACTIVE only
+    d = plan_load(is_partial=True, future_empty=True)
     assert (d.write_active, d.write_future) == (True, False)
-    # partial while full export in flight + opco received → dual write
-    d = plan_load(is_partial=True, full_export_running=True, opco_in_running_export=True)
+    # partial, FUTURE empty, full export in flight for this opco → dual
+    d = plan_load(is_partial=True, future_empty=True,
+                  full_export_running=True, opco_in_running_export=True)
     assert (d.write_active, d.write_future) == (True, True)
-    # validation failure policies
-    assert plan_load(is_partial=True, full_export_running=False,
-                     validation_failed=True, policy=ValidationPolicy.FAIL).proceed is False
-    d = plan_load(is_partial=True, full_export_running=False,
-                  validation_failed=True, policy=ValidationPolicy.SKIP)
-    assert d.proceed is True and not d.write_active
-    d = plan_load(is_partial=True, full_export_running=False,
-                  validation_failed=True, policy=ValidationPolicy.FORCE)
-    assert d.write_active is True
+    # partial, FUTURE empty, full export running but opco NOT in it → ACTIVE only
+    d = plan_load(is_partial=True, future_empty=True,
+                  full_export_running=True, opco_in_running_export=False)
+    assert (d.write_active, d.write_future) == (True, False)
+    # partial, FUTURE non-empty → dual regardless of exports
+    d = plan_load(is_partial=True, future_empty=False)
+    assert (d.write_active, d.write_future) == (True, True)
+    # full export + FUTURE non-empty → soft-validation knob
+    with _pytest.raises(ETLLoadError):
+        plan_load(is_partial=False, future_empty=False, policy=ValidationPolicy.FAIL)
+    d = plan_load(is_partial=False, future_empty=False, policy=ValidationPolicy.SKIP)
+    assert d.proceed and not d.write_future
+    d = plan_load(is_partial=False, future_empty=False, policy=ValidationPolicy.FORCE)
+    assert d.write_future and not d.record_effective_date

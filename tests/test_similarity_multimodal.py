@@ -61,6 +61,24 @@ def test_ivf_topk_subset_of_exact(spark, vecs):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_hyperplane_lsh_pairs_subset_of_exact(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["a"], r["b"]): r["sim"] for r in S.cosine_pairs(emb, 0.35).collect()}
+    approx = {(r["a"], r["b"]): r["sim"] for r in
+              hyperplane_lsh_pairs(emb, dim=64, threshold=0.35).collect()}
+    # every LSH pair is a true pair with the exact same verified sim
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert exact[k] == v
+    # recall sanity: hyperplane banding should recover a decent fraction
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
+
+
 def test_media_pipeline_fake_decode(spark):
     docs = spark.createDataFrame(
         [(i, f"document body {i}") for i in range(9)], ["doc_id", "text"]
