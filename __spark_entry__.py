@@ -527,6 +527,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(media, fake=True)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter → exact dedup →
+    language filter → per-source rollup (the end-to-end curation shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs)
+    kept = scored.filter(F.col("quality_score") == 1.0)
+    keepers = DD.exact_dedup(docs).select("doc_id")
+    kept = kept.join(keepers, "doc_id", "left_semi")
+    en = TX.language_id(docs.select("doc_id", "text")).filter(
+        F.col("lang_pred") == "en"
+    ).select("doc_id")
+    kept = kept.join(en, "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("stat_n_words").cast("bigint").alias("total_words"),
+    )
+
+
 # --- streaming-parity window aggregations -------------------------------------
 
 
@@ -606,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
     }
@@ -1031,6 +1050,47 @@ def oracle_sql() -> dict[str, str]:
                              WHEN kind = 'video' THEN 1000 + vv % 7200000 END AS INTEGER) AS duration_ms,
                    h AS feature_hash
             FROM v
+        """,
+        "corpus_curation": rf"""
+            WITH s AS (
+                SELECT doc_id, source,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS n_words,
+                       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS n_stop
+                FROM documents),
+            scored AS (
+                SELECT doc_id, source, n_words,
+                       ROUND((
+                           (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_stop / greatest(n_words, 1), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_punct / greatest(n_chars, 1), 6) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       ) / 3.0, 6) AS quality_score
+                FROM s),
+            keepers AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                      FROM documents) t
+                GROUP BY fp),
+            lang AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS s_en,
+                           len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en|un)\b')) AS s_es,
+                           len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|du)\b')) AS s_fr,
+                           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht|zu)\b')) AS s_de
+                    FROM documents) t
+                WHERE greatest(s_en, s_es, s_fr, s_de) > 0
+                  AND s_en = greatest(s_en, s_es, s_fr, s_de)),
+            kept AS (
+                SELECT scored.* FROM scored
+                WHERE quality_score = 1.0
+                  AND doc_id IN (SELECT doc_id FROM keepers)
+                  AND doc_id IN (SELECT doc_id FROM lang))
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words
+            FROM kept GROUP BY source
         """,
         "events_tumbling_window": """
             SELECT strftime(make_timestamp((epoch_ns(ts) // 300000000000) * 300 * 1000000),

@@ -1,0 +1,71 @@
+"""Skew-handling operators (SURVEY.md §7.1 M7 hardening).
+
+AQE's skew-join splitting handles most runtime skew; these are the
+explicit levers for the cases AQE can't fix:
+
+- ``salted_aggregate``: two-phase aggregation for heavily-skewed groupBy
+  keys (one key holding >> 1/partitions of the data). Phase 1 aggregates
+  on (key, salt) — spreading the hot key over N partitions — phase 2
+  merges the partials. Works for any algebraic aggregate (sum/count/
+  min/max); pass the merge expressions accordingly.
+- ``salted_broadcast_join``: replicate-broadcast join for a skewed fact
+  key against a small dimension: the dimension is exploded N× with salt,
+  the fact picks a random salt — every fact partition joins locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic-per-row salt in [0, n_salts): hash of the whole row,
+    not rand(), so retried tasks re-produce the same salt (exactly-once
+    under task retry)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: list[Column],
+    merge_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase groupBy for skewed keys.
+
+    ``partial_aggs`` run per (key, salt); ``merge_aggs`` combine the
+    partials per key. Example (count + sum):
+
+        salted_aggregate(df, ["k"],
+            [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+            [F.sum("n").alias("n"), F.sum("s").alias("s")])
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*merge_aggs)
+
+
+def salted_broadcast_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-proof fact⋈dim: explode the (small) dim N×, salt the fact.
+
+    Useful when the dim is slightly too large for a plain broadcast AND
+    the fact key is skewed — the salt spreads the hot key's rows over
+    n_salts reducers. With a plain broadcastable dim, prefer broadcast().
+    """
+    salted_facts = with_salt(facts, n_salts)
+    exploded_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_facts.join(exploded_dim, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -62,18 +62,23 @@ def price_zone_derive(df: DataFrame) -> DataFrame:
     )
 
 
-def pa_transform(df: DataFrame) -> DataFrame:
+def pa_transform(df: DataFrame, decimal_price: bool = False) -> DataFrame:
     """The PA pipeline's pandas plan, as one lazy Spark projection.
 
     Reference: pa_etl_script.py:241-264 —
       drop CURRENT_PRICE/REASON/NEW_PRICE (243-245), rename (249-251,259-260),
       date-part parse (253-254), epoch (255), PRICE_ZONE_ID split (256-257),
       drop PRICE_ZONE_ID (261), output order contract (264).
+
+    ``decimal_price=True`` types price as DECIMAL(12,2) instead of the
+    reference's float — the money-correctness upgrade SURVEY §1.2 flags
+    (exact cents arithmetic; no binary-float drift in sums).
     """
+    price_type = "decimal(12,2)" if decimal_price else "double"
     return df.select(
         F.col("ITEM_ID").alias("supc"),
         date_part_to_date("EFFECTIVE_DATE").alias("effective_date"),
-        F.col("LOCAL_REFERENCE_PRICE").try_cast("double").alias("price"),
+        F.col("LOCAL_REFERENCE_PRICE").try_cast(price_type).alias("price"),
         datetime_to_epoch("EXPORT_DATE").alias("export_date"),
         F.col("ITEM_ATTR_5_NM").alias("catch_weight_indicator"),
         split_part("PRICE_ZONE_ID", "-", 1).alias("price_zone_id"),

@@ -58,6 +58,18 @@ def test_pa_transform_contract(spark):
     assert row["catch_weight_indicator"] == "Y"
 
 
+def test_pa_transform_decimal_price(spark):
+    raw = spark.createDataFrame(
+        [("1", "x", "x", "x", "13.445", "2020-08-06", "2020-08-07 00:00:00", "Y", "019-5")],
+        S.PA_STAGING_SCHEMA,
+    )
+    out = T.pa_transform(raw, decimal_price=True)
+    assert out.schema["price"].dataType.simpleString() == "decimal(12,2)"
+    from decimal import Decimal
+
+    assert out.first()["price"] == Decimal("13.45")  # exact cents, HALF_UP
+
+
 def test_split_part(spark):
     df = spark.range(1).select(
         split_part(F.lit("019-5"), "-", 0).alias("a"),
