@@ -396,7 +396,11 @@ def q_price_zone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_price_zone_transform,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     staged = li.select(
         F.lpad((F.col("l_suppkey") % 50).cast("string"), 3, "0").alias("co_nbr"),
         F.col("l_partkey").cast("string").alias("supc"),
@@ -510,8 +514,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (IVF cells, nprobe probing) — rows-only check:
-    recall-vs-exact is pinned in tests/test_similarity_multimodal.py."""
+    """Approximate ANN (IVF cells, nprobe probing). Deterministic by
+    construction (fixed centroids, rounded sims, id tiebreaks) so even the
+    approximate path is oracle-checked; recall-vs-exact is pinned in
+    tests/test_similarity_multimodal.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return SM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
@@ -1030,8 +1036,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
-        # ann_ivf_topk: intentionally no oracle (approximate ANN); driver
-        # records the weaker rows-only check, recall pinned in tests.
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            ca AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+                    FROM e CROSS JOIN cent c) t
+                WHERE rn = 1),
+            q AS (SELECT * FROM e WHERE vec_id < 5),
+            qa AS (
+                SELECT vec_id, cid FROM (
+                    SELECT q.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cid) AS rn
+                    FROM q CROSS JOIN cent c) t
+                WHERE rn <= 4),
+            scored AS (
+                SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+                FROM qa JOIN ca ON qa.cid = ca.cid
+                JOIN e qe ON qe.vec_id = qa.vec_id
+                JOIN e ce ON ce.vec_id = ca.vec_id
+                WHERE ca.vec_id <> qa.vec_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored) t
+            WHERE rn <= 5
+        """,
         "multimodal_decode": """
             WITH m AS (
                 SELECT doc_id AS media_id,

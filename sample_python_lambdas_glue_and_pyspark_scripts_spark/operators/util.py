@@ -4,19 +4,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Inputs smaller than cores x this are "small": a full repartition costs
+# less than leaving any core idle on a compute-heavy stage.
+SMALL_INPUT_BYTES_PER_CORE = 64 * 1024 * 1024
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan (file bytes for scans)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition when the input has fewer partitions than cores.
+    """Repartition small inputs so compute-heavy map stages use all cores.
 
-    Byte-based file splitting gives a few-MB table one partition, which
-    serializes compute-heavy map stages (hashing, shingling, vector math)
-    onto one core. Input bytes are a bad proxy for compute cost — this
-    guard keys the partition count to the cluster's parallelism instead.
-    A no-op when the input is already partitioned (so big scans keep
-    their natural splits).
+    Byte-based file splitting gives a few-MB table one (or one *useful*)
+    partition, which serializes hashing/vector-math stages onto a single
+    core. Partition COUNT can lie — byte-range splits of a one-rowgroup
+    parquet file put every row in one split — so the trigger is the
+    plan-size estimate, not the partition count: inputs under
+    ``cores x 64MB`` repartition unconditionally (the shuffle is trivially
+    cheap at that size); bigger inputs keep their natural splits, so this
+    is a no-op at 100 TB.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.rdd.getNumPartitions() >= target:
+        return df  # already fanned out (e.g. an upstream repartition)
+    try:
+        small = estimated_size_bytes(df) < target * SMALL_INPUT_BYTES_PER_CORE
+    except Exception:
+        small = True
+    if small:
         return df.repartition(target)
     return df

@@ -41,7 +41,13 @@ def run_price_zone_transform(
     - Metadata counts (total/valid/invalid, per-rule invalid opco sets)
       come from the report — no extra scans (reference: 86-94).
     """
+    from ..operators.util import ensure_parallelism
+
     mapped = raw if already_mapped else T.price_zone_mapping(raw)
+    # the validation pass is regex/parse-heavy: fan small inputs across
+    # cores (size-guarded no-op on big scans), and persist so the matrix
+    # action and the caller's downstream actions share one evaluation
+    mapped = ensure_parallelism(mapped).persist()
     clean, report = V.validate(mapped, V.price_zone_rules(active_opcos), "opco_id")
     if report.valid_count == 0:
         raise NoValidRecordsError("no valid records after quarantine")
