@@ -385,6 +385,95 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- window-function suite (beyond the reference's W1-W3) ---------------------
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per partition (cumulative revenue per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: gap in days between consecutive orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", prev).alias("days_since_prev"),
+        (F.round("o_totalprice", 2) - F.round(F.lag("o_totalprice").over(w), 2)).alias(
+            "price_delta"
+        ),
+    )
+
+
+def q_brand_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank within groups (parts by price per brand)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (returnflag → linestatus hierarchy + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics: posexplode the embedding, per-dimension stats."""
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    return exploded.groupBy("dim").agg(
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through raw Spark SQL (temp views registered from
+    the data dir) — identical Catalyst plans as the DataFrame API."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sql import register_tables
+
+    register_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 # --- end-to-end pipeline parity (SURVEY §3.1/§3.2) ---------------------------
 
 
@@ -616,6 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "events_json_props": q_events_json_props,
+        "running_revenue": q_running_revenue,
+        "order_deltas": q_order_deltas,
+        "brand_price_ranks": q_brand_price_ranks,
+        "rollup_revenue": q_rollup_revenue,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "sql_api": q_sql_api,
         "price_zone_pipeline": q_price_zone_pipeline,
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
@@ -946,6 +1041,59 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events
             GROUP BY 1
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_total
+            FROM orders
+        """,
+        "order_deltas": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+                       AS days_since_prev,
+                   ROUND(o_totalprice, 2) - ROUND(lag(o_totalprice) OVER w, 2)
+                       AS price_delta
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "brand_price_ranks": """
+            SELECT p_brand, p_partkey,
+                   RANK() OVER w AS price_rank,
+                   DENSE_RANK() OVER w AS price_dense_rank
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand
+                         ORDER BY p_retailprice DESC, p_partkey)
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "embedding_dim_stats": """
+            WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            pairs AS (
+                SELECT unnest(list_transform(
+                    range(1, len(v) + 1),
+                    i -> {'dim': i - 1, 'val': v[i]})) AS p
+                FROM e)
+            SELECT CAST(p.dim AS INTEGER) AS dim,
+                   ROUND(AVG(p.val), 6) AS avg_val,
+                   ROUND(MIN(p.val), 6) AS min_val,
+                   ROUND(MAX(p.val), 6) AS max_val
+            FROM pairs
+            GROUP BY 1
+        """,
+        "sql_api": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "price_zone_pipeline": """
             WITH staged AS (

@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "status_rollup",
     "transform_typed",
     "route_clusters",
+    "running_revenue",
+    "rollup_revenue",
+    "embedding_dim_stats",
+    "sql_api",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_signatures",
