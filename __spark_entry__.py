@@ -46,7 +46,23 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the contract robust to ANY caller-provided session: the driver
+    builds its own SparkSession, so the configs these queries depend on
+    must be applied at query time (all are runtime SQL confs):
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
+    - UTC session timezone: date_format/unix_timestamp outputs must match
+      the (timezone-naive) DuckDB oracle regardless of host timezone;
+    - ANSI stays on (Spark 4 default) — null-on-failure paths use try_*.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -462,6 +478,7 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data dir) — identical Catalyst plans as the DataFrame API."""
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.sql import register_tables
 
+    _ensure_session_confs(spark)
     register_tables(spark, sf_dir, ["orders", "customer"])
     return spark.sql(
         """
