@@ -29,9 +29,15 @@ def parse_timestamp_lenient(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss")
 
 def nanos_to_timestamp(col: Column | str) -> Column:
     """events.ts arrives as nanos-since-epoch long (session.py nanosAsLong);
-    convert to a microsecond timestamp for output/windowing."""
+    convert to a microsecond timestamp for output/windowing.
+
+    Exact integer arithmetic: ``c / 1000`` in double would lose precision
+    for any epoch-nanos beyond 2^53 (~Apr 1970) — off-by-1µs at window/
+    session-gap boundaries. Decimal division + floor is exact.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros(F.floor(c / 1000).cast("long"))
+    micros = F.floor(c.cast("decimal(25,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def split_part(col: Column | str, sep: str, index: int) -> Column:

@@ -193,9 +193,15 @@ def jaccard_pairs(
     Without ``candidates``: joins on shared shingle (each co-occurring
     shingle contributes one match row; groupBy pair counts the
     intersection) — the exact baseline. With ``candidates`` (e.g. from
-    LSH): verification runs only on those pairs.
+    LSH): delegates to ``verify_jaccard_on_candidates`` so only the
+    candidate pairs are evaluated (a post-join filter would still run the
+    full quadratic shingle self-join).
     Output: (a, b, jaccard) with a < b.
     """
+    if candidates is not None:
+        return verify_jaccard_on_candidates(
+            df, candidates, text_col, id_col, threshold, shingle_n
+        )
     df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
@@ -214,8 +220,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
     return (

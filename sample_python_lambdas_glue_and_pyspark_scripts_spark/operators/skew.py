@@ -20,12 +20,16 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic-per-row salt in [0, n_salts): hash of the whole row,
-    not rand(), so retried tasks re-produce the same salt (exactly-once
-    under task retry)."""
+    """Deterministic-per-row salt in [0, n_salts).
+
+    Row-position based (monotonically_increasing_id), not rand(): retried
+    tasks of a deterministic source re-produce the same salts, and —
+    unlike a hash of the row's columns — exact-duplicate rows (the classic
+    skew payload) still spread across all salt buckets.
+    """
     return df.withColumn(
         salt_col,
-        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
 
 
@@ -67,5 +71,5 @@ def salted_broadcast_join(
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    out = salted_facts.join(exploded_dim, on=[on, "__salt"], how=how)
+    out = salted_facts.join(F.broadcast(exploded_dim), on=[on, "__salt"], how=how)
     return out.drop("__salt")

@@ -220,10 +220,13 @@ def quarantine(df: DataFrame, bad_groups: set, group_col: str = "opco_id") -> Da
             [(g,) for g in non_null], schema=df.select(group_col).schema
         )
         out = df.join(F.broadcast(keys), on=group_col, how="left_anti")
+        # anti-join keeps NULL keys (NULL never equals); drop them to
+        # match the isin branch's NOT-IN semantics exactly
+        out = out.filter(F.col(group_col).isNotNull())
     else:
         out = df.filter(~F.col(group_col).isin(non_null))
-    if had_null:
-        out = out.filter(F.col(group_col).isNotNull())
+        if had_null:
+            out = out.filter(F.col(group_col).isNotNull())
     return out
 
 
@@ -250,8 +253,19 @@ def validate_distributed(
         c = F.col(r.name)
         any_viol = c if any_viol is None else (any_viol | c)
     matrix = matrix.withColumn("any_violation", any_viol)
-    bad_keys = matrix.filter(F.col("any_violation")).select(group_col)
-    clean = df.join(F.broadcast(bad_keys), on=group_col, how="left_anti")
+    bad_keys = matrix.filter(F.col("any_violation")).select(
+        F.col(group_col).alias("__bad_key")
+    )
+    # null-safe anti-join: a NULL group key is a group like any other here
+    # (a plain anti-join would leak violating NULL-group rows, since NULL
+    # never equals NULL). Deviation from validate()'s isin quirk — which
+    # drops NULL-key rows whenever ANY group is bad — is deliberate and
+    # documented: the distributed path treats NULL as its own group.
+    clean = df.join(
+        F.broadcast(bad_keys),
+        F.col(group_col).eqNullSafe(F.col("__bad_key")),
+        how="left_anti",
+    )
     return clean, matrix
 
 

@@ -162,11 +162,24 @@ class VersionedCatalog:
             return None
 
     def _write_catalog(self, df: DataFrame) -> None:
-        # write-new-then-swap keeps the catalog readable throughout
+        # real write-then-rename swap: materialize to __new, swap the
+        # directory pointers with FS renames, clean up — the live path is
+        # only ever a complete catalog (modulo the instant between the two
+        # renames; the engine is single-writer, see SURVEY §4.3)
         tmp = f"{self.catalog_path}__new"
+        old = f"{self.catalog_path}__old"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(self.catalog_path)
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(self.catalog_path), hconf
+        )
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.delete(Path(old), True)
+        if fs.exists(Path(self.catalog_path)):
+            fs.rename(Path(self.catalog_path), Path(old))
+        fs.rename(Path(tmp), Path(self.catalog_path))
+        fs.delete(Path(old), True)
 
     def table_name(self, opco: str, table_type: str) -> str:
         cat = self._read_catalog()
@@ -213,12 +226,18 @@ class VersionedCatalog:
         )
         n_active = n_future = 0
         eff: str | None = None
+        n_rows: int | None = None
+        if decision.write_active or decision.write_future:
+            # count once up front: re-counting after each write would
+            # re-evaluate the plan per table (and could diverge from what
+            # was written if the upstream plan is non-deterministic)
+            n_rows = df.count()
         if decision.write_active:
             df.write.mode("append").parquet(self.table_path(active))
-            n_active = df.count()
+            n_active = n_rows
         if decision.write_future:
             df.write.mode("append").parquet(self.table_path(future))
-            n_future = df.count()
+            n_future = n_rows
         if decision.record_effective_date:
             # min(EFFECTIVE_DATE) of the freshly-built FUTURE table
             # (load_job.py:238,361-363)

@@ -21,6 +21,9 @@ class NoValidRecordsError(RuntimeError):
     """F10 empty-result guard (transform_spark_job.py:94-95)."""
 
 
+_last_persisted = None  # most recent cached staging DF (LRU of size 1)
+
+
 @dataclass
 class PriceZoneResult:
     output: DataFrame  # validated, typed, quarantined
@@ -43,11 +46,17 @@ def run_price_zone_transform(
     """
     from ..operators.util import ensure_parallelism
 
+    global _last_persisted
     mapped = raw if already_mapped else T.price_zone_mapping(raw)
     # the validation pass is regex/parse-heavy: fan small inputs across
     # cores (size-guarded no-op on big scans), and persist so the matrix
-    # action and the caller's downstream actions share one evaluation
+    # action and the caller's downstream actions share one evaluation.
+    # Only the most recent invocation stays cached — unbounded persists
+    # would accumulate across a long-lived session.
     mapped = ensure_parallelism(mapped).persist()
+    if _last_persisted is not None:
+        _last_persisted.unpersist()
+    _last_persisted = mapped
     clean, report = V.validate(mapped, V.price_zone_rules(active_opcos), "opco_id")
     if report.valid_count == 0:
         raise NoValidRecordsError("no valid records after quarantine")

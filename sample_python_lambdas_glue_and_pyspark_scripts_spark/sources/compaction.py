@@ -52,8 +52,14 @@ def compact_partitioned(
     files_per_partition = max(1, round(total_bytes / n_partitions / target_file_bytes))
 
     tmp = path.rstrip("/") + "__compact"
+    # repartition on (partition key, salt): hashing on the key alone puts
+    # each partition value in ONE task, so a hot partition could never be
+    # split into multiple target-sized files
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition))
     (
-        df.repartition(n_partitions * files_per_partition, F.col(partition_by))
+        df.withColumn("__salt", salt)
+        .repartition(n_partitions * files_per_partition, F.col(partition_by), F.col("__salt"))
+        .drop("__salt")
         .write.partitionBy(partition_by)
         .mode("overwrite")
         .format(fmt)
