@@ -283,9 +283,18 @@ def minhash_dedup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signature → banded candidates → exact
-    Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold."""
-    sigs = minhash_signature(df, text_col, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold.
+
+    The candidate set is materialized eagerly (persist + count): the band
+    self-join otherwise evaluates the signature expression once per side
+    and the verify stage a third time — Catalyst has no exchange reuse
+    across these shapes. Candidates are pair ids only (tiny relative to
+    the corpus), so the materialization is cheap at any scale.
+    """
+    sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).persist()
+    cands.count()  # materialize candidates while signatures are cached
+    sigs.unpersist()
     return verify_jaccard_on_candidates(
         df, cands, text_col, id_col, threshold
     )
