@@ -491,6 +491,33 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ordered-set aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: nations having BOTH customers and suppliers (INTERSECT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, correlation, covariance per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
 # --- end-to-end pipeline parity (SURVEY §3.1/§3.2) ---------------------------
 
 
@@ -502,11 +529,7 @@ def q_price_zone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_price_zone_transform,
     )
 
-    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
-        ensure_parallelism,
-    )
-
-    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     staged = li.select(
         F.lpad((F.col("l_suppkey") % 50).cast("string"), 3, "0").alias("co_nbr"),
         F.col("l_partkey").cast("string").alias("supc"),
@@ -728,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "embedding_dim_stats": q_embedding_dim_stats,
         "sql_api": q_sql_api,
+        "price_quantiles": q_price_quantiles,
+        "nation_intersect": q_nation_intersect,
+        "stats_aggregates": q_stats_aggregates,
         "price_zone_pipeline": q_price_zone_pipeline,
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
@@ -1111,6 +1137,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "price_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "nation_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "stats_aggregates": """
+            SELECT l_returnflag,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+            FROM lineitem GROUP BY l_returnflag
         """,
         "price_zone_pipeline": """
             WITH staged AS (

@@ -40,6 +40,8 @@ def hash60(col: Column, seed: str = "") -> Column:
 # (ANSI) or DuckDB, so the oracle reproduces it exactly.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 
+_last_cands = None  # most recent materialized LSH candidate set (LRU of 1)
+
 
 def hash30(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint") % F.lit(
@@ -261,12 +263,14 @@ def verify_jaccard_on_candidates(
     return (
         candidates.join(sa, "a")
         .join(sb, "b")
+        .withColumn("__n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        # pairs with zero shared shingles produce no row (matches the
+        # shared-shingle-join baseline's contract even at threshold<=0)
+        .filter(F.col("__n_inter") > 0)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("__n_inter") / F.size(F.array_union("sh_a", "sh_b")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -291,10 +295,19 @@ def minhash_dedup_pairs(
     across these shapes. Candidates are pair ids only (tiny relative to
     the corpus), so the materialization is cheap at any scale.
     """
+    global _last_cands
     sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).persist()
     cands.count()  # materialize candidates while signatures are cached
     sigs.unpersist()
+    # bounded cache: only the most recent call's candidates stay pinned
+    # (they must outlive this function — the returned verify DF is lazy)
+    if _last_cands is not None:
+        try:
+            _last_cands.unpersist()
+        except Exception:
+            pass
+    _last_cands = cands
     return verify_jaccard_on_candidates(
         df, cands, text_col, id_col, threshold
     )

@@ -54,22 +54,35 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*merge_aggs)
 
 
-def salted_broadcast_join(
+def salted_replicate_join(
     facts: DataFrame,
     dim: DataFrame,
     on: str,
     n_salts: int = 8,
     how: str = "left",
 ) -> DataFrame:
-    """Skew-proof fact⋈dim: explode the (small) dim N×, salt the fact.
+    """Skew-proof SHUFFLED fact⋈dim: replicate the dim N×, salt the fact.
 
-    Useful when the dim is slightly too large for a plain broadcast AND
-    the fact key is skewed — the salt spreads the hot key's rows over
-    n_salts reducers. With a plain broadcastable dim, prefer broadcast().
+    For the case where the dim is too large to broadcast AND the fact key
+    is skewed: the shuffle keys on (key, salt), so the hot key's rows
+    spread over n_salts reducers instead of one. (A broadcast join needs
+    no salting at all — it has no reducers; use ``F.broadcast`` directly
+    when the dim fits.) Only inner/left joins are supported: for
+    right/full joins the replicated dim would emit n_salts duplicates of
+    every unmatched dim key.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_replicate_join supports how='inner'|'left' only "
+            "(replicated dim rows would duplicate unmatched keys)"
+        )
     salted_facts = with_salt(facts, n_salts)
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    out = salted_facts.join(F.broadcast(exploded_dim), on=[on, "__salt"], how=how)
+    out = salted_facts.join(exploded_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+# backwards-compat alias for the original (misleading) name
+salted_broadcast_join = salted_replicate_join

@@ -176,9 +176,16 @@ class VersionedCatalog:
         )
         Path = jvm.org.apache.hadoop.fs.Path
         fs.delete(Path(old), True)
-        if fs.exists(Path(self.catalog_path)):
-            fs.rename(Path(self.catalog_path), Path(old))
-        fs.rename(Path(tmp), Path(self.catalog_path))
+        had_current = fs.exists(Path(self.catalog_path))
+        # Hadoop rename signals failure via its return value, not an
+        # exception — check every step, and never delete the backup until
+        # the new catalog is in place (restore it on failure instead).
+        if had_current and not fs.rename(Path(self.catalog_path), Path(old)):
+            raise ETLLoadError(f"catalog swap failed: cannot move {self.catalog_path} aside")
+        if not fs.rename(Path(tmp), Path(self.catalog_path)):
+            if had_current:
+                fs.rename(Path(old), Path(self.catalog_path))  # restore backup
+            raise ETLLoadError(f"catalog swap failed: cannot promote {tmp}")
         fs.delete(Path(old), True)
 
     def table_name(self, opco: str, table_type: str) -> str:

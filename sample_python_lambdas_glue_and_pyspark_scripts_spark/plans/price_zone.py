@@ -55,7 +55,10 @@ def run_price_zone_transform(
     # would accumulate across a long-lived session.
     mapped = ensure_parallelism(mapped).persist()
     if _last_persisted is not None:
-        _last_persisted.unpersist()
+        try:
+            _last_persisted.unpersist()
+        except Exception:
+            pass  # previous cache belonged to a stopped session
     _last_persisted = mapped
     clean, report = V.validate(mapped, V.price_zone_rules(active_opcos), "opco_id")
     if report.valid_count == 0:

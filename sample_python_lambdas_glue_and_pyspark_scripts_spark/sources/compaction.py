@@ -66,8 +66,16 @@ def compact_partitioned(
         .save(tmp)
     )
     old = path.rstrip("/") + "__old"
-    fs.rename(Path(path), Path(old))
-    fs.rename(Path(tmp), Path(path))
+    # rename returns False on failure (it rarely throws): pre-clean any
+    # stale backup from a crashed run, check each step, and restore the
+    # original on a failed promote — never delete data we can't replace.
+    fs.delete(Path(old), True)
+    if not fs.rename(Path(path), Path(old)):
+        fs.delete(Path(tmp), True)
+        raise RuntimeError(f"compaction swap failed: cannot move {path} aside")
+    if not fs.rename(Path(tmp), Path(path)):
+        fs.rename(Path(old), Path(path))  # restore original dataset
+        raise RuntimeError(f"compaction swap failed: cannot promote {tmp}")
     fs.delete(Path(old), True)
     files_after, _ = stats(path)
     return {"files_before": files_before, "files_after": files_after}

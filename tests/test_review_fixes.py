@@ -80,14 +80,15 @@ def test_jaccard_candidates_path_equals_unrestricted(spark):
     assert got[(1, 2)] == full[(1, 2)]
 
 
-def test_salted_broadcast_join_broadcasts(spark):
+def test_salted_replicate_join_contract(spark):
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
-        salted_broadcast_join,
+        salted_replicate_join,
     )
 
     facts = spark.createDataFrame([("k", i) for i in range(50)], "k string, v int")
     dim = spark.createDataFrame([("k", "L")], "k string, label string")
-    out = salted_broadcast_join(facts, dim, "k")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert out.count() == 50
+    out = salted_replicate_join(facts, dim, "k")
+    assert out.count() == 50  # no row duplication despite the replicated dim
+    # right/full joins would duplicate unmatched dim keys → rejected
+    with pytest.raises(ValueError):
+        salted_replicate_join(facts, dim, "k", how="full")

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
     salted_aggregate,
-    salted_broadcast_join,
+    salted_replicate_join,
     with_salt,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.compaction import (
@@ -56,7 +56,7 @@ def test_salted_aggregate_matches_plain(spark):
     assert salted == plain
 
 
-def test_salted_broadcast_join_matches_plain(spark):
+def test_salted_replicate_join_matches_plain(spark):
     facts = spark.createDataFrame(
         [("hot", i) for i in range(500)] + [("cold", i) for i in range(10)],
         ["k", "v"],
@@ -67,7 +67,7 @@ def test_salted_broadcast_join_matches_plain(spark):
     )
     salted = sorted(
         (r["k"], r["v"], r["label"])
-        for r in salted_broadcast_join(facts, dim, "k").collect()
+        for r in salted_replicate_join(facts, dim, "k").collect()
     )
     assert salted == plain
 
