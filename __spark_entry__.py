@@ -491,6 +491,37 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket event-type counts as columns."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", types)
+        .agg(F.sum(F.lit(1)))
+    )
+
+
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Expand-based plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String similarity: levenshtein distance to a reference key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000042")).alias("edit_dist"),
+    )
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (ordered-set aggregates)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -751,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "embedding_dim_stats": q_embedding_dim_stats,
         "sql_api": q_sql_api,
+        "event_type_pivot": q_event_type_pivot,
+        "multi_distinct": q_multi_distinct,
+        "name_edit_distance": q_name_edit_distance,
         "price_quantiles": q_price_quantiles,
         "nation_intersect": q_nation_intersect,
         "stats_aggregates": q_stats_aggregates,
@@ -1137,6 +1171,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "event_type_pivot": """
+            SELECT user_id % 10 AS bucket,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error
+            FROM events GROUP BY 1
+        """,
+        "multi_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS d_parts,
+                   COUNT(DISTINCT l_suppkey) AS d_supps,
+                   COUNT(DISTINCT l_orderkey) AS d_orders,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "name_edit_distance": """
+            SELECT c_custkey,
+                   CAST(levenshtein(c_name, 'Customer#000000042') AS INTEGER) AS edit_dist
+            FROM customer
         """,
         "price_quantiles": """
             SELECT l_returnflag,
