@@ -91,14 +91,17 @@ def q_pz_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-group violation matrix itself (one aggregation pass)."""
     li = _t(spark, sf_dir, "lineitem")
     flagged = V.flag_columns(li, _QUARANTINE_RULES)
+    # derive the agg list from the rule set (one source of truth); output
+    # aliases stay pinned to the oracle's column names
+    aliases = {"qty_range": "viol_qty", "price_cap": "viol_price"}
     return flagged.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.max(F.coalesce(F.col("__viol_qty_range"), F.lit(False)).cast("int")).alias(
-            "viol_qty"
-        ),
-        F.max(F.coalesce(F.col("__viol_price_cap"), F.lit(False)).cast("int")).alias(
-            "viol_price"
-        ),
+        *[
+            F.max(
+                F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False)).cast("int")
+            ).alias(aliases[r.name])
+            for r in _QUARANTINE_RULES
+        ],
     )
 
 
@@ -213,12 +216,17 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by aggregate (W2/W3 shape)."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        # rank on the ROUNDED revenue: the raw float sum differs in the
+        # low bits between engines (summation order), which could flip the
+        # limit-cut membership (same convention as cosine_topk)
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
     )
     return (
-        rev.orderBy(F.col("__rev").desc(), F.col("o_orderkey"))
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.round("__rev", 2).alias("revenue"))
+        .select("o_orderkey", "revenue")
     )
 
 
@@ -290,16 +298,18 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
     return (
-        rev.orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round("__rev", 2).alias("revenue"),
+            "revenue",
         )
     )
 
@@ -356,13 +366,15 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
     return (
-        rev.orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", F.round("__rev", 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue")
     )
 
 
@@ -814,6 +826,23 @@ _TOKEN_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 _WORD_SQL = r"[a-z0-9]+"
 
 
+# shared shingling CTE prefix: toks → distinct word-3-gram shingles →
+# exploded shingles + per-doc sizes (single definition for both the exact
+# Jaccard oracle and the MinHash-LSH oracle)
+def _shingle_ctes() -> str:
+    return f"""
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 2, 1) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS shingles
+            FROM toks),
+        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)"""
+
+
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
         MINHASH_PRIME,
@@ -836,15 +865,7 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         for b in range(bands)
     )
     return f"""
-        WITH toks AS (
-            SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS t
-            FROM documents),
-        sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(1, greatest(len(t) - 2, 1) + 1),
-                i -> array_to_string(t[i:i+2], ' '))) AS shingles
-            FROM toks),
-        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        WITH {_shingle_ctes()},
         sig AS (SELECT doc_id, {sig_cols} FROM shx GROUP BY doc_id),
         bands AS ({band_selects}),
         cand AS (
@@ -852,7 +873,6 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
             FROM bands l JOIN bands r
               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id),
-        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
         inter AS (
             SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
             FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
@@ -869,16 +889,7 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
 
 def _jaccard_oracle(threshold: float = 0.2) -> str:
     return f"""
-        WITH toks AS (
-            SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS t
-            FROM documents),
-        sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(1, greatest(len(t) - 2, 1) + 1),
-                i -> array_to_string(t[i:i+2], ' '))) AS shingles
-            FROM toks),
-        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        WITH {_shingle_ctes()},
         inter AS (
             SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
             FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
@@ -1008,11 +1019,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "top_revenue_orders": """
-            SELECT o_orderkey, ROUND(rev, 2) AS revenue FROM (
+            SELECT o_orderkey, revenue FROM (
                 SELECT l_orderkey AS o_orderkey,
-                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
                 FROM lineitem GROUP BY l_orderkey) t
-            ORDER BY rev DESC, o_orderkey
+            ORDER BY revenue DESC, o_orderkey
             LIMIT 10
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
@@ -1053,10 +1064,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                   ROUND(rev, 2) AS revenue
+                   revenue
             FROM (
                 SELECT l_orderkey, o_orderdate,
-                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
@@ -1064,7 +1075,7 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
                   AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
                 GROUP BY l_orderkey, o_orderdate) t
-            ORDER BY rev DESC, l_orderkey
+            ORDER BY revenue DESC, l_orderkey
             LIMIT 10
         """,
         "tpch_q5": """
@@ -1089,16 +1100,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "tpch_q10": """
-            SELECT c_custkey, c_name, ROUND(rev, 2) AS revenue
+            SELECT c_custkey, c_name, revenue
             FROM (
                 SELECT c_custkey, c_name,
-                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
                 WHERE l_returnflag = 'R'
                 GROUP BY c_custkey, c_name) t
-            ORDER BY rev DESC, c_custkey
+            ORDER BY revenue DESC, c_custkey
             LIMIT 20
         """,
         "tpch_q18": """

@@ -57,6 +57,8 @@ class Rule:
       parseable_timestamp F7 to_timestamp(col, fmt) null invalid (validator.py:82-90)
       positive           F11 numeric <= 0 invalid; nulls pass (pa_etl_script.py:202-209)
       not_null               null invalid
+      greater_than           value > ``value`` invalid (upper-bound cap)
+      less_than              value < ``value`` invalid (lower-bound floor)
       expr                   arbitrary boolean Column via ``condition``
     """
 
@@ -152,6 +154,29 @@ def flag_columns(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
+def matrix_aggs(rules: list[Rule]) -> list[Column]:
+    """The shared matrix aggregation: row count + any-row-violates flag
+    per rule (single definition for validate/validate_distributed)."""
+    return [F.count(F.lit(1)).alias("__n")] + [
+        F.max(F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False))).alias(r.name)
+        for r in rules
+    ]
+
+
+def any_violation(rules: list[Rule], flagged: bool = False) -> Column:
+    """OR-fold of the rule columns (matrix form) or ``__viol_`` columns
+    (``flagged=True``, row form). False when there are no rules."""
+    cond: Column | None = None
+    for r in rules:
+        c = (
+            F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False))
+            if flagged
+            else F.col(r.name)
+        )
+        cond = c if cond is None else (cond | c)
+    return cond if cond is not None else F.lit(False)
+
+
 def validate(
     df: DataFrame, rules: list[Rule], group_col: str = "opco_id"
 ) -> tuple[DataFrame, ValidationReport]:
@@ -163,11 +188,10 @@ def validate(
     broadcast anti-join and stays lazy.
     """
     flagged = flag_columns(df, rules)
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.max(F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False))).alias(r.name)
-        for r in rules
+    matrix_rows = [
+        r.asDict()
+        for r in flagged.groupBy(group_col).agg(*matrix_aggs(rules)).collect()
     ]
-    matrix_rows = [r.asDict() for r in flagged.groupBy(group_col).agg(*aggs).collect()]
 
     per_rule: dict[str, set] = {r.name: set() for r in rules}
     invalid_groups: set = set()
@@ -243,16 +267,8 @@ def validate_distributed(
     materialized per-rule opco lists.
     """
     flagged = flag_columns(df, rules)
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.max(F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False))).alias(r.name)
-        for r in rules
-    ]
-    matrix = flagged.groupBy(group_col).agg(*aggs)
-    any_viol = None
-    for r in rules:
-        c = F.col(r.name)
-        any_viol = c if any_viol is None else (any_viol | c)
-    matrix = matrix.withColumn("any_violation", any_viol)
+    matrix = flagged.groupBy(group_col).agg(*matrix_aggs(rules))
+    matrix = matrix.withColumn("any_violation", any_violation(rules))
     bad_keys = matrix.filter(F.col("any_violation")).select(
         F.col(group_col).alias("__bad_key")
     )
@@ -261,8 +277,11 @@ def validate_distributed(
     # never equals NULL). Deviation from validate()'s isin quirk — which
     # drops NULL-key rows whenever ANY group is bad — is deliberate and
     # documented: the distributed path treats NULL as its own group.
+    # No broadcast hint: bad-key cardinality is unbounded on this path —
+    # AQE broadcasts small sets at runtime and falls back to a shuffled
+    # anti-join for huge ones (a forced hint would OOM past the 8 GB cap).
     clean = df.join(
-        F.broadcast(bad_keys),
+        bad_keys,
         F.col(group_col).eqNullSafe(F.col("__bad_key")),
         how="left_anti",
     )
@@ -276,11 +295,7 @@ def invalid_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
     them as a first-class output (SURVEY.md §7.1 M1).
     """
     flagged = flag_columns(df, rules)
-    cond = None
-    for r in rules:
-        c = F.coalesce(F.col(f"__viol_{r.name}"), F.lit(False))
-        cond = c if cond is None else (cond | c)
-    return flagged.filter(cond)
+    return flagged.filter(any_violation(rules, flagged=True))
 
 
 def validate_column(df: DataFrame, column: str, group_col: str = "opco_id") -> list:

@@ -22,6 +22,16 @@ def test_validate_distributed_quarantines_null_groups(spark):
     assert m[None] is True and m["019"] is False
 
 
+def test_empty_rule_list_is_graceful(spark):
+    df = spark.createDataFrame([("019", "1")], "opco_id string, v string")
+    clean, matrix = V.validate_distributed(df, [], "opco_id")
+    assert clean.count() == 1
+    assert matrix.filter("any_violation").count() == 0
+    assert V.invalid_rows(df, []).count() == 0
+    clean2, report = V.validate(df, [], "opco_id")
+    assert report.valid_count == 1 and clean2.count() == 1
+
+
 def test_quarantine_isin_and_antijoin_paths_agree_on_nulls(spark):
     df = spark.createDataFrame(
         [("g0", 1), (None, 2), ("keep", 3)], "k string, v int"
