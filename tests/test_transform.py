@@ -94,6 +94,31 @@ def test_classify_file_type(spark):
     assert df.filter(F.col("got") != F.col("expected")).count() == 0
 
 
+def test_partition_key_from_path(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
+        partition_key_from_path,
+    )
+
+    df = spark.createDataFrame(
+        [("s3://bucket/etl_output_1/opco_id=019/part-0001.csv",),
+         ("file:/x/opco_id=7/f.csv",), ("no-key-here.csv",)],
+        ["path"],
+    ).select(partition_key_from_path("path").alias("k"))
+    assert [r["k"] for r in df.collect()] == ["019", "7", ""]
+
+
+def test_format_timestamp(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
+        format_timestamp,
+    )
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 8, 6, 10, 11, 12),)], "ts timestamp"
+    ).select(format_timestamp("ts").alias("s"))
+    assert df.first()["s"] == "2020-08-06 10:11:12"
+
+
 def test_str_to_bool(spark):
     df = spark.createDataFrame(
         [("true",), ("1",), ("FALSE",), ("0",), ("yes",)], ["v"]
