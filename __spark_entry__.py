@@ -503,6 +503,29 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): for each
+    event, the user's most recent order at-or-before the event time.
+    Union+last-value algorithm: one shuffle, no per-row explosion."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.asof import (
+        asof_join,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("custkey"),
+        nanos_to_timestamp("ts").alias("ets"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        e, o, on="custkey", left_ts="ets", right_ts="o_orderdate",
+        payload_cols=["o_orderkey"], tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "custkey", F.col("o_orderkey").alias("asof_orderkey"))
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per user-bucket event-type counts as columns."""
     e = _t(spark, sf_dir, "events")
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "embedding_dim_stats": q_embedding_dim_stats,
         "sql_api": q_sql_api,
+        "asof_latest_order": q_asof_latest_order,
         "event_type_pivot": q_event_type_pivot,
         "multi_distinct": q_multi_distinct,
         "name_edit_distance": q_name_edit_distance,
@@ -1182,6 +1206,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "asof_latest_order": """
+            WITH e AS (
+                SELECT event_id, user_id AS custkey,
+                       make_timestamp((epoch_ns(ts) // 1000)) AS ets
+                FROM events)
+            SELECT event_id, custkey, asof_orderkey FROM (
+                SELECT e.event_id, e.custkey, o.o_orderkey AS asof_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM e LEFT JOIN orders o
+                  ON e.custkey = o.o_custkey AND o.o_orderdate <= e.ets) t
+            WHERE rn = 1
         """,
         "event_type_pivot": """
             SELECT user_id % 10 AS bucket,

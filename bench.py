@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "status_rollup",
     "transform_typed",
     "route_clusters",
+    "asof_latest_order",
     "running_revenue",
     "rollup_revenue",
     "embedding_dim_stats",
