@@ -526,6 +526,29 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "custkey", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+def q_range_activity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator): per event, how many of the same
+    user's events fall in the preceding 24 h. Bucketed-bin equi-join —
+    no inequality theta-join, no per-key cross product."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.rangejoin import (
+        range_count,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), nanos_to_timestamp("ts").alias("ets")
+    )
+    left = e.select("event_id", "user_id", "ets")
+    right = e.select(F.col("user_id"), F.col("ets").alias("rts"))
+    counted = range_count(
+        left, right, on="user_id", left_ts="ets", right_ts="rts",
+        lower_s=-86400.0, upper_s=0.0, count_col="n_window",
+    )
+    # the window includes the event itself (distance 0) → preceding = n-1
+    return counted.select(
+        "event_id", (F.col("n_window") - 1).alias("n_prev_24h")
+    )
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per user-bucket event-type counts as columns."""
     e = _t(spark, sf_dir, "events")
@@ -818,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "sql_api": q_sql_api,
         "asof_latest_order": q_asof_latest_order,
+        "range_activity_24h": q_range_activity_24h,
         "event_type_pivot": q_event_type_pivot,
         "multi_distinct": q_multi_distinct,
         "name_edit_distance": q_name_edit_distance,
@@ -1206,6 +1230,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "range_activity_24h": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                FROM events)
+            SELECT a.event_id,
+                   CAST(COUNT(b.event_id) - 1 AS BIGINT) AS n_prev_24h
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.us BETWEEN a.us - 86400000000 AND a.us
+            GROUP BY a.event_id
         """,
         "asof_latest_order": """
             WITH e AS (

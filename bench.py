@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "transform_typed",
     "route_clusters",
     "asof_latest_order",
+    "range_activity_24h",
     "running_revenue",
     "rollup_revenue",
     "embedding_dim_stats",
