@@ -618,7 +618,14 @@ def q_price_zone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_price_zone_transform,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    # fan the (single-file, local) scan out BEFORE the per-row formatting
+    # projection — otherwise date_format over 600k rows runs on the scan's
+    # 3 natural splits. Plan-size triggered: no-op on a real multi-split scan.
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     staged = li.select(
         F.lpad((F.col("l_suppkey") % 50).cast("string"), 3, "0").alias("co_nbr"),
         F.col("l_partkey").cast("string").alias("supc"),

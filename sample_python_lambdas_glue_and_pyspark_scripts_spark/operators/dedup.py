@@ -251,12 +251,20 @@ def verify_jaccard_on_candidates(
     """Exact Jaccard on a (small) candidate-pair set via per-row
     array_intersect/array_union of the two shingle sets.
 
-    This avoids the exploded shingle self-join entirely: the candidate
-    table broadcasts against the shingle table twice, and the set math is
-    a per-row expression — verification cost is O(|candidates| * |doc
-    shingles|), independent of how common individual shingles are.
+    This avoids the exploded shingle self-join entirely, and it only
+    shingles docs that appear in a candidate pair: a semi-join restricts
+    the corpus to candidate ids BEFORE the (expensive) shingling
+    projection, so verification cost is O(|candidate docs| * |doc
+    shingles|) — independent of corpus size and of how common individual
+    shingles are.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = needed.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
     sh = ensure_parallelism(sh)
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))

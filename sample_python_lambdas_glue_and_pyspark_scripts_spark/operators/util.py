@@ -28,8 +28,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df  # already fanned out (e.g. an upstream repartition)
+    # Probe the LOGICAL plan, never df.rdd: under AQE, materializing the
+    # RDD of a plan that contains an exchange EXECUTES the upstream query
+    # stages just to learn the partition count. An explicit upstream
+    # repartition means the caller already fanned out — trust it.
+    try:
+        plan_str = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in plan_str:
+            return df
+    except Exception:
+        pass
     try:
         small = estimated_size_bytes(df) < target * SMALL_INPUT_BYTES_PER_CORE
     except Exception:
