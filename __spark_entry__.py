@@ -872,7 +872,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
+        **_tpch_ext().QUERIES,
     }
+
+
+def _tpch_ext():
+    """Extended TPC-H-shaped suite (plans/tpch_ext.py) — imported lazily
+    so the contract file stays importable even if the package moves."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import tpch_ext
+
+    return tpch_ext
 
 
 # --- oracle-SQL generators (shared hashing/tokenization shapes) ---------------
@@ -1502,4 +1511,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id
         """,
+        **_tpch_ext().ORACLES,
     }
