@@ -776,6 +776,81 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data operators: sampling / clustering / vocab / scrub ----------
+
+
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample (reproducible, engine-independent —
+    no rand(): same rows every run; operators/sampling.py)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (downsample common priorities,
+    keep all urgent)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    sampled = sampling.stratified_hash_sample(
+        o,
+        strata_col="o_orderpriority",
+        fractions={"1-URGENT": 1.0, "2-HIGH": 0.5, "3-MEDIUM": 0.25},
+        key_col="o_orderkey",
+        default_fraction=0.05,
+    )
+    return sampled.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def q_group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per group (derandomized reservoir:
+    k smallest key hashes per event type)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    e = _t(spark, sf_dir, "events")
+    return sampling.group_topk_sample(
+        e, group_col="event_type", key_col="event_id", k=10
+    ).select("event_type", "event_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH pairs → connected components →
+    every doc labeled with its duplicate-group id (operators/clustering.py,
+    iterative min-label propagation; oracle = recursive CTE)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    return clustering.cluster_members(docs, pairs, id_col="doc_id")
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (shuffle volume = |vocab|, not |tokens|)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.top_terms(docs, k=20)
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking (emails, digit runs) as map-side regexp chain."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.scrub_text(docs).select("doc_id", "scrubbed")
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (posexplode + keyed mean)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.label_centroids(emb)
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means E-step): broadcast
+    centroid table, native zip_with distance, windowed argmin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.assign_nearest_centroid(emb)
+
+
 # --- streaming-parity window aggregations -------------------------------------
 
 
@@ -872,6 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
+        "sample_documents": q_sample_documents,
+        "stratified_sample_orders": q_stratified_sample_orders,
+        "group_sample_events": q_group_sample_events,
+        "dedup_clusters": q_dedup_clusters,
+        "vocab_top_terms": q_vocab_top_terms,
+        "text_scrub": q_text_scrub,
+        "label_centroids": q_label_centroids,
+        "centroid_assign": q_centroid_assign,
         **_tpch_ext().QUERIES,
     }
 
@@ -1001,6 +1084,14 @@ _TEXT_STATS_SQL = rf"""
                AS stat_chars_per_word
     FROM documents
 """
+
+
+# md5→bigint bucket in [0, 1e6): identical to operators/sampling.hash_bucket
+def _sample_bucket_sql(key: str, seed: str = "sample|") -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}' || CAST({key} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % 1000000)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1510,6 +1601,93 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        "sample_documents": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_sample_bucket_sql('doc_id')} < 100000
+        """,
+        "stratified_sample_orders": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_sampled FROM orders
+            WHERE {_sample_bucket_sql('o_orderkey')} <
+                  CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 1000000
+                       WHEN '2-HIGH' THEN 500000
+                       WHEN '3-MEDIUM' THEN 250000
+                       ELSE 50000 END
+            GROUP BY o_orderpriority
+        """,
+        "group_sample_events": f"""
+            SELECT event_type, event_id FROM (
+                SELECT event_type, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ('0x' || substr(md5('sample|' ||
+                                        CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                                    event_id) AS rn
+                FROM events) t
+            WHERE rn <= 10
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a, b FROM ({_minhash_lsh_oracle()}) mh),
+            sym AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(id, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM sym) seeds
+                UNION
+                SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+            comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "vocab_top_terms": f"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS term
+                FROM documents)
+            SELECT term, COUNT(*) AS n FROM tok
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "text_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+',
+                                      '<EMAIL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS scrubbed
+            FROM documents
+        """,
+        "label_centroids": """
+            WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            px AS (SELECT label, unnest(list_transform(
+                       range(1, len(v) + 1),
+                       i -> {'dim': i - 1, 'val': v[i]})) AS p
+                   FROM e)
+            SELECT label, CAST(p.dim AS INTEGER) AS dim,
+                   ROUND(AVG(p.val), 6) AS c
+            FROM px GROUP BY 1, 2
+        """,
+        "centroid_assign": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            px AS (SELECT vec_id, label, unnest(list_transform(
+                       range(1, len(v) + 1),
+                       i -> {'dim': i - 1, 'val': v[i]})) AS p
+                   FROM e),
+            dims AS (SELECT vec_id, CAST(p.dim AS INTEGER) AS dim, p.val AS x
+                     FROM px),
+            cent AS (SELECT label, CAST(p.dim AS INTEGER) AS dim,
+                            ROUND(AVG(p.val), 6) AS c
+                     FROM px GROUP BY 1, 2),
+            d2 AS (SELECT v.vec_id, c.label,
+                          ROUND(SUM((v.x - c.c) * (v.x - c.c)), 6) AS dist2
+                   FROM dims v JOIN cent c ON v.dim = c.dim
+                   GROUP BY 1, 2)
+            SELECT vec_id, label AS assigned_label, dist2 FROM (
+                SELECT vec_id, label, dist2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, label) AS rn
+                FROM d2) t
+            WHERE rn = 1
         """,
         **_tpch_ext().ORACLES,
     }

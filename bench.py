@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "text_stats",
     "ann_cosine_topk",
     "events_tumbling_window",
+    # round-1 continuation: subquery-shaped joins + curation operators
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
+    "dedup_clusters",
+    "centroid_assign",
+    "vocab_top_terms",
+    "group_sample_events",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Deterministic sampling operators for large-scale pipelines.
+
+At 100 TB you cannot re-toss coins per run: samples must be REPRODUCIBLE
+(same rows on every rerun and on every engine), SEEDABLE (change the seed
+to get an independent sample), and PUSHDOWN-friendly (a filter on a hash
+of an existing column — no shuffle, no state). The standard trick is
+hash-mod bucketing: ``H(seed || key) % B < fraction * B``.
+
+All hashing uses the engine's md5→bigint parity recipe
+(``operators.dedup.hash60``) so every sample is DuckDB-oracle-checkable
+bit-for-bit. ``rand()``/``df.sample`` are deliberately NOT used: Spark's
+sample is partition-order-dependent and irreproducible across engines.
+
+Scale notes:
+- ``hash_sample`` / ``stratified_hash_sample`` are pure narrow filters —
+  they compose with scan pushdown and cost one pass, no shuffle.
+- ``group_topk_sample`` ("deterministic reservoir": the k smallest hash
+  values per group) shuffles once on the group key; at scale prefer a
+  two-phase top-k (partial per partition, then merge) — Spark's window
+  + filter already executes exactly that via partial row_number pruning
+  when k is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+# bucket space for fraction arithmetic: large enough that quantization
+# error is < 1e-6, small enough that fraction*BUCKETS stays exact in
+# int64 on both engines
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col, seed: str = "sample|"):
+    """Stable bucket in [0, BUCKETS) from the row key (md5-based)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return hash60(c.cast("string"), seed=seed) % F.lit(BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample|"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash.
+
+    Same (key, seed) → same decision, on any engine, at any scale, under
+    any partitioning. Rows with equal keys are kept or dropped together.
+    """
+    return df.filter(hash_bucket(key_col, seed) < int(fraction * BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: str = "sample|",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep 100% of rare ones). ``fractions`` maps stratum value
+    → keep fraction; unlisted strata use ``default_fraction``."""
+    thr = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * BUCKETS))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(key_col, seed) < thr)
+
+
+def group_topk_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: str = "sample|"
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the k rows with the
+    smallest key hashes (a derandomized reservoir sample). Unlike
+    ``fraction``-based sampling this bounds every group's output size —
+    the right tool when strata are skewed."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash60(F.col(key_col).cast("string"), seed=seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

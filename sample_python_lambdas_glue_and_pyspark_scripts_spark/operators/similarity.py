@@ -267,3 +267,73 @@ def cosine_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroids as (label, dim, c) — the mean of each embedding
+    dimension, rounded so both engines agree bit-for-bit.
+
+    posexplode is map-side; the mean is one shuffle keyed on
+    (label, dim) with partial aggregation — shuffled volume is
+    |labels| x |dims|, independent of corpus size.
+    """
+    exploded = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_dbl(vec_col)).alias("dim", "val"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), round_to).alias("c")
+    )
+
+
+def _centroid_arrays(centroids: DataFrame) -> DataFrame:
+    """(label, dim, c) → (label, centv array) with dims in order."""
+    return centroids.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centv")
+    )
+
+
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (one k-means / classification step):
+    each vector gets the label of the closest centroid by squared L2
+    distance. Returns (vec_id, assigned_label, dist2).
+
+    Centroids default to ``label_centroids`` of the input itself (one
+    self-assignment step — the k-means E-step). The centroid table
+    broadcasts (|labels| x |dims| rows); distance math is native
+    zip_with/aggregate; the argmin is a per-vector window, deterministic
+    via (rounded dist2, label) total order.
+    """
+    if centroids is None:
+        centroids = label_centroids(vectors, label_col, vec_col)
+    cents = _centroid_arrays(centroids)
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("vec_id"), _dbl(vec_col).alias("v")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id", F.col("label"), F.round(dist2, 6).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("label").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("label").alias("assigned_label"), "dist2")
+    )

@@ -119,3 +119,43 @@ def fingerprint(col: Column | str) -> Column:
     """
     norm = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
     return F.md5(norm)
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary: the k most frequent word tokens.
+
+    Explode → count → top-k. The explode is map-side; the count is one
+    shuffle keyed on the term with map-side partial aggregation, so the
+    shuffled volume is |vocabulary|, not |tokens| — the property that
+    makes corpus-level vocab viable at 100 TB. Cut is deterministic:
+    total order (count desc, term asc).
+    """
+    counts = (
+        df.select(F.explode(words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), "term").limit(k)
+
+
+# scrub patterns chosen to behave identically under Java regex (Spark)
+# and RE2-ish (DuckDB): no backrefs, no lookaround
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS,
+) -> DataFrame:
+    """PII-style masking: replace pattern matches with placeholder tags
+    (emails before bare numbers so '<NUM>@host' never forms). Pure
+    map-side projection — composes with scan pushdown, no shuffle."""
+    c = _c(text_col)
+    for pat, tag in patterns:
+        c = F.regexp_replace(c, pat, tag)
+    return df.withColumn(out_col, c)

@@ -365,9 +365,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nat_s = s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
-    return nat_s.join(shipped, nat_s.s_suppkey == shipped.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
-    )
+    # the aggregated supplier set is bounded by |supplier| — broadcast it
+    # (statically Catalyst can't size an aggregate and would sort-merge)
+    return nat_s.join(
+        broadcast(shipped), nat_s.s_suppkey == shipped.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
 
 
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Unit tests: deterministic sampling, connected-components clustering,
+vocab/scrub text ops, centroid assignment."""
+
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    clustering,
+    sampling,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    similarity as SM,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import text as TX
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    s1 = sampling.hash_sample(df, "k", 0.2)
+    s2 = sampling.hash_sample(df, "k", 0.2)
+    rows1 = {r.k for r in s1.collect()}
+    rows2 = {r.k for r in s2.collect()}
+    assert rows1 == rows2  # reproducible
+    assert 0.17 < len(rows1) / 10000 < 0.23  # ~fraction
+    # different seed → different (mostly disjoint-ish) sample
+    s3 = {r.k for r in sampling.hash_sample(df, "k", 0.2, seed="other|").collect()}
+    assert s3 != rows1
+
+
+def test_hash_sample_fraction_nesting(spark):
+    # a 10% sample is a subset of a 20% sample (same seed): thresholds nest
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    small = {r.k for r in sampling.hash_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in sampling.hash_sample(df, "k", 0.2).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_respects_fractions(spark):
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = sampling.stratified_hash_sample(
+        df, strata_col="s", fractions={"0": 1.0, "1": 0.5}, key_col="k",
+        default_fraction=0.0,
+    )
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 2000  # keep all
+    assert 800 < counts.get("1", 0) < 1200  # ~half
+    assert "2" not in counts  # default 0
+
+
+def test_group_topk_sample_exact_size(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    out = sampling.group_topk_sample(df, group_col="g", key_col="k", k=7)
+    sizes = [r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()]
+    assert sizes == [7, 7, 7, 7]
+    # deterministic across runs
+    a = sorted((r.g, r.k) for r in out.collect())
+    b = sorted(
+        (r.g, r.k)
+        for r in sampling.group_topk_sample(df, "g", "k", k=7).collect()
+    )
+    assert a == b
+
+
+def test_connected_components_two_chains(spark):
+    # components: {1,2,3,4} (chain), {10,11} and singleton-free vertices only
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    comp = {r.id: r.cluster_id for r in clustering.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_members_includes_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["a", "b"])
+    out = {r.doc_id: r.cluster_id for r in clustering.cluster_members(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+    reps = sorted(
+        r.doc_id for r in clustering.cluster_representatives(docs, pairs).collect()
+    )
+    assert reps == [0, 1, 2, 4]
+
+
+def test_top_terms_count_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d d")], ["doc_id", "text"]
+    )
+    out = [(r.term, r.n) for r in TX.top_terms(docs, k=3).collect()]
+    # a:3, b:3 tie → term asc; then d:2
+    assert out == [("a", 3), ("b", 3), ("d", 2)]
+
+
+def test_scrub_text_masks_emails_then_numbers(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob42@host.org or call 555 1234")], ["doc_id", "text"]
+    )
+    out = TX.scrub_text(docs).collect()[0].scrubbed
+    assert out == "mail <EMAIL> or call <NUM> <NUM>"
+
+
+def test_assign_nearest_centroid_self_consistent(spark):
+    # two well-separated labels → self-assignment recovers the label
+    rows = [
+        (0, [0.0, 0.0], 0), (1, [0.1, 0.0], 0), (2, [0.0, 0.1], 0),
+        (3, [5.0, 5.0], 1), (4, [5.1, 5.0], 1), (5, [5.0, 5.1], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = SM.assign_nearest_centroid(emb)
+    got = {r.vec_id: r.assigned_label for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    # one row per vector, dist2 non-negative
+    assert all(r.dist2 >= 0 for r in out.collect())
