@@ -851,6 +851,32 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.assign_nearest_centroid(emb)
 
 
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 REPLACE-INTO semantics as a relational merge (operators/upsert):
+    an updated batch (every 10th order, repriced, status 'U') replaces
+    matching keys wholesale; rollup proves the delete-then-insert."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.upsert import (
+        merge_upsert,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        # +1000.0 not *1.1: float multiply + per-row half-way rounding is
+        # engine-dependent at .005 boundaries; addition is exact
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(o, src, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # --- streaming-parity window aggregations -------------------------------------
 
 
@@ -955,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "label_centroids": q_label_centroids,
         "centroid_assign": q_centroid_assign,
+        "merge_upsert_orders": q_merge_upsert_orders,
         **_tpch_ext().QUERIES,
     }
 
@@ -1688,6 +1715,20 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist2, label) AS rn
                 FROM d2) t
             WHERE rn = 1
+        """,
+        "merge_upsert_orders": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 10 = 0),
+            kept AS (
+                SELECT * FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM merged GROUP BY o_orderstatus
         """,
         **_tpch_ext().ORACLES,
     }

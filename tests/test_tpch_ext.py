@@ -57,3 +57,18 @@ def test_matches_oracle(spark, sf_dir, oracle, name):
 
 def test_all_queries_have_oracles():
     assert set(tpch_ext.QUERIES) == set(tpch_ext.ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(tpch_ext.QUERIES))
+def test_plan_posture(spark, sf_dir, name):
+    """Every extended-suite plan stays JVM-side (no Python eval) and
+    never falls back to a shuffled cartesian product (broadcast
+    nested-loop against 1-row scalar aggregates is the intended shape)."""
+    plan = (
+        tpch_ext.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert marker not in plan, f"{name}: {marker} in plan"
