@@ -49,16 +49,12 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make the contract robust to ANY caller-provided session: the driver
     builds its own SparkSession, so the configs these queries depend on
-    must be applied at query time (all are runtime SQL confs):
-    - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
-    - UTC session timezone: date_format/unix_timestamp outputs must match
-      the (timezone-naive) DuckDB oracle regardless of host timezone;
-    - ANSI stays on (Spark 4 default) — null-on-failure paths use try_*.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    must be applied at query time (single definition: session.py)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import (
+        ensure_runtime_confs,
+    )
+
+    ensure_runtime_confs(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -877,6 +873,37 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB cardinality story: HLL++ distinct
+    (approx_count_distinct) and quantile sketches (approx_percentile)
+    run in bounded memory per group, unlike their exact forms.
+
+    Sketch values differ by engine, so the oracle checks the CONTRACT:
+    exact values hash-match, and the sketch-vs-exact error flags (within
+    HLL rsd=5% → ±3σ≈15%; percentile within 2%) must be true on the
+    Spark side where the oracle emits literal true."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("__approx_supps"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__approx_p50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_supps",
+        "exact_p50",
+        (
+            F.abs(F.col("__approx_supps") - F.col("exact_supps"))
+            <= 0.15 * F.col("exact_supps")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__approx_p50") - F.col("exact_p50"))
+            <= 0.02 * F.col("exact_p50")
+        ).alias("pctl_ok"),
+    )
+
+
 # --- streaming-parity window aggregations -------------------------------------
 
 
@@ -982,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "centroid_assign": q_centroid_assign,
         "merge_upsert_orders": q_merge_upsert_orders,
+        "approx_aggregates": q_approx_aggregates,
         **_tpch_ext().QUERIES,
     }
 
@@ -1715,6 +1743,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist2, label) AS rn
                 FROM d2) t
             WHERE rn = 1
+        """,
+        "approx_aggregates": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_suppkey) AS exact_supps,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                   TRUE AS hll_ok,
+                   TRUE AS pctl_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "merge_upsert_orders": """
             WITH src AS (

@@ -56,6 +56,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.u == labels.id)
@@ -77,6 +78,14 @@ def connected_components(
         labels = merged.select("id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning intermediate labels would surface downstream
+        # as an inscrutable data diff — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter (components "
+            f"with diameter > max_iter exist)"
+        )
     return labels
 
 

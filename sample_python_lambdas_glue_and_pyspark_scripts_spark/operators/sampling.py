@@ -40,6 +40,13 @@ def hash_bucket(key_col, seed: str = "sample|"):
     return hash60(c.cast("string"), seed=seed) % F.lit(BUCKETS)
 
 
+def _threshold(fraction: float) -> int:
+    # round, don't truncate: fraction*BUCKETS can land a hair below the
+    # intended integer in binary (0.000249*1e6 == 248.99999...), and
+    # int() would silently shift the cut by one bucket
+    return int(round(fraction * BUCKETS))
+
+
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, seed: str = "sample|"
 ) -> DataFrame:
@@ -48,7 +55,7 @@ def hash_sample(
     Same (key, seed) → same decision, on any engine, at any scale, under
     any partitioning. Rows with equal keys are kept or dropped together.
     """
-    return df.filter(hash_bucket(key_col, seed) < int(fraction * BUCKETS))
+    return df.filter(hash_bucket(key_col, seed) < _threshold(fraction))
 
 
 def stratified_hash_sample(
@@ -62,10 +69,10 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling (e.g. downsample dominant
     languages, keep 100% of rare ones). ``fractions`` maps stratum value
     → keep fraction; unlisted strata use ``default_fraction``."""
-    thr = F.lit(int(default_fraction * BUCKETS))
+    thr = F.lit(_threshold(default_fraction))
     for value, frac in sorted(fractions.items()):
         thr = F.when(
-            F.col(strata_col) == F.lit(value), F.lit(int(frac * BUCKETS))
+            F.col(strata_col) == F.lit(value), F.lit(_threshold(frac))
         ).otherwise(thr)
     return df.filter(hash_bucket(key_col, seed) < thr)
 

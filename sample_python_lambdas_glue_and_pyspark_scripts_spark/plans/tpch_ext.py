@@ -40,15 +40,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
-def _configure(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _configure(spark)
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -60,10 +55,17 @@ def _rev():
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost supplier per part (correlated scalar subquery shape).
 
-    unit cost proxy = min(l_extendedprice / l_quantity) per (part, supp);
-    keep (part, supp) pairs hitting the per-part minimum. The correlated
-    ``cost = (SELECT MIN(cost) ...)`` becomes a window-min — one shuffle,
-    no subquery re-scan.
+    unit cost proxy = min(l_extendedprice / l_quantity) per (part, supp)
+    in integer CENTS; keep (part, supp) pairs hitting the per-part
+    minimum. The correlated ``cost = (SELECT MIN(cost) ...)`` becomes a
+    window-min — one shuffle, no subquery re-scan.
+
+    Why cents: ROUND(x, 2) of a double is engine-dependent at half-cent
+    boundaries (Spark rounds the shortest decimal representation HALF_UP,
+    DuckDB rounds the binary value — found as real mismatches at sf0.1),
+    while ROUND(x*100) to the nearest INTEGER of the same binary double
+    agrees everywhere (.5 is binary-representable; both round it away
+    from zero).
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
@@ -71,22 +73,26 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("cost")
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100.0).cast(
+                "bigint"
+            )
+        ).alias("cost_cents")
     )
     # prune to surviving parts BEFORE the window (partition pruning analogue)
     ps = ps.join(broadcast(p.select("p_partkey")), ps.l_partkey == F.col("p_partkey")).drop(
         "p_partkey"
     )
     w = Window.partitionBy("l_partkey")
-    best = ps.withColumn("min_cost", F.min("cost").over(w)).filter(
-        F.col("cost") == F.col("min_cost")
+    best = ps.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
     )
     return (
         best.join(broadcast(s), best.l_suppkey == s.s_suppkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "s_name",
-            "cost",
+            "cost_cents",
         )
     )
 
@@ -460,17 +466,18 @@ ORACLES = {
     "tpch_q2": """
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   ROUND(MIN(l_extendedprice / l_quantity), 2) AS cost
+                   MIN(CAST(ROUND(l_extendedprice / l_quantity * 100.0) AS BIGINT))
+                       AS cost_cents
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part
                                 WHERE p_size BETWEEN 10 AND 20
                                   AND p_type = 'STANDARD')
             GROUP BY 1, 2)
-        SELECT ps.l_partkey AS p_partkey, s.s_name, ps.cost
+        SELECT ps.l_partkey AS p_partkey, s.s_name, ps.cost_cents
         FROM ps
         JOIN supplier s ON ps.l_suppkey = s.s_suppkey
-        WHERE ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
-                         WHERE ps2.l_partkey = ps.l_partkey)
+        WHERE ps.cost_cents = (SELECT MIN(ps2.cost_cents) FROM ps ps2
+                               WHERE ps2.l_partkey = ps.l_partkey)
     """,
     "tpch_q4": """
         SELECT o_orderpriority, COUNT(*) AS order_count

@@ -68,3 +68,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs the contract queries depend on to
+    an ARBITRARY caller-provided session (the driver builds its own,
+    unconfigured). One definition — __spark_entry__ and every plan module
+    must use this, not a private copy (conf drift broke only the copies'
+    queries in the past):
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
+    - UTC session timezone: formatted/epoch outputs must match the
+      timezone-naive DuckDB oracle on any host;
+    - rebase modes: stop ancient-date exceptions on vanilla sessions.
+    (ANSI stays on — Spark 4 default; null-on-failure uses try_*.)
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")

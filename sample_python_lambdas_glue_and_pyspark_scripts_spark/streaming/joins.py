@@ -88,4 +88,6 @@ def stream_stream_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    # drop the right copy of the key: both sides carry ``on`` after an
+    # expression join, and any downstream reference would be ambiguous
+    return l.join(r, cond, "inner").drop(r[on])

@@ -3,10 +3,11 @@ at sf0.001 — the same comparison the driver's correctness gate runs at
 sf0.01, kept in-tree so regressions surface in `pytest` first.
 """
 
-import math
-
 import duckdb
 import pytest
+
+# one canonical comparator: the same normalization the local gate uses
+from tools.check_correctness import canon as _canon_gate
 
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import tpch_ext
 
@@ -16,21 +17,8 @@ TABLES = [
 ]
 
 
-def _norm(v):
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
-
-
 def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted([tuple(_norm(r[i]) for i in order) for r in rows], key=repr)
+    return _canon_gate(rows, cols)
 
 
 @pytest.fixture(scope="module")
