@@ -904,6 +904,46 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist over customer balances per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-partition frame: each order
+    alongside its customer's first and latest order keys."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_orderkey"),
+        F.last_value("o_orderkey").over(w).alias("last_orderkey"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 # --- streaming-parity window aggregations -------------------------------------
 
 
@@ -1010,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_assign": q_centroid_assign,
         "merge_upsert_orders": q_merge_upsert_orders,
         "approx_aggregates": q_approx_aggregates,
+        "window_distribution": q_window_distribution,
+        "window_first_last": q_window_first_last,
+        "cube_revenue": q_cube_revenue,
         **_tpch_ext().QUERIES,
     }
 
@@ -1743,6 +1786,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist2, label) AS rn
                 FROM d2) t
             WHERE rn = 1
+        """,
+        "window_distribution": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "window_first_last": """
+            SELECT o_custkey, o_orderkey,
+                   FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+                   LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "approx_aggregates": """
             SELECT l_returnflag,
