@@ -822,6 +822,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_members(docs, pairs, id_col="doc_id")
 
 
+def q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH admission, batch-parity form: the docs
+    streaming/minhash_dedup would admit if the whole corpus arrived as
+    one micro-batch with empty history (keep a doc iff no smaller-id doc
+    shares any LSH band bucket). Pins the streaming operator's admission
+    rule to a full SQL oracle."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+        lsh_admit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = lsh_admit(docs, claimed=None)
+    return kept.select("doc_id")
+
+
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k (shuffle volume = |vocab|, not |tokens|)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1044,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": q_stratified_sample_orders,
         "group_sample_events": q_group_sample_events,
         "dedup_clusters": q_dedup_clusters,
+        "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
         "text_scrub": q_text_scrub,
         "label_centroids": q_label_centroids,
@@ -1088,7 +1104,9 @@ def _shingle_ctes() -> str:
         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)"""
 
 
-def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+def _minhash_band_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared CTE prefix computing per-doc MinHash signatures and LSH
+    band keys (mirrors operators/dedup.py::minhash_signature+band_keys)."""
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
         MINHASH_PRIME,
         minhash_coefficients,
@@ -1109,10 +1127,14 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         )
         for b in range(bands)
     )
-    return f"""
-        WITH {_shingle_ctes()},
+    return f"""{_shingle_ctes()},
         sig AS (SELECT doc_id, {sig_cols} FROM shx GROUP BY doc_id),
-        bands AS ({band_selects}),
+        bands AS ({band_selects})"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    return f"""
+        WITH {_minhash_band_ctes(num_hashes, bands)},
         cand AS (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r
@@ -1129,6 +1151,22 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+def _minhash_keepers_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Single-batch LSH admission (streaming/minhash_dedup.lsh_admit with
+    empty history): keep a doc iff no smaller-id doc shares any of its
+    LSH band buckets."""
+    return f"""
+        WITH {_minhash_band_ctes(num_hashes, bands)},
+        dups AS (
+            SELECT DISTINCT r.doc_id
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
     """
 
 
@@ -1568,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_jaccard": _jaccard_oracle(threshold=0.2),
+        "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """

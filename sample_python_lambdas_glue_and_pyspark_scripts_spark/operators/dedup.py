@@ -133,20 +133,16 @@ def minhash_signature(
     return hashed_df.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    Explodes each signature into ``bands`` (band_id, band_hash) keys and
-    self-joins on the bucket — the quadratic blow-up is confined to
-    within-bucket, which is the entire point of LSH at scale.
-    Output: (a, b) with a < b, distinct.
-    """
-    banded = signatures.select(
+    """Explode signatures into LSH band keys: one (id_col, band_id,
+    band_hash) row per band per doc. Map-side only — the shared bucket
+    vocabulary for candidate joins and for streaming admission state."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -168,6 +164,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Explodes each signature into ``bands`` (band_id, band_hash) keys and
+    self-joins on the bucket — the quadratic blow-up is confined to
+    within-bucket, which is the entire point of LSH at scale.
+    Output: (a, b) with a < b, distinct.
+    """
+    banded = band_keys(signatures, id_col, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -1,0 +1,163 @@
+"""Streaming MinHash-LSH near-dup dedup (SURVEY.md §7.1 M6 × §2.8).
+
+Batch dedup (``operators.dedup``) answers "which docs in this corpus are
+near-duplicates of each other"; a training-data *intake* pipeline needs
+the streaming form: docs arrive continuously, and each doc is admitted
+only if it is not a near-duplicate of anything already admitted.
+
+Spark-first design: the admission state is a **claimed-buckets table** —
+the (band_id, band_hash) LSH buckets of every admitted doc — kept as a
+plain parquet table, NOT driver memory and NOT the streaming state
+store. Each micro-batch (``foreachBatch``):
+
+1. MinHash signatures + band keys for the batch (map-side only, the
+   same deterministic family as batch dedup — signatures are
+   bit-identical across the two paths).
+2. Drop docs whose any band bucket is already claimed (left-semi join
+   against the claimed table, shuffle keyed on the bucket).
+3. Within the batch, greedy admission: a doc is dropped iff it shares
+   a bucket with a smaller-id doc of the same batch (min-per-bucket —
+   one pass, SQL-expressible, deterministic). This is slightly more
+   aggressive than strict arrival order (if A~B and B~C but A≁C, C is
+   dropped even though B — its only collider — was itself dropped);
+   that bias is the standard one-pass LSH-dedup tradeoff and is
+   documented behavior, pinned by tests.
+4. Append the admitted docs' buckets to the claimed table and the
+   admitted docs to the output — both written under
+   ``batch_id=<epoch>`` subdirectories with mode=overwrite, so a
+   replayed micro-batch (checkpoint recovery) overwrites its own
+   previous attempt instead of double-claiming: exactly-once output
+   from an at-least-once callback. Reading the claimed table for batch
+   N filters to ``batch_id < N`` so a replay never sees its own
+   half-written claims.
+
+Scale: claimed-table size is O(admitted docs × bands) rows of
+(smallint, 32-char hash) — tiny relative to the corpus. The per-batch
+cost is one scan of the claimed table; at very large scale, compact it
+periodically (``operators.compaction``) and bucket it by band_hash so
+the semi-join co-locates without a full shuffle.
+
+Reference parity: the reference has no streaming dedup (its streaming
+is file-arrival triggering, s3_trigger_lambda.py:45-158); this operator
+is part of the beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import band_keys, minhash_signature
+from .incremental import run_incremental
+
+_BUCKET_SCHEMA = "band_id INT, band_hash STRING"
+
+
+def lsh_admit(
+    docs: DataFrame,
+    claimed: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One round of LSH admission: returns (kept_docs, new_buckets).
+
+    ``claimed`` is the (band_id, band_hash) table of previously-admitted
+    buckets (None = empty history, e.g. the first batch). ``kept_docs``
+    preserves all input columns; ``new_buckets`` are the distinct buckets
+    of the kept docs, to be appended to the claimed table.
+
+    Plan shape: signatures map-side; history check = left-semi join on
+    the bucket key; within-batch greedy = min-per-bucket aggregation.
+    No driver-side collection anywhere.
+    """
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes)
+    bk = band_keys(sigs, id_col, bands, num_hashes // bands)
+    # the band-key set is consumed three times below (history probe,
+    # bucket-min, new-bucket projection) — materialize once; it is
+    # bands× the batch row count, far smaller than re-shingling thrice.
+    # localCheckpoint (not persist): per-batch persist() entries would
+    # accumulate in the CacheManager across micro-batches; checkpoint
+    # blocks are reclaimed when the RDD is GC'd.
+    bk = bk.localCheckpoint()
+
+    if claimed is not None:
+        hist_dup_ids = (
+            bk.join(claimed, ["band_id", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        surv = bk.join(hist_dup_ids, id_col, "left_anti")
+    else:
+        surv = bk
+
+    bucket_min = surv.groupBy("band_id", "band_hash").agg(
+        F.min(id_col).alias("__min_id")
+    )
+    batch_dup_ids = (
+        surv.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col(id_col) > F.col("__min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    kept_keys = surv.join(batch_dup_ids, id_col, "left_anti")
+    new_buckets = kept_keys.select("band_id", "band_hash").distinct()
+    kept_docs = docs.join(
+        kept_keys.select(id_col).distinct(), id_col, "left_semi"
+    )
+    return kept_docs, new_buckets
+
+
+def _read_claimed(
+    spark: SparkSession, claimed_dir: str, before_batch: int
+) -> DataFrame | None:
+    """Claimed buckets from all batches strictly before ``before_batch``
+    (a replayed batch must not see its own previous half-written claims).
+    Returns None if no prior state exists."""
+    try:
+        df = spark.read.parquet(claimed_dir)
+    except Exception:
+        return None  # first batch: directory absent
+    if "batch_id" not in df.columns:  # pragma: no cover - defensive
+        return df.select("band_id", "band_hash")
+    return df.filter(
+        F.col("batch_id").cast("bigint") < before_batch
+    ).select("band_id", "band_hash")
+
+
+def streaming_minhash_dedup(
+    stream_df: DataFrame,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous near-dup intake: admit each arriving doc iff it shares
+    no LSH bucket with anything admitted before it.
+
+    Layout under ``work_dir``: ``claimed/batch_id=N/`` (admission
+    state), ``kept/batch_id=N/`` (admitted docs), ``ckpt/`` (stream
+    checkpoint). Both data writes are per-batch overwrites keyed by the
+    micro-batch epoch, making the callback idempotent under replay.
+    """
+    claimed_dir = f"{work_dir}/claimed"
+    kept_dir = f"{work_dir}/kept"
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        claimed = _read_claimed(spark, claimed_dir, batch_id)
+        kept, new_buckets = lsh_admit(
+            batch_df, claimed, text_col, id_col, num_hashes, bands
+        )
+        new_buckets.write.mode("overwrite").parquet(
+            f"{claimed_dir}/batch_id={batch_id}"
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
+
+    return run_incremental(
+        stream_df, batch_fn, f"{work_dir}/ckpt", available_now=available_now
+    )
