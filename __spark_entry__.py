@@ -833,7 +833,9 @@ def q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    kept, _ = lsh_admit(docs, claimed=None)
+    # materialize=False: single-action consumer; keeps the declarative
+    # plan visible to tools/plan_report.py instead of an RDD-scan stub
+    kept, _ = lsh_admit(docs, claimed=None, materialize=False)
     return kept.select("doc_id")
 
 

@@ -44,14 +44,17 @@ is part of the beyond-reference training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import band_keys, minhash_signature
 from .incremental import run_incremental
 
-_BUCKET_SCHEMA = "band_id INT, band_hash STRING"
+# claimed-table read schema: data columns + the batch_id partition column
+# (partition values are directory names; type inference is disabled
+# session-wide, so it reads as string and is cast where compared)
+_CLAIMED_SCHEMA = "band_id INT, band_hash STRING, batch_id STRING"
 
 
 def lsh_admit(
@@ -61,6 +64,7 @@ def lsh_admit(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One round of LSH admission: returns (kept_docs, new_buckets).
 
@@ -72,41 +76,57 @@ def lsh_admit(
     Plan shape: signatures map-side; history check = left-semi join on
     the bucket key; within-batch greedy = min-per-bucket aggregation.
     No driver-side collection anywhere.
+
+    ``materialize=True`` (the streaming default) lazily localCheckpoints
+    the band-key set and the kept-key set so that (a) the expensive
+    shingle+signature projection runs once, not once per downstream
+    consumer, and (b) consuming BOTH returned DataFrames (two write
+    actions per micro-batch) shares one computation of the admission
+    chain. Pass ``materialize=False`` when the result is consumed by a
+    single action or when the full declarative plan must stay visible
+    (plan audits) — checkpointing truncates the plan to an RDD scan.
     """
     sigs = minhash_signature(docs, text_col, id_col, num_hashes)
     bk = band_keys(sigs, id_col, bands, num_hashes // bands)
-    # the band-key set is consumed three times below (history probe,
-    # bucket-min, new-bucket projection) — materialize once; it is
-    # bands× the batch row count, far smaller than re-shingling thrice.
-    # localCheckpoint (not persist): per-batch persist() entries would
-    # accumulate in the CacheManager across micro-batches; checkpoint
-    # blocks are reclaimed when the RDD is GC'd.
-    bk = bk.localCheckpoint()
+    if materialize:
+        # lazy (eager=False): no job at construction time; the first
+        # action materializes, later actions reuse the checkpointed
+        # blocks. localCheckpoint (not persist): per-batch persist()
+        # entries would accumulate in the CacheManager across
+        # micro-batches; checkpoint blocks are reclaimed on RDD GC.
+        bk = bk.localCheckpoint(eager=False)
 
     if claimed is not None:
-        hist_dup_ids = (
-            bk.join(claimed, ["band_id", "band_hash"], "left_semi")
-            .select(id_col)
-            .distinct()
-        )
+        # no .distinct() on the probe side: left-semi/anti joins already
+        # have set semantics, a distinct would only add a shuffle
+        hist_dup_ids = bk.join(
+            claimed, ["band_id", "band_hash"], "left_semi"
+        ).select(id_col)
         surv = bk.join(hist_dup_ids, id_col, "left_anti")
     else:
         surv = bk
 
-    bucket_min = surv.groupBy("band_id", "band_hash").agg(
-        F.min(id_col).alias("__min_id")
+    # within-batch greedy as ONE pass over the band keys: window-min per
+    # bucket, then per-doc "collides with a smaller id anywhere" flag.
+    # (A bucket-min self-join expresses the same thing but consumes the
+    # band-key subtree three times — Catalyst re-evaluates the whole
+    # shingle+signature chain per consumer unless checkpointed.)
+    w = Window.partitionBy("band_id", "band_hash")
+    kept_keys = (
+        surv.withColumn("__min_id", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max((F.col(id_col) > F.col("__min_id")).cast("int")).alias("__dup"),
+            F.collect_list(F.struct("band_id", "band_hash")).alias("__buckets"),
+        )
+        .filter(F.col("__dup") == 0)
     )
-    batch_dup_ids = (
-        surv.join(bucket_min, ["band_id", "band_hash"])
-        .filter(F.col(id_col) > F.col("__min_id"))
-        .select(id_col)
-        .distinct()
-    )
-    kept_keys = surv.join(batch_dup_ids, id_col, "left_anti")
-    new_buckets = kept_keys.select("band_id", "band_hash").distinct()
-    kept_docs = docs.join(
-        kept_keys.select(id_col).distinct(), id_col, "left_semi"
-    )
+    if materialize:
+        kept_keys = kept_keys.localCheckpoint(eager=False)
+    new_buckets = kept_keys.select(
+        F.explode("__buckets").alias("b")
+    ).select("b.band_id", "b.band_hash").distinct()
+    kept_docs = docs.join(kept_keys.select(id_col), id_col, "left_semi")
     return kept_docs, new_buckets
 
 
@@ -115,16 +135,20 @@ def _read_claimed(
 ) -> DataFrame | None:
     """Claimed buckets from all batches strictly before ``before_batch``
     (a replayed batch must not see its own previous half-written claims).
-    Returns None if no prior state exists."""
-    try:
-        df = spark.read.parquet(claimed_dir)
-    except Exception:
-        return None  # first batch: directory absent
-    if "batch_id" not in df.columns:  # pragma: no cover - defensive
-        return df.select("band_id", "band_hash")
-    return df.filter(
-        F.col("batch_id").cast("bigint") < before_batch
-    ).select("band_id", "band_hash")
+    Returns None only when no claimed table exists yet (first batch);
+    any other read failure propagates — silently treating a broken
+    state table as empty history would admit duplicates."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(claimed_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    return (
+        spark.read.schema(_CLAIMED_SCHEMA)
+        .parquet(claimed_dir)
+        .filter(F.col("batch_id").cast("bigint") < before_batch)
+        .select("band_id", "band_hash")
+    )
 
 
 def streaming_minhash_dedup(
