@@ -387,32 +387,36 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
     s = _t(spark, sf_dir, "supplier")
+    # EXISTS/NOT-EXISTS via one aggregation of lineitem at (order,
+    # supplier) grain instead of two non-equi self-joins: lineitem is
+    # scanned and shuffled ONCE; both the per-order supplier stats and
+    # the candidate (returning) pairs derive from the pre-aggregated
+    # relation, whose shared exchange Spark reuses (ReusedExchange).
+    # EXISTS another supplier ⇔ n_supps >= 2; NOT EXISTS another
+    # RETURNING supplier ⇔ n_ret_supps == 1 (the candidate's supplier
+    # returned, so the single returning supplier must be it). Catalyst
+    # cannot derive this rewrite from the subquery form — it requires
+    # reasoning over both predicates jointly.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "__has_ret"
+        )
+    )
+    stats = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supps"),
+        F.sum("__has_ret").alias("__n_ret_supps"),
+    )
     l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        per_os.filter(F.col("__has_ret") == 1)
+        .join(o, per_os.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).distinct()
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .distinct()
-    )
-    exists_other = l1.join(
-        l2,
-        (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
-        "left_semi",
-    )
-    no_other_return = exists_other.join(
-        l3,
-        (exists_other.l_orderkey == F.col("k3")) & (exists_other.l_suppkey != F.col("s3")),
-        "left_anti",
+    only_returner = (
+        l1.join(stats, "l_orderkey")
+        .filter((F.col("__n_supps") >= 2) & (F.col("__n_ret_supps") == 1))
     )
     counted = (
-        no_other_return.join(broadcast(s), no_other_return.l_suppkey == s.s_suppkey)
+        only_returner.join(broadcast(s), only_returner.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
