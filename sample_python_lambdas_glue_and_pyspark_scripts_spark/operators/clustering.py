@@ -44,9 +44,20 @@ def connected_components(
 
     ``pairs`` is an edge list; direction and duplicates don't matter.
     """
+    # symmetrize via explode, not union-of-two-selects: a union consumes
+    # the ``pairs`` subtree twice, and when pairs come straight off the
+    # MinHash-LSH pipeline that re-runs its (expensive) verify stage —
+    # explode duplicates each row map-side in a single evaluation
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
