@@ -40,8 +40,22 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed per-vector norms. NULL (not NaN) for a
+    zero-norm vector: Spark sorts NaN ABOVE every double and NaN >= t is
+    true, so a NaN similarity would win every top-k and pass every
+    threshold filter; NULL drops out of desc ordering and comparisons.
+
+    Precomputing norms matters on the O(n·m) join paths: norms depend on
+    one vector only, so they are computed n+m times before the join
+    instead of 2·n·m times after it.
+    """
+    denom = na * nb
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return cosine_from_norms(a, b, l2_norm(a), l2_norm(b))
 
 
 def cosine_topk(
@@ -62,13 +76,21 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _dbl(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_to))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                round_to,
+            ),
+        )
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -93,10 +115,18 @@ def assign_cells(
     ids (by cosine, ties → lower centroid id). Centroids broadcast."""
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), _dbl(vec_col).alias("centv")
-    )
-    v = vectors.select(F.col(id_col), _dbl(vec_col).alias("v"), F.col(vec_col))
+    ).withColumn("centn", l2_norm(F.col("centv")))
+    v = vectors.select(
+        F.col(id_col), _dbl(vec_col).alias("v"), F.col(vec_col)
+    ).withColumn("vn", l2_norm(F.col("v")))
     scored = v.join(F.broadcast(cents)).withColumn(
-        "csim", F.round(cosine(F.col("v"), F.col("centv")), 6)
+        "csim",
+        F.round(
+            cosine_from_norms(
+                F.col("v"), F.col("centv"), F.col("vn"), F.col("centn")
+            ),
+            6,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc()
@@ -130,16 +160,25 @@ def ivf_topk(
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     cq = query_cells.select(
         F.col(id_col).alias("query_id"), F.col("cell"), _dbl(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     cc = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"), F.col("cell"), _dbl(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    # no distinct needed: corpus vectors are assigned with nprobe=1, so a
+    # (query, neighbor) pair can meet through at most one shared cell
     scored = (
         cq.join(cc, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "sim")
-        .distinct()  # a neighbor can appear via multiple probed cells
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -165,17 +204,28 @@ def hyperplane_signature(
     (deterministic per seed, generated driver-side, inlined as literals —
     no data shuffle, pure map-side). P(bit match) = 1 - angle/pi, so near
     neighbors collide in signature space.
+
+    ``n_planes`` is capped at 63 (bits pack into one signed bigint); wider
+    signatures need a two-word layout.
     """
     import random
 
+    if not 1 <= n_planes <= 63:
+        raise ValueError("n_planes must be in [1, 63] (bigint bit packing)")
     rnd = random.Random(seed)
     planes = [
         [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
-    v = _dbl(vec_col)
 
     def plane_dot(plane: list[float]) -> Column:
-        terms = [v[i] * F.lit(w) for i, w in enumerate(plane)]
+        # index the raw array column directly: wrapping it in a
+        # transform() and indexing THAT would embed a fresh HOF subtree
+        # per term (dim x n_planes copies — Catalyst does not CSE across
+        # nested higher-order functions, see CLAUDE.md)
+        terms = [
+            F.col(vec_col)[i].cast("double") * F.lit(w)
+            for i, w in enumerate(plane)
+        ]
         s = terms[0]
         for t in terms[1:]:
             s = s + t
@@ -204,6 +254,13 @@ def hyperplane_lsh_pairs(
     candidates, exact cosine verify. Same output contract as
     ``cosine_pairs`` but candidate generation is a bucket join instead of
     the O(n²) cross join — the LSH scale path for embeddings."""
+    if bands < 1 or n_planes % bands != 0:
+        # bands > n_planes would give 0-bit bands (every row in ONE
+        # bucket: the O(n²) blowup this function exists to avoid);
+        # non-divisible values would silently drop the top planes
+        raise ValueError(
+            f"bands ({bands}) must divide n_planes ({n_planes}) exactly"
+        )
     vectors = ensure_parallelism(vectors)
     sigs = hyperplane_signature(vectors, dim, n_planes, id_col, vec_col, seed)
     bits_per_band = n_planes // bands
@@ -235,12 +292,24 @@ def hyperplane_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("a"), _dbl(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("b"), _dbl(vec_col).alias("vb"))
+    va = vectors.select(
+        F.col(id_col).alias("a"), _dbl(vec_col).alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    vb = vectors.select(
+        F.col(id_col).alias("b"), _dbl(vec_col).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
@@ -259,11 +328,23 @@ def cosine_pairs(
     random-hyperplane LSH before verifying.
     """
     vectors = ensure_parallelism(vectors)
-    l = vectors.select(F.col(id_col).alias("a"), _dbl(vec_col).alias("va"))
-    r = vectors.select(F.col(id_col).alias("b"), _dbl(vec_col).alias("vb"))
+    l = vectors.select(
+        F.col(id_col).alias("a"), _dbl(vec_col).alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    r = vectors.select(
+        F.col(id_col).alias("b"), _dbl(vec_col).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
         l.join(r, F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
@@ -331,7 +412,12 @@ def assign_nearest_centroid(
     scored = v.join(F.broadcast(cents)).select(
         "vec_id", F.col("label"), F.round(dist2, 6).alias("dist2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("label").asc())
+    # asc_nulls_last: a dimension-mismatched centroid yields NULL dist2
+    # (zip_with pads with null) — default NULLS FIRST would make it win
+    # the argmin for every vector
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc_nulls_last(), F.col("label").asc()
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)

@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.versioning import ValidationPolicy, VersionedCatalog
+from ..session import ensure_runtime_confs
 from ..sources.archive import archive_and_cleanup
 from ..sources.readers import read_csv_staged
 from .. import schemas as S
@@ -59,9 +60,16 @@ class RunOutcome:
     loaded_opcos: list[str] = field(default_factory=list)
     failed_opcos: list[str] = field(default_factory=list)
     admitted: bool = True
+    # opco -> repr(exception): the Map-state Catch's error cause, kept so
+    # operators can tell a policy rejection from a storage failure
+    failure_reasons: dict = field(default_factory=dict)
 
 
 def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
+    # the pipeline round-trips its own partitionBy output (and reads
+    # nanos-timestamped inputs); enforce the contract confs on whatever
+    # session the caller hands us
+    ensure_runtime_confs(spark)
     ledger = RunLedger(spark, f"{cfg.work_dir}/ledger")
     catalog = VersionedCatalog(spark, f"{cfg.work_dir}/tables")
     execution_id = new_run_id()
@@ -97,7 +105,7 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
             r["opco_id"] for r in written.select("opco_id").distinct().collect()
         )
         running_exports = ledger.full_export_opcos()
-        loaded, failed = [], []
+        loaded, failed, reasons = [], [], {}
         for opco in opcos:
             try:
                 catalog.init_opco_if_absent(opco)
@@ -109,8 +117,9 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
                     policy=cfg.policy,
                 )
                 loaded.append(opco)
-            except Exception:
-                failed.append(opco)  # isolated, like the Map-state Catch
+            except Exception as e:  # isolated, like the Map-state Catch
+                failed.append(opco)
+                reasons[opco] = repr(e)
 
         status = "FAILED" if failed else "SUCCEEDED"
         ledger.record(
@@ -120,12 +129,27 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
             received_opcos=",".join(opcos),
         )
         if cfg.archive_dir:
-            archive_and_cleanup(spark, cfg.input_path, cfg.archive_dir,
-                                delete_source=False)
+            try:
+                archive_and_cleanup(spark, cfg.input_path, cfg.archive_dir,
+                                    delete_source=False)
+            except Exception as e:
+                # the LOAD already happened and was recorded with its true
+                # counts — an archive failure must not masquerade as a load
+                # failure (a retry would double-append into ACTIVE tables).
+                # Record a distinct status, keep the counts.
+                status = "ARCHIVE_FAILED"
+                reasons["__archive__"] = repr(e)
+                ledger.record(
+                    cfg.file_name, cfg.etl_timestamp, execution_id, status,
+                    file_type=cfg.file_type, total_count=rep.total_count,
+                    valid_count=rep.valid_count,
+                    invalid_count=rep.invalid_count,
+                    received_opcos=",".join(opcos),
+                )
         return RunOutcome(
             execution_id, status, rep.total_count, rep.valid_count,
             rep.invalid_count, sorted(rep.invalid_groups, key=str),
-            loaded, failed,
+            loaded, failed, failure_reasons=reasons,
         )
     except Exception:
         ledger.record(cfg.file_name, cfg.etl_timestamp, execution_id, "FAILED",

@@ -79,10 +79,16 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
     - UTC session timezone: formatted/epoch outputs must match the
       timezone-naive DuckDB oracle on any host;
-    - rebase modes: stop ancient-date exceptions on vanilla sessions.
+    - rebase modes: stop ancient-date exceptions on vanilla sessions;
+    - partition-value inference OFF: hive-partitioned round-trips must
+      return opco_id="019" as the string it was written as, not int 19
+      (the orchestrated pipelines read their own partitionBy output back).
     (ANSI stays on — Spark 4 default; null-on-failure uses try_*.)
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
     spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )

@@ -124,3 +124,51 @@ def test_admission_blocks_over_capacity(spark, workdir):
                   file_type="partial", max_concurrency=2),
     )
     assert out.status == "WAITING" and out.admitted is False
+
+
+def test_run_pipeline_survives_inference_enabled_session(spark, workdir):
+    """A caller session with partition-value inference ON (the vanilla
+    default) must not corrupt numeric-string opco ids on the partitioned
+    round-trip — run_pipeline enforces the contract confs itself."""
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+    spark.conf.set(conf, "true")
+    try:
+        out = run_pipeline(spark, RunConfig(
+            input_path=inp, work_dir=f"{workdir}/engine",
+            active_opcos=["019", "020", "021"], file_name="ctt_x.csv",
+            etl_timestamp="t9", file_type="partial",
+        ))
+    finally:
+        spark.conf.set(conf, "false")
+    assert out.status == "SUCCEEDED"
+    assert out.loaded_opcos == ["019", "021"]  # strings, not ints
+
+
+def test_archive_failure_keeps_load_status_and_counts(spark, workdir):
+    """Archive failure after a successful load must surface as
+    ARCHIVE_FAILED with the true counts — never as a FAILED load (which
+    would invite a double-loading retry)."""
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+    # a directory nested under a regular FILE: mkdirs raises on local FS
+    bad_archive = f"{inp}/nested"
+
+    out = run_pipeline(spark, RunConfig(
+        input_path=inp, work_dir=f"{workdir}/engine",
+        active_opcos=["019", "020", "021"], file_name="ctt_y.csv",
+        etl_timestamp="t10", file_type="partial", archive_dir=bad_archive,
+    ))
+    assert out.status == "ARCHIVE_FAILED"
+    assert out.loaded_opcos == ["019", "021"]
+    assert out.total_count == 5 and out.valid_count == 3
+    assert "__archive__" in out.failure_reasons
+
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    rec = lg.events().filter("file_name = 'ctt_y.csv'").orderBy(
+        "updated_at", ascending=False).first()
+    assert rec["status"] == "ARCHIVE_FAILED"
+    assert rec["total_count"] == 5 and rec["valid_count"] == 3

@@ -119,3 +119,41 @@ def test_sample_frames(spark):
     assert len(frames) >= 1
     assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
     assert all(f["media_id"] == 2 for f in frames)
+
+
+def test_zero_norm_vector_never_wins(spark):
+    """A zero vector yields NULL similarity (not NaN): it must not rank
+    in top-k (Spark sorts NaN above all doubles) nor pass thresholds."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: padding/missing-data row
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    topk = S.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1)
+    assert [(r["query_id"], r["neighbor_id"]) for r in topk.collect()] == [(0, 1)]
+    pairs = S.cosine_pairs(df, threshold=0.0)
+    ids = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert all(2 not in p for p in ids)
+
+
+def test_nearest_centroid_skips_mismatched_dims(spark):
+    """A dimension-mismatched centroid aggregates to NULL dist2 and must
+    lose the argmin (NULLS LAST), not win it (default NULLS FIRST)."""
+    vecs = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], VEC_SCHEMA)
+    cents = spark.createDataFrame(
+        [("good", 0, 1.0), ("good", 1, 0.0), ("good", 2, 0.0),
+         ("broken", 0, 0.5), ("broken", 1, 0.5)],  # 2-dim: zip pads null
+        "label STRING, dim INT, c DOUBLE",
+    )
+    got = S.assign_nearest_centroid(vecs, cents).collect()
+    assert got[0]["assigned_label"] == "good"
+
+
+def test_hyperplane_validation():
+    with pytest.raises(ValueError):
+        S.hyperplane_signature(None, dim=4, n_planes=64)
+    with pytest.raises(ValueError):
+        S.hyperplane_lsh_pairs(None, dim=4, n_planes=16, bands=5)
+    with pytest.raises(ValueError):
+        S.hyperplane_lsh_pairs(None, dim=4, n_planes=16, bands=32)
