@@ -61,6 +61,20 @@ def test_ivf_topk_subset_of_exact(spark, vecs):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_ivf_prebuilt_index_matches_inline(spark, vecs, tmp_path):
+    """A persisted-and-reloaded index must serve identical results to the
+    inline build — the amortized-index path is the production one."""
+    q = vecs.filter(F.col("vec_id") <= 1)
+    inline = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=2)
+    centroids, cells = S.build_ivf_index(vecs, ncells=3)
+    cells.write.parquet(f"{tmp_path}/cells")
+    reloaded = (centroids, spark.read.parquet(f"{tmp_path}/cells"))
+    served = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=2, index=reloaded)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
 def test_hyperplane_lsh_pairs_subset_of_exact(spark, sf_dir):
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
         hyperplane_lsh_pairs,
