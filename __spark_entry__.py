@@ -729,6 +729,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS mapInPandas exact top-k — same semantics as ann_cosine_topk
+    (shares its oracle SQL verbatim), different physical path: one numpy
+    matmul per Arrow batch + per-partition local top-k, so the O(n*m)
+    pair relation never exists as Spark rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SM.cosine_pairs(emb, threshold=0.4)
@@ -1051,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_topk_vectorized": q_ann_topk_vectorized,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -1612,6 +1622,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 5),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                FROM q JOIN e c ON c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored) t
+            WHERE rn <= 5
+        """,
+        "ann_topk_vectorized": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT * FROM e WHERE vec_id < 5),
             scored AS (

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "text_stats",
     "ann_cosine_topk",
+    # ann_topk_vectorized is contract-checked but not a headline query:
+    # at sf0.1 (5k vectors) Python-worker startup dominates; its win is
+    # the scale regime — see BASELINE.md ANN probe (6.8x at 200k x 64d)
     "events_tumbling_window",
     # round-1 continuation: subquery-shaped joins + curation operators
     "tpch_q9",

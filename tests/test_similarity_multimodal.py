@@ -61,6 +61,45 @@ def test_ivf_topk_subset_of_exact(spark, vecs):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_vectorized_topk_matches_hof(spark, sf_dir):
+    """BLAS mapInPandas top-k must equal the join+window formulation
+    bit-for-bit on real data (rounding, ordering, tie-breaking)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    hof = S.cosine_topk(emb, q, k=5).collect()
+    blas = S.cosine_topk_vectorized(emb, q, k=5).collect()
+    assert sorted(map(tuple, blas)) == sorted(map(tuple, hof))
+
+
+def test_vectorized_topk_null_edge_cases(spark):
+    """Zero-norm corpus rows fill trailing slots as NULL sims (lowest id
+    first) and a zero-norm query ranks purely by neighbor id — matching
+    the join formulation's NULL semantics exactly."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm corpus row
+        (3, [0.0, 0.0]),  # zero-norm corpus row
+        (4, [0.0, 0.0]),  # zero-norm QUERY
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]),
+    )
+    q = df.filter(F.col("vec_id").isin(0, 4))
+    hof = S.cosine_topk(df, q, k=3).collect()
+    blas = S.cosine_topk_vectorized(df, q, k=3).collect()
+    assert sorted(map(tuple, blas)) == sorted(map(tuple, hof))
+    got = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in blas}
+    # query 0: one real neighbor, then NULL-sim zero vectors by id
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (4, 0), (4, 1), (4, 2)}
+    assert got[(0, 2)] is None and got[(0, 3)] is None
+    assert all(got[(4, n)] is None for n in (0, 1, 2))
+
+
 def test_ivf_prebuilt_index_matches_inline(spark, vecs, tmp_path):
     """A persisted-and-reloaded index must serve identical results to the
     inline build — the amortized-index path is the production one."""

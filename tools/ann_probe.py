@@ -18,6 +18,9 @@ IVF mechanism, not centroid-training luck.
 Measured (single warm run each; a throwaway action warms the JVM, and
 the interesting quantity — the brute/IVF ratio — is intra-run):
   brute      cosine_topk: every query scored against every corpus vector
+  blas       cosine_topk_vectorized: same exact result via one numpy
+             matmul per Arrow batch + per-partition local top-k (the
+             pair relation never exists as Spark rows)
   build      build_ivf_index at ncells=256 + persist corpus_cells to
              parquet — the one-time, corpus-only cost (N x ncells
              scorings). ncells (~sqrt(N), the production heuristic) is
@@ -119,6 +122,10 @@ def main():
     exact = brute.select("query_id", "neighbor_id").cache()
     n_exact = exact.count()  # materialize once for the recall joins
 
+    blas = S.cosine_topk_vectorized(corpus, queries, k=K)
+    blas_sec = timed(lambda: blas.write.mode("overwrite").format("noop").save())
+    blas_match = blas.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+
     out = {
         "n_corpus": N_CORPUS,
         "dim": DIM,
@@ -126,6 +133,9 @@ def main():
         "k": K,
         "ncells": NCELLS,
         "brute_sec": brute_sec,
+        "blas_sec": blas_sec,
+        "blas_speedup": round(brute_sec / blas_sec, 1),
+        "blas_exact_match": blas_match == n_exact,
     }
 
     def build():
