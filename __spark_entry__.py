@@ -729,6 +729,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (E+M twice) from deterministic first-k
+    seeds. Fixed n_iter keeps the loop unrollable as plain SQL, so even
+    the iterative fit is oracle-checked value-for-value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _ = SM.kmeans_fit(emb, k=4, n_iter=2)
+    return assign.select(
+        "vec_id",
+        F.col("assigned_label").cast("int").alias("assigned_label"),
+        "dist2",
+    )
+
+
 def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS mapInPandas exact top-k — same semantics as ann_cosine_topk
     (shares its oracle SQL verbatim), different physical path: one numpy
@@ -1061,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -1633,6 +1647,38 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim DESC, neighbor_id) AS rn
                 FROM scored) t
             WHERE rn <= 5
+        """,
+        "kmeans_clusters": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            dims AS (SELECT vec_id, CAST(p.dim AS INTEGER) AS dim, p.val AS x
+                     FROM (SELECT vec_id, unnest(list_transform(
+                               range(1, len(v) + 1),
+                               i -> {'dim': i - 1, 'val': v[i]})) AS p
+                           FROM e) t),
+            seed AS (SELECT vec_id,
+                            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label
+                     FROM e ORDER BY vec_id LIMIT 4),
+            cent0 AS (SELECT s.label, d.dim, ROUND(AVG(d.x), 6) AS c
+                      FROM seed s JOIN dims d USING (vec_id) GROUP BY 1, 2),
+            d2_0 AS (SELECT d.vec_id, c.label,
+                            ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
+                     FROM dims d JOIN cent0 c ON d.dim = c.dim GROUP BY 1, 2),
+            a0 AS (SELECT vec_id, label FROM (
+                       SELECT vec_id, label,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2, label) AS rn
+                       FROM d2_0) t WHERE rn = 1),
+            cent1 AS (SELECT a.label, d.dim, ROUND(AVG(d.x), 6) AS c
+                      FROM a0 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+            d2_1 AS (SELECT d.vec_id, c.label,
+                            ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
+                     FROM dims d JOIN cent1 c ON d.dim = c.dim GROUP BY 1, 2)
+            SELECT vec_id, label AS assigned_label, dist2 FROM (
+                SELECT vec_id, label, dist2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, label) AS rn
+                FROM d2_1) t
+            WHERE rn = 1
         """,
         "ann_topk_vectorized": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -601,3 +601,72 @@ def assign_nearest_centroid(
         .filter(F.col("rnk") == 1)
         .select("vec_id", F.col("label").alias("assigned_label"), "dist2")
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    early_stop: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Full Lloyd's k-means from the existing E/M primitives: E-step =
+    ``assign_nearest_centroid`` (broadcast centroids, argmin with label
+    tiebreak), M-step = ``label_centroids`` (posexplode + partial-agg
+    mean, shuffled volume k x dims regardless of corpus size).
+
+    Returns ``(assignments, centroids)``: the final (vec_id,
+    assigned_label, dist2) and the (label, dim, c) centroids of that
+    final assignment.
+
+    Deterministic by construction — seeds are the first ``k`` vectors by
+    id (labels 0..k-1 in id order) and every distance/mean is rounded to
+    6dp — so a FIXED ``n_iter`` run is oracle-checkable as plain
+    (non-recursive) SQL with the loop unrolled. ``early_stop=True`` adds
+    a changed-assignment count per round (a driver-side decision, not
+    driver-side data) and stops when an E-step repeats the previous
+    labeling. Clusters that lose every member drop out of the centroid
+    table (the standard Lloyd hazard — callers needing exactly k cells
+    should reseed).
+
+    Per-round lineage is truncated with lazy localCheckpoints: an
+    iterative plan otherwise doubles each round and Catalyst re-analyzes
+    the whole history (see operators/clustering.py for the same
+    pattern).
+    """
+    v = ensure_parallelism(vectors).select(id_col, vec_col)
+    w0 = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        v.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .withColumn("label", F.row_number().over(w0) - 1)
+    )
+    cents = label_centroids(seeds, "label", vec_col)
+    assign = None
+    prev = None
+    for _ in range(max(1, n_iter)):
+        assign = assign_nearest_centroid(
+            v, cents, id_col, "label", vec_col
+        ).localCheckpoint(eager=False)
+        if early_stop and prev is not None:
+            changed = (
+                assign.alias("a")
+                .join(prev.alias("p"), "vec_id")
+                .filter(F.col("a.assigned_label") != F.col("p.assigned_label"))
+                .count()
+            )
+            if changed == 0:
+                break
+        labeled = v.join(
+            assign.select(
+                F.col("vec_id").alias(id_col),
+                F.col("assigned_label").alias("label"),
+            ),
+            id_col,
+        )
+        cents = label_centroids(labeled, "label", vec_col).localCheckpoint(
+            eager=False
+        )
+        prev = assign
+    return assign, cents

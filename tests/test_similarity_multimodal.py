@@ -203,6 +203,28 @@ def test_nearest_centroid_skips_mismatched_dims(spark):
     assert got[0]["assigned_label"] == "good"
 
 
+def test_kmeans_fit_converges(spark):
+    """Two obvious 2-D clusters with both seeds inside the first one:
+    Lloyd must pull one centroid across and converge; early_stop halts
+    when labels repeat."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [11.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    assign, cents = S.kmeans_fit(df, k=2, n_iter=10, early_stop=True)
+    got = {r["vec_id"]: r["assigned_label"] for r in assign.collect()}
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+    c = {(r["label"], r["dim"]): r["c"] for r in cents.collect()}
+    assert c[(got[0], 0)] == pytest.approx(0.5)
+    assert c[(got[2], 0)] == pytest.approx(10.5)
+    # deterministic: an identical run reproduces the labeling exactly
+    again, _ = S.kmeans_fit(df, k=2, n_iter=10, early_stop=True)
+    assert {r["vec_id"]: r["assigned_label"] for r in again.collect()} == got
+
+
 def test_hyperplane_validation():
     with pytest.raises(ValueError):
         S.hyperplane_signature(None, dim=4, n_planes=64)
