@@ -867,6 +867,13 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_terms(docs, k=20)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms; rank cuts on rounded scores so
+    the boundary is engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=5)
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style masking (emails, digit runs) as map-side regexp chain."""
     docs = _t(spark, sf_dir, "documents")
@@ -1087,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
+        "tfidf_terms": q_tfidf_terms,
         "text_scrub": q_text_scrub,
         "label_centroids": q_label_centroids,
         "centroid_assign": q_centroid_assign,
@@ -1847,6 +1855,25 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "tfidf_terms": f"""
+            WITH dt AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS term
+                    FROM documents) t
+                GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df_t FROM dt GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tfidf FROM (
+                SELECT dt.doc_id, dt.term,
+                       ROUND(dt.tf * ln(n.n_docs / dfreq.df_t), 6) AS tfidf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dt.doc_id
+                           ORDER BY ROUND(dt.tf * ln(n.n_docs / dfreq.df_t), 6) DESC,
+                                    dt.term) AS rn
+                FROM dt JOIN dfreq USING (term) CROSS JOIN n) t
+            WHERE rn <= 5
         """,
         "vocab_top_terms": f"""
             WITH tok AS (

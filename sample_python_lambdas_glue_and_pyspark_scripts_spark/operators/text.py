@@ -13,7 +13,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish word/punctuation tokenizer: runs of word chars, or single
@@ -159,3 +159,53 @@ def scrub_text(
     for pat, tag in patterns:
         c = F.regexp_replace(c, pat, tag)
     return df.withColumn(out_col, c)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, term, tfidf).
+
+    tf = raw in-document term count; idf = ln(N / df_term) with N = all
+    documents (tokenless docs count in N, contribute no rows). Ranking
+    cuts on the ROUNDED score with a term tiebreak so the top-k boundary
+    is identical across engines.
+
+    Plan shape: the tokenize+explode is map-side; (doc, term) counts
+    partial-aggregate into one shuffle; document frequency is a window
+    count over that SAME relation (partitionBy term — one more shuffle,
+    but the expensive tokenization evaluates exactly once; the
+    aggregate-then-self-join form re-tokenizes, because column pruning
+    makes the two aggregate subtrees non-identical and defeats
+    ReusedExchange); the per-doc top-k window shuffles on doc id.
+    Shuffled volume is distinct (doc, term) pairs, never raw tokens.
+    """
+    dt = (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    wt = Window.partitionBy("term")
+    scored = (
+        dt.withColumn("df_t", F.count(F.lit(1)).over(wt))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), round_to
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf")
+    )

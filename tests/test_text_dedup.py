@@ -109,3 +109,29 @@ def test_simhash_properties(spark, docs):
     # near-dup doc 4 should be close to 1 in hamming space
     if (1, 4) in pairs:
         assert pairs[(1, 4)] <= 10
+
+
+def test_tfidf_top_terms(spark):
+    """A corpus-wide term scores 0 (idf = ln(1) = 0); a term unique to
+    one doc carries that doc's top score; ranking is (rounded score
+    desc, term asc)."""
+    import math
+
+    rows = [
+        (0, "common zebra zebra"),
+        (1, "common apple"),
+        (2, "common apple banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in T.tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 0: zebra tf=2, df=1 -> 2*ln(3); common 0.0
+    assert got[(0, "zebra")] == pytest.approx(round(2 * math.log(3), 6))
+    assert got[(0, "common")] == 0.0
+    # doc 2: banana unique beats apple (df=2)
+    assert got[(2, "banana")] == pytest.approx(round(math.log(3), 6))
+    assert got[(2, "apple")] == pytest.approx(round(math.log(3 / 2), 6))
+    # k=2 cut applied per doc
+    assert len([1 for (d, _) in got if d == 2]) == 2
