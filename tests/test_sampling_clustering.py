@@ -113,3 +113,33 @@ def test_assign_nearest_centroid_self_consistent(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
     # one row per vector, dist2 non-negative
     assert all(r.dist2 >= 0 for r in out.collect())
+
+
+def test_star_cc_matches_min_label(spark):
+    """Alternating large-star/small-star must produce exactly the same
+    labeling as min-label propagation on mixed topologies: a long chain
+    (the case min-label is worst at), a clique, a triangle reached via
+    bridge, self-loops, and a two-node component."""
+    import random
+
+    edges = []
+    edges += [(i + 1, i) for i in range(30, 50)]        # chain 30..50
+    edges += [(a, b) for a in range(5) for b in range(a)]  # clique 0-4
+    edges += [(60, 61), (61, 62), (62, 60), (62, 63)]   # triangle + tail
+    edges += [(70, 70), (71, 72)]                       # self-loop, pair
+    rnd = random.Random(11)
+    nodes = list(range(100, 140))
+    edges += [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    base = {
+        (r["id"], r["cluster_id"])
+        for r in clustering.connected_components(df, max_iter=60).collect()
+    }
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in clustering.connected_components_star(df).collect()
+    }
+    assert star == base
+    # chain case: component min is 30
+    got = dict(star)
+    assert all(got[i] == 30 for i in range(30, 51))
