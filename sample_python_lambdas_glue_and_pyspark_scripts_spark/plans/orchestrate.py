@@ -136,16 +136,20 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
                 # the LOAD already happened and was recorded with its true
                 # counts — an archive failure must not masquerade as a load
                 # failure (a retry would double-append into ACTIVE tables).
-                # Record a distinct status, keep the counts.
-                status = "ARCHIVE_FAILED"
+                # Record a distinct status, keep the counts. But never
+                # UPGRADE a failed load: FAILED must stay the latest
+                # ledger word so the per-opco retry still happens.
                 reasons["__archive__"] = repr(e)
-                ledger.record(
-                    cfg.file_name, cfg.etl_timestamp, execution_id, status,
-                    file_type=cfg.file_type, total_count=rep.total_count,
-                    valid_count=rep.valid_count,
-                    invalid_count=rep.invalid_count,
-                    received_opcos=",".join(opcos),
-                )
+                if status == "SUCCEEDED":
+                    status = "ARCHIVE_FAILED"
+                    ledger.record(
+                        cfg.file_name, cfg.etl_timestamp, execution_id,
+                        status, file_type=cfg.file_type,
+                        total_count=rep.total_count,
+                        valid_count=rep.valid_count,
+                        invalid_count=rep.invalid_count,
+                        received_opcos=",".join(opcos),
+                    )
         return RunOutcome(
             execution_id, status, rep.total_count, rep.valid_count,
             rep.invalid_count, sorted(rep.invalid_groups, key=str),

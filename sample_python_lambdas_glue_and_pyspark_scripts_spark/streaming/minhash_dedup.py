@@ -151,6 +151,33 @@ def _read_claimed(
     )
 
 
+def make_batch_fn(
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """The per-micro-batch admission callback, exposed standalone so
+    instrumentation (tools/streaming_minhash_probe.py) wraps and times
+    the REAL production path instead of re-implementing it."""
+    claimed_dir = f"{work_dir}/claimed"
+    kept_dir = f"{work_dir}/kept"
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        claimed = _read_claimed(spark, claimed_dir, batch_id)
+        kept, new_buckets = lsh_admit(
+            batch_df, claimed, text_col, id_col, num_hashes, bands
+        )
+        new_buckets.write.mode("overwrite").parquet(
+            f"{claimed_dir}/batch_id={batch_id}"
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
+
+    return batch_fn
+
+
 def streaming_minhash_dedup(
     stream_df: DataFrame,
     work_dir: str,
@@ -168,20 +195,7 @@ def streaming_minhash_dedup(
     checkpoint). Both data writes are per-batch overwrites keyed by the
     micro-batch epoch, making the callback idempotent under replay.
     """
-    claimed_dir = f"{work_dir}/claimed"
-    kept_dir = f"{work_dir}/kept"
-
-    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        claimed = _read_claimed(spark, claimed_dir, batch_id)
-        kept, new_buckets = lsh_admit(
-            batch_df, claimed, text_col, id_col, num_hashes, bands
-        )
-        new_buckets.write.mode("overwrite").parquet(
-            f"{claimed_dir}/batch_id={batch_id}"
-        )
-        kept.write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
-
+    batch_fn = make_batch_fn(work_dir, text_col, id_col, num_hashes, bands)
     return run_incremental(
         stream_df, batch_fn, f"{work_dir}/ckpt", available_now=available_now
     )

@@ -172,3 +172,38 @@ def test_archive_failure_keeps_load_status_and_counts(spark, workdir):
         "updated_at", ascending=False).first()
     assert rec["status"] == "ARCHIVE_FAILED"
     assert rec["total_count"] == 5 and rec["valid_count"] == 3
+
+
+def test_archive_failure_never_upgrades_failed_load(spark, workdir, monkeypatch):
+    """Load failure + archive failure: FAILED must remain the latest
+    ledger word (the per-opco retry is still needed) — ARCHIVE_FAILED
+    only ever replaces SUCCEEDED."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        versioning as V,
+    )
+
+    orig = V.VersionedCatalog.load_opco
+
+    def flaky(self, df, opco, *a, **k):
+        if opco == "021":
+            raise RuntimeError("storage down")
+        return orig(self, df, opco, *a, **k)
+
+    monkeypatch.setattr(V.VersionedCatalog, "load_opco", flaky)
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+    out = run_pipeline(spark, RunConfig(
+        input_path=inp, work_dir=f"{workdir}/engine",
+        active_opcos=["019", "020", "021"], file_name="ctt_z.csv",
+        etl_timestamp="t11", file_type="partial",
+        archive_dir=f"{inp}/nested",  # mkdirs under a FILE raises
+    ))
+    assert out.status == "FAILED"
+    assert out.loaded_opcos == ["019"] and out.failed_opcos == ["021"]
+    assert "021" in out.failure_reasons and "__archive__" in out.failure_reasons
+
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    rec = lg.events().filter("file_name = 'ctt_z.csv'").orderBy(
+        "updated_at", ascending=False).first()
+    assert rec["status"] == "FAILED"

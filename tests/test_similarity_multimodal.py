@@ -203,6 +203,61 @@ def test_nearest_centroid_skips_mismatched_dims(spark):
     assert got[0]["assigned_label"] == "good"
 
 
+def test_np_round_matches_spark(spark):
+    """The numpy half-up twin must reproduce Spark ROUND on boundary
+    doubles where the shortest decimal repr disagrees with the binary
+    value (the 2.675 pattern) — Spark rounds the repr, not the bits."""
+    import numpy as np
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        _np_round_half_up_like_spark,
+    )
+
+    vals = [
+        0.1234565,   # binary sits just BELOW the .5 boundary
+        -0.1234565,
+        0.9999995,
+        0.12345649999,  # genuinely below: must NOT round up
+        0.1234564999999999,
+        2.675,
+        -2.675,
+        0.5000004999,
+        0.1,
+        0.0,
+        1.0,
+        -1.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    want = [r["r"] for r in
+            df.select(F.round("x", 6).alias("r")).collect()]
+    got = _np_round_half_up_like_spark(np.array(vals), 1e6).tolist()
+    assert got == want
+
+
+def test_vectorized_topk_nan_vector_scores_null(spark):
+    """A NaN-poisoned vector must score NULL (not NaN) on BOTH paths —
+    Spark sorts NaN above every double, so a NaN sim would outrank every
+    real neighbor on the join path and vanish on the numpy path."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [float("nan"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    q = df.filter(F.col("vec_id") == 0)
+    hof = S.cosine_topk(df, q, k=2).collect()
+    blas = S.cosine_topk_vectorized(df, q, k=2).collect()
+    assert sorted(map(tuple, blas)) == sorted(map(tuple, hof))
+    got = {r["neighbor_id"]: r["sim"] for r in hof}
+    assert got[2] is None  # NaN row demoted to NULL fill, not rank 1
+
+
+def test_vectorized_topk_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id STRING, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="integral"):
+        S.cosine_topk_vectorized(df, df, k=1)
+
+
 def test_kmeans_fit_converges(spark):
     """Two obvious 2-D clusters with both seeds inside the first one:
     Lloyd must pull one centroid across and converge; early_stop halts

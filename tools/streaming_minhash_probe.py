@@ -9,9 +9,9 @@ each non-first batch reuses the text of a doc one batch earlier, so the
 intake must drop them against HISTORY (the claimed table), not just
 within-batch.
 
-The per-batch callback is streaming_minhash_dedup's, instrumented with
-wall-clock timing (same lsh_admit + claimed-table read/append, same
-batch_id=N overwrite layout). What the timings answer: the claimed
+The per-batch callback IS streaming_minhash_dedup's (make_batch_fn),
+wrapped with wall-clock timing — the probe cannot drift from the
+production path. What the timings answer: the claimed
 table is rescanned every batch and grows linearly with admitted docs,
 so is the per-batch cost flat, linear, or worse? The table is tiny
 relative to the corpus ((band_id, hash) rows only), so the expected
@@ -42,8 +42,7 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.incremental 
     run_incremental,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
-    _read_claimed,
-    lsh_admit,
+    make_batch_fn,
 )
 
 N_BATCHES = 16
@@ -104,16 +103,12 @@ def main():
     claimed_dir = f"{WORK}/claimed"
     kept_dir = f"{WORK}/kept"
     timings: list[tuple[int, float]] = []
+    # time the REAL production callback, not a copy of it
+    inner = make_batch_fn(WORK)
 
     def batch_fn(batch_df, batch_id):
         t0 = time.monotonic()
-        bspark = batch_df.sparkSession
-        claimed = _read_claimed(bspark, claimed_dir, batch_id)
-        kept, new_buckets = lsh_admit(batch_df, claimed)
-        new_buckets.write.mode("overwrite").parquet(
-            f"{claimed_dir}/batch_id={batch_id}"
-        )
-        kept.write.mode("overwrite").parquet(f"{kept_dir}/batch_id={batch_id}")
+        inner(batch_df, batch_id)
         timings.append((batch_id, round(time.monotonic() - t0, 2)))
 
     stream = read_file_stream(
