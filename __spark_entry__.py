@@ -874,6 +874,14 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(docs, k=5)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap)
+    — the LLM training-data prep step. Map-side only: tokenize once,
+    explode window starts, slice the shared token array."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style masking (emails, digit runs) as map-side regexp chain."""
     docs = _t(spark, sf_dir, "documents")
@@ -1095,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_terms": q_tfidf_terms,
+        "chunk_documents": q_chunk_documents,
         "text_scrub": q_text_scrub,
         "label_centroids": q_label_centroids,
         "centroid_assign": q_centroid_assign,
@@ -1861,6 +1870,25 @@ def oracle_sql() -> dict[str, str]:
                                     dt.term) AS rn
                 FROM dt JOIN dfreq USING (term) CROSS JOIN n) t
             WHERE rn <= 5
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]') AS toks
+                FROM documents),
+            s AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(1, len(toks) - 16), 48)) AS start
+                FROM t),
+            c AS (
+                SELECT doc_id,
+                       CAST(start // 48 AS INTEGER) AS chunk_id,
+                       list_slice(toks, start + 1, start + 64) AS chunk
+                FROM s)
+            SELECT doc_id, chunk_id,
+                   CAST(len(chunk) AS INTEGER) AS n_tokens,
+                   array_to_string(chunk, ' ') AS chunk_text
+            FROM c WHERE len(chunk) > 0
         """,
         "vocab_top_terms": f"""
             WITH tok AS (

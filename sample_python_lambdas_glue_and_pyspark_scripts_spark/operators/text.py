@@ -209,3 +209,56 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the training
+    -data prep step between curation and batching. Returns (id_col,
+    chunk_id, n_tokens, chunk_text); tokenless docs emit no rows.
+
+    Windows start at 0, stride, 2*stride, ... (stride = chunk_tokens -
+    overlap) up to ``n - overlap - 1``, so coverage is contiguous, the
+    final window always reaches the last token, and no window is fully
+    contained in its predecessor. A doc shorter than one window yields
+    exactly one (whole-doc) chunk.
+
+    Entirely JVM-side: tokenize once, explode a ``sequence`` of window
+    starts (map-side — no shuffle anywhere in this operator), ``slice``
+    each window out of the shared token array. Chunk text is the
+    token-joined form (single spaces), the normalized contract that
+    makes chunks byte-identical across engines.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    return (
+        toks.withColumn(
+            "__start",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.lit(0), F.col("__n") - overlap - 1),
+                    F.lit(stride),
+                )
+            ),
+        )
+        .withColumn(
+            "__chunk", F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+        )
+        .filter(F.size("__chunk") > 0)
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("int").alias("chunk_id"),
+            F.size("__chunk").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -135,3 +135,25 @@ def test_tfidf_top_terms(spark):
     assert got[(2, "apple")] == pytest.approx(round(math.log(3 / 2), 6))
     # k=2 cut applied per doc
     assert len([1 for (d, _) in got if d == 2]) == 2
+
+
+def test_chunk_documents_windows(spark):
+    """Window coverage contract: contiguous, final window reaches the
+    last token, no window fully contained in its predecessor, short docs
+    yield one whole-doc chunk, empty docs yield none."""
+    ten = " ".join(f"t{i}" for i in range(1, 11))
+    rows = [(0, ten), (1, "a b"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = T.chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    assert got[(0, 0)] == (4, "t1 t2 t3 t4")
+    assert got[(0, 1)] == (4, "t4 t5 t6 t7")
+    assert got[(0, 2)] == (4, "t7 t8 t9 t10")   # reaches the last token
+    assert got[(1, 0)] == (2, "a b")            # short doc: one chunk
+    assert {d for d, _ in got} == {0, 1}        # empty doc: no rows
+
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_tokens=4, overlap=4)
