@@ -874,6 +874,15 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_top_terms(docs, k=5)
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global pseudo-shuffle: stable (shard, pos) per doc
+    from the md5 parity hash; reseeding gives a fresh permutation."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.assign_training_shards(docs, n_shards=8)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token windows, 16 overlap)
     — the LLM training-data prep step. Map-side only: tokenize once,
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_terms": q_tfidf_terms,
         "chunk_documents": q_chunk_documents,
+        "training_shards": q_training_shards,
         "text_scrub": q_text_scrub,
         "label_centroids": q_label_centroids,
         "centroid_assign": q_centroid_assign,
@@ -1870,6 +1880,17 @@ def oracle_sql() -> dict[str, str]:
                                     dt.term) AS rn
                 FROM dt JOIN dfreq USING (term) CROSS JOIN n) t
             WHERE rn <= 5
+        """,
+        "training_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) AS shard,
+                       ('0x' || substr(md5('epoch0|pos|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+                FROM documents)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY ord, doc_id) - 1 AS INTEGER) AS pos
+            FROM h
         """,
         "chunk_documents": """
             WITH t AS (

@@ -92,3 +92,38 @@ def group_topk_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "epoch0|",
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle for training-batch
+    construction: (id_col, shard, pos). ``shard`` spreads rows evenly by
+    the md5 parity hash; ``pos`` is the row's stable position within its
+    shard, ordered by an independent hash (tie-broken by id) — so
+    (shard, pos) is a reproducible random permutation of the corpus that
+    any reader can page through without coordination.
+
+    Change ``seed`` per epoch for a fresh permutation (same property the
+    hash-sampling ops use: a seed IS the RNG state, no stored shuffle
+    order, no driver-side randomness).
+
+    Scale: the hash projections are map-side; the only shuffle is the
+    per-shard position window, keyed on shard — volume |rows|, one pass.
+    At extreme scale, make pos coarse (sort by the hash during the write
+    instead of numbering rows) or number within smaller hash buckets.
+    """
+    c = F.col(id_col).cast("string")
+    shard = (hash60(c, seed=seed) % F.lit(n_shards)).alias("shard")
+    order = hash60(c, seed=seed + "pos|").alias("__ord")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ord").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), shard, order)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", "pos")
+    )

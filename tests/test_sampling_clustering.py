@@ -143,3 +143,24 @@ def test_star_cc_matches_min_label(spark):
     # chain case: component min is 30
     got = dict(star)
     assert all(got[i] == 30 for i in range(30, 51))
+
+
+def test_training_shards_permutation(spark):
+    """(shard, pos) is a dense, reproducible permutation: every row
+    appears once, positions are 0..n_s-1 within each shard, a reseed
+    reorders, and the same seed reproduces exactly."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id BIGINT")
+    a = sampling.assign_training_shards(df, n_shards=4, seed="e0|").collect()
+    assert len(a) == 200 and len({r["doc_id"] for r in a}) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # balance: md5 spreads 200 rows roughly evenly over 4 shards
+    assert all(30 <= len(p) <= 70 for p in by_shard.values())
+    again = sampling.assign_training_shards(df, n_shards=4, seed="e0|").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, a))
+    reseeded = sampling.assign_training_shards(df, n_shards=4, seed="e1|").collect()
+    assert sorted(map(tuple, reseeded)) != sorted(map(tuple, a))
