@@ -127,3 +127,49 @@ def assign_training_shards(
         .withColumn("pos", F.row_number().over(w) - 1)
         .select(id_col, "shard", "pos")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "shard",
+    order_col: str = "pos",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequential packing of rows into token-budget bins: adds
+    ``pack_id`` (per shard, starting at 0). Feed it chunk rows that
+    carry ``assign_training_shards``'s (shard, pos) — the packs then
+    inherit that permutation's determinism.
+
+    Greedy packing is inherently sequential (each decision depends on
+    the running remainder — a plain cumulative-sum window can't express
+    the per-pack reset), so it runs as ``applyInPandas`` per shard: rows
+    are sorted by ``order_col`` and a pack closes when the next row
+    would exceed ``budget_tokens``. A single row larger than the budget
+    gets its own pack rather than being dropped or split.
+
+    Scale contract: one shard's rows must fit in one executor's memory
+    (the packing state is a scalar, the sort is the bound) — size
+    ``n_shards`` accordingly; shards process in parallel and nothing
+    crosses shards. Not SQL-expressible, so this operator is pinned by
+    tests rather than a DuckDB oracle.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pack_id int"
+
+    def pack(pdf):
+        pdf = pdf.sort_values([order_col]).reset_index(drop=True)
+        pack_id, acc, ids = 0, 0, []
+        for t in pdf[tokens_col]:
+            if acc > 0 and acc + t > budget_tokens:
+                pack_id += 1
+                acc = 0
+            acc += int(t)
+            ids.append(pack_id)
+        pdf["pack_id"] = ids
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)

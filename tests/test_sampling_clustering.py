@@ -164,3 +164,30 @@ def test_training_shards_permutation(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, a))
     reseeded = sampling.assign_training_shards(df, n_shards=4, seed="e1|").collect()
     assert sorted(map(tuple, reseeded)) != sorted(map(tuple, a))
+
+
+def test_pack_sequences_greedy_budget(spark):
+    """Packs close exactly when the next row would overflow; an
+    oversized row gets a pack of its own; order within a shard is the
+    pos order; the whole thing is deterministic."""
+    rows = [  # (shard, pos, n_tokens)
+        (0, 0, 40), (0, 1, 50), (0, 2, 30), (0, 3, 90), (0, 4, 150),
+        (0, 5, 10),
+        (1, 0, 100), (1, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "shard INT, pos INT, n_tokens INT")
+    out = sampling.pack_sequences(df, budget_tokens=100)
+    got = {(r["shard"], r["pos"]): r["pack_id"] for r in out.collect()}
+    # shard 0 greedy: 40+50=90 fits; +30 overflows -> pack1 opens with
+    # 30; +90 overflows -> pack2; 150 overflows -> pack3 (oversized row
+    # alone); 10 overflows the 150 -> pack4
+    assert got[(0, 0)] == 0 and got[(0, 1)] == 0
+    assert got[(0, 2)] == 1
+    assert got[(0, 3)] == 2
+    assert got[(0, 4)] == 3          # oversized: own pack
+    assert got[(0, 5)] == 4
+    # 100 fills the budget exactly; +1 would overflow -> next pack
+    assert got[(1, 0)] == 0 and got[(1, 1)] == 1
+    again = {(r["shard"], r["pos"]): r["pack_id"]
+             for r in sampling.pack_sequences(df, budget_tokens=100).collect()}
+    assert again == got
