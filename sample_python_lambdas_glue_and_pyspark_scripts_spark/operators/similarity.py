@@ -358,6 +358,29 @@ def build_ivf_index(
     return centroids, corpus_cells
 
 
+def extend_ivf_index(
+    index: tuple[DataFrame, DataFrame],
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain an IVF index: assign only the NEW vectors
+    against the existing centroids and append — the corpus-sized build
+    pass is never re-paid. This is the 100 TB maintenance story ("the
+    index is a partitioned table maintained incrementally"): the
+    incremental cost is O(|delta| x ncells), map-side.
+
+    Centroids stay fixed (the standard IVF practice — cell quality
+    degrades only when the data distribution drifts, at which point a
+    full rebuild is a deliberate, separate act). Result cells are
+    EXACTLY what a from-scratch build over the union produces (pinned by
+    test), because assignment depends only on the centroids.
+    """
+    centroids, corpus_cells = index
+    delta = assign_cells(new_vectors, centroids, id_col, vec_col, nprobe=1)
+    return centroids, corpus_cells.unionByName(delta)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

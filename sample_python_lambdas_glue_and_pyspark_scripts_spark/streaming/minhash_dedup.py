@@ -33,9 +33,12 @@ store. Each micro-batch (``foreachBatch``):
 
 Scale: claimed-table size is O(admitted docs × bands) rows of
 (smallint, 32-char hash) — tiny relative to the corpus. The per-batch
-cost is one scan of the claimed table; at very large scale, compact it
-periodically (``operators.compaction``) and bucket it by band_hash so
-the semi-join co-locates without a full shuffle.
+cost is one scan of the claimed table; for long-running intakes,
+``compact_claimed`` merges the accumulated per-batch claim dirs into
+one distinct partition between runs (checked-rename promote protocol,
+history-preserving — pinned by test), and at extreme scale bucket the
+compacted table by band_hash so the semi-join co-locates without a
+full shuffle.
 
 Reference parity: the reference has no streaming dedup (its streaming
 is file-arrival triggering, s3_trigger_lambda.py:45-158); this operator
@@ -199,3 +202,73 @@ def streaming_minhash_dedup(
     return run_incremental(
         stream_df, batch_fn, f"{work_dir}/ckpt", available_now=available_now
     )
+
+
+def compact_claimed(
+    spark: SparkSession, work_dir: str, upto_batch: int
+) -> tuple[int, int]:
+    """Offline maintenance: merge ``claimed/batch_id=<upto_batch`` into
+    ONE distinct partition (named ``batch_id=<upto_batch - 1>`` so every
+    later batch's ``batch_id < N`` history read still covers it). This
+    is the documented scale lever for long-running intakes: thousands of
+    tiny per-batch claim files become one compact table, and the
+    per-batch history scan stops paying per-file open costs.
+
+    MUST run while the stream is stopped, with ``upto_batch`` = last
+    committed batch + 1: a replayed batch overwrites its own
+    ``batch_id=N`` directory, so compacting batches the checkpoint has
+    not sealed would let a replay wipe merged history.
+
+    Promote protocol (Hadoop ``rename`` returns False on failure — every
+    step is checked, and the previous state is kept as a hidden ``.bak``
+    until the swap lands, per the versioning/compaction modules):
+    write merged to a temp outside the claimed dir -> back up the target
+    partition -> promote temp -> only then delete the merged-away batch
+    dirs and the backup. A crash mid-swap leaves the ``.bak`` on disk
+    for manual restore (hidden dirs are invisible to Spark readers, so a
+    half-finished compaction never corrupts reads — it only under-reports
+    history, which the restore fixes before the stream resumes).
+
+    Returns (rows_before, rows_after) — after = distinct buckets.
+    """
+    claimed_dir = f"{work_dir}/claimed"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(claimed_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(claimed_dir)):
+        return 0, 0
+    hist = (
+        spark.read.schema(_CLAIMED_SCHEMA)
+        .parquet(claimed_dir)
+        .filter(F.col("batch_id").cast("bigint") < upto_batch)
+        .select("band_id", "band_hash")
+    )
+    before = hist.count()
+    merged = hist.distinct()
+    tmp = f"{work_dir}/.claimed_compact_tmp"
+    fs.delete(hpath(tmp), True)
+    merged.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+
+    target = hpath(f"{claimed_dir}/batch_id={upto_batch - 1}")
+    bak = hpath(f"{claimed_dir}/.compact_bak_{upto_batch - 1}")
+    fs.delete(bak, True)
+    had_target = fs.exists(target)
+    if had_target and not fs.rename(target, bak):
+        raise IOError(f"compact_claimed: could not back up {target}")
+    if not fs.rename(hpath(tmp), target):
+        if had_target:
+            fs.rename(bak, target)  # restore; original state intact
+        raise IOError(f"compact_claimed: could not promote {tmp}")
+    # swap landed: drop the merged-away per-batch dirs and the backup
+    for st in fs.listStatus(hpath(claimed_dir)):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < upto_batch - 1:
+                fs.delete(st.getPath(), True)
+    fs.delete(bak, True)
+    return before, after

@@ -203,6 +203,23 @@ def test_nearest_centroid_skips_mismatched_dims(spark):
     assert got[0]["assigned_label"] == "good"
 
 
+def test_extend_ivf_index_matches_rebuild(spark, vecs):
+    """Appending vectors incrementally must serve identical results to a
+    full rebuild over the union — assignment depends only on the (fixed)
+    centroids, so the delta pass is exact, not approximate."""
+    old = vecs.filter(F.col("vec_id") <= 3)
+    new = vecs.filter(F.col("vec_id") > 3)
+    idx = S.build_ivf_index(old, ncells=3)
+    extended = S.extend_ivf_index(idx, new)
+    q = vecs.filter(F.col("vec_id") <= 1)
+    served = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=2, index=extended)
+    # rebuild centroids come from the union's first 3 ids = old's first 3
+    rebuilt = S.ivf_topk(vecs, q, k=3, ncells=3, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
 def test_np_round_matches_spark(spark):
     """The numpy half-up twin must reproduce Spark ROUND on boundary
     doubles where the shortest decimal repr disagrees with the binary

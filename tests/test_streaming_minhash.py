@@ -159,3 +159,44 @@ def test_single_batch_matches_static_admit(spark, workdir):
     want_df, _ = lsh_admit(_docs(spark, rows), claimed=None)
     want = sorted(r["doc_id"] for r in want_df.collect())
     assert got == want
+
+
+def test_compact_claimed_preserves_history(spark, workdir):
+    """Compacting the claimed table between runs must not change
+    admission behavior: merged history still blocks near-dups arriving
+    after the compaction, per-batch dirs collapse to one, and row count
+    drops to the distinct bucket set."""
+    import glob
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+        compact_claimed,
+    )
+
+    inp = f"{workdir}/in"
+    _drop_parquet(spark, [(1, BASE)], inp)
+    _drop_parquet(spark, [(2, DISTINCT_1)], inp)
+    _drop_parquet(spark, [(3, DISTINCT_2)], inp)
+    _stream(spark, inp, workdir)  # 3 batches, checkpoint sealed
+
+    dirs_before = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{workdir}/claimed/batch_id=*")
+    )
+    assert len(dirs_before) == 3
+    before, after = compact_claimed(spark, workdir, upto_batch=3)
+    assert after <= before and after > 0
+    dirs_after = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{workdir}/claimed/batch_id=*")
+    )
+    assert dirs_after == ["batch_id=2"]
+    assert not os.path.exists(f"{workdir}/.claimed_compact_tmp")
+
+    # resume the stream: a near-dup of batch-0 content must still be
+    # dropped against the COMPACTED history; fresh content admitted
+    _drop_parquet(spark, [(10, NEAR_DUP), (11, "totally novel words "
+                          "about bucketing compaction and state")], inp)
+    _stream(spark, inp, workdir)
+    kept = spark.read.parquet(f"{workdir}/kept")
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert kept_ids == [1, 2, 3, 11]
