@@ -888,23 +888,26 @@ def q_training_prep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking -> deterministic shard assignment -> per-shard rollup.
     Composes three verified operators and oracle-checks the composition
     (the judge-facing proof that the pieces snap together)."""
-    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import hash60
 
     docs = _t(spark, sf_dir, "documents")
     good = TX.quality_score(docs).filter(F.col("quality_score") >= 0.666667)
-    chunks = TX.chunk_documents(good, chunk_tokens=64, overlap=16).withColumn(
-        "chunk_key",
-        F.col("doc_id") * 1000 + F.col("chunk_id"),  # chunk_id < 1000 at this SF
-    )
-    sharded = sampling.assign_training_shards(
-        chunks, id_col="chunk_key", n_shards=8
+    chunks = TX.chunk_documents(good, chunk_tokens=64, overlap=16)
+    # shard inline with the same md5 parity hash assign_training_shards
+    # uses, on a collision-free composite string key: single pass, no
+    # self-join (which would re-run the tokenize+chunk subtree) and no
+    # per-shard position window (the rollup never reads pos)
+    chunk_key = F.concat_ws(
+        "#", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
     )
     return (
-        chunks.join(sharded, "chunk_key")
+        chunks.withColumn(
+            "shard", hash60(chunk_key, seed="epoch0|") % F.lit(8)
+        )
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.cast("bigint", F.sum("n_tokens")).alias("total_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
 
@@ -1932,12 +1935,13 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(0, greatest(1, len(toks) - 16), 48)) AS start
                 FROM t),
             c AS (
-                SELECT doc_id * 1000 + CAST(start // 48 AS INTEGER) AS chunk_key,
+                SELECT CAST(doc_id AS VARCHAR) || '#' ||
+                       CAST(CAST(start // 48 AS INTEGER) AS VARCHAR) AS chunk_key,
                        len(list_slice(toks, start + 1, start + 64)) AS n_tokens
                 FROM st WHERE len(list_slice(toks, start + 1, start + 64)) > 0),
             sh AS (
                 SELECT chunk_key, n_tokens,
-                       (('0x' || substr(md5('epoch0|' || CAST(chunk_key AS VARCHAR)), 1, 15))::BIGINT % 8) AS shard
+                       (('0x' || substr(md5('epoch0|' || chunk_key), 1, 15))::BIGINT % 8) AS shard
                 FROM c)
             SELECT shard, COUNT(*) AS n_chunks,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

@@ -53,8 +53,12 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     instead of 2·n·m times after it.
     """
     denom = na * nb
+    # denom > 0 rejects zero and NaN norms; the != inf guard rejects
+    # overflowed norms (1e200-scale components), whose division would
+    # otherwise yield a spurious 0.0; nanvl catches a NaN dot product
     return F.when(
-        denom > 0, F.nanvl(dot(a, b) / denom, F.lit(None).cast("double"))
+        (denom > 0) & (denom != F.lit(float("inf"))),
+        F.nanvl(dot(a, b) / denom, F.lit(None).cast("double")),
     )
 
 

@@ -224,10 +224,12 @@ def compact_claimed(
     until the swap lands, per the versioning/compaction modules):
     write merged to a temp outside the claimed dir -> back up the target
     partition -> promote temp -> only then delete the merged-away batch
-    dirs and the backup. A crash mid-swap leaves the ``.bak`` on disk
-    for manual restore (hidden dirs are invisible to Spark readers, so a
-    half-finished compaction never corrupts reads — it only under-reports
-    history, which the restore fixes before the stream resumes).
+    dirs and the backup. A crash mid-swap leaves the hidden ``.bak`` on
+    disk (invisible to Spark readers); the next ``compact_claimed`` call
+    auto-recovers it at entry — restoring it as the target partition if
+    the promote never landed, deleting it if it did — so recovery needs
+    no manual step, only re-running compaction before the stream
+    resumes.
 
     Returns (rows_before, rows_after) — after = distinct buckets.
     """
@@ -237,6 +239,25 @@ def compact_claimed(
     fs = hpath(claimed_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath(claimed_dir)):
         return 0, 0
+    # recover any orphaned backup from a crashed earlier compaction
+    # BEFORE reading history: if its target partition is missing (died
+    # between the two renames), the backup IS the state — restore it;
+    # if the target exists (died after promote), the backup is stale
+    for st in fs.listStatus(hpath(claimed_dir)):
+        name = st.getPath().getName()
+        if not name.startswith(".compact_bak_"):
+            continue
+        orphan_target = hpath(
+            f"{claimed_dir}/batch_id={name[len('.compact_bak_'):]}"
+        )
+        if not fs.exists(orphan_target):
+            if not fs.rename(st.getPath(), orphan_target):
+                raise IOError(
+                    f"compact_claimed: could not restore orphaned "
+                    f"backup {name}"
+                )
+        else:
+            fs.delete(st.getPath(), True)
     hist = (
         spark.read.schema(_CLAIMED_SCHEMA)
         .parquet(claimed_dir)

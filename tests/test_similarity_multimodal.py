@@ -269,6 +269,30 @@ def test_vectorized_topk_nan_vector_scores_null(spark):
     assert got[2] is None  # NaN row demoted to NULL fill, not rank 1
 
 
+def test_vectorized_topk_inf_norm_scores_null(spark):
+    """A vector whose norm overflows to inf (finite 1e200-scale
+    components) must score NULL on both paths — the join path would
+    otherwise emit a spurious 0.0 when the dot product stays finite."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [1.0e200, 0.0]),  # norm overflows to +inf
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]),
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    hof = S.cosine_topk(df, q, k=2).collect()
+    blas = S.cosine_topk_vectorized(df, q, k=2).collect()
+    assert sorted(map(tuple, blas)) == sorted(map(tuple, hof))
+    got = {r["neighbor_id"]: r["sim"] for r in hof}
+    assert got[2] is None
+
+
 def test_vectorized_topk_rejects_non_integral_ids(spark):
     df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id STRING, embedding ARRAY<FLOAT>")
     with pytest.raises(ValueError, match="integral"):

@@ -200,3 +200,35 @@ def test_compact_claimed_preserves_history(spark, workdir):
     kept = spark.read.parquet(f"{workdir}/kept")
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     assert kept_ids == [1, 2, 3, 11]
+
+
+def test_compact_claimed_recovers_orphaned_backup(spark, workdir):
+    """A crash between the backup and promote renames leaves state only
+    in the hidden .compact_bak dir; the next compaction call must
+    restore it before reading history, so no claims are lost."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+        compact_claimed,
+    )
+
+    inp = f"{workdir}/in"
+    _drop_parquet(spark, [(1, BASE)], inp)
+    _drop_parquet(spark, [(2, DISTINCT_1)], inp)
+    _stream(spark, inp, workdir)  # batches 0, 1
+
+    # simulate the crash window: batch_id=1 renamed to the backup,
+    # promote never happened
+    os.rename(
+        f"{workdir}/claimed/batch_id=1",
+        f"{workdir}/claimed/.compact_bak_1",
+    )
+    before, after = compact_claimed(spark, workdir, upto_batch=2)
+    assert after > 0
+    # the merged table must include batch 1's claims: a near-dup of
+    # DISTINCT_1 arriving later is still dropped
+    _drop_parquet(spark, [(20, DISTINCT_1 + " extra")], inp)
+    _stream(spark, inp, workdir)
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{workdir}/kept").collect()
+    )
+    assert kept_ids == [1, 2]
