@@ -844,6 +844,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_members(docs, pairs, id_col="doc_id")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, deep-graph algorithm: alternating large-star/
+    small-star (O(log^2) rounds vs diameter). Shares dedup_clusters'
+    recursive-CTE oracle verbatim — both algorithms must produce the
+    identical labeling."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    comp = clustering.connected_components_star(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming LSH admission, batch-parity form: the docs
     streaming/minhash_dedup would admit if the whole corpus arrived as
@@ -1138,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": q_stratified_sample_orders,
         "group_sample_events": q_group_sample_events,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_terms": q_tfidf_terms,
@@ -2076,4 +2097,6 @@ def oracle_sql() -> dict[str, str]:
     # provably identical semantics: the vectorized path validates against
     # the exact same oracle as the join formulation (no drift possible)
     d["ann_topk_vectorized"] = d["ann_cosine_topk"]
+    # ... and both CC algorithms must produce the identical labeling
+    d["dedup_clusters_star"] = d["dedup_clusters"]
     return d
