@@ -1604,11 +1604,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_pivot": """
             SELECT user_id % 10 AS bucket,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
             FROM events GROUP BY 1
         """,
         "multi_distinct": """

@@ -48,6 +48,89 @@ def canon(rows, colnames):
     return sorted(out, key=repr)
 
 
+def _duck_kind(typename: str) -> str:
+    """Canonical type-kind for a DuckDB result column.
+
+    HUGEINT (int128) is its own kind on purpose: Spark can never produce it,
+    so a bare SUM(int) in a final DuckDB select (typed HUGEINT) must fail
+    here the same way it fails the driver's type-aware hash — see the
+    round-1 `event_type_pivot` red row.
+    """
+    t = typename.upper()
+    if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+        return "decimal"
+    if t in ("VARCHAR", "STRING", "TEXT", "CHAR", "BPCHAR"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP") or t.startswith("TIME"):
+        return "timestamp"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    if t in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
+        return "binary"
+    return t.lower()
+
+
+def _spark_kind(dtype: str) -> str:
+    t = dtype.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("string", "varchar", "char"):
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("array"):
+        return "list"
+    if t == "binary":
+        return "binary"
+    return t
+
+
+def dtype_lint(spark_schema, duck_cols, duck_types):
+    """Compare per-column type kinds; return list of mismatch messages.
+
+    The driver's hash is type-aware, so a kind-level mismatch (most notably
+    DuckDB HUGEINT vs Spark BIGINT) means local green would NOT predict a
+    green driver row.
+    """
+    spark_kinds = {f.name: _spark_kind(f.dataType.simpleString()) for f in spark_schema.fields}
+    msgs = []
+    for name, typ in zip(duck_cols, duck_types):
+        typename = str(typ)
+        if name not in spark_kinds:
+            continue  # schema-set mismatch reported separately
+        dk = _duck_kind(typename)
+        sk = spark_kinds[name]
+        if dk == "hugeint":
+            msgs.append(
+                f"dtype lint: oracle column `{name}` is {typename} (int128) — "
+                f"wrap in CAST(... AS BIGINT)"
+            )
+        elif dk != sk:
+            msgs.append(
+                f"dtype lint: column `{name}` oracle={typename}({dk}) vs spark={sk}"
+            )
+    return msgs
+
+
 def main():
     only = set(sys.argv[1:])
     spark = get_spark(app_name="correctness-check")
@@ -66,6 +149,7 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
+            schema = df.schema
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -77,9 +161,10 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(rel.types)
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -92,6 +177,10 @@ def main():
         if sorted(cols) != sorted(ocols):
             ok = False
             msgs.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
+        lint = dtype_lint(schema, ocols, otypes)
+        if lint:
+            ok = False
+            msgs.extend(lint)
         if ok:
             a, b = canon(rows, cols), canon(orows, ocols)
             if a != b:
