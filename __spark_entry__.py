@@ -20,7 +20,7 @@ from pyspark.sql.functions import broadcast
 
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
     classify_file_type,
-    nanos_to_timestamp,
+    event_time,
     split_part,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
@@ -507,10 +507,11 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_join,
     )
 
-    e = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         F.col("user_id").alias("custkey"),
-        nanos_to_timestamp("ts").alias("ets"),
+        event_time(ev, "ts").alias("ets"),
     )
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderdate", "o_orderkey"
@@ -530,9 +531,8 @@ def q_range_activity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_count,
     )
 
-    e = _t(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id"), nanos_to_timestamp("ts").alias("ets")
-    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_id", F.col("user_id"), event_time(ev, "ts").alias("ets"))
     left = e.select("event_id", "user_id", "ets")
     right = e.select(F.col("user_id"), F.col("ets").alias("rts"))
     counted = range_count(
@@ -774,6 +774,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
     return MM.decode_media(media, fake=True)
+
+
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-fake) media decode: synthetic PNG/GIF/WAV container
+    payloads with id-derived dimensions, parsed by the stdlib header
+    decoder (struct) inside mapInPandas — the oracle recomputes the
+    dimensions from the id arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthetic_real_media(docs)
+    return MM.decode_media(media, fake=False).select(
+        "media_id", "kind", "width", "height", "duration_ms"
+    )
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,7 +1075,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling event-time windows over events (same plan the
     streaming mode runs per micro-batch)."""
     e = _t(spark, sf_dir, "events")
-    ts = nanos_to_timestamp("ts")
+    ts = event_time(e, "ts")
     win = F.window(ts, "5 minutes")
     return (
         e.groupBy(win.alias("win"))
@@ -1082,7 +1094,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user: session count per user."""
     e = _t(spark, sf_dir, "events")
-    ts = nanos_to_timestamp("ts")
+    ts = event_time(e, "ts")
     sessions = (
         e.withColumn("tsm", ts)
         .groupBy(F.session_window("tsm", "5 minutes").alias("win"), "user_id")
@@ -1096,8 +1108,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pz_quarantine_rollup(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate snapshots the FIRST 50 queries() entries.
+# Rounds 1-2 proved the same 50; the other 41 were only ever local-green.
+# Lead with those 41 (plus the two round-2 red rows whose fix needs driver
+# proof) so every query accumulates a driver-recorded correctness row;
+# long-driver-green queries move behind. Local check_correctness.py always
+# runs all 91 regardless of order.
+_DRIVER_WINDOW_PRIORITY = [
+    # new this round: the non-fake media decode path
+    "multimodal_real_decode",
+    # 41 never-driver-checked (local-green through round 2)
+    "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
+    "corpus_curation", "events_tumbling_window", "events_sessionize",
+    "sample_documents", "stratified_sample_orders", "group_sample_events",
+    "dedup_clusters", "dedup_clusters_star", "minhash_keepers",
+    "vocab_top_terms", "tfidf_terms", "chunk_documents", "training_shards",
+    "training_prep_rollup", "text_scrub", "label_centroids",
+    "centroid_assign", "merge_upsert_orders", "approx_aggregates",
+    "window_distribution", "window_first_last", "cube_revenue",
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # round-2 driver reds, fixed this round (event_time dtype adaptivity)
+    "asof_latest_order", "range_activity_24h",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "pz_quarantine_rollup": q_pz_quarantine_rollup,
         "pz_validation_matrix": q_pz_validation_matrix,
         "transform_typed": q_transform_typed,
@@ -1151,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1175,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         **_tpch_ext().QUERIES,
     }
+    prioritized = set(_DRIVER_WINDOW_PRIORITY)
+    ordered = _DRIVER_WINDOW_PRIORITY + [n for n in base if n not in prioritized]
+    return {n: base[n] for n in ordered}
 
 
 def _tpch_ext():
@@ -1814,6 +1856,14 @@ def oracle_sql() -> dict[str, str]:
                              WHEN kind = 'video' THEN 1000 + vv % 7200000 END AS INTEGER) AS duration_ms,
                    h AS feature_hash
             FROM v
+        """,
+        "multimodal_real_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+                   CAST(CASE WHEN doc_id % 3 <> 2 THEN 100 + doc_id % 500 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
+            FROM documents
         """,
         "corpus_curation": rf"""
             WITH s AS (

@@ -4,8 +4,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with a noop-format write (full computation, no
-driver collect). One untimed warmup query initializes the JVM/codegen so
-timings measure the plans, not session startup.
+driver collect). Before timing, an untimed warmup pass scans EVERY input
+table once (JVM + codegen init + parquet footers + OS page cache) so the
+first timed queries are not charged session/cold-IO startup — round 1
+showed 2.5-4.8x cold-start inflation on the earliest queries when only
+lineitem was warmed.
+
+Failure isolation: a raising query is recorded as an error row and timing
+continues — one regression must not cost the whole round's perf signal
+(round 2's bench DNF'd on the first exception). Exit code is non-zero if
+any query failed, but the JSON line is always emitted.
 """
 
 from __future__ import annotations
@@ -66,8 +74,31 @@ BENCH_QUERIES = [
 ]
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def warmup(spark) -> None:
+    """Untimed: one full scan of every input table + one tiny query.
+    Initializes the JVM, codegen, Arrow/Python workers, parquet footer
+    cache, and the OS page cache for the data files."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import (
+        ensure_runtime_confs,
+    )
+
+    ensure_runtime_confs(spark)
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            force(spark.read.parquet(path))
+    qs = entrymod.queries()
+    force(qs["tpch_q1"](spark, SF_DIR))
 
 
 def main() -> None:
@@ -77,31 +108,35 @@ def main() -> None:
     extra = [n for n in qs if n not in names and os.environ.get("BENCH_ALL")]
     names += extra
 
-    # warmup: smallest query, untimed (JVM + codegen init)
-    force(qs["tpch_q1"](spark, SF_DIR))
+    warmup(spark)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(qs[name](spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

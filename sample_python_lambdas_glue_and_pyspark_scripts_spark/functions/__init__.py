@@ -8,7 +8,7 @@ native Spark column function so it stays inside whole-stage codegen
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,6 +38,36 @@ def nanos_to_timestamp(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     micros = F.floor(c.cast("decimal(25,0)") / F.lit(1000)).cast("long")
     return F.timestamp_micros(micros)
+
+
+def event_time(df: DataFrame, col: str = "ts") -> Column:
+    """Type-adaptive event-time column — works on EVERY physical encoding
+    the synthetic ``events.ts`` has shipped as.
+
+    The testdata generator has emitted ``ts`` both as parquet
+    TIMESTAMP(NANOS) (no Spark type; read as epoch-nanos BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ). Hard-coding
+    either assumption breaks on the other generation, so branch on the
+    dtype actually read:
+
+    - ``bigint``            → exact decimal nanos→micros conversion
+      (:func:`nanos_to_timestamp`);
+    - ``timestamp_ntz``     → cast to TIMESTAMP. The engine pins the
+      session timezone to UTC (session.ensure_runtime_confs), so the cast
+      is value-preserving and downstream code (``unix_micros`` in the
+      range join, window functions, ``date_format``) sees the exact same
+      instants the nanos path produced;
+    - ``timestamp``         → pass-through.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"column {col!r} not found in {df.columns}")
+    if dt == "bigint":
+        return nanos_to_timestamp(col)
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("timestamp")
+    raise TypeError(f"unsupported event-time dtype {dt!r} for column {col!r}")
 
 
 def split_part(col: Column | str, sep: str, index: int) -> Column:

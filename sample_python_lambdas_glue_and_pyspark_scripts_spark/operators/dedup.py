@@ -21,7 +21,7 @@ murmur/xxhash, no modular-arithmetic overflow concerns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import WORD_REGEX, fingerprint
@@ -40,7 +40,11 @@ def hash60(col: Column, seed: str = "") -> Column:
 # (ANSI) or DuckDB, so the oracle reproduces it exactly.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 
-_last_cands = None  # most recent materialized LSH candidate set (LRU of 1)
+# bounded FIFO of persisted LSH candidate sets: the returned verify DF is
+# lazy, so candidates must outlive minhash_dedup_pairs; size 4 lets several
+# dedup pipelines interleave without unpersisting each other's inputs
+_cands_cache: list = []
+_CANDS_CACHE_SIZE = 4
 
 
 def hash30(col: Column) -> Column:
@@ -171,6 +175,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -178,8 +183,28 @@ def lsh_candidate_pairs(
     self-joins on the bucket — the quadratic blow-up is confined to
     within-bucket, which is the entire point of LSH at scale.
     Output: (a, b) with a < b, distinct.
+
+    ``max_bucket_size`` is the 100 TB hot-bucket lever: a bucket of
+    boilerplate docs (empty bodies, templated headers) is still quadratic
+    WITHIN the bucket — one 10M-doc bucket is 5*10^13 pairs and sinks the
+    job regardless of how well every other bucket behaves. With the cap
+    set, each (band_id, band_hash) bucket keeps only its ``max_bucket_size``
+    lowest-id members (deterministic → rerun-stable), bounding per-bucket
+    join cost at cap². Near-identical docs beyond the cap still dedup:
+    they collide in ALL bands, and exact-dedup upstream removes true
+    duplicates before LSH ever sees them. Default None = exact banding
+    (the oracle-checked contract).
     """
     banded = band_keys(signatures, id_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2 to form any pair")
+        w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col))
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -305,9 +330,11 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signature → banded candidates → exact
     Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold.
+    ``max_bucket_size`` caps hot LSH buckets (see lsh_candidate_pairs).
 
     The candidate set is materialized eagerly (persist + count): the band
     self-join otherwise evaluates the signature expression once per side
@@ -315,19 +342,19 @@ def minhash_dedup_pairs(
     across these shapes. Candidates are pair ids only (tiny relative to
     the corpus), so the materialization is cheap at any scale.
     """
-    global _last_cands
     sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).persist()
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size
+    ).persist()
     cands.count()  # materialize candidates while signatures are cached
     sigs.unpersist()
-    # bounded cache: only the most recent call's candidates stay pinned
-    # (they must outlive this function — the returned verify DF is lazy)
-    if _last_cands is not None:
+    _cands_cache.append(cands)
+    while len(_cands_cache) > _CANDS_CACHE_SIZE:
+        old = _cands_cache.pop(0)
         try:
-            _last_cands.unpersist()
+            old.unpersist()
         except Exception:
             pass
-    _last_cands = cands
     return verify_jaccard_on_candidates(
         df, cands, text_col, id_col, threshold
     )

@@ -2,11 +2,16 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct. The
 Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
-batch shapes, UDF signatures — is real and tested; the actual
-decode/resize/frame-sample kernels are STUBS (the image/audio libraries
-are not in this container): ``decode_media`` raises NotImplementedError
-unless ``fake=True``, which substitutes a deterministic md5-derived
-decode so the distributed plumbing is exercisable end-to-end.
+batch shapes, UDF signatures — is real and tested. Decode has two tiers:
+
+- **Real header metadata (stdlib only)**: JPEG SOF / PNG IHDR / GIF /
+  BMP width×height and WAV duration are parsed with ``struct`` —
+  ``decode_media(fake=False)`` runs these for image/audio payloads.
+  Pixel/sample decode and video probing need PIL/ffmpeg (not in this
+  container) and remain gated: video rows in real mode raise
+  NotImplementedError.
+- **Fake mode** (``fake=True``): deterministic md5-derived decode for
+  exercising the distributed plumbing on arbitrary (non-media) bytes.
 
 Scale notes: media bytes never pass through the driver; mapInPandas
 streams Arrow batches (bounded by spark.sql.execution.arrow.
@@ -19,6 +24,7 @@ to object storage and keep URIs — same operator shapes apply).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Any
 
@@ -113,24 +119,116 @@ def _fake_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
     return out
 
 
+def parse_media_header(payload: bytes | None) -> dict[str, Any] | None:
+    """Stdlib-only media header parse: container format, pixel dimensions
+    (JPEG/PNG/GIF/BMP), audio duration (WAV). Returns None for
+    unrecognized/truncated payloads — never raises on hostile bytes.
+
+    Formats (all public container specs):
+    - PNG: 8-byte signature; IHDR chunk fixed at offset 8 → width/height
+      big-endian u32 at bytes 16..24.
+    - GIF87a/89a: logical screen width/height little-endian u16 at 6..10.
+    - BMP: 'BM'; BITMAPINFOHEADER width/height signed LE i32 at 18..26
+      (height may be negative = top-down).
+    - JPEG: walk 0xFF-marker segments to the first SOFn (0xC0-0xCF minus
+      0xC4/0xC8/0xCC); height/width big-endian u16 at payload bytes 1..5.
+    - WAV: RIFF/WAVE chunk walk; 'fmt ' byte-rate (LE u32 at +16) and
+      'data' declared size → duration_ms = data_size / byte_rate.
+    """
+    if payload is None or len(payload) < 10:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return {"fmt": "png", "width": w, "height": h, "duration_ms": None}
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"fmt": "gif", "width": w, "height": h, "duration_ms": None}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"fmt": "bmp", "width": abs(w), "height": abs(h), "duration_ms": None}
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # no-payload markers
+                i += 2
+                continue
+            if i + 4 > len(b):
+                return None
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {"fmt": "jpeg", "width": w, "height": h, "duration_ms": None}
+            i += 2 + seg_len
+        return None
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
+        i = 12
+        byte_rate = None
+        data_size = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 20 <= len(b):
+                byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
+            elif cid == b"data":
+                data_size = size  # declared size; bytes may be elsewhere
+                break
+            i += 8 + size + (size % 2)
+        if byte_rate:
+            dur = (
+                round(data_size * 1000 / byte_rate) if data_size is not None else None
+            )
+            return {"fmt": "wav", "width": None, "height": None, "duration_ms": dur}
+        return None
+    return None
+
+
+def _real_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
+    """Header-metadata decode for image/audio; video needs ffmpeg."""
+    if kind == "video":
+        raise NotImplementedError(
+            "real video probe requires ffmpeg (not in this container); "
+            "pass fake=True for the deterministic stand-in"
+        )
+    if payload is None:
+        return {
+            "n_bytes": None, "width": None, "height": None,
+            "duration_ms": None, "feature_hash": None,
+        }
+    hdr = parse_media_header(payload) or {}
+    return {
+        "n_bytes": len(payload),
+        "width": hdr.get("width"),
+        "height": hdr.get("height"),
+        "duration_ms": hdr.get("duration_ms"),
+        "feature_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow-batched).
 
-    With ``fake=False`` this raises NotImplementedError at execution time:
-    the real kernels need PIL/ffmpeg/torchaudio, which are not in this
-    container. The distributed plumbing (schema, batching, signature) is
-    identical either way — swap ``_fake_decode`` for the real decoder.
-    """
+    ``fake=False`` (real mode) parses image/audio container headers with
+    the stdlib (see ``parse_media_header``) — unrecognized payloads get
+    NULL dimensions, video rows raise NotImplementedError (ffmpeg not in
+    this container). ``fake=True`` substitutes the deterministic
+    md5-derived decode (works on any bytes, including video)."""
+    decode_one = _fake_decode if fake else _real_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this container); "
-                    "pass fake=True for the deterministic stand-in"
-                )
             rows = [
-                {"media_id": mid, "kind": kind, **_fake_decode(payload, kind)}
+                {"media_id": mid, "kind": kind, **decode_one(payload, kind)}
                 for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]
                 )
@@ -140,6 +238,53 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+def synthetic_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-container payloads (PNG / GIF / WAV headers
+    built with ``struct``) with id-derived dimensions, so the non-fake
+    decode path is exercisable — and oracle-checkable — without media
+    libraries: width = 100 + id%500, height = 50 + id%300,
+    wav duration_ms = (id%10 + 1) * 100 exactly.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 100 + mid % 500, 50 + mid % 300
+                if mid % 3 == 0:  # minimal PNG: sig + IHDR
+                    payload = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13) + b"IHDR"
+                        + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    )
+                    kind, mime = "image", "image/png"
+                elif mid % 3 == 1:  # GIF89a logical screen
+                    payload = b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+                    kind, mime = "image", "image/gif"
+                else:  # canonical WAV: fmt(16) + data header
+                    byte_rate = 16000
+                    data_size = (mid % 10 + 1) * 1600  # → (id%10+1)*100 ms
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, byte_rate, 2, 16)
+                        + b"data" + struct.pack("<I", data_size)
+                    )
+                    kind, mime = "audio", "audio/wav"
+                out.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": payload,
+                        "mime": mime,
+                        "source_uri": f"synthetic://media/{mid}",
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:

@@ -147,6 +147,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    query_chunk_size: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul — the
     high-throughput twin of ``cosine_topk`` (same results, same output
@@ -171,6 +172,12 @@ def cosine_topk_vectorized(
     Contract narrowing vs ``cosine_topk``: ids must be an integral type
     (the output schema is bigint ids; numpy packs them as int64). The
     join formulation keeps arbitrary orderable id types.
+
+    Huge query sets: queries stream to the driver via ``toLocalIterator``
+    in ``query_chunk_size`` blocks — each block ships its own bounded
+    closure and scans the corpus once; blocks union (disjoint query_ids,
+    so per-block top-k windows compose exactly). Driver and executor
+    closure memory are O(chunk), never O(|queries|).
     """
     import numpy as np
     import pandas as pd
@@ -184,99 +191,116 @@ def cosine_topk_vectorized(
                 f"cosine_topk_vectorized requires an integral {id_col} "
                 f"({side} has {t}); use cosine_topk for other id types"
             )
-    q_rows = queries.select(id_col, vec_col).collect()
     out_schema = "query_id bigint, neighbor_id bigint, sim double"
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame([], out_schema)
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(Q, axis=1)
-    # zero-norm queries keep a column (NULL sims rank by neighbor id);
-    # dividing by 1 avoids a warn — the column is overridden to NULL
-    Qt = (Q / np.where(qn == 0.0, 1.0, qn)[:, None]).T
     scale = float(10**round_to)
+    corpus_proj = ensure_parallelism(corpus).select(id_col, vec_col)
 
     def _round_half_up(x):
         return _np_round_half_up_like_spark(x, scale)
 
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf[id_col].to_numpy(np.int64)
-            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if C.shape[1] != Qt.shape[0]:
-                raise ValueError(
-                    f"corpus vectors must be uniform dim {Qt.shape[0]}"
-                )
-            cn = np.linalg.norm(C, axis=1)
-            # non-finite norm = zero-norm semantics: NULL sim (the join
-            # path's nanvl guard), never a NaN that outranks everything
-            valid = np.isfinite(cn) & (cn != 0.0)
-            iv = ids[valid]
-            inv = np.sort(ids[~valid])
-            S = _round_half_up((C[valid] / cn[valid, None]) @ Qt)
-            # self-matches become -inf in ONE vectorized scatter — a
-            # per-query boolean mask would copy the column 1024 times
-            S[iv[:, None] == qids[None, :]] = -np.inf
-            b = S.shape[0]
-            if b > k:
-                # vectorized local top-k across every query column at
-                # once; per-query python work only on boundary ties
-                part = np.argpartition(-S, k - 1, axis=0)[:k]
-                boundary = np.take_along_axis(S, part, axis=0).min(axis=0)
-                counts = (S >= boundary[None, :]).sum(axis=0)
-            oq, on, os = [], [], []
-            for j in range(len(qids)):
-                qid = qids[j]
-                if qn[j] == 0.0 or not np.isfinite(qn[j]):
-                    # every sim is NULL: top-k is the k lowest ids
-                    pad = np.sort(ids[ids != qid])[:k]
-                    oq += [qid] * len(pad)
-                    on += pad.tolist()
-                    os += [None] * len(pad)
-                    continue
-                if b > k and counts[j] == k:
-                    # the common case: an unambiguous top-k — order the k
-                    # survivors under (sim desc, id asc) and done
-                    idx = part[:, j]
-                    sel = idx[np.lexsort((iv[idx], -S[idx, j]))]
-                else:
-                    # boundary tie (or short batch): widen to every row
-                    # tied with the kth sim, then cut with the id
-                    # tiebreak — argpartition alone may split a tie
-                    # group against the lower id
-                    colj = S[:, j]
-                    lo = boundary[j] if b > k else -np.inf
-                    cand = np.nonzero((colj >= lo) & (colj > -np.inf))[0]
-                    sel = cand[np.lexsort((iv[cand], -colj[cand]))[:k]]
-                oq += [qid] * len(sel)
-                on += iv[sel].tolist()
-                os += S[sel, j].tolist()
-                if len(sel) < k:  # NULL-sim fill, lowest ids first
-                    pad = inv[inv != qid][: k - len(sel)]
-                    oq += [qid] * len(pad)
-                    on += pad.tolist()
-                    os += [None] * len(pad)
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.Series(oq, dtype=np.int64),
-                    "neighbor_id": pd.Series(on, dtype=np.int64),
-                    "sim": pd.Series(os, dtype="Float64"),
-                }
-            )
+    def _score_block(q_rows):
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        # zero-norm queries keep a column (NULL sims rank by neighbor id);
+        # dividing by 1 avoids a warn — the column is overridden to NULL
+        Qt = (Q / np.where(qn == 0.0, 1.0, qn)[:, None]).T
 
-    local = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
-        score, schema=out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "sim")
-    )
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                if C.shape[1] != Qt.shape[0]:
+                    raise ValueError(
+                        f"corpus vectors must be uniform dim {Qt.shape[0]}"
+                    )
+                cn = np.linalg.norm(C, axis=1)
+                # non-finite norm = zero-norm semantics: NULL sim (the join
+                # path's nanvl guard), never a NaN that outranks everything
+                valid = np.isfinite(cn) & (cn != 0.0)
+                iv = ids[valid]
+                inv = np.sort(ids[~valid])
+                S = _round_half_up((C[valid] / cn[valid, None]) @ Qt)
+                # self-matches become -inf in ONE vectorized scatter — a
+                # per-query boolean mask would copy the column 1024 times
+                S[iv[:, None] == qids[None, :]] = -np.inf
+                b = S.shape[0]
+                if b > k:
+                    # vectorized local top-k across every query column at
+                    # once; per-query python work only on boundary ties
+                    part = np.argpartition(-S, k - 1, axis=0)[:k]
+                    boundary = np.take_along_axis(S, part, axis=0).min(axis=0)
+                    counts = (S >= boundary[None, :]).sum(axis=0)
+                oq, on, os = [], [], []
+                for j in range(len(qids)):
+                    qid = qids[j]
+                    if qn[j] == 0.0 or not np.isfinite(qn[j]):
+                        # every sim is NULL: top-k is the k lowest ids
+                        pad = np.sort(ids[ids != qid])[:k]
+                        oq += [qid] * len(pad)
+                        on += pad.tolist()
+                        os += [None] * len(pad)
+                        continue
+                    if b > k and counts[j] == k:
+                        # the common case: an unambiguous top-k — order the k
+                        # survivors under (sim desc, id asc) and done
+                        idx = part[:, j]
+                        sel = idx[np.lexsort((iv[idx], -S[idx, j]))]
+                    else:
+                        # boundary tie (or short batch): widen to every row
+                        # tied with the kth sim, then cut with the id
+                        # tiebreak — argpartition alone may split a tie
+                        # group against the lower id
+                        colj = S[:, j]
+                        lo = boundary[j] if b > k else -np.inf
+                        cand = np.nonzero((colj >= lo) & (colj > -np.inf))[0]
+                        sel = cand[np.lexsort((iv[cand], -colj[cand]))[:k]]
+                    oq += [qid] * len(sel)
+                    on += iv[sel].tolist()
+                    os += S[sel, j].tolist()
+                    if len(sel) < k:  # NULL-sim fill, lowest ids first
+                        pad = inv[inv != qid][: k - len(sel)]
+                        oq += [qid] * len(pad)
+                        on += pad.tolist()
+                        os += [None] * len(pad)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series(oq, dtype=np.int64),
+                        "neighbor_id": pd.Series(on, dtype=np.int64),
+                        "sim": pd.Series(os, dtype="Float64"),
+                    }
+                )
+
+
+        local = corpus_proj.mapInPandas(score, schema=out_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            local.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim")
+        )
+
+    if query_chunk_size < 1:
+        raise ValueError("query_chunk_size must be >= 1")
+    blocks = []
+    buf = []
+    for r in queries.select(id_col, vec_col).toLocalIterator():
+        buf.append(r)
+        if len(buf) >= query_chunk_size:
+            blocks.append(_score_block(buf))
+            buf = []
+    if buf:
+        blocks.append(_score_block(buf))
+    if not blocks:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def assign_cells(

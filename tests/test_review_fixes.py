@@ -63,6 +63,41 @@ def test_nanos_conversion_exact_at_boundaries(spark):
         assert r["us"] == r["ts"] // 1000
 
 
+def test_event_time_adapts_to_dtype(spark):
+    """event_time must work on BOTH physical generations of events.ts:
+    epoch-nanos bigint (old TIMESTAMP(NANOS) testdata under nanosAsLong)
+    and native timestamp/timestamp_ntz (current TIMESTAMP(MICROS) data) —
+    same instants out either way."""
+    import datetime
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import event_time
+
+    micros = 1704067200 * 1_000_000 + 123_456
+    long_df = spark.createDataFrame([(micros * 1000,)], "ts long")
+    ntz_df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),)], "ts timestamp_ntz"
+    )
+    ltz_df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),)], "ts timestamp"
+    )
+    for df in (long_df, ntz_df, ltz_df):
+        out = df.select(F.unix_micros(event_time(df, "ts")).alias("us")).first()
+        assert out["us"] == micros, df.dtypes
+        assert dict(
+            df.select(event_time(df, "ts").alias("t")).dtypes
+        )["t"] == "timestamp"
+
+
+def test_event_time_rejects_unknown(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import event_time
+
+    df = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError):
+        event_time(df, "ts")
+    with pytest.raises(ValueError):
+        event_time(df, "nope")
+
+
 def test_salt_spreads_duplicate_rows(spark):
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import with_salt
 

@@ -57,3 +57,49 @@ def test_notifier_hook(spark, ledger_path):
     lg.record("f1", "t1", "e1", "FAILED", invalid_count=5)
     assert [e["status"] for e in events] == ["RUNNING", "FAILED"]
     assert events[1]["invalid_count"] == 5
+
+
+def test_datadog_metric_name_parity(spark, ledger_path):
+    """Exact metric names/values the reference Notifier emits
+    (/root/reference/src/Notifier/index.py:193,207-209,230-233,256-264)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import validation as V
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import notifier as N
+
+    df = spark.createDataFrame(
+        [("019", "1"), ("019", "2"), ("020", "bad#"), ("020", "3")],
+        "opco_id string, supc string",
+    )
+    _, report = V.validate(
+        df, [V.Rule("supc_num", "supc", "required_numeric")], "opco_id"
+    )
+    # opco 020 quarantined wholesale: total 4, valid 2, invalid 2
+    assert N.price_zone_metrics_from_report(report) == {
+        "ref_price_etl.pz_valid_record_count": 2,
+        "ref_price_etl.pz_invalid_record_count": 2,
+        "ref_price_etl.pz_total_record_count": 4,
+    }
+
+    assert N.pa_metrics(100, 7, 5, 4, 1) == {
+        "ref_price_etl.pa_total_record_count": 100,
+        "ref_price_etl.pa_invalid_records": 7,
+        "ref_price_etl.pa_total_opco_count": 5,
+        "ref_price_etl.pa_successful_opco_count": 4,
+        "ref_price_etl.pa_failed_opco_count": 1,
+    }
+    assert N.error_metric("price_zone") == {"ref_price_etl.price_zone_error": 1}
+    assert N.error_metric("pa") == {"ref_price_etl.pa_error": 1}
+
+    emitted = []
+    lg = RunLedger(
+        spark, ledger_path, notifiers=[N.ledger_metric_notifier(emitted.append)]
+    )
+    lg.record("f1", "t1", "e1", "SUCCEEDED", total_count=4, valid_count=2)
+    lg.record("f2", "t2", "e2", "FAILED")
+    assert emitted == [
+        {
+            "ref_price_etl.pz_valid_record_count": 2,
+            "ref_price_etl.pz_invalid_record_count": 2,
+            "ref_price_etl.pz_total_record_count": 4,
+        },
+        {"ref_price_etl.price_zone_error": 1},
+    ]

@@ -100,6 +100,18 @@ def test_vectorized_topk_null_edge_cases(spark):
     assert all(got[(4, n)] is None for n in (0, 1, 2))
 
 
+def test_vectorized_topk_chunked_matches_single_block(spark, sf_dir):
+    """query_chunk_size smaller than the query set (forcing >1 block,
+    unioned) must produce exactly the single-block result."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(7)
+    one = S.cosine_topk_vectorized(emb, queries, k=3).collect()
+    many = S.cosine_topk_vectorized(emb, queries, k=3, query_chunk_size=3).collect()
+    assert sorted(map(tuple, many)) == sorted(map(tuple, one))
+    with pytest.raises(ValueError):
+        S.cosine_topk_vectorized(emb, queries, k=3, query_chunk_size=0)
+
+
 def test_ivf_prebuilt_index_matches_inline(spark, vecs, tmp_path):
     """A persisted-and-reloaded index must serve identical results to the
     inline build — the amortized-index path is the production one."""
@@ -156,11 +168,71 @@ def test_media_pipeline_fake_decode(spark):
     assert dec2 == {k: v["feature_hash"] for k, v in rows.items()}
 
 
-def test_real_decode_raises(spark):
-    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+def test_real_decode_video_raises(spark):
+    # doc_id 2 → kind 'video' (media_from_documents routing); the real
+    # path still gates video behind ffmpeg
+    docs = spark.createDataFrame([(2, "x")], ["doc_id", "text"])
     media = M.media_from_documents(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|video probe"):
         M.decode_media(media, fake=False).collect()
+
+
+def test_parse_media_header_formats():
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    )
+    assert M.parse_media_header(png) == {
+        "fmt": "png", "width": 640, "height": 480, "duration_ms": None
+    }
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert M.parse_media_header(gif)["width"] == 320
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    out = M.parse_media_header(bmp)
+    assert (out["width"], out["height"]) == (800, 600)  # top-down negative h
+
+    # JPEG: SOI + APP0 stub + SOF0 (height 1080, width 1920)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920)
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\x03"
+    out = M.parse_media_header(jpeg)
+    assert (out["fmt"], out["width"], out["height"]) == ("jpeg", 1920, 1080)
+
+    # WAV: byte_rate 16000, data 8000 bytes → 500 ms
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 8000)
+    )
+    assert M.parse_media_header(wav)["duration_ms"] == 500
+
+    # hostile/truncated bytes never raise
+    for bad in (None, b"", b"\x89PNG\r\n\x1a", b"\xff\xd8\x00\x00",
+                b"RIFFxxxxWAVE", b"garbage bytes here", png[:20]):
+        assert M.parse_media_header(bad) is None or isinstance(
+            M.parse_media_header(bad), dict
+        )
+
+
+def test_real_decode_on_synthetic_media(spark):
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = M.synthetic_real_media(docs)
+    rows = {r["media_id"]: r for r in M.decode_media(media, fake=False).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        if i % 3 == 2:
+            assert rows[i]["kind"] == "audio"
+            assert rows[i]["duration_ms"] == (i % 10 + 1) * 100
+            assert rows[i]["width"] is None
+        else:
+            assert rows[i]["kind"] == "image"
+            assert rows[i]["width"] == 100 + i % 500
+            assert rows[i]["height"] == 50 + i % 300
+        assert rows[i]["feature_hash"] is not None
 
 
 def test_sample_frames(spark):

@@ -157,3 +157,42 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         T.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """Pathological corpus: 60 docs sharing one boilerplate text land in
+    ONE bucket per band — uncapped that is 60*59/2 pairs per band; the
+    cap must bound it at cap*(cap-1)/2 with deterministic (lowest-id)
+    survivors, while distinct docs are unaffected."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(60)]
+    distinct = [
+        (100 + i, f"unique document number {i} with its own words {i * 7}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id int, text string")
+    sigs = D.minhash_signature(df)
+
+    uncapped = D.lsh_candidate_pairs(sigs).filter("a < 100").count()
+    assert uncapped == 60 * 59 // 2
+
+    capped = D.lsh_candidate_pairs(sigs, max_bucket_size=10).filter("a < 100")
+    rows = capped.collect()
+    assert len(rows) == 10 * 9 // 2
+    # deterministic survivors: the 10 lowest ids
+    assert {r["a"] for r in rows} | {r["b"] for r in rows} == set(range(10))
+
+    with pytest.raises(ValueError):
+        D.lsh_candidate_pairs(sigs, max_bucket_size=1)
+
+
+def test_lsh_bucket_cap_off_matches_default(spark, docs):
+    sigs = D.minhash_signature(docs)
+    base = set(map(tuple, D.lsh_candidate_pairs(sigs).collect()))
+    huge = set(map(tuple, D.lsh_candidate_pairs(sigs, max_bucket_size=10_000).collect()))
+    assert base == huge
+
+
+def test_minhash_dedup_pairs_accepts_cap(spark, docs):
+    out = D.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=50)
+    assert out.columns == ["a", "b", "jaccard"]
+    assert out.count() >= 0

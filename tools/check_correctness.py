@@ -72,10 +72,16 @@ def _duck_kind(typename: str) -> str:
         return "bool"
     if t == "DATE":
         return "date"
-    if t.startswith("TIMESTAMP") or t.startswith("TIME"):
+    if t.startswith("TIMESTAMP"):
         return "timestamp"
+    if t.startswith("TIME"):  # TIME/TIMETZ: time-of-day, not an instant
+        return "time"
     if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
         return "list"
+    if t.startswith("MAP"):
+        return "map"
+    if t.startswith("STRUCT") or t.startswith("ROW") or t.startswith("UNION"):
+        return "struct"
     if t in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
         return "binary"
     return t.lower()
@@ -99,6 +105,10 @@ def _spark_kind(dtype: str) -> str:
         return "timestamp"
     if t.startswith("array"):
         return "list"
+    if t.startswith("map"):
+        return "map"
+    if t.startswith("struct"):
+        return "struct"
     if t == "binary":
         return "binary"
     return t
@@ -110,6 +120,12 @@ def dtype_lint(spark_schema, duck_cols, duck_types):
     The driver's hash is type-aware, so a kind-level mismatch (most notably
     DuckDB HUGEINT vs Spark BIGINT) means local green would NOT predict a
     green driver row.
+
+    Deliberately kind-level, not width-level: integer widths (DuckDB
+    INTEGER vs Spark BIGINT) are conflated because every observed driver
+    red traced to the HUGEINT case only — the driver's hash normalizes
+    int32/int64 the same way `canon` here does. If a future driver round
+    reds on a width-only mismatch, split the "int" kind by width.
     """
     spark_kinds = {f.name: _spark_kind(f.dataType.simpleString()) for f in spark_schema.fields}
     msgs = []
