@@ -788,6 +788,15 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word-3-gram with the
+    'eval set' (doc_id % 20 == 0 subset stands in for a benchmark) are
+    dropped; the eval-set docs drop themselves by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return DD.decontaminate(docs, bench, shingle_n=3).select("doc_id", "source")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality filter → exact dedup →
     language filter → per-source rollup (the end-to-end curation shape)."""
@@ -1115,8 +1124,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-driver-green queries move behind. Local check_correctness.py always
 # runs all 91 regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # new this round: the non-fake media decode path
-    "multimodal_real_decode",
+    # new this round: non-fake media decode + benchmark decontamination
+    "multimodal_real_decode", "decontaminated_docs",
     # 41 never-driver-checked (local-green through round 2)
     "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
@@ -1190,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "decontaminated_docs": q_decontaminated_docs,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1864,6 +1874,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
             FROM documents
+        """,
+        "decontaminated_docs": f"""
+            WITH {_shingle_ctes()},
+            bench AS (SELECT DISTINCT s FROM shx WHERE doc_id % 20 = 0),
+            contaminated AS (
+                SELECT DISTINCT shx.doc_id FROM shx
+                JOIN bench ON shx.s = bench.s)
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "corpus_curation": rf"""
             WITH s AS (

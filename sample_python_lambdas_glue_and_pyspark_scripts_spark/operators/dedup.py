@@ -360,6 +360,48 @@ def minhash_dedup_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing >=
+    ``min_overlap`` distinct word ``shingle_n``-grams with ANY benchmark
+    doc (the standard eval-set leak filter for LLM training corpora;
+    13-grams are the common published choice).
+
+    Scale design: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's distinct gram set BROADCASTS; the corpus side is a
+    map-side shingle explode + broadcast join — contaminated ids fall out
+    of one grouped count (or a plain semi-join distinct when
+    ``min_overlap == 1``), and the final drop is a broadcast anti-join.
+    The corpus is never shuffled on content.
+    """
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    )
+    hit = corpus_grams.join(F.broadcast(bench_grams), "g")
+    if min_overlap == 1:
+        contaminated = hit.select(id_col).distinct()
+    else:
+        contaminated = (
+            hit.groupBy(id_col)
+            .agg(F.countDistinct("g").alias("__n"))
+            .filter(F.col("__n") >= min_overlap)
+            .select(id_col)
+        )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -196,3 +196,39 @@ def test_minhash_dedup_pairs_accepts_cap(spark, docs):
     out = D.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=50)
     assert out.columns == ["a", "b", "jaccard"]
     assert out.count() >= 0
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about engines and turbines"),
+            (3, "quick brown fox phrases appear here too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    # 3-gram 'the quick brown' / 'quick brown fox' hit docs 1 and 3
+    kept = D.decontaminate(corpus, bench, shingle_n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+
+    # min_overlap=3: doc 3 shares only 'quick brown fox' (1 gram) → kept;
+    # doc 1 shares 'the quick brown' + 'quick brown fox' (2) → also kept
+    kept2 = D.decontaminate(corpus, bench, shingle_n=3, min_overlap=3)
+    assert {r["doc_id"] for r in kept2.collect()} == {1, 2, 3}
+
+    with pytest.raises(ValueError):
+        D.decontaminate(corpus, bench, min_overlap=0)
+
+
+def test_decontaminate_default_13gram(spark):
+    shared = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    corpus = spark.createDataFrame(
+        [(1, f"prefix words {shared} suffix words"), (2, "a short clean doc")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, shared)], "doc_id long, text string")
+    kept = D.decontaminate(corpus, bench)  # n=13
+    assert {r["doc_id"] for r in kept.collect()} == {2}
