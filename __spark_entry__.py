@@ -788,6 +788,12 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals — map-side, 0 shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs)
+
+
 def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word-3-gram with the
     'eval set' (doc_id % 20 == 0 subset stands in for a benchmark) are
@@ -1124,8 +1130,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-driver-green queries move behind. Local check_correctness.py always
 # runs all 91 regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # new this round: non-fake media decode + benchmark decontamination
-    "multimodal_real_decode", "decontaminated_docs",
+    # new this round: non-fake media decode, benchmark decontamination,
+    # repetition quality signals
+    "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
     # 41 never-driver-checked (local-green through round 2)
     "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
@@ -1200,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
+        "repetition_stats": q_repetition_stats,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1874,6 +1882,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
             FROM documents
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_SQL}') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) >= 2 THEN list_transform(
+                            range(1, len(w)),
+                            i -> array_to_string(w[i:i+1], ' '))
+                            ELSE [] END AS g2,
+                       CASE WHEN len(w) >= 3 THEN list_transform(
+                            range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))
+                            ELSE [] END AS g3
+                FROM toks)
+            SELECT doc_id,
+                   ROUND(coalesce(list_max(list_transform(list_distinct(g2),
+                             x -> len(list_filter(g2, y -> y = x)))), 0)
+                         / greatest(len(g2), 1), 6) AS top_bigram_frac,
+                   ROUND((len(g3) - len(list_filter(list_distinct(g3),
+                             x -> len(list_filter(g3, y -> y = x)) = 1)))
+                         / greatest(len(g3), 1), 6) AS dup_trigram_frac,
+                   ROUND(coalesce(list_max(list_transform(list_distinct(w),
+                             x -> len(list_filter(w, y -> y = x)))), 0)
+                         / greatest(len(w), 1), 6) AS max_word_frac
+            FROM g
         """,
         "decontaminated_docs": f"""
             WITH {_shingle_ctes()},

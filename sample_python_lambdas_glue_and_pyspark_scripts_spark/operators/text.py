@@ -111,6 +111,80 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", best.alias("lang_pred"))
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams (order-preserving; empty list when the
+    doc has fewer than n words). The distinct variant for shingling lives
+    in dedup.word_shingles."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_elem_count(g: Column) -> Column:
+    """Occurrences of the most frequent element (0 for empty lists).
+    Pure array expression — O(distinct x n) per row, no shuffle; right
+    for document-sized lists (the alternative, explode + groupBy + window,
+    shuffles every n-gram of the corpus)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (quality filters
+    for LLM training corpora): the fraction of bigram occurrences taken
+    by the single most frequent bigram (``top_bigram_frac``), the
+    fraction of trigram occurrences that are duplicates
+    (``dup_trigram_frac``), and the most-frequent-word fraction
+    (``max_word_frac``). High values mark boilerplate/looping text.
+
+    Map-side only (0 shuffles), native expressions throughout. Token and
+    n-gram arrays are materialized in their own projections first —
+    Catalyst does not CSE across nested higher-order functions, so
+    inlining them would re-tokenize per signal.
+    """
+    toks = df.select(
+        F.col(id_col), words(text_col).alias("__w")
+    ).select(
+        F.col(id_col),
+        F.col("__w"),
+        _word_ngrams(F.col("__w"), 2).alias("__g2"),
+        _word_ngrams(F.col("__w"), 3).alias("__g3"),
+    )
+    n_w = F.size("__w")
+    n2 = F.size("__g2")
+    n3 = F.size("__g3")
+    singles3 = F.size(
+        F.filter(
+            F.array_distinct("__g3"),
+            lambda x: F.size(F.filter(F.col("__g3"), lambda y: y == x)) == 1,
+        )
+    )
+    return toks.select(
+        F.col(id_col),
+        F.round(_max_elem_count(F.col("__g2")) / F.greatest(n2, F.lit(1)), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round((n3 - singles3) / F.greatest(n3, F.lit(1)), 6).alias(
+            "dup_trigram_frac"
+        ),
+        F.round(_max_elem_count(F.col("__w")) / F.greatest(n_w, F.lit(1)), 6).alias(
+            "max_word_frac"
+        ),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed text.
 

@@ -232,3 +232,29 @@ def test_decontaminate_default_13gram(spark):
     bench = spark.createDataFrame([(9, shared)], "doc_id long, text string")
     kept = D.decontaminate(corpus, bench)  # n=13
     assert {r["doc_id"] for r in kept.collect()} == {2}
+
+
+def test_repetition_stats_exact_fractions(spark):
+    rows = [
+        # 'spam spam spam spam': w=4xspam, g2=3x'spam spam' (top 3/3),
+        # g3=2x dup (2/2), max word 4/4
+        (1, "spam spam spam spam"),
+        # all distinct words: bigrams unique (1/3), trigrams unique (0/2),
+        # max word 1/4
+        (2, "alpha beta gamma delta"),
+        (3, ""),          # empty: all 0
+        (4, "one two"),   # no trigrams: dup_trigram_frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_trigram_frac"] == 1.0
+    assert out[1]["max_word_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["max_word_frac"] == 0.25
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.0
+    assert out[3]["max_word_frac"] == 0.0
+    assert out[4]["dup_trigram_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == 1.0  # single bigram is the top one
