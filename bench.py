@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "centroid_assign",
     "vocab_top_terms",
     "group_sample_events",
+    # round-3 additions: curation + non-fake multimodal paths
+    "decontaminated_docs",
+    "repetition_stats",
+    "multimodal_real_decode",
 ]
 
 

@@ -124,18 +124,65 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _max_elem_count(g: Column) -> Column:
-    """Occurrences of the most frequent element (0 for empty lists).
-    Pure array expression — O(distinct x n) per row, no shuffle; right
-    for document-sized lists (the alternative, explode + groupBy + window,
-    shuffles every n-gram of the corpus)."""
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
-            )
+def _max_run_count(sorted_g: Column) -> Column:
+    """Occurrences of the most frequent element of a SORTED list (0 for
+    empty). Single O(L) run-length ``aggregate`` pass — the naive
+    count-each-distinct-via-filter formulation is O(L²) per document and
+    melts on long docs (10k words → 10⁸ comparisons/doc); sort + scan is
+    the shape that survives arbitrary document lengths. No shuffle (the
+    explode + groupBy alternative shuffles every n-gram of the corpus)."""
+    step = lambda acc, x: F.struct(  # noqa: E731 — struct-state fold
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def _singleton_count(sorted_g: Column) -> Column:
+    """Number of distinct elements occurring exactly once in a SORTED
+    list — same single-pass run-length shape as ``_max_run_count``."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        (
+            acc["singles"]
+            + F.when(
+                acc["prev"].isNotNull()
+                & ~x.eqNullSafe(acc["prev"])
+                & (acc["run"] == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("singles"),
+    )
+    return F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("singles"),
+        ),
+        step,
+        lambda acc: acc["singles"]
+        + F.when(acc["prev"].isNotNull() & (acc["run"] == 1), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
 
 
@@ -158,30 +205,26 @@ def repetition_stats(
         F.col(id_col), words(text_col).alias("__w")
     ).select(
         F.col(id_col),
-        F.col("__w"),
-        _word_ngrams(F.col("__w"), 2).alias("__g2"),
-        _word_ngrams(F.col("__w"), 3).alias("__g3"),
-    )
-    n_w = F.size("__w")
-    n2 = F.size("__g2")
-    n3 = F.size("__g3")
-    singles3 = F.size(
-        F.filter(
-            F.array_distinct("__g3"),
-            lambda x: F.size(F.filter(F.col("__g3"), lambda y: y == x)) == 1,
-        )
+        F.size("__w").alias("__nw"),
+        F.size(_word_ngrams(F.col("__w"), 2)).alias("__n2"),
+        F.size(_word_ngrams(F.col("__w"), 3)).alias("__n3"),
+        F.array_sort("__w").alias("__ws"),
+        F.array_sort(_word_ngrams(F.col("__w"), 2)).alias("__g2s"),
+        F.array_sort(_word_ngrams(F.col("__w"), 3)).alias("__g3s"),
     )
     return toks.select(
         F.col(id_col),
-        F.round(_max_elem_count(F.col("__g2")) / F.greatest(n2, F.lit(1)), 6).alias(
-            "top_bigram_frac"
-        ),
-        F.round((n3 - singles3) / F.greatest(n3, F.lit(1)), 6).alias(
-            "dup_trigram_frac"
-        ),
-        F.round(_max_elem_count(F.col("__w")) / F.greatest(n_w, F.lit(1)), 6).alias(
-            "max_word_frac"
-        ),
+        F.round(
+            _max_run_count(F.col("__g2s")) / F.greatest("__n2", F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("__n3") - _singleton_count(F.col("__g3s")))
+            / F.greatest("__n3", F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.round(
+            _max_run_count(F.col("__ws")) / F.greatest("__nw", F.lit(1)), 6
+        ).alias("max_word_frac"),
     )
 
 
