@@ -788,6 +788,17 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N mapInPandas expansion (video → sampled frames), fake decode:
+    the md5-derived durations are engine-independent, so even the frame
+    fan-out is fully oracle-checkable in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    return MM.sample_frames(media, every_ms=1000, fake=True).select(
+        "media_id", "frame_idx", "frame_ts_ms", "frame_hash"
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals — map-side, 0 shuffles."""
     docs = _t(spark, sf_dir, "documents")
@@ -1133,6 +1144,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round: non-fake media decode, benchmark decontamination,
     # repetition quality signals
     "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
+    "video_frame_sample",
     # 41 never-driver-checked (local-green through round 2)
     "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
@@ -1208,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
         "repetition_stats": q_repetition_stats,
+        "video_frame_sample": q_video_frame_sample,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1882,6 +1895,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
             FROM documents
+        """,
+        "video_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id, md5(text) AS h,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+                FROM documents WHERE doc_id % 3 = 2),
+            d AS (SELECT media_id, h, 1000 + v % 7200000 AS dur FROM m),
+            f AS (SELECT media_id, h,
+                         unnest(range(0, least(dur // 1000, 8))) AS i
+                  FROM d)
+            SELECT media_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i * 1000 AS INTEGER) AS frame_ts_ms,
+                   md5(h || '|' || CAST(i AS VARCHAR)) AS frame_hash
+            FROM f
         """,
         "repetition_stats": f"""
             WITH toks AS (
