@@ -78,10 +78,9 @@ BENCH_QUERIES = [
 ]
 
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+    TESTDATA_TABLES,
+)
 
 
 def force(df) -> None:
@@ -91,18 +90,25 @@ def force(df) -> None:
 def warmup(spark) -> None:
     """Untimed: one full scan of every input table + one tiny query.
     Initializes the JVM, codegen, Arrow/Python workers, parquet footer
-    cache, and the OS page cache for the data files."""
+    cache, and the OS page cache for the data files. Each step is
+    failure-isolated like the timed loop: a bad table or a broken warm
+    query must cost its own warmth, not the whole bench's JSON line."""
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import (
         ensure_runtime_confs,
     )
 
     ensure_runtime_confs(spark)
-    for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
-            force(spark.read.parquet(path))
     qs = entrymod.queries()
-    force(qs["tpch_q1"](spark, SF_DIR))
+    steps = [
+        (t, lambda t=t: force(spark.read.parquet(f"{SF_DIR}/{t}.parquet")))
+        for t in TESTDATA_TABLES
+        if os.path.exists(f"{SF_DIR}/{t}.parquet")
+    ] + [("warm:tpch_q1", lambda: force(qs["tpch_q1"](spark, SF_DIR)))]
+    for name, step in steps:
+        try:
+            step()
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH-WARMUP-ERROR {name}: {exc}", file=sys.stderr)
 
 
 def main() -> None:

@@ -190,10 +190,16 @@ def lsh_candidate_pairs(
     job regardless of how well every other bucket behaves. With the cap
     set, each (band_id, band_hash) bucket keeps only its ``max_bucket_size``
     lowest-id members (deterministic → rerun-stable), bounding per-bucket
-    join cost at cap². Near-identical docs beyond the cap still dedup:
-    they collide in ALL bands, and exact-dedup upstream removes true
-    duplicates before LSH ever sees them. Default None = exact banding
-    (the oracle-checked contract).
+    join cost at cap². The trade is explicit RECALL loss inside over-cap
+    buckets: members beyond the cap are the same lowest-id losers in
+    every band they share with the template (near-identical docs collide
+    in all bands), so they form no candidate pairs at all. Use the cap as
+    a boundedness guarantee, not a free lunch: run exact dedup upstream
+    (it catches byte-identical boilerplate without LSH), and treat an
+    over-cap bucket as a signal the whole bucket is one template family —
+    callers wanting recall there should keep one survivor per over-cap
+    bucket rather than diff its members pairwise. Default None = exact
+    banding (the oracle-checked contract).
     """
     banded = band_keys(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:

@@ -193,6 +193,17 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any] | None:
     return None
 
 
+def _i32(v: Any) -> int | None:
+    """Clamp-to-NULL for the IntegerType output columns: hostile headers
+    can declare u32-max dimensions or absurd durations (WAV byte_rate=1),
+    which would overflow the Arrow int32 conversion and kill the task —
+    the robustness contract is NULL metadata, never a crashed job."""
+    if v is None:
+        return None
+    v = int(v)
+    return v if 0 <= v <= 2**31 - 1 else None
+
+
 def _real_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
     """Header-metadata decode for image/audio; video needs ffmpeg."""
     if kind == "video":
@@ -207,10 +218,10 @@ def _real_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
         }
     hdr = parse_media_header(payload) or {}
     return {
-        "n_bytes": len(payload),
-        "width": hdr.get("width"),
-        "height": hdr.get("height"),
-        "duration_ms": hdr.get("duration_ms"),
+        "n_bytes": _i32(len(payload)),
+        "width": _i32(hdr.get("width")),
+        "height": _i32(hdr.get("height")),
+        "duration_ms": _i32(hdr.get("duration_ms")),
         "feature_hash": hashlib.md5(payload).hexdigest(),
     }
 

@@ -174,10 +174,15 @@ def cosine_topk_vectorized(
     join formulation keeps arbitrary orderable id types.
 
     Huge query sets: queries stream to the driver via ``toLocalIterator``
-    in ``query_chunk_size`` blocks — each block ships its own bounded
-    closure and scans the corpus once; blocks union (disjoint query_ids,
-    so per-block top-k windows compose exactly). Driver and executor
-    closure memory are O(chunk), never O(|queries|).
+    in ``query_chunk_size`` blocks; each block ships its own closure, so
+    PER-TASK broadcast/closure size and per-batch Arrow memory are
+    O(chunk) — the failure mode this fixes is one giant serialized
+    closure (task-size limits, executor OOM on C@Qt intermediates). The
+    driver still holds every chunk's matrices across the combined plan
+    (total O(|queries|), same as collecting), and the corpus is scanned
+    once per block — for truly unbounded query sets run blocks as
+    separate jobs and persist per-block results instead. A final re-rank
+    unifies blocks when a query id spans more than one.
     """
     import numpy as np
     import pandas as pd
@@ -300,6 +305,18 @@ def cosine_topk_vectorized(
     out = blocks[0]
     for b in blocks[1:]:
         out = out.unionByName(b)
+    if len(blocks) > 1:
+        # a query id duplicated ACROSS blocks would otherwise emit k rows
+        # per block; one cheap re-rank over the <= n_blocks*k rows per id
+        # restores the exact single-block contract
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            out.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k)
+            .select("query_id", "neighbor_id", "sim")
+        )
     return out
 
 

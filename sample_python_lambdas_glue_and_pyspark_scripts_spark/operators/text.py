@@ -201,29 +201,32 @@ def repetition_stats(
     Catalyst does not CSE across nested higher-order functions, so
     inlining them would re-tokenize per signal.
     """
+    # NULL text behaves as empty (all fractions 0.0, matching the SQL
+    # oracle); each array is materialized exactly once per stage — sizes
+    # derive from the sorted arrays, never from a second _word_ngrams
+    # evaluation (no CSE across nested higher-order functions).
     toks = df.select(
-        F.col(id_col), words(text_col).alias("__w")
+        F.col(id_col), words(F.coalesce(_c(text_col), F.lit(""))).alias("__w")
     ).select(
         F.col(id_col),
-        F.size("__w").alias("__nw"),
-        F.size(_word_ngrams(F.col("__w"), 2)).alias("__n2"),
-        F.size(_word_ngrams(F.col("__w"), 3)).alias("__n3"),
         F.array_sort("__w").alias("__ws"),
         F.array_sort(_word_ngrams(F.col("__w"), 2)).alias("__g2s"),
         F.array_sort(_word_ngrams(F.col("__w"), 3)).alias("__g3s"),
     )
+    n_w = F.size("__ws")
+    n2 = F.size("__g2s")
+    n3 = F.size("__g3s")
     return toks.select(
         F.col(id_col),
         F.round(
-            _max_run_count(F.col("__g2s")) / F.greatest("__n2", F.lit(1)), 6
+            _max_run_count(F.col("__g2s")) / F.greatest(n2, F.lit(1)), 6
         ).alias("top_bigram_frac"),
         F.round(
-            (F.col("__n3") - _singleton_count(F.col("__g3s")))
-            / F.greatest("__n3", F.lit(1)),
+            (n3 - _singleton_count(F.col("__g3s"))) / F.greatest(n3, F.lit(1)),
             6,
         ).alias("dup_trigram_frac"),
         F.round(
-            _max_run_count(F.col("__ws")) / F.greatest("__nw", F.lit(1)), 6
+            _max_run_count(F.col("__ws")) / F.greatest(n_w, F.lit(1)), 6
         ).alias("max_word_frac"),
     )
 

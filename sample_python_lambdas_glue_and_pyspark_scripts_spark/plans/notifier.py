@@ -78,13 +78,17 @@ def error_metric(pipeline: str) -> dict[str, int]:
 def ledger_metric_notifier(
     sink: Callable[[dict[str, int]], None],
 ) -> Callable[[dict], None]:
-    """RunLedger hook: turns each ledger event into the reference's metric
-    dict — the pz triple on success rows, the error counter on FAILED."""
+    """RunLedger hook: turns ledger events into the reference's metric
+    dicts — the pz triple on SUCCEEDED rows, the error counter on FAILED.
+    All other statuses (RUNNING, WAITING, ...) emit nothing: the
+    reference Notifier fires only on terminal events, and a run-start
+    triple of zeros would inject spurious datapoints into the series."""
 
     def notify(event: dict) -> None:
-        if event.get("status") == "FAILED":
+        status = event.get("status")
+        if status == "FAILED":
             sink(error_metric("price_zone"))
-        else:
+        elif status == "SUCCEEDED":
             sink(
                 price_zone_metrics(
                     int(event.get("total_count") or 0),

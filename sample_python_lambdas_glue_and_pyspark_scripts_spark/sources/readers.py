@@ -43,6 +43,14 @@ def read_pipe_csv(spark: SparkSession, path: str, schema: StructType) -> DataFra
     return read_csv_staged(spark, path, schema, sep="|")
 
 
+# the synthetic-table inventory (TESTDATA.md) — single definition shared
+# by bench warmup, the oracle harness, and tests
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Engine-default columnar scan; Catalyst pushes filters/pruning."""
     return spark.read.parquet(path)

@@ -93,6 +93,7 @@ def test_datadog_metric_name_parity(spark, ledger_path):
     lg = RunLedger(
         spark, ledger_path, notifiers=[N.ledger_metric_notifier(emitted.append)]
     )
+    lg.record("f0", "t0", "e0", "RUNNING")  # non-terminal: no metric
     lg.record("f1", "t1", "e1", "SUCCEEDED", total_count=4, valid_count=2)
     lg.record("f2", "t2", "e2", "FAILED")
     assert emitted == [

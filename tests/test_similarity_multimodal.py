@@ -400,3 +400,40 @@ def test_hyperplane_validation():
         S.hyperplane_lsh_pairs(None, dim=4, n_planes=16, bands=5)
     with pytest.raises(ValueError):
         S.hyperplane_lsh_pairs(None, dim=4, n_planes=16, bands=32)
+
+
+def test_vectorized_topk_duplicate_query_id_across_chunks(spark, sf_dir):
+    """A query id duplicated across chunk boundaries must still yield at
+    most k rows (global re-rank), matching the single-block contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q1 = emb.orderBy("vec_id").limit(3)
+    dup = q1.limit(1)
+    queries = q1.unionByName(dup)  # 4 rows, one vec_id twice
+    single = S.cosine_topk_vectorized(emb, queries, k=3).collect()
+    chunked = S.cosine_topk_vectorized(emb, queries, k=3, query_chunk_size=2).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in chunked)
+    assert max(per_q.values()) == 3
+
+
+def test_real_decode_hostile_headers_yield_null(spark):
+    import struct
+
+    # u32-max PNG dims; WAV with byte_rate=1 and a ~4e9 data size
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 0xFFFFFFFF, 10, 8, 2, 0, 0, 0)
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 1, 2, 16)
+        + b"data" + struct.pack("<I", 0xF0000000)
+    )
+    rows = [(1, "image", bytearray(png), None, None),
+            (2, "audio", bytearray(wav), None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.decode_media(df, fake=False).collect()}
+    assert out[1]["width"] is None and out[1]["height"] == 10
+    assert out[2]["duration_ms"] is None  # 4e12 ms clamps to NULL
+    assert out[1]["feature_hash"] and out[2]["feature_hash"]

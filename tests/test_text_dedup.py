@@ -258,3 +258,15 @@ def test_repetition_stats_exact_fractions(spark):
     assert out[3]["max_word_frac"] == 0.0
     assert out[4]["dup_trigram_frac"] == 0.0
     assert out[4]["top_bigram_frac"] == 1.0  # single bigram is the top one
+
+
+def test_repetition_stats_null_text(spark):
+    """NULL text must behave as empty (0.0 everywhere) — oracle parity."""
+    df = spark.createDataFrame([(1, None), (2, "a a")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert (
+        out[1]["top_bigram_frac"],
+        out[1]["dup_trigram_frac"],
+        out[1]["max_word_frac"],
+    ) == (0.0, 0.0, 0.0)
+    assert out[2]["max_word_frac"] == 1.0

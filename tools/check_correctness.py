@@ -21,10 +21,9 @@ import __spark_entry__ as entrymod
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import get_spark
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+    TESTDATA_TABLES as TABLES,
+)
 
 
 def norm(v):
