@@ -788,6 +788,13 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: mean log-prob under the corpus's own
+    unigram LM (vocab agg + broadcast total + token join — no model)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs)
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N mapInPandas expansion (video → sampled frames), fake decode:
     the md5-derived durations are engine-independent, so even the frame
@@ -1144,7 +1151,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round: non-fake media decode, benchmark decontamination,
     # repetition quality signals
     "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
-    "video_frame_sample",
+    "video_frame_sample", "unigram_logprob",
     # 41 never-driver-checked (local-green through round 2)
     "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
@@ -1221,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_docs": q_decontaminated_docs,
         "repetition_stats": q_repetition_stats,
         "video_frame_sample": q_video_frame_sample,
+        "unigram_logprob": q_unigram_logprob,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1895,6 +1903,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
             FROM documents
+        """,
+        "unigram_logprob": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS tok
+                FROM documents),
+            v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM v),
+            lp AS (SELECT t.doc_id, ln(v.n / tot.N) AS l
+                   FROM tok t JOIN v ON t.tok = v.tok CROSS JOIN tot)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(l), 6) AS mean_logprob
+            FROM lp GROUP BY doc_id
         """,
         "video_frame_sample": """
             WITH m AS (

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 # BPE-ish word/punctuation tokenizer: runs of word chars, or single
 # non-word non-space symbols (each punctuation mark is its own token).
 TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
@@ -228,6 +230,43 @@ def repetition_stats(
         F.round(
             _max_run_count(F.col("__ws")) / F.greatest(n_w, F.lit(1)), 6
         ).alias("max_word_frac"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality signal without an external model: each
+    doc's mean log-probability under the corpus's OWN unigram language
+    model (low = rare-token/gibberish text, high = typical text).
+    Returns (id_col, n_tokens, mean_logprob) — rounded to 6dp.
+
+    Scale shape: one groupBy(token) builds the vocabulary (shuffle is
+    |vocab|-sized after map-side partial aggregation, not |tokens|); the
+    corpus total joins back as a broadcast scalar (the TPC-H q11
+    cross-join-aggregate shape); token→count is one shuffle join keyed on
+    the token; the per-doc mean is the final keyed aggregation. No
+    Python, no driver collect.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(words(F.coalesce(_c(text_col), F.lit("")))).alias("__tok")
+    )
+    # vocab/total share tok's lineage with the probe side — qualify every
+    # reference or Spark flags the re-occurring internal columns ambiguous
+    vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__n")).alias("v")
+    total = vocab.agg(F.sum("__n").cast("double").alias("__N")).alias("tt")
+    t = tok.alias("t")
+    scored = (
+        t.join(vocab, F.col("t.__tok") == F.col("v.__tok"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(f"t.{id_col}").alias(id_col),
+            F.log(F.col("v.__n") / F.col("tt.__N")).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
 
 

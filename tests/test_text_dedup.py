@@ -270,3 +270,17 @@ def test_repetition_stats_null_text(spark):
         out[1]["max_word_frac"],
     ) == (0.0, 0.0, 0.0)
     assert out[2]["max_word_frac"] == 1.0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "b"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.unigram_logprob(df).collect()}
+    # vocab: a=2, b=1, N=3
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["mean_logprob"] == pytest.approx(round(math.log(2 / 3), 6))
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(1 / 3), 6))
+    assert 3 not in out  # no tokens → no row (matches the SQL oracle)
