@@ -1142,14 +1142,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate snapshots the FIRST 50 queries() entries.
-# Rounds 1-2 proved the same 50; the other 41 were only ever local-green.
-# Lead with those 41 (plus the two round-2 red rows whose fix needs driver
-# proof) so every query accumulates a driver-recorded correctness row;
-# long-driver-green queries move behind. Local check_correctness.py always
-# runs all 91 regardless of order.
+# Rounds 1-2 proved the same 50; 41 others were only ever local-green.
+# Lead with the round-3 additions (5 queries), those 41, and the two
+# round-2 red rows whose fix needs driver proof (48 total, filling the
+# window with 2 long-driver-green flagships); long-driver-green queries
+# move behind. Local check_correctness.py always runs ALL queries (96 as
+# of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # new this round: non-fake media decode, benchmark decontamination,
-    # repetition quality signals
+    # new this round (5): non-fake media decode, benchmark
+    # decontamination, repetition signals, frame fan-out, unigram LM score
     "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
     "video_frame_sample", "unigram_logprob",
     # 41 never-driver-checked (local-green through round 2)

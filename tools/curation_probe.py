@@ -45,7 +45,10 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark(app_name="curation-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # BOTH inputs persist in memory so the comparison isolates operator
+    # cost from parquet scan/decode — persisting only the big side would
+    # flatter the Nx ratios
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
     n_docs = base.count()
     bench = base.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
 
@@ -61,7 +64,6 @@ def main() -> None:
         .persist()
     )
     replicated.count()
-    force(base)  # warm
 
     one = run_ops(base, bench)
     big = run_ops(replicated, bench)
