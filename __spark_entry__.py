@@ -839,6 +839,54 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style sub-document dedup: cut every doc into
+    consecutive 3-word spans, keep only each span's globally-first
+    occurrence (order = (doc_id, span_idx)), stitch docs back together
+    from their surviving spans. First-occurrence = ONE keyed shuffle with
+    a MIN(struct) combiner — hot boilerplate spans collapse map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.span_dedup(docs, span_words=3)
+
+
+def q_quantile_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quantile curation cut: keep docs at/above the P50 of a
+    numeric signal (exact interpolated percentile, broadcast threshold;
+    approx_percentile is the same-shaped 100 TB path)."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return TX.quantile_threshold_filter(sized, "n_chars", p=0.5).select(
+        "doc_id", "n_chars", "q_threshold"
+    )
+
+
+def q_token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first training-mix assembly under a global token
+    budget — two-phase distributed prefix sum (per-level windows +
+    broadcast level offsets), NOT a single-partition global window."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs).select(
+        "doc_id", "quality_score", "stat_n_tokens"
+    )
+    return sampling.select_token_budget(
+        scored, 15000, "quality_score", "stat_n_tokens"
+    ).select("doc_id", "quality_score", "cum_tokens")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
+    vectors ≥0.35 cosine-similar to a lower-id vector in the same
+    cluster. Pair cost confined within clusters (Σ|c|² not n²); the
+    fixed-iteration seeded k-means keeps even the clustering
+    oracle-checkable as unrolled SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.semantic_dedup(emb, threshold=0.35, k=4, n_iter=2)
+
+
 # --- training-data operators: sampling / clustering / vocab / scrub ----------
 
 
@@ -1149,15 +1197,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (96 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # newest (4): span dedup, quantile cut, token-budget mix, SemDeDup
+    "span_dedup", "quantile_filtered_docs", "token_budget_subset",
+    "semantic_dedup",
     # new this round (5): non-fake media decode, benchmark
     # decontamination, repetition signals, frame fan-out, unigram LM score
     "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
     "video_frame_sample", "unigram_logprob",
-    # 41 never-driver-checked (local-green through round 2)
-    "embedding_near_dup", "ann_ivf_topk", "multimodal_decode",
+    # never-driver-checked (local-green through round 2). Ceded slots to
+    # stay within the driver's 50-query window: multimodal_decode (fake
+    # mode — multimodal_real_decode covers the operator) and
+    # dedup_clusters_star (shares dedup_clusters' oracle verbatim; the
+    # equivalence is pinned by test_star_cc_matches_min_label).
+    "embedding_near_dup", "ann_ivf_topk",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
     "sample_documents", "stratified_sample_orders", "group_sample_events",
-    "dedup_clusters", "dedup_clusters_star", "minhash_keepers",
+    "dedup_clusters", "minhash_keepers",
     "vocab_top_terms", "tfidf_terms", "chunk_documents", "training_shards",
     "training_prep_rollup", "text_scrub", "label_centroids",
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
@@ -1230,6 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
+        "span_dedup": q_span_dedup,
+        "quantile_filtered_docs": q_quantile_filtered_docs,
+        "token_budget_subset": q_token_budget_subset,
+        "semantic_dedup": q_semantic_dedup,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -1271,6 +1330,38 @@ def _tpch_ext():
 
 _TOKEN_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 _WORD_SQL = r"[a-z0-9]+"
+
+
+# shared unrolled k-means CTE prefix (2 Lloyd iterations over embeddings,
+# first-k seeds, 6dp rounding — mirrors similarity.kmeans_fit exactly);
+# single definition for the kmeans_clusters and semantic_dedup oracles.
+# Ends at d2_1 (final-round per-(vec,label) distances).
+def _kmeans_ctes(k: int = 4) -> str:
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dims AS (SELECT vec_id, CAST(p.dim AS INTEGER) AS dim, p.val AS x
+                 FROM (SELECT vec_id, unnest(list_transform(
+                           range(1, len(v) + 1),
+                           i -> {{'dim': i - 1, 'val': v[i]}})) AS p
+                       FROM e) t),
+        seed AS (SELECT vec_id,
+                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label
+                 FROM e ORDER BY vec_id LIMIT {k}),
+        cent0 AS (SELECT s.label, d.dim, ROUND(AVG(d.x), 6) AS c
+                  FROM seed s JOIN dims d USING (vec_id) GROUP BY 1, 2),
+        d2_0 AS (SELECT d.vec_id, c.label,
+                        ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
+                 FROM dims d JOIN cent0 c ON d.dim = c.dim GROUP BY 1, 2),
+        a0 AS (SELECT vec_id, label FROM (
+                   SELECT vec_id, label,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY dist2, label) AS rn
+                   FROM d2_0) t WHERE rn = 1),
+        cent1 AS (SELECT a.label, d.dim, ROUND(AVG(d.x), 6) AS c
+                  FROM a0 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+        d2_1 AS (SELECT d.vec_id, c.label,
+                        ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
+                 FROM dims d JOIN cent1 c ON d.dim = c.dim GROUP BY 1, 2)"""
 
 
 # shared shingling CTE prefix: toks → distinct word-3-gram shingles →
@@ -1808,37 +1899,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) t
             WHERE rn <= 5
         """,
-        "kmeans_clusters": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            dims AS (SELECT vec_id, CAST(p.dim AS INTEGER) AS dim, p.val AS x
-                     FROM (SELECT vec_id, unnest(list_transform(
-                               range(1, len(v) + 1),
-                               i -> {'dim': i - 1, 'val': v[i]})) AS p
-                           FROM e) t),
-            seed AS (SELECT vec_id,
-                            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label
-                     FROM e ORDER BY vec_id LIMIT 4),
-            cent0 AS (SELECT s.label, d.dim, ROUND(AVG(d.x), 6) AS c
-                      FROM seed s JOIN dims d USING (vec_id) GROUP BY 1, 2),
-            d2_0 AS (SELECT d.vec_id, c.label,
-                            ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
-                     FROM dims d JOIN cent0 c ON d.dim = c.dim GROUP BY 1, 2),
-            a0 AS (SELECT vec_id, label FROM (
-                       SELECT vec_id, label,
-                              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                                 ORDER BY dist2, label) AS rn
-                       FROM d2_0) t WHERE rn = 1),
-            cent1 AS (SELECT a.label, d.dim, ROUND(AVG(d.x), 6) AS c
-                      FROM a0 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
-            d2_1 AS (SELECT d.vec_id, c.label,
-                            ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
-                     FROM dims d JOIN cent1 c ON d.dim = c.dim GROUP BY 1, 2)
+        "kmeans_clusters": f"""
+            WITH {_kmeans_ctes(k=4)}
             SELECT vec_id, label AS assigned_label, dist2 FROM (
                 SELECT vec_id, label, dist2,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                                           ORDER BY dist2, label) AS rn
                 FROM d2_1) t
             WHERE rn = 1
+        """,
+        "semantic_dedup": f"""
+            WITH {_kmeans_ctes(k=4)},
+            a1 AS (SELECT vec_id, CAST(label AS INTEGER) AS assigned_label FROM (
+                       SELECT vec_id, label,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2, label) AS rn
+                       FROM d2_1) t WHERE rn = 1),
+            dropped AS (
+                SELECT DISTINCT lb.vec_id FROM a1 la
+                JOIN a1 lb ON la.assigned_label = lb.assigned_label
+                          AND la.vec_id < lb.vec_id
+                JOIN e ra ON ra.vec_id = la.vec_id
+                JOIN e rb ON rb.vec_id = lb.vec_id
+                WHERE ROUND(list_cosine_similarity(ra.v, rb.v), 6) >= 0.35)
+            SELECT vec_id, assigned_label FROM a1
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1968,6 +2053,65 @@ def oracle_sql() -> dict[str, str]:
                 JOIN bench ON shx.s = bench.s)
             SELECT doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "span_dedup": f"""
+            WITH stoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            sp AS (
+                SELECT doc_id,
+                       CAST(ceil(len(w) / 3.0) AS BIGINT) AS n_spans,
+                       unnest(range(CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i,
+                       w
+                FROM stoks),
+            spans AS (
+                SELECT doc_id, n_spans, CAST(i AS BIGINT) AS span_idx,
+                       array_to_string(w[i*3+1 : i*3+3], ' ') AS span_text
+                FROM sp),
+            firsts AS (
+                SELECT doc_id, n_spans, span_idx, span_text,
+                       ROW_NUMBER() OVER (PARTITION BY span_text
+                                          ORDER BY doc_id, span_idx) AS rn
+                FROM spans)
+            SELECT doc_id,
+                   string_agg(span_text, ' ' ORDER BY span_idx) AS text_dedup,
+                   CAST(MIN(n_spans) AS BIGINT) AS n_spans,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM firsts WHERE rn = 1
+            GROUP BY doc_id
+        """,
+        "quantile_filtered_docs": """
+            WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+                       FROM documents),
+            thr AS (SELECT ROUND(quantile_cont(n_chars, 0.5), 6) AS q_threshold
+                    FROM s)
+            SELECT doc_id, n_chars, q_threshold FROM s, thr
+            WHERE ROUND(n_chars, 6) >= q_threshold
+        """,
+        "token_budget_subset": rf"""
+            WITH s AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS n_words,
+                       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS n_stop,
+                       len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS n_tok
+                FROM documents),
+            scored AS (
+                SELECT doc_id, n_tok,
+                       ROUND((
+                           (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_stop / greatest(n_words, 1), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_punct / greatest(n_chars, 1), 6) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       ) / 3.0, 6) AS quality_score
+                FROM s),
+            c AS (SELECT doc_id, quality_score,
+                         SUM(n_tok) OVER (ORDER BY quality_score DESC, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+                  FROM scored)
+            SELECT doc_id, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 15000
         """,
         "corpus_curation": rf"""
             WITH s AS (

@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "decontaminated_docs",
     "repetition_stats",
     "multimodal_real_decode",
+    "span_dedup",
+    "token_budget_subset",
+    "semantic_dedup",
 ]
 
 

@@ -493,3 +493,122 @@ def simhash_pairs(
         "hamming",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
     ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+# --- span-level (line/paragraph) exact dedup ---------------------------------
+#
+# C4/RefinedWeb-style sub-document dedup: boilerplate (nav bars, license
+# headers, repeated template paragraphs) recurs across documents even when
+# whole documents are unique. The corpus-wide rule is "keep only the FIRST
+# occurrence of each span" (global order = (doc_id, span_idx)), then stitch
+# each document back together from its surviving spans; documents whose
+# spans were all seen earlier disappear entirely.
+#
+# Scale shape (100 TB): explode is map-side; first-occurrence is ONE keyed
+# shuffle on span_text where the combiner is MIN(struct(doc_id, span_idx))
+# — partial-aggregatable, so hot spans (the boilerplate this exists to
+# kill) collapse map-side instead of flooding a reducer; reconstruction is
+# a second keyed shuffle on doc_id. No windows, no joins, no Python.
+
+
+def _span_dedup_core(
+    spans_df: DataFrame, id_col: str, n_spans_col: str, joiner: str
+) -> DataFrame:
+    """First-occurrence keep + doc reconstruction over an exploded
+    (id, span_idx, span_text, n_spans) frame."""
+    kept = (
+        spans_df.groupBy("span_text")
+        .agg(F.min(F.struct(id_col, "span_idx", n_spans_col)).alias("o"))
+        .select(
+            F.col(f"o.{id_col}").alias(id_col),
+            F.col("o.span_idx").alias("span_idx"),
+            F.col(f"o.{n_spans_col}").alias(n_spans_col),
+            "span_text",
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "span_text"))
+            ).alias("kept"),
+            F.min(n_spans_col).cast("bigint").alias("n_spans"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                joiner, F.transform(F.col("kept"), lambda x: x["span_text"])
+            ).alias("text_dedup"),
+            "n_spans",
+            F.size("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def _exploded_spans(df: DataFrame, id_col: str, spans: Column) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.size(spans).alias("n_spans_raw"), F.posexplode(spans)
+    ).select(
+        id_col,
+        "n_spans_raw",
+        F.col("pos").cast("bigint").alias("span_idx"),
+        F.col("col").alias("span_text"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+) -> DataFrame:
+    """Corpus-wide exact dedup of fixed-width word spans.
+
+    Documents are cut into consecutive non-overlapping ``span_words``-word
+    spans (lowercased word tokens; the trailing span may be shorter); only
+    the globally-first occurrence of each span survives. Returns
+    ``(id_col, text_dedup, n_spans, n_kept)`` — documents with zero
+    surviving spans (fully-duplicate) are dropped.
+
+    Reference scope note: the reference engine has no sub-document
+    operator at all (its unit is the CSV row — SURVEY.md §1.1); this is
+    part of the training-data extension surface.
+    """
+    k = int(span_words)
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(WORD_REGEX),
+        0,
+    )
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = _exploded_spans(df, id_col, spans)
+    return _span_dedup_core(exploded, id_col, "n_spans_raw", " ")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: split on ``delim`` (regex),
+    trim, drop empties, keep each paragraph's globally-first occurrence,
+    rejoin survivors with ``joiner``. Same contract as :func:`span_dedup`
+    (``n_spans`` counts this doc's non-empty paragraphs)."""
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delim),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    exploded = _exploded_spans(df, id_col, paras)
+    return _span_dedup_core(exploded, id_col, "n_spans_raw", joiner)

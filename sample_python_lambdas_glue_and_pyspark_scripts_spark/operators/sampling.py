@@ -216,3 +216,56 @@ def split_dataset(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first subset under a global token budget: walk rows in
+    (``score_col`` DESC, ``id_col`` ASC) order and keep each row while the
+    running ``token_col`` total (inclusive) stays ≤ ``budget`` — the
+    "assemble the best N-token training mix" selection.
+
+    The naive formulation is one global-order running sum — a
+    single-partition window (WindowExec moves ALL rows to one task; the
+    100 TB anti-pattern). This is the two-phase distributed prefix sum
+    instead:
+
+    1. per-level running sums: window partitioned BY the score level —
+       fully parallel, keyed shuffle;
+    2. level offsets: aggregate per-level totals (tiny frame, one row per
+       distinct score), prefix-sum THAT with a window, broadcast it back.
+
+    Requires ``score_col`` to be low-cardinality (a quantized/rounded
+    score or bucket — the offsets frame is one row per level). With
+    continuous scores, round or bucket first; curation scores are
+    discretized in practice.
+
+    Returns the kept rows plus ``cum_tokens`` (inclusive global running
+    total). Rows are kept iff their inclusive cumulative total fits.
+    """
+    per_level = Window.partitionBy(score_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = df.withColumn("_lvl_run", F.sum(token_col).over(per_level))
+    levels = df.groupBy(score_col).agg(F.sum(token_col).alias("_lvl_total"))
+    higher = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = levels.select(
+        score_col,
+        F.coalesce(F.sum("_lvl_total").over(higher), F.lit(0)).alias("_offset"),
+    )
+    return (
+        run.join(F.broadcast(offsets), score_col)
+        .withColumn(
+            "cum_tokens", (F.col("_offset") + F.col("_lvl_run")).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_lvl_run", "_offset")
+    )

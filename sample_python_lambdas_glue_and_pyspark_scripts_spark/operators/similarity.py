@@ -784,3 +784,73 @@ def kmeans_fit(
         )
         prev = assign
     return assign, cents
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    drop every vector that is ≥ ``threshold`` cosine-similar to a
+    lower-id vector in the SAME cluster. Returns the kept rows as
+    ``(id_col, assigned_label)``.
+
+    This is the scale story for embedding-level near-dup removal: the
+    quadratic pair comparison is confined to within-cluster blocks, so
+    cost is Σ|cluster|² instead of n² — with balanced clusters that is a
+    k× reduction, and clusters are independently parallel (the pair join
+    shuffles on the cluster label, not on a global key). The exact
+    corpus-wide variant is :func:`cosine_pairs`; this trades the
+    (rare) cross-cluster near-dup for tractability, exactly as in the
+    paper.
+
+    Deterministic end-to-end: k-means is the fixed-iteration seeded fit
+    from :func:`kmeans_fit` and sims are rounded to 6dp, so the whole
+    operator (including the clustering) unrolls to plain SQL for the
+    DuckDB oracle.
+    """
+    assign, _ = kmeans_fit(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    labeled = vectors.select(id_col, vec_col).join(
+        assign.select(
+            F.col("vec_id").alias(id_col),
+            F.col("assigned_label").cast("int").alias("assigned_label"),
+        ),
+        id_col,
+    )
+    side = labeled.select(
+        F.col("assigned_label").alias("lbl"),
+        F.col(id_col).alias("a"),
+        _dbl(vec_col).alias("va"),
+    ).withColumn("na", l2_norm(F.col("va")))
+    l = side
+    r = side.select(
+        F.col("lbl").alias("rlbl"),
+        F.col("a").alias("b"),
+        F.col("va").alias("vb"),
+        F.col("na").alias("nb"),
+    )
+    dropped = (
+        l.join(r, (F.col("lbl") == F.col("rlbl")) & (F.col("a") < F.col("b")))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return labeled.join(dropped, id_col, "left_anti").select(
+        id_col, "assigned_label"
+    )

@@ -421,3 +421,33 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    p: float = 0.5,
+    exact: bool = True,
+    threshold_col: str = "q_threshold",
+) -> DataFrame:
+    """Keep rows at or above the corpus-wide ``p``-quantile of
+    ``score_col`` (the "top X% by quality" curation cut).
+
+    The threshold is computed once over the whole corpus and broadcast —
+    one aggregate plus a narrow filter, no per-row shuffle. ``exact=True``
+    uses ``percentile`` (linear interpolation, matches DuckDB
+    ``quantile_cont`` at 6dp — contract-checkable); at 100 TB switch to
+    ``exact=False`` (``approx_percentile``, t-digest, single-pass
+    mergeable sketch) — same plan shape, bounded memory.
+
+    Threshold and comparison are rounded to 6dp so the kept set is
+    identical across engines (raw float thresholds are unsafe — see
+    CLAUDE.md oracle-parity kit).
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    thr = df.agg(
+        F.round(F.expr(f"{fn}({score_col}, {p}d)"), 6).alias(threshold_col)
+    )
+    return df.crossJoin(F.broadcast(thr)).filter(
+        F.round(F.col(score_col), 6) >= F.col(threshold_col)
+    )

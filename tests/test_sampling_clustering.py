@@ -191,3 +191,59 @@ def test_pack_sequences_greedy_budget(spark):
     again = {(r["shard"], r["pos"]): r["pack_id"]
              for r in sampling.pack_sequences(df, budget_tokens=100).collect()}
     assert again == got
+
+
+# --- token-budget subset selection ------------------------------------------
+
+
+def test_select_token_budget_greedy_cut(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    # levels: score 1.0 has docs 1,2 (100+200); score 0.5 has 3,4 (300+150)
+    df = spark.createDataFrame(
+        [(1, 1.0, 100), (2, 1.0, 200), (3, 0.5, 300), (4, 0.5, 150)],
+        ["doc_id", "score", "n_tok"],
+    )
+    # budget 600: order is 1(100),2(300),3(600),4(750) -> keep 1,2,3
+    out = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_token_budget(df, 600, "score", "n_tok").collect()
+    }
+    assert out == {1: 100, 2: 300, 3: 600}
+    # budget 599: doc 3 (inclusive 600) no longer fits
+    out2 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_token_budget(df, 599, "score", "n_tok").collect()
+    }
+    assert out2 == {1: 100, 2: 300}
+
+
+def test_select_token_budget_no_global_single_partition_window(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 3), 10) for i in range(100)],
+        ["doc_id", "score", "n_tok"],
+    )
+    plan = (
+        select_token_budget(df, 500, "score", "n_tok")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = [ln.strip() for ln in plan.splitlines()]
+    # the heavy per-row running sum must be a PARTITIONED window (keyed
+    # hash exchange on the score level, never a global sort-to-one-task)
+    run_win = [ln for ln in lines if "Window" in ln and "_lvl_run" in ln]
+    assert run_win and all("score" in ln for ln in run_win)
+    # exactly one SinglePartition exchange is allowed, and it must feed
+    # the per-level OFFSETS frame (downstream of the HashAggregate that
+    # collapsed the data to one row per score level) — i.e. the line
+    # after it in the tree is that aggregate, not a scan of raw rows
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(singles) == 1
+    assert "HashAggregate" in lines[singles[0] + 1]
+
+

@@ -437,3 +437,40 @@ def test_real_decode_hostile_headers_yield_null(spark):
     assert out[1]["width"] is None and out[1]["height"] == 10
     assert out[2]["duration_ms"] is None  # 4e12 ms clamps to NULL
     assert out[1]["feature_hash"] and out[2]["feature_hash"]
+
+
+# --- SemDeDup semantic dedup -------------------------------------------------
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two well-separated clusters; 1&2 near-identical (same cluster),
+    # 5&6 near-identical (other cluster), 3 distinct in cluster A
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~dup of 1 -> dropped (higher id)
+        (3, [0.7, 0.7, 0.0]),      # same cluster, below threshold
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.0, 0.01, 0.999]),   # ~dup of 5 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.98, k=2, n_iter=2).collect()
+    )
+    assert kept == [1, 3, 5]
+
+
+def test_semantic_dedup_threshold_one_keeps_all_distinct(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # nothing is exactly identical -> threshold 1.0 drops nothing
+    kept = semantic_dedup(df, threshold=1.0, k=2, n_iter=1).count()
+    assert kept == 6

@@ -284,3 +284,90 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1]["mean_logprob"] == pytest.approx(round(math.log(2 / 3), 6))
     assert out[2]["mean_logprob"] == pytest.approx(round(math.log(1 / 3), 6))
     assert 3 not in out  # no tokens → no row (matches the SQL oracle)
+
+
+# --- span / paragraph dedup --------------------------------------------------
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # spans: "a b c","d e f","g"
+            (2, "a b c x y z"),            # "a b c" seen -> keeps "x y z"
+            (3, "x y z a b c"),            # both spans seen -> doc dropped
+            (4, None),                     # NULL text -> no spans -> dropped
+            (5, ""),                       # empty -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.span_dedup(df, span_words=3).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["text_dedup"] == "a b c d e f g"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+
+
+def test_span_dedup_order_within_doc_preserved(spark):
+    # surviving spans must be stitched in original span order, not
+    # collection order
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "z z z p q r a a a")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(df, span_words=3).collect()}
+    assert out[2]["text_dedup"] == "z z z a a a"
+
+
+def test_paragraph_dedup_delimiter_and_joiner(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world\n\nfoo bar"),
+            (2, "foo bar\n\nnew para"),      # "foo bar" seen at doc 1
+            (3, "hello world"),              # fully duplicate -> dropped
+            (4, "  \n\n  "),                 # whitespace-only -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text_dedup"] == "hello world\n\nfoo bar"
+    assert out[2]["text_dedup"] == "new para"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_paragraph_dedup_trims_before_matching(spark):
+    # "foo bar" and "  foo bar  " are the same paragraph after trim
+    df = spark.createDataFrame(
+        [(1, "foo bar"), (2, "  foo bar  ")], ["doc_id", "text"]
+    )
+    out = D.paragraph_dedup(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+# --- corpus-quantile threshold filter ---------------------------------------
+
+
+def test_quantile_threshold_filter_interpolates(spark):
+    # values 10,20,30,40 -> P50 = 25.0 (linear interpolation); keep >= 25
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], ["doc_id", "score"]
+    )
+    out = T.quantile_threshold_filter(df, "score", p=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == [3, 4]
+    assert out[0]["q_threshold"] == 25.0
+
+
+def test_quantile_threshold_filter_approx_path(spark):
+    # approx_percentile on small data is exact-on-distinct-values; the
+    # sketch path must produce a usable threshold column too
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["doc_id", "score"]
+    )
+    out = T.quantile_threshold_filter(df, "score", p=0.9, exact=False)
+    kept = out.count()
+    assert 5 <= kept <= 15  # ~10 rows above P90, sketch tolerance
+
+
