@@ -877,6 +877,32 @@ def q_token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality_score", "cum_tokens")
 
 
+def q_source_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix recipe: downsample four sources to 40/30/20/10 char
+    -mass proportions — largest achievable subset, binding source keeps
+    everything, others hash-downsampled deterministically."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mix_to_proportions(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_unit_col="n_chars",
+    ).select("doc_id", "source")
+
+
+def q_corpus_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental intake dedup: sources src10+ are the new crawl,
+    src0-src9 the existing corpus; admit new docs that are neither exact
+    nor (Jaccard-verified) LSH near-duplicates of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.substring("source", 4, 10).cast("int") < 10)
+    new = docs.filter(F.substring("source", 4, 10).cast("int") >= 10)
+    return DD.dedup_against_corpus(new, corpus, threshold=0.2).select(
+        "doc_id", "source"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
     vectors ≥0.35 cosine-similar to a lower-id vector in the same
@@ -1197,9 +1223,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (96 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest (4): span dedup, quantile cut, token-budget mix, SemDeDup
+    # newest (6): span dedup, quantile cut, token-budget mix, SemDeDup,
+    # source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
-    "semantic_dedup",
+    "semantic_dedup", "source_mixed_docs", "corpus_admitted",
     # new this round (5): non-fake media decode, benchmark
     # decontamination, repetition signals, frame fan-out, unigram LM score
     "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
@@ -1208,10 +1235,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # stay within the driver's 50-query window: multimodal_decode (fake
     # mode — multimodal_real_decode covers the operator) and
     # dedup_clusters_star (shares dedup_clusters' oracle verbatim; the
-    # equivalence is pinned by test_star_cc_matches_min_label).
+    # equivalence is pinned by test_star_cc_matches_min_label), and
+    # sample_documents + group_sample_events (stratified_sample_orders
+    # driver-proves the same md5-bucket parity recipe all three share).
     "embedding_near_dup", "ann_ivf_topk",
     "corpus_curation", "events_tumbling_window", "events_sessionize",
-    "sample_documents", "stratified_sample_orders", "group_sample_events",
+    "stratified_sample_orders",
     "dedup_clusters", "minhash_keepers",
     "vocab_top_terms", "tfidf_terms", "chunk_documents", "training_shards",
     "training_prep_rollup", "text_scrub", "label_centroids",
@@ -1289,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
+        "source_mixed_docs": q_source_mixed_docs,
+        "corpus_admitted": q_corpus_admitted,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
@@ -2112,6 +2143,57 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT doc_id, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 15000
+        """,
+        "source_mixed_docs": f"""
+            WITH avail AS (
+                SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail
+                FROM documents WHERE source IN ('src0','src1','src2','src3')
+                GROUP BY source),
+            w(source, w) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+                                    ('src2', 0.2), ('src3', 0.1)),
+            tt AS (SELECT MIN(avail / w) AS T FROM avail JOIN w USING (source)),
+            fr AS (SELECT source,
+                          CAST(ROUND(ROUND(w * T / avail, 6) * 1000000, 0)
+                               AS BIGINT) AS thr
+                   FROM avail JOIN w USING (source), tt)
+            SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source)
+            WHERE {_sample_bucket_sql('doc_id', seed='mix|')} < thr
+        """,
+        "corpus_admitted": rf"""
+            WITH {_minhash_band_ctes(16, 4)},
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+                   FROM documents),
+            newd AS (SELECT doc_id, source FROM documents
+                     WHERE CAST(substr(source, 4, 10) AS INT) >= 10),
+            corp AS (SELECT doc_id FROM documents
+                     WHERE CAST(substr(source, 4, 10) AS INT) < 10),
+            exact_dup AS (
+                SELECT n.doc_id FROM newd n JOIN fp nf ON nf.doc_id = n.doc_id
+                WHERE nf.f IN (SELECT f2.f FROM fp f2
+                               JOIN corp c ON f2.doc_id = c.doc_id)),
+            surv AS (SELECT doc_id, source FROM newd
+                     WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)),
+            cand AS (
+                SELECT DISTINCT nb.doc_id AS a, cb.doc_id AS b
+                FROM bands nb
+                JOIN bands cb ON nb.band_id = cb.band_id
+                             AND nb.band_hash = cb.band_hash
+                JOIN surv s ON s.doc_id = nb.doc_id
+                JOIN corp c ON c.doc_id = cb.doc_id),
+            inter AS (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cand c
+                JOIN shx l ON l.doc_id = c.a
+                JOIN shx r ON r.doc_id = c.b AND r.s = l.s
+                GROUP BY 1, 2),
+            near_dup AS (
+                SELECT DISTINCT i.a AS doc_id FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2)
+            SELECT doc_id, source FROM surv
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
         """,
         "corpus_curation": rf"""
             WITH s AS (

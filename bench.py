@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "token_budget_subset",
     "semantic_dedup",
+    "corpus_admitted",
 ]
 
 

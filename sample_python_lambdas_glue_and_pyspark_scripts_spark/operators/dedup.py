@@ -612,3 +612,95 @@ def paragraph_dedup(
     )
     exploded = _exploded_spans(df, id_col, paras)
     return _span_dedup_core(exploded, id_col, "n_spans_raw", joiner)
+
+
+# --- incremental (cross-corpus) dedup ----------------------------------------
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    corpus_fp: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental intake dedup: admit only the rows of ``new_df`` that
+    are neither exact nor near duplicates of the existing ``corpus_df``
+    (crawl N+1 vs crawls 1..N — the batch companion of
+    ``streaming/minhash_dedup.lsh_admit``).
+
+    Unlike the streaming bucket-grant rule (collide ⇒ reject), LSH here
+    only PROPOSES candidates; each is verified with exact Jaccard
+    against the colliding corpus doc, so an incidental band collision
+    cannot reject a genuinely-new document.
+
+    Plan shape: exact pass = distinct corpus fingerprints + left-anti
+    join (one keyed shuffle on a 128-bit hash). Near pass = band keys on
+    both sides joined on (band_id, band_hash) — cost is Σ(bucket_new ×
+    bucket_corpus), never |new|×|corpus| — then candidate-only shingling
+    (semi-join restricted, as in ``verify_jaccard_on_candidates``).
+    New-batch dedup WITHIN the batch is intentionally out of scope:
+    compose with ``minhash_dedup_pairs``/``exact_dedup`` on the admitted
+    set.
+
+    **100 TB posture**: recomputing fingerprints and band keys over the
+    whole corpus per intake batch re-scans the corpus (~3 passes). At
+    scale those are INDEX tables — computed once, persisted partitioned
+    on their key, extended with each admitted batch (exactly like the
+    IVF index split in ``similarity.build_ivf_index``). Pass them in via
+    ``corpus_fp`` (columns: ``fp``) and ``corpus_bands`` (columns:
+    ``id_col, band_id, band_hash``); then only candidate corpus docs are
+    touched for the Jaccard verify.
+    """
+    if corpus_fp is None:
+        corpus_fp = corpus_df.select(
+            fingerprint(text_col).alias("fp")
+        ).distinct()
+    new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    exact_dup = new_fp.join(corpus_fp, "fp", "left_semi").select(id_col)
+    survivors = new_df.join(exact_dup, id_col, "left_anti")
+
+    rows_per_band = num_hashes // bands
+    bk_new = band_keys(
+        minhash_signature(survivors, text_col, id_col, num_hashes),
+        id_col, bands, rows_per_band,
+    )
+    bk_cor = corpus_bands if corpus_bands is not None else band_keys(
+        minhash_signature(corpus_df, text_col, id_col, num_hashes),
+        id_col, bands, rows_per_band,
+    )
+    cand = (
+        bk_new.alias("n")
+        .join(bk_cor.alias("c"), ["band_id", "band_hash"])
+        .select(
+            F.col(f"n.{id_col}").alias("a"), F.col(f"c.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    sh_new = survivors.join(
+        cand.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("a"), word_shingles(text_col, shingle_n).alias("sh_a"))
+    sh_cor = corpus_df.join(
+        cand.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("b"), word_shingles(text_col, shingle_n).alias("sh_b"))
+    near_dup = (
+        cand.join(ensure_parallelism(sh_new), "a")
+        .join(ensure_parallelism(sh_cor), "b")
+        .withColumn("__n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(F.col("__n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__n_inter") / F.size(F.array_union("sh_a", "sh_b")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_dup, id_col, "left_anti")

@@ -269,3 +269,57 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("_lvl_run", "_offset")
     )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    weight_unit_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "mix|",
+) -> DataFrame:
+    """Downsample groups toward target mix proportions (the training-mix
+    "data recipe" step): given target shares per group (e.g. 40% web /
+    30% books / 20% code / 10% wiki), keep the LARGEST achievable subset
+    with exactly those proportions — no upsampling, so the scarcest
+    group relative to its target binds the total and keeps everything;
+    every other group is deterministically hash-downsampled to match.
+
+    ``weight_unit_col`` is the mass being proportioned (token count,
+    char count); None = row count. Groups absent from ``weights`` are
+    dropped (share 0).
+
+    Mechanics: available mass per group → achievable total
+    ``T = min_g(avail_g / w_g)`` → per-group keep-fraction
+    ``w_g·T / avail_g`` (6dp-rounded, then scaled to an integer bucket
+    threshold so the cross-engine comparison is exact-integer) →
+    :func:`hash_bucket` filter. Plan: one aggregate over the corpus +
+    two broadcast joins of group-cardinality frames + a narrow filter —
+    nothing heavy shuffles, fractions are reproducible run-to-run.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()], [group_col, "__w"]
+    )
+    unit = F.col(weight_unit_col) if weight_unit_col else F.lit(1)
+    avail = df.groupBy(group_col).agg(
+        F.sum(unit).cast("double").alias("__avail")
+    )
+    aw = avail.join(F.broadcast(wdf), group_col)
+    total = aw.agg(F.min(F.col("__avail") / F.col("__w")).alias("__T"))
+    thresholds = aw.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.round(
+            F.round(F.col("__w") * F.col("__T") / F.col("__avail"), 6)
+            * F.lit(BUCKETS),
+            0,
+        )
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(key_col, seed) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -247,3 +247,60 @@ def test_select_token_budget_no_global_single_partition_window(spark):
     assert "HashAggregate" in lines[singles[0] + 1]
 
 
+
+
+# --- source mixing toward target proportions ---------------------------------
+
+
+def test_mix_to_proportions_binding_group_keeps_all(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        mix_to_proportions,
+    )
+
+    # a: 100 units, b: 900 units; target 50/50 -> a binds (T=200):
+    # a keeps everything, b downsampled to ~100 units of mass
+    rows = [(i, "a", 10) for i in range(10)] + [
+        (100 + i, "b", 10) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "mass"])
+    out = mix_to_proportions(
+        df, {"a": 0.5, "b": 0.5}, weight_unit_col="mass"
+    )
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["a"] == 10  # binding group complete
+    # b's keep fraction is 100/900 ~ 0.111 -> expect ~10 of 90; hash
+    # sampling is exact-deterministic but not exact-count: allow slack
+    assert 4 <= by_src.get("b", 0) <= 18
+
+
+def test_mix_to_proportions_absent_group_dropped_and_rowcount_mode(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        mix_to_proportions,
+    )
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "c") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mix_to_proportions(df, {"a": 1.0})  # row-count mass; c absent
+    got = out.select("source").distinct().collect()
+    assert [r["source"] for r in got] == ["a"]
+    assert out.count() == 20  # single group at weight 1 keeps everything
+
+
+def test_mix_to_proportions_deterministic(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        mix_to_proportions,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 5) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "mass"])
+    w = {"a": 0.7, "b": 0.3}
+    ids1 = sorted(
+        r["doc_id"]
+        for r in mix_to_proportions(df, w, weight_unit_col="mass").collect()
+    )
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mix_to_proportions(df, w, weight_unit_col="mass").collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0

@@ -371,3 +371,89 @@ def test_quantile_threshold_filter_approx_path(spark):
     assert 5 <= kept <= 15  # ~10 rows above P90, sketch tolerance
 
 
+
+
+# --- incremental cross-corpus dedup ------------------------------------------
+
+
+def test_dedup_against_corpus_exact_and_near(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different corpus content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # exact (normalized) duplicate of corpus doc 1 -> rejected
+            (10, "THE  quick brown fox jumps over the lazy dog tonight"),
+            # near duplicate of corpus doc 1: one word APPENDED, so all
+            # original shingles survive (Jaccard 0.8 — this exact pair
+            # collides in 2 of 4 LSH bands under the deterministic md5
+            # family; a mid-text word swap drops Jaccard to ~0.45 where
+            # 16x4 LSH recall is only ~16%, which is sketch behavior,
+            # not a bug) -> rejected by the Jaccard verify
+            (11, "the quick brown fox jumps over the lazy dog tonight friends"),
+            # genuinely new -> admitted
+            (12, "a totally novel document about distributed minhash"),
+        ],
+        ["doc_id", "text"],
+    )
+    admitted = sorted(
+        r["doc_id"]
+        for r in D.dedup_against_corpus(new, corpus, threshold=0.2).collect()
+    )
+    assert admitted == [12]
+
+
+def test_dedup_against_corpus_does_not_dedup_within_batch(spark):
+    # two identical NEW docs, neither in the corpus: both admitted —
+    # within-batch dedup is explicitly out of scope (compose exact_dedup)
+    corpus = spark.createDataFrame(
+        [(1, "existing corpus text about engines")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "fresh new document body"), (11, "fresh new document body")],
+        ["doc_id", "text"],
+    )
+    admitted = sorted(
+        r["doc_id"]
+        for r in D.dedup_against_corpus(new, corpus, threshold=0.2).collect()
+    )
+    assert admitted == [10, 11]
+
+
+def test_dedup_against_corpus_precomputed_index_equivalent(spark):
+    # passing persisted fingerprint/band-key index tables must give the
+    # same admissions as recomputing from the corpus text
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "existing corpus text about engines and pipelines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "fresh new document body about something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        fingerprint,
+    )
+
+    fp_index = corpus.select(fingerprint("text").alias("fp")).distinct()
+    band_index = D.band_keys(D.minhash_signature(corpus))
+    direct = sorted(
+        r["doc_id"] for r in D.dedup_against_corpus(new, corpus).collect()
+    )
+    indexed = sorted(
+        r["doc_id"]
+        for r in D.dedup_against_corpus(
+            new, corpus, corpus_fp=fp_index, corpus_bands=band_index
+        ).collect()
+    )
+    assert direct == indexed == [11]
