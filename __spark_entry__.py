@@ -812,6 +812,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_stats(docs)
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 document-filter rule battery: per-rule boolean verdicts
+    plus the conjunction — all native column expressions, zero shuffles,
+    rules compared on 6dp-rounded ratios for cross-engine parity."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        F.col("n_distinct_stopwords").cast("bigint").alias(
+            "n_distinct_stopwords"
+        ),
+        # flags cast to int on BOTH sides: no driver-hash precedent for
+        # boolean columns across the existing contract queries, and the
+        # int encoding is unambiguous in every engine
+        *[
+            F.col(r).cast("int").alias(r)
+            for r in (
+                "rule_word_count",
+                "rule_mean_word_len",
+                "rule_symbol_ratio",
+                "rule_alpha_words",
+                "rule_stopwords",
+                "rule_blocklist",
+                "keep",
+            )
+        ],
+    )
+
+
 def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word-3-gram with the
     'eval set' (doc_id % 20 == 0 subset stands in for a benchmark) are
@@ -1223,8 +1255,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (96 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest (6): span dedup, quantile cut, token-budget mix, SemDeDup,
-    # source mixing, incremental cross-corpus dedup
+    # newest: Gopher/C4 rule battery (ceded slot: tpch_q17 — its
+    # correlated-scalar-subquery recipe is driver-covered by tpch_q2,
+    # and q17 stays oracle-green locally)
+    "gopher_quality_flags",
+    # round-3 batch (6): span dedup, quantile cut, token-budget mix,
+    # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
     "semantic_dedup", "source_mixed_docs", "corpus_admitted",
     # new this round (5): non-fake media decode, benchmark
@@ -1247,7 +1283,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
     "asof_latest_order", "range_activity_24h",
@@ -1312,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
         "repetition_stats": q_repetition_stats,
+        "gopher_quality_flags": q_gopher_quality_flags,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2075,6 +2112,46 @@ def oracle_sql() -> dict[str, str]:
                              x -> len(list_filter(w, y -> y = x)))), 0)
                          / greatest(len(w), 1), 6) AS max_word_frac
             FROM g
+        """,
+        "gopher_quality_flags": f"""
+            WITH toks AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       ROUND(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                             / greatest(len(w), 1), 6) AS mean_word_len,
+                       ROUND(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+                             / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                       ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                             / greatest(len(w), 1), 6) AS alpha_word_frac,
+                       CAST(len(list_filter(['the','and','of','to','is','in','it','a'],
+                                st -> list_contains(w, st))) AS BIGINT)
+                           AS n_distinct_stopwords,
+                       NOT (contains(lower(t), 'lorem ipsum')
+                            OR contains(lower(t), 'javascript')
+                            OR contains(lower(t), '{{')) AS blk
+                FROM toks),
+            r AS (
+                SELECT *,
+                       CAST(n_words BETWEEN 20 AND 100000 AS INTEGER) AS rule_word_count,
+                       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS rule_mean_word_len,
+                       CAST(symbol_word_ratio <= 0.1 AS INTEGER) AS rule_symbol_ratio,
+                       CAST(alpha_word_frac >= 0.8 AS INTEGER) AS rule_alpha_words,
+                       CAST(n_distinct_stopwords >= 2 AS INTEGER) AS rule_stopwords,
+                       CAST(blk AS INTEGER) AS rule_blocklist
+                FROM s)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   alpha_word_frac, n_distinct_stopwords,
+                   rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+                   rule_alpha_words, rule_stopwords, rule_blocklist,
+                   CAST(rule_word_count = 1 AND rule_mean_word_len = 1
+                        AND rule_symbol_ratio = 1 AND rule_alpha_words = 1
+                        AND rule_stopwords = 1 AND rule_blocklist = 1
+                        AS INTEGER) AS keep
+            FROM r
         """,
         "decontaminated_docs": f"""
             WITH {_shingle_ctes()},

@@ -546,13 +546,25 @@ def _span_dedup_core(
 
 
 def _exploded_spans(df: DataFrame, id_col: str, spans: Column) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.size(spans).alias("n_spans_raw"), F.posexplode(spans)
-    ).select(
-        id_col,
-        "n_spans_raw",
-        F.col("pos").cast("bigint").alias("span_idx"),
-        F.col("col").alias("span_text"),
+    # posexplode_outer, NOT posexplode: the non-outer variant makes the
+    # optimizer infer `size(e) > 0 AND isnotnull(e)` and push it below
+    # the staging projections, re-inlining the whole span-construction
+    # expression into a per-row Filter (the nested-HOF CSE trap again,
+    # through the back door). Outer explode infers nothing; the explicit
+    # isNotNull filter below runs on the already-materialized output.
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(spans).alias("n_spans_raw"),
+            F.posexplode_outer(spans),
+        )
+        .filter(F.col("col").isNotNull())
+        .select(
+            id_col,
+            "n_spans_raw",
+            F.col("pos").cast("bigint").alias("span_idx"),
+            F.col("col").alias("span_text"),
+        )
     )
 
 
@@ -575,20 +587,32 @@ def span_dedup(
     part of the training-data extension surface.
     """
     k = int(span_words)
-    toks = F.regexp_extract_all(
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-        F.lit(WORD_REGEX),
-        0,
-    )
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    spans = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    # Materialize the token array, then the span array, each in its own
+    # projection: Catalyst does not CSE across nested higher-order
+    # functions, so inlining `toks` into the transform() lambda (plus
+    # the two size() references) re-runs regexp_extract_all per span —
+    # measured 29.7 s -> 2.4 s at sf0.1 for the explode stage alone.
+    staged = df.withColumn(
+        "_sd_toks",
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = _exploded_spans(df, id_col, spans)
+    )
+    toks = F.col("_sd_toks")
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    staged = staged.withColumn(
+        "_sd_spans",
+        F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    exploded = _exploded_spans(staged, id_col, F.col("_sd_spans"))
     return _span_dedup_core(exploded, id_col, "n_spans_raw", " ")
 
 
@@ -603,14 +627,19 @@ def paragraph_dedup(
     trim, drop empties, keep each paragraph's globally-first occurrence,
     rejoin survivors with ``joiner``. Same contract as :func:`span_dedup`
     (``n_spans`` counts this doc's non-empty paragraphs)."""
-    paras = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), delim),
-            lambda p: F.trim(p),
+    # materialized projection for the same nested-HOF CSE reason as
+    # span_dedup (size() + posexplode() would re-split per reference)
+    staged = df.withColumn(
+        "_sd_paras",
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), delim),
+                lambda p: F.trim(p),
+            ),
+            lambda p: p != "",
         ),
-        lambda p: p != "",
     )
-    exploded = _exploded_spans(df, id_col, paras)
+    exploded = _exploded_spans(staged, id_col, F.col("_sd_paras"))
     return _span_dedup_core(exploded, id_col, "n_spans_raw", joiner)
 
 

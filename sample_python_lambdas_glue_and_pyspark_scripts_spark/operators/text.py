@@ -451,3 +451,98 @@ def quantile_threshold_filter(
     return df.crossJoin(F.broadcast(thr)).filter(
         F.round(F.col(score_col), 6) >= F.col(threshold_col)
     )
+
+
+# Gopher/C4-style document-level rule battery. Each rule is a published
+# heuristic (Rae et al. 2021 "Gopher" §A.2; Raffel et al. 2020 "C4"
+# §2.2), restated over this corpus's tokenizer. The reference engine has
+# no text-quality surface at all (its unit is the CSV row — SURVEY.md
+# §1.1); this is part of the training-data extension surface.
+GOPHER_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "javascript", "{")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rule battery with per-rule verdict columns.
+
+    Emits one boolean column per rule plus the conjunction ``keep`` —
+    the per-rule flags are what a curation pipeline actually wants
+    (rule-level pass rates drive threshold tuning; a bare keep/drop
+    hides which rule fired). All signals are native column expressions
+    (map-side, zero shuffles, whole-stage codegen); ratio columns are
+    rounded to 6dp and every rule compares on the ROUNDED value so the
+    kept set is bit-identical across engines (CLAUDE.md parity kit).
+
+    Rules (document-level; the corpus has no newlines, so C4's
+    line-level checks are out of scope — ``span_dedup`` /
+    ``paragraph_dedup`` cover sub-document granularity):
+
+    - ``rule_word_count``: ``min_words <= n_words <= max_words``
+    - ``rule_mean_word_len``: mean word length in
+      ``[min_mean_word_len, max_mean_word_len]``
+    - ``rule_symbol_ratio``: (``#`` + ``...`` occurrences) / words
+      ``<= max_symbol_word_ratio``
+    - ``rule_alpha_words``: fraction of words containing a letter
+      ``>= min_alpha_word_frac``
+    - ``rule_stopwords``: at least ``min_distinct_stopwords`` distinct
+      English stopwords occur
+    - ``rule_blocklist``: none of ``GOPHER_BLOCKLIST`` occurs
+      (case-insensitive substring)
+    """
+    c = F.coalesce(_c(text_col), F.lit(""))
+    # materialize the token array once: Catalyst does not CSE across
+    # nested higher-order functions (CLAUDE.md), so `w` gets its own
+    # projection instead of being re-derived per rule.
+    staged = df.withColumn("_gw", words(c))
+    w = F.col("_gw")
+    n_words = F.size(w)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x)) / denom, 6
+    )
+    n_symbols = _count_matches(c, r"#|\.\.\.")
+    sym_ratio = F.round(n_symbols / denom, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / denom, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop_distinct = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(w, s))
+    )
+    lowered = F.lower(c)
+    blocked = None
+    for phrase in GOPHER_BLOCKLIST:
+        hit = lowered.contains(F.lit(phrase))
+        blocked = hit if blocked is None else (blocked | hit)
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": sym_ratio <= max_symbol_word_ratio,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": n_stop_distinct >= min_distinct_stopwords,
+        "rule_blocklist": ~blocked,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    out = staged.select(
+        *[x for x in df.columns],
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop_distinct.alias("n_distinct_stopwords"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+    return out
