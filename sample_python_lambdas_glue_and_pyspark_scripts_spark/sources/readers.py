@@ -87,3 +87,61 @@ def read_jdbc_table(
             .option("upperBound", str(upper_bound))
         )
     return reader.load()
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+    repartition_gz: int | None = None,
+) -> DataFrame:
+    """JSON-lines corpus scan with schema enforcement and corrupt-line
+    capture (the standard LLM training-corpus interchange format).
+
+    Same inference-off discipline as the CSV staging readers: an explicit
+    schema (inference is a second full pass over 100 TB), PERMISSIVE
+    mode, and malformed lines captured into ``corrupt_col`` instead of
+    aborting the scan — the JSONL analogue of the reference's
+    quarantine-don't-fail validation posture
+    (/root/reference/src/price_zone/validator.py). Split the result with
+    :func:`split_corrupt`.
+
+    ``multiLine`` stays off (one JSON object per line keeps the input
+    splittable — a multiline JSON file is one task no matter its size);
+    ``.gz``/``.zst`` inputs are transparently decompressed but
+    unsplittable, so the same ``repartition_gz`` lever as the CSV
+    readers applies.
+    """
+    if corrupt_col and corrupt_col not in schema.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    if repartition_gz and ".gz" in path:
+        df = df.repartition(repartition_gz)
+    return df
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE scan into (good, quarantine) frames.
+
+    Spark refuses a filter that references ONLY the corrupt-record
+    column of an un-materialized JSON scan (the scan would need to run
+    just to produce the filter input), so the frame is cached first —
+    one scan feeds both halves, which is also the cheaper plan when both
+    are consumed (SURVEY.md §4.1's single-pass discipline).
+    """
+    df = df.cache()
+    good = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
+    bad = df.filter(df[corrupt_col].isNotNull())
+    return good, bad

@@ -76,3 +76,26 @@ def append_run_metrics(df: DataFrame, path: str) -> None:
     """S10: structured run ledger replacing the reference's append-to-JSON
     metadata log (metadata_aggregator.py:7-34)."""
     df.write.mode("append").parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """JSON-lines corpus sink (one object per line, splittable unless
+    compressed with a non-splittable codec — prefer uncompressed or
+    zstd-framed for re-read parallelism at scale)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        keys = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+        writer = writer.partitionBy(*keys)
+    writer.json(path)

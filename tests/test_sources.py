@@ -144,3 +144,71 @@ def test_run_sizing_decision():
 def test_new_run_id_unique():
     a, b = new_run_id(ts=1700000000), new_run_id(ts=1700000000)
     assert a != b and a.startswith("etl_output_1700000000_")
+
+
+# --- JSONL corpus source/sink ------------------------------------------------
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmpdir):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+        read_jsonl,
+        split_corrupt,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    raw = f"{tmpdir}/raw.jsonl"
+    with open(raw, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world", "source": "a"}\n')
+        f.write('{"doc_id": 2, "text": "second doc", "source": "b"}\n')
+        f.write('{"doc_id": 3, "text": "broken\n')  # malformed line
+        f.write('not json at all\n')
+    df = read_jsonl(spark, raw, schema)
+    good, bad = split_corrupt(df)
+    assert good.count() == 2
+    assert bad.count() == 2
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    # quarantine preserves the raw line for replay/debugging
+    assert any("not json" in r["_corrupt_record"] for r in bad.collect())
+
+    out = f"{tmpdir}/out"
+    write_jsonl(good, out, partition_by="source")
+    back = read_jsonl(spark, out, schema)
+    g2, b2 = split_corrupt(back)
+    assert b2.count() == 0
+    assert {r["doc_id"] for r in g2.collect()} == {1, 2}
+    # hive partitioning: source dirs exist, column not duplicated in files
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("source=")
+    ) == ["source=a", "source=b"]
+
+
+def test_jsonl_gz_repartition(spark, tmpdir):
+    import gzip as _gz
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+        read_jsonl,
+    )
+
+    schema = StructType([StructField("doc_id", LongType())])
+    path = f"{tmpdir}/in.jsonl.gz"
+    with _gz.open(path, "wt") as f:
+        for i in range(10):
+            f.write(f'{{"doc_id": {i}}}\n')
+    df = read_jsonl(spark, path, schema, repartition_gz=4)
+    assert df.count() == 10
+    assert df.rdd.getNumPartitions() == 4
