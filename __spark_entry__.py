@@ -844,6 +844,29 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (the monitoring rollup a curation
+    pipeline runs after every intake): doc/token counts, exact-dup rate
+    via distinct md5 fingerprints, mean length, language share. One
+    keyed shuffle on source; everything else is map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    st = TX.text_stats(docs)
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct(fp)
+    return st.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("stat_n_tokens").cast("bigint").alias("total_tokens"),
+        n_unique.alias("n_unique_texts"),
+        F.round(F.avg("stat_n_words"), 6).alias("mean_words"),
+        F.round(
+            F.avg((F.coalesce(F.col("lang"), F.lit("")) == "en").cast("double")),
+            6,
+        ).alias("en_frac"),
+        F.round(F.lit(1.0) - n_unique / n_docs, 6).alias("dup_rate"),
+    )
+
+
 def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word-3-gram with the
     'eval set' (doc_id % 20 == 0 subset stands in for a benchmark) are
@@ -1255,10 +1278,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (96 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest: Gopher/C4 rule battery (ceded slot: tpch_q17 — its
-    # correlated-scalar-subquery recipe is driver-covered by tpch_q2,
-    # and q17 stays oracle-green locally)
-    "gopher_quality_flags",
+    # newest: Gopher/C4 rule battery + per-source corpus report (ceded
+    # slots: tpch_q17 — correlated-scalar-subquery recipe driver-covered
+    # by tpch_q2 — and tpch_q16, whose distinct-count + anti-membership
+    # recipe is driver-covered by approx_aggregates/customers_without_
+    # orders; both stay oracle-green locally)
+    "gopher_quality_flags", "corpus_report",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
@@ -1283,7 +1308,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
     "asof_latest_order", "range_activity_24h",
@@ -1349,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_docs": q_decontaminated_docs,
         "repetition_stats": q_repetition_stats,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "corpus_report": q_corpus_report,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2112,6 +2138,21 @@ def oracle_sql() -> dict[str, str]:
                              x -> len(list_filter(w, y -> y = x)))), 0)
                          / greatest(len(w), 1), 6) AS max_word_frac
             FROM g
+        """,
+        "corpus_report": f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_SQL}'))) AS BIGINT)
+                       AS total_tokens,
+                   COUNT(DISTINCT md5(coalesce(text, ''))) AS n_unique_texts,
+                   ROUND(AVG(len(regexp_extract_all(lower(text), '{_WORD_SQL}'))), 6)
+                       AS mean_words,
+                   ROUND(AVG(CASE WHEN coalesce(lang, '') = 'en'
+                             THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
+                   ROUND(1.0 - COUNT(DISTINCT md5(coalesce(text, ''))) / COUNT(*), 6)
+                       AS dup_rate
+            FROM documents
+            GROUP BY source
         """,
         "gopher_quality_flags": f"""
             WITH toks AS (

@@ -685,6 +685,13 @@ def dedup_against_corpus(
     ``corpus_fp`` (columns: ``fp``) and ``corpus_bands`` (columns:
     ``id_col, band_id, band_hash``); then only candidate corpus docs are
     touched for the Jaccard verify.
+
+    No hand-rolled Bloom pre-filter on the exact pass: Spark's runtime
+    bloom-filter join pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default
+    in Spark 4) already injects a bloom built from the smaller join side
+    into the probe-side scan when sizes warrant — duplicating it in
+    operator code would shadow Catalyst's cost model.
     """
     if corpus_fp is None:
         corpus_fp = corpus_df.select(

@@ -323,3 +323,36 @@ def mix_to_proportions(
         .filter(hash_bucket(key_col, seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    weight_unit_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled source weights: ``w_g ∝ mass_g ** alpha``
+    (the multilingual-LM mixing rule — mT5/XLM-R style; Xue et al. 2021,
+    arXiv:2010.11934 §3.1). ``alpha=1`` keeps natural proportions,
+    ``alpha=0`` gives uniform; the usual 0.2-0.5 range boosts scarce
+    sources without letting any dominate.
+
+    Returns a plain dict for :func:`mix_to_proportions`. The aggregate
+    is one groupBy over the group column (group cardinality is small —
+    sources, languages — so collecting the per-group masses is a
+    bounded control-plane read, not a data collect). Weights are
+    6dp-rounded so downstream keep-fractions are reproducible.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    unit = F.col(weight_unit_col) if weight_unit_col else F.lit(1)
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(unit).cast("double").alias("__mass"))
+        .collect()
+    )
+    return {
+        r[group_col]: round(float(r["__mass"]) ** alpha, 6)
+        for r in rows
+        if r[group_col] is not None and r["__mass"] and r["__mass"] > 0
+    }

@@ -304,3 +304,47 @@ def test_mix_to_proportions_deterministic(spark):
         for r in mix_to_proportions(df, w, weight_unit_col="mass").collect()
     )
     assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_temperature_weights_alpha_scaling(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        mix_to_proportions,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(100 + i, "books") for i in range(25)]
+        + [(200 + i, "wiki") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = temperature_weights(df, alpha=0.5)
+    assert w == {"web": 10.0, "books": 5.0, "wiki": 2.0}
+    # alpha=1 reproduces natural proportions; alpha=0 is uniform
+    assert temperature_weights(df, alpha=1.0) == {
+        "web": 100.0, "books": 25.0, "wiki": 4.0
+    }
+    assert temperature_weights(df, alpha=0.0) == {
+        "web": 1.0, "books": 1.0, "wiki": 1.0
+    }
+    # feeds mix_to_proportions: wiki (scarcest vs its boosted share)
+    # binds; kept counts follow the 10:5:2 recipe
+    out = mix_to_proportions(df, w, key_col="doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["wiki"] == 4  # binding group keeps everything
+    # other groups ~ proportional to weights; md5-hash sampling is
+    # binomial around the target (web: n=100 p=0.2 -> sigma 4; books:
+    # n=25 p=0.4 -> sigma 2.4), so assert within ~2 sigma
+    assert abs(counts["web"] - 20) <= 8 and abs(counts["books"] - 10) <= 5
+
+
+def test_temperature_weights_rejects_negative_alpha(spark):
+    import pytest as _pt
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with _pt.raises(ValueError):
+        temperature_weights(df, alpha=-0.1)
