@@ -1275,7 +1275,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Lead with the round-3 additions (5 queries), those 41, and the two
 # round-2 red rows whose fix needs driver proof (48 total, filling the
 # window with 2 long-driver-green flagships); long-driver-green queries
-# move behind. Local check_correctness.py always runs ALL queries (96 as
+# move behind. Local check_correctness.py always runs ALL queries (104 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # newest: Gopher/C4 rule battery + per-source corpus report (ceded

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "token_budget_subset",
     "semantic_dedup",
     "corpus_admitted",
+    "gopher_quality_flags",
+    "corpus_report",
 ]
 
 
@@ -107,7 +109,19 @@ def warmup(spark) -> None:
         (t, lambda t=t: force(spark.read.parquet(f"{SF_DIR}/{t}.parquet")))
         for t in TESTDATA_TABLES
         if os.path.exists(f"{SF_DIR}/{t}.parquet")
-    ] + [("warm:tpch_q1", lambda: force(qs["tpch_q1"](spark, SF_DIR)))]
+    ] + [
+        ("warm:tpch_q1", lambda: force(qs["tpch_q1"](spark, SF_DIR))),
+        # spin the Arrow/Python daemon pool: the first mapInPandas query
+        # otherwise pays worker startup (~3x on small stages — CLAUDE.md)
+        (
+            "warm:python_workers",
+            lambda: force(
+                spark.range(64)
+                .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+                .mapInPandas(lambda it: it, "id long")
+            ),
+        ),
+    ]
     for name, step in steps:
         try:
             step()

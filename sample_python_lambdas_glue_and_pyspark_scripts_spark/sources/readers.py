@@ -145,3 +145,9 @@ def split_corrupt(
     good = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
     bad = df.filter(df[corrupt_col].isNotNull())
     return good, bad
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — same Catalyst pruning/pushdown contract as
+    :func:`read_parquet` (ORC ships in Spark core; no extra jars)."""
+    return spark.read.orc(path)

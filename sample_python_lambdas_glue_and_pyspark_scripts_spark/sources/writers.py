@@ -40,6 +40,11 @@ def write_partitioned(
         if quote_disabled:
             writer = writer.option("quote", "")
         writer.csv(path)
+    elif fmt == "orc":
+        # columnar alternative with the same pruning/pushdown contract as
+        # parquet (both are tested for partition pruning + predicate
+        # pushdown in test_sources/test_layout)
+        writer.orc(path)
     else:
         writer.parquet(path)
 

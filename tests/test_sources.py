@@ -212,3 +212,28 @@ def test_jsonl_gz_repartition(spark, tmpdir):
     df = read_jsonl(spark, path, schema, repartition_gz=4)
     assert df.count() == 10
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_orc_partitioned_roundtrip_and_pushdown(spark, tmpdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+        read_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        ["id", "opco_id", "price"],
+    )
+    out = f"{tmpdir}/orc_out"
+    write_partitioned(df, out, partition_by="opco_id", fmt="orc")
+    back = read_orc(spark, out)
+    assert back.count() == 3
+    assert {r["opco_id"] for r in back.select("opco_id").distinct().collect()} == {"a", "b"}
+    # partition pruning: filtering the partition column reads one dir
+    pruned = back.filter(F.col("opco_id") == "a")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "opco_id=b" not in plan
+    # predicate pushdown reaches the ORC scan
+    pushed = back.filter(F.col("price") > 15.0)
+    pplan = pushed._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in pplan and "price" in pplan.split("PushedFilters")[1][:120]

@@ -34,6 +34,8 @@ def run_ops(docs, bench):
         ("decontaminate", lambda: D.decontaminate(docs, bench, shingle_n=3)),
         ("repetition_stats", lambda: T.repetition_stats(docs)),
         ("unigram_logprob", lambda: T.unigram_logprob(docs)),
+        ("span_dedup", lambda: D.span_dedup(docs, span_words=3)),
+        ("gopher_rules", lambda: T.gopher_rules(docs)),
     ]:
         t0 = time.perf_counter()
         force(fn())
