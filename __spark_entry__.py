@@ -777,10 +777,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL (non-fake) media decode: synthetic PNG/GIF/WAV container
+    """REAL (non-fake) media decode: synthetic PNG/GIF/WAV/MP4 container
     payloads with id-derived dimensions, parsed by the stdlib header
-    decoder (struct) inside mapInPandas — the oracle recomputes the
-    dimensions from the id arithmetic."""
+    decoder (struct, incl. ISO-BMFF mvhd/tkhd for video) inside
+    mapInPandas — the oracle recomputes the dimensions and durations
+    from the id arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.synthetic_real_media(docs)
     return MM.decode_media(media, fake=False).select(
@@ -2078,10 +2079,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_real_decode": """
             SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
-                   CAST(CASE WHEN doc_id % 3 <> 2 THEN 100 + doc_id % 500 END AS INTEGER) AS width,
-                   CAST(CASE WHEN doc_id % 3 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
-                   CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 10 + 1) * 100 END AS INTEGER) AS duration_ms
+                   CASE WHEN doc_id % 4 = 2 THEN 'audio'
+                        WHEN doc_id % 4 = 3 THEN 'video'
+                        ELSE 'image' END AS kind,
+                   CAST(CASE WHEN doc_id % 4 <> 2 THEN 100 + doc_id % 500 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 4 <> 2 THEN 50 + doc_id % 300 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN (doc_id % 10 + 1) * 100
+                             WHEN doc_id % 4 = 3 THEN (doc_id % 20 + 1) * 500
+                        END AS INTEGER) AS duration_ms
             FROM documents
         """,
         "unigram_logprob": f"""

@@ -5,10 +5,11 @@ Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
 batch shapes, UDF signatures — is real and tested. Decode has two tiers:
 
 - **Real header metadata (stdlib only)**: JPEG SOF / PNG IHDR / GIF /
-  BMP width×height and WAV duration are parsed with ``struct`` —
-  ``decode_media(fake=False)`` runs these for image/audio payloads.
-  Pixel/sample decode and video probing need PIL/ffmpeg (not in this
-  container) and remain gated: video rows in real mode raise
+  BMP width×height, WAV duration, and MP4 (ISO-BMFF) duration +
+  presentation dimensions are parsed with ``struct`` —
+  ``decode_media(fake=False)`` runs these for every kind.
+  Pixel/sample decode needs PIL/ffmpeg (not in this container) and
+  remains the one gated stub: ``sample_frames`` real mode raises
   NotImplementedError.
 - **Fake mode** (``fake=True``): deterministic md5-derived decode for
   exercising the distributed plumbing on arbitrary (non-media) bytes.
@@ -134,6 +135,11 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any] | None:
       0xC4/0xC8/0xCC); height/width big-endian u16 at payload bytes 1..5.
     - WAV: RIFF/WAVE chunk walk; 'fmt ' byte-rate (LE u32 at +16) and
       'data' declared size → duration_ms = data_size / byte_rate.
+    - MP4/ISO-BMFF ('ftyp' at bytes 4..8): box walk to moov→mvhd for
+      timescale/duration (v0 and v1 layouts), moov→trak→tkhd for the
+      16.16 fixed-point presentation width/height of the first track
+      that declares nonzero dimensions. Header metadata only — frame
+      pixel decode still needs ffmpeg and stays out of scope.
     """
     if payload is None or len(payload) < 10:
         return None
@@ -171,6 +177,51 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any] | None:
                 return {"fmt": "jpeg", "width": w, "height": h, "duration_ms": None}
             i += 2 + seg_len
         return None
+    if len(b) >= 16 and b[4:8] == b"ftyp":
+        width = height = dur = None
+
+        def boxes(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                size = struct.unpack(">I", b[i : i + 4])[0]
+                typ = b[i + 4 : i + 8]
+                off = 8
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > hi:
+                        return
+                    size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+                    off = 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - i
+                if size < off or i + size > hi:
+                    return
+                yield typ, i + off, i + size
+                i += size
+
+        for typ, lo, hi in boxes(0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, lo2, hi2 in boxes(lo, hi):
+                if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                    ver = b[lo2]
+                    if ver == 1 and hi2 - lo2 >= 32:
+                        ts = struct.unpack(">I", b[lo2 + 20 : lo2 + 24])[0]
+                        du = struct.unpack(">Q", b[lo2 + 24 : lo2 + 32])[0]
+                    else:
+                        ts = struct.unpack(">I", b[lo2 + 12 : lo2 + 16])[0]
+                        du = struct.unpack(">I", b[lo2 + 16 : lo2 + 20])[0]
+                    if ts:
+                        dur = round(du * 1000 / ts)
+                elif t2 == b"trak":
+                    for t3, lo3, hi3 in boxes(lo2, hi2):
+                        # width/height are the final 8 bytes in both
+                        # tkhd versions (16.16 fixed point)
+                        if t3 == b"tkhd" and hi3 - lo3 >= 84:
+                            ww, hh = struct.unpack(">II", b[hi3 - 8 : hi3])
+                            ww, hh = ww >> 16, hh >> 16
+                            if width is None and (ww or hh):
+                                width, height = ww, hh
+        return {"fmt": "mp4", "width": width, "height": height, "duration_ms": dur}
     if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
         i = 12
         byte_rate = None
@@ -205,12 +256,15 @@ def _i32(v: Any) -> int | None:
 
 
 def _real_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
-    """Header-metadata decode for image/audio; video needs ffmpeg."""
-    if kind == "video":
-        raise NotImplementedError(
-            "real video probe requires ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stand-in"
-        )
+    """Header-metadata decode for image/audio/video containers.
+
+    Video is header-only (MP4 mvhd/tkhd via ``parse_media_header``);
+    frame PIXEL decode still requires ffmpeg (not in this container) —
+    that remains the one documented stub, in ``sample_frames``'s real
+    mode. A payload whose container is unrecognized (including a
+    'video'-kinded row that is not ISO-BMFF) yields NULL metadata, never
+    a crashed task.
+    """
     if payload is None:
         return {
             "n_bytes": None, "width": None, "height": None,
@@ -229,11 +283,11 @@ def _real_decode(payload: bytes | None, kind: str) -> dict[str, Any]:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow-batched).
 
-    ``fake=False`` (real mode) parses image/audio container headers with
-    the stdlib (see ``parse_media_header``) — unrecognized payloads get
-    NULL dimensions, video rows raise NotImplementedError (ffmpeg not in
-    this container). ``fake=True`` substitutes the deterministic
-    md5-derived decode (works on any bytes, including video)."""
+    ``fake=False`` (real mode) parses container headers with the stdlib
+    (see ``parse_media_header``; MP4 covers the video kind) —
+    unrecognized payloads get NULL dimensions, never a crashed task.
+    ``fake=True`` substitutes the deterministic md5-derived decode
+    (works on any bytes)."""
     decode_one = _fake_decode if fake else _real_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,12 +306,17 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def synthetic_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL-container payloads (PNG / GIF / WAV headers
-    built with ``struct``) with id-derived dimensions, so the non-fake
-    decode path is exercisable — and oracle-checkable — without media
-    libraries: width = 100 + id%500, height = 50 + id%300,
-    wav duration_ms = (id%10 + 1) * 100 exactly.
+    """Deterministic REAL-container payloads (PNG / GIF / WAV / MP4
+    headers built with ``struct``) with id-derived dimensions, so the
+    non-fake decode path is exercisable — and oracle-checkable — without
+    media libraries: width = 100 + id%500, height = 50 + id%300,
+    wav duration_ms = (id%10 + 1) * 100, mp4 duration_ms =
+    (id%20 + 1) * 500 exactly (mvhd timescale 1000).
     """
+    # identity transformation matrix used by both mvhd and tkhd
+    mp4_matrix = struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,17 +324,17 @@ def synthetic_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 100 + mid % 500, 50 + mid % 300
-                if mid % 3 == 0:  # minimal PNG: sig + IHDR
+                if mid % 4 == 0:  # minimal PNG: sig + IHDR
                     payload = (
                         b"\x89PNG\r\n\x1a\n"
                         + struct.pack(">I", 13) + b"IHDR"
                         + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                     )
                     kind, mime = "image", "image/png"
-                elif mid % 3 == 1:  # GIF89a logical screen
+                elif mid % 4 == 1:  # GIF89a logical screen
                     payload = b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
                     kind, mime = "image", "image/gif"
-                else:  # canonical WAV: fmt(16) + data header
+                elif mid % 4 == 2:  # canonical WAV: fmt(16) + data header
                     byte_rate = 16000
                     data_size = (mid % 10 + 1) * 1600  # → (id%10+1)*100 ms
                     payload = (
@@ -284,6 +343,33 @@ def synthetic_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         + b"data" + struct.pack("<I", data_size)
                     )
                     kind, mime = "audio", "audio/wav"
+                else:  # minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd))
+                    dur = (mid % 20 + 1) * 500
+                    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+                    mvhd = (
+                        struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+                        + struct.pack(">II", 0, 0)        # creation, modification
+                        + struct.pack(">II", 1000, dur)   # timescale, duration
+                        + struct.pack(">I", 0x00010000)   # rate 1.0
+                        + struct.pack(">H", 0x0100)       # volume
+                        + b"\x00" * 10                    # reserved
+                        + mp4_matrix
+                        + b"\x00" * 24                    # pre_defined
+                        + struct.pack(">I", 2)            # next_track_ID
+                    )
+                    tkhd = (
+                        struct.pack(">I", 92) + b"tkhd" + b"\x00\x00\x00\x07"
+                        + struct.pack(">IIII", 0, 0, 1, 0)  # creation/mod/track/rsv
+                        + struct.pack(">I", dur)
+                        + b"\x00" * 8
+                        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/vol/rsv
+                        + mp4_matrix
+                        + struct.pack(">II", w << 16, h << 16)  # 16.16 fixed
+                    )
+                    trak = struct.pack(">I", 100) + b"trak" + tkhd
+                    moov = struct.pack(">I", 216) + b"moov" + mvhd + trak
+                    payload = ftyp + moov
+                    kind, mime = "video", "video/mp4"
                 out.append(
                     {
                         "media_id": mid,

@@ -168,13 +168,17 @@ def test_media_pipeline_fake_decode(spark):
     assert dec2 == {k: v["feature_hash"] for k, v in rows.items()}
 
 
-def test_real_decode_video_raises(spark):
-    # doc_id 2 → kind 'video' (media_from_documents routing); the real
-    # path still gates video behind ffmpeg
+def test_real_decode_non_container_video_yields_null(spark):
+    # doc_id 2 → kind 'video' (media_from_documents routing); its payload
+    # is utf-8 text, not ISO-BMFF — real decode must yield NULL metadata
+    # (robustness contract), not crash. Frame PIXEL decode remains the
+    # ffmpeg-gated stub (sample_frames real mode).
     docs = spark.createDataFrame([(2, "x")], ["doc_id", "text"])
     media = M.media_from_documents(docs)
-    with pytest.raises(Exception, match="NotImplementedError|video probe"):
-        M.decode_media(media, fake=False).collect()
+    row = M.decode_media(media, fake=False).collect()[0]
+    assert row["kind"] == "video"
+    assert row["width"] is None and row["duration_ms"] is None
+    assert row["feature_hash"] is not None
 
 
 def test_parse_media_header_formats():
@@ -210,6 +214,32 @@ def test_parse_media_header_formats():
     )
     assert M.parse_media_header(wav)["duration_ms"] == 500
 
+    # MP4: ftyp + moov(mvhd v0 timescale 600 duration 1200 -> 2000 ms,
+    # trak/tkhd 1280x720 as 16.16 fixed point)
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + b"\x00" * 4
+        + struct.pack(">IIII", 0, 0, 600, 1200)
+        + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + struct.pack(">I", 2)
+    )
+    tkhd = (
+        struct.pack(">I", 92) + b"tkhd" + b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, 1200) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", 1280 << 16, 720 << 16)
+    )
+    trak = struct.pack(">I", 100) + b"trak" + tkhd
+    mp4 = (
+        struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        + struct.pack(">I", 216) + b"moov" + mvhd + trak
+    )
+    out = M.parse_media_header(mp4)
+    assert out == {"fmt": "mp4", "width": 1280, "height": 720, "duration_ms": 2000}
+    # truncated mp4 yields fmt with NULL fields, never raises
+    out2 = M.parse_media_header(mp4[:40])
+    assert out2["fmt"] == "mp4" and out2["duration_ms"] is None
+
     # hostile/truncated bytes never raise
     for bad in (None, b"", b"\x89PNG\r\n\x1a", b"\xff\xd8\x00\x00",
                 b"RIFFxxxxWAVE", b"garbage bytes here", png[:20]):
@@ -224,10 +254,15 @@ def test_real_decode_on_synthetic_media(spark):
     rows = {r["media_id"]: r for r in M.decode_media(media, fake=False).collect()}
     assert len(rows) == 12
     for i in range(12):
-        if i % 3 == 2:
+        if i % 4 == 2:
             assert rows[i]["kind"] == "audio"
             assert rows[i]["duration_ms"] == (i % 10 + 1) * 100
             assert rows[i]["width"] is None
+        elif i % 4 == 3:
+            assert rows[i]["kind"] == "video"
+            assert rows[i]["duration_ms"] == (i % 20 + 1) * 500
+            assert rows[i]["width"] == 100 + i % 500
+            assert rows[i]["height"] == 50 + i % 300
         else:
             assert rows[i]["kind"] == "image"
             assert rows[i]["width"] == 100 + i % 500

@@ -12,6 +12,9 @@ spark.sparkContext.setLogLevel("ERROR")
 assert len(m.entry(spark).collect()) > 0
 # the nanos-parquet events table is the config-sensitive one
 assert m.queries()["events_sessionize"](spark, "/root/testdata/sf0.001").count() > 0
+# newest driver-window queries must also run under a vanilla session
+assert m.queries()["gopher_quality_flags"](spark, "/root/testdata/sf0.001").count() > 0
+assert m.queries()["corpus_report"](spark, "/root/testdata/sf0.001").count() > 0
 assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 print("VANILLA-OK")
 """
