@@ -845,6 +845,13 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal (Jelinek-Mercer interpolated with the
+    unigram model) — vocab-sized shuffles + broadcast scalar total."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_logprob(docs)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1284,7 +1291,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # by tpch_q2 — and tpch_q16, whose distinct-count + anti-membership
     # recipe is driver-covered by approx_aggregates/customers_without_
     # orders; both stay oracle-green locally)
-    "gopher_quality_flags", "corpus_report",
+    "gopher_quality_flags", "corpus_report", "bigram_logprob",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
@@ -1309,7 +1316,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q12", "tpch_q13", "tpch_q14",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
     "asof_latest_order", "range_activity_24h",
@@ -1376,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "gopher_quality_flags": q_gopher_quality_flags,
         "corpus_report": q_corpus_report,
+        "bigram_logprob": q_bigram_logprob,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2158,6 +2166,34 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_rate
             FROM documents
             GROUP BY source
+        """,
+        "bigram_logprob": f"""
+            WITH btoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            uni AS (SELECT unnest(w) AS tok FROM btoks),
+            v AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM v),
+            bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                                  range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' '))
+                              ELSE [] END) AS b
+                FROM btoks),
+            bc AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY b),
+            lp AS (
+                SELECT bg.doc_id,
+                       ln(0.5 * bc.nb / v1.n + 0.5 * v2.n / tot.N) AS l
+                FROM bg
+                JOIN bc ON bg.b = bc.b
+                JOIN v v1 ON v1.tok = split_part(bg.b, ' ', 1)
+                JOIN v v2 ON v2.tok = split_part(bg.b, ' ', 2)
+                CROSS JOIN tot)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(l), 6) AS mean_logprob
+            FROM lp GROUP BY doc_id
         """,
         "gopher_quality_flags": f"""
             WITH toks AS (

@@ -546,3 +546,68 @@ def gopher_rules(
         keep.alias("keep"),
     )
     return out
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM quality signal: each doc's mean log-probability of its
+    word bigrams under the corpus's OWN bigram model with Jelinek-Mercer
+    interpolation — ``P(w2|w1) = lam * c(w1 w2)/c(w1) +
+    (1-lam) * c(w2)/N``. The unigram backoff term keeps every observed
+    bigram's probability positive, so no discounting bookkeeping is
+    needed; this is the standard step up from :func:`unigram_logprob`
+    when gibberish has plausible tokens in implausible order.
+
+    Returns ``(id_col, n_bigrams, mean_logprob)`` rounded to 6dp; docs
+    with fewer than two words emit no row (same contract as the unigram
+    scorer's no-token case).
+
+    Scale shape: bigram construction is map-side (materialized token
+    array — nested-HOF CSE rule); the bigram and unigram count tables
+    shuffle at |bigram-vocab| / |vocab| size after map-side partial
+    aggregation; the probe stream joins each count table keyed on its
+    gram and the corpus total broadcasts as a scalar. No Python, no
+    driver collect.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    staged = ensure_parallelism(df).withColumn(
+        "_bl_toks", words(F.coalesce(_c(text_col), F.lit("")))
+    )
+    tok = staged.select(
+        F.col(id_col), F.explode(F.col("_bl_toks")).alias("__tok")
+    )
+    vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__n")).alias("v")
+    total = vocab.agg(F.sum("__n").cast("double").alias("__N")).alias("tt")
+    big = staged.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col("_bl_toks"), 2)).alias("__bg"),
+    ).alias("g")
+    bcnt = big.groupBy("__bg").agg(F.count(F.lit(1)).alias("__nb")).alias("b")
+    v1 = vocab.select(
+        F.col("__tok").alias("__w1"), F.col("__n").alias("__n1")
+    ).alias("v1")
+    v2 = vocab.select(
+        F.col("__tok").alias("__w2"), F.col("__n").alias("__n2")
+    ).alias("v2")
+    scored = (
+        big.join(bcnt, F.col("g.__bg") == F.col("b.__bg"))
+        .join(v1, F.split(F.col("g.__bg"), " ")[0] == F.col("v1.__w1"))
+        .join(v2, F.split(F.col("g.__bg"), " ")[1] == F.col("v2.__w2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(f"g.{id_col}").alias(id_col),
+            F.log(
+                F.lit(lam) * F.col("b.__nb") / F.col("v1.__n1")
+                + F.lit(1.0 - lam) * F.col("v2.__n2") / F.col("tt.__N")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )

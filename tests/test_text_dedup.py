@@ -508,3 +508,29 @@ def test_span_dedup_plan_materializes_tokens_once(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     plan = D.span_dedup(df, span_words=3)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_extract_all") == 1
+
+
+def test_bigram_logprob_exact_values(spark):
+    import math
+
+    # corpus: "a b a b" (doc 1), "a b" (doc 2), "x" (doc 3: <2 words -> no row)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in T.bigram_logprob(df).collect()}
+    assert set(out) == {1, 2}
+    # counts: unigrams a:3 b:3 x:1, N=7; bigrams "a b":3, "b a":1
+    # P(b|a) = .5*3/3 + .5*3/7 ; P(a|b) = .5*1/3 + .5*3/7
+    p_ab = 0.5 * 3 / 3 + 0.5 * 3 / 7
+    p_ba = 0.5 * 1 / 3 + 0.5 * 3 / 7
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(exp1)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(p_ab), 6))
+
+
+def test_bigram_logprob_rejects_bad_lambda(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        T.bigram_logprob(df, lam=0.0)
