@@ -852,6 +852,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob(docs)
 
 
+def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF features, long form (doc_id, bucket, tf) — the
+    zero-model featurizer bridging text to the embedding operators."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.hashed_tf(docs, dim=64)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1291,7 +1298,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # by tpch_q2 — and tpch_q16, whose distinct-count + anti-membership
     # recipe is driver-covered by approx_aggregates/customers_without_
     # orders; both stay oracle-green locally)
-    "gopher_quality_flags", "corpus_report", "bigram_logprob",
+    "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
@@ -1316,7 +1323,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q12", "tpch_q13",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
     "asof_latest_order", "range_activity_24h",
@@ -1384,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
+        "hashed_tf": q_hashed_tf,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2166,6 +2174,18 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_rate
             FROM documents
             GROUP BY source
+        """,
+        "hashed_tf": f"""
+            WITH htok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_WORD_SQL}')) AS tok
+                FROM documents)
+            SELECT doc_id,
+                   ('0x' || substr(md5('tf|' || tok), 1, 15))::BIGINT % 64
+                       AS bucket,
+                   COUNT(*) AS tf
+            FROM htok GROUP BY doc_id, bucket
         """,
         "bigram_logprob": f"""
             WITH btoks AS (

@@ -611,3 +611,56 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
+
+
+def hashed_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    dense: bool = False,
+    seed: str = "tf|",
+) -> DataFrame:
+    """Hashing-trick term-frequency features (Weinberger et al. 2009,
+    arXiv:0902.2206): token → ``md5 % dim`` bucket, count per (doc,
+    bucket). No vocabulary pass, no model, fixed memory per doc — the
+    zero-dependency featurizer that lets the embedding-side operators
+    (``similarity.semantic_dedup``, k-means, ANN) run on raw text.
+
+    ``dense=False`` (default) returns the long form ``(id_col, bucket,
+    tf)`` — one |tokens|-keyed shuffle, exactly SQL-reproducible (the
+    md5 recipe matches ``dedup.hash60``, re-stated here because text
+    must not import dedup).
+    ``dense=True`` additionally assembles the ``dim``-length double
+    array (map_from_entries + transform over the index range, JVM-side)
+    as ``tf_vec`` — the drop-in ``embedding`` column shape.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    tok = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(words(F.coalesce(_c(text_col), F.lit("")))).alias("__tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col("__tok"))), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(dim)
+    )
+    long_form = (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if not dense:
+        return long_form
+    as_map = long_form.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "tf"))
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("bigint")), F.lit(0)
+        ).cast("double"),
+    )
+    return as_map.select(F.col(id_col), vec.alias("tf_vec"))

@@ -534,3 +534,47 @@ def test_bigram_logprob_rejects_bad_lambda(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         T.bigram_logprob(df, lam=0.0)
+
+
+def test_hashed_tf_long_and_dense_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b"), (3, None), (4, "")], ["doc_id", "text"]
+    )
+    long_rows = T.hashed_tf(df, dim=8).collect()
+    dense_rows = {r["doc_id"]: r["tf_vec"] for r in
+                  T.hashed_tf(df, dim=8, dense=True).collect()}
+    # token-less docs emit nothing in either form
+    ids = {r["doc_id"] for r in long_rows}
+    assert ids == {1, 2} and set(dense_rows) == {1, 2}
+    # dense vector is exactly the scattered long form
+    for r in long_rows:
+        assert dense_rows[r["doc_id"]][r["bucket"]] == float(r["tf"])
+    assert sum(dense_rows[1]) == 4.0  # 4 tokens in doc 1
+    # deterministic across invocations
+    assert sorted(map(tuple, long_rows)) == sorted(
+        map(tuple, T.hashed_tf(df, dim=8).collect())
+    )
+
+
+def test_hashed_tf_feeds_semantic_dedup(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two near-identical docs (same bag of words) + one distinct: the
+    # hashing-trick vectors make the duplicate pair cosine-1.0, so
+    # semantic_dedup drops the higher-id twin with no external model
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),  # same bag
+            (3, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = T.hashed_tf(df, dim=16, dense=True).select(
+        F.col("doc_id").alias("vec_id"), F.col("tf_vec").alias("embedding")
+    )
+    kept = {r["vec_id"] for r in
+            semantic_dedup(vecs, threshold=0.95, k=2, n_iter=1).collect()}
+    assert kept == {1, 3}
