@@ -1293,11 +1293,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (104 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest: Gopher/C4 rule battery + per-source corpus report (ceded
-    # slots: tpch_q17 — correlated-scalar-subquery recipe driver-covered
-    # by tpch_q2 — and tpch_q16, whose distinct-count + anti-membership
-    # recipe is driver-covered by approx_aggregates/customers_without_
-    # orders; both stay oracle-green locally)
+    # newest (4): Gopher/C4 rule battery, per-source corpus report,
+    # interpolated bigram-LM scoring, hashing-trick TF features. Ceded
+    # slots, all still oracle-green locally: tpch_q17 + tpch_q15
+    # (scalar-subquery recipes driver-covered by tpch_q2), tpch_q16
+    # (distinct-count + anti-membership, covered by approx_aggregates /
+    # customers_without_orders), tpch_q14 (join + conditional-agg ratio,
+    # covered by tpch_q8's case-sum shape)
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup

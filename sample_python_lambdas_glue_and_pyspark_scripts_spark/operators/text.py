@@ -571,7 +571,13 @@ def bigram_logprob(
     shuffle at |bigram-vocab| / |vocab| size after map-side partial
     aggregation; the probe stream joins each count table keyed on its
     gram and the corpus total broadcasts as a scalar. No Python, no
-    driver collect.
+    driver collect. The static plan re-scans the input for each count
+    table (5 pruned scans — see PLANS.md); at corpus scale, write the
+    tokenized stream once and feed it here (the count tables and probe
+    then share one materialized input), or rely on AQE exchange reuse
+    where the lineages coincide. The alternative — window counts over
+    the full token stream — trades the scans for two |tokens|-sized
+    sort shuffles, which is worse once the corpus outgrows memory.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError("lam must be in (0, 1]")
