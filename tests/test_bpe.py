@@ -1,0 +1,69 @@
+"""BPE vocabulary induction (operators/bpe.py): the Sennrich corpus,
+merge determinism, left-greedy overlap handling, OOV segmentation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import bpe as B
+
+CLASSIC = (
+    "low low low low low lower lower "
+    "newest newest newest newest newest newest "
+    "widest widest widest"
+)
+
+
+def test_bpe_train_classic_corpus(spark):
+    df = spark.createDataFrame([(1, CLASSIC)], ["doc_id", "text"])
+    merges, seg = B.bpe_train(B.word_vocab(df), n_merges=5)
+    # canonical first merges from Sennrich et al. 2016 §3.2's example
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")
+    ]
+    syms = {r["word"]: list(r["syms"]) for r in seg.collect()}
+    assert syms["newest"] == ["n", "e", "w", "est</w>"]
+    assert syms["low"] == ["low", "</w>"]
+
+
+def test_bpe_train_deterministic_and_early_stop(spark):
+    df = spark.createDataFrame([(1, CLASSIC)], ["doc_id", "text"])
+    v = B.word_vocab(df)
+    m1, _ = B.bpe_train(v, n_merges=8)
+    m2, _ = B.bpe_train(v, n_merges=8)
+    assert m1 == m2  # count-desc then lexicographic tie-break
+    # a corpus of single characters fully merges, then stops early
+    tiny = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    merges, seg = B.bpe_train(B.word_vocab(tiny), n_merges=50)
+    assert len(merges) < 50
+    assert all(r["syms"] == [r["word"] + "</w>"] for r in seg.collect())
+
+
+def test_merge_pair_left_greedy_non_overlapping(spark):
+    # 'aaa</w>' merging (a,a): left-greedy -> [aa, a, </w>], never [a, aa, ...]
+    df = spark.createDataFrame([(["a", "a", "a", "</w>"],)], ["syms"])
+    out = df.select(B._merge_pair(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert list(out) == ["aa", "a", "</w>"]
+    # and four a's -> two merges
+    df4 = spark.createDataFrame([(["a", "a", "a", "a"],)], ["syms"])
+    out4 = df4.select(B._merge_pair(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert list(out4) == ["aa", "aa"]
+
+
+def test_bpe_segment_vocab_join_and_oov_fallback(spark):
+    train = spark.createDataFrame([(1, CLASSIC)], ["doc_id", "text"])
+    _, seg = B.bpe_train(B.word_vocab(train), n_merges=10)
+    apply_df = spark.createDataFrame(
+        [(1, "low newest"), (2, "zebra"), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in B.bpe_segment(apply_df, seg).collect()}
+    seg_sizes = {r["word"]: len(r["syms"]) for r in seg.collect()}
+    assert rows[1]["n_bpe_tokens"] == seg_sizes["low"] + seg_sizes["newest"]
+    # OOV word falls back to characters + </w>
+    assert rows[2]["n_bpe_tokens"] == len("zebra") + 1
+    assert 3 not in rows  # no tokens -> no row (unigram-scorer contract)
+
+
+def test_word_vocab_min_count(spark):
+    df = spark.createDataFrame([(1, "x x x y")], ["doc_id", "text"])
+    v = B.word_vocab(df, min_count=2)
+    assert [r["word"] for r in v.collect()] == ["x"]
