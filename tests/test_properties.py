@@ -134,3 +134,40 @@ def test_jaccard_matches_python_reference(spark, texts):
                 assert (i, j) not in got  # no shared shingle → no pair row
             else:
                 assert got[(i, j)] == pytest.approx(round(expected, 6), abs=1e-9)
+
+
+# --- BPE merge fold vs Python reference --------------------------------------
+
+
+def _py_merge(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_sym = st.sampled_from(["a", "b", "ab", "c", "</w>"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    syms=st.lists(_sym, min_size=0, max_size=12),
+    pair=st.tuples(_sym, _sym),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, syms, pair):
+    from pyspark.sql import functions as F
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        bpe as B,
+    )
+
+    a, b = pair
+    df = spark.createDataFrame([(syms,)], "syms: array<string>")
+    got = df.select(B._merge_pair(F.col("syms"), a, b).alias("m")).first()["m"]
+    assert list(got) == _py_merge(syms, a, b)
