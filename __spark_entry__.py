@@ -1268,6 +1268,34 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (hopping windows): each
+    event expands into length/slide = 2 window rows (Spark's Expand
+    operator, map-side) before one keyed aggregation — the same plan
+    Structured Streaming runs per micro-batch for overlapping windows."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.incremental import (
+        sliding_window_agg,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("__ets", event_time(e, "ts"))
+    out = sliding_window_agg(
+        e,
+        "__ets",
+        window_duration="10 minutes",
+        slide="5 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user: session count per user."""
     e = _t(spark, sf_dir, "events")
@@ -1299,8 +1327,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # (scalar-subquery recipes driver-covered by tpch_q2), tpch_q16
     # (distinct-count + anti-membership, covered by approx_aggregates /
     # customers_without_orders), tpch_q14 (join + conditional-agg ratio,
-    # covered by tpch_q8's case-sum shape)
+    # covered by tpch_q8's case-sum shape), tpch_q12 (same
+    # join + conditional-agg family)
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
+    "events_sliding_window",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
@@ -1325,7 +1355,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q13",
+    "tpch_q13",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
     "asof_latest_order", "range_activity_24h",
@@ -1404,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_admitted": q_corpus_admitted,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_sliding_window": q_events_sliding_window,
         "events_sessionize": q_events_sessionize,
         "sample_documents": q_sample_documents,
         "stratified_sample_orders": q_stratified_sample_orders,
@@ -2424,6 +2455,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM events
             GROUP BY 1
+        """,
+        "events_sliding_window": """
+            WITH x AS (
+                SELECT value, epoch_ns(ts) // 300000000000 AS slot
+                FROM events),
+            w AS (
+                SELECT value, (slot - t.k) * 300 AS start_s
+                FROM x, range(2) AS t(k))
+            SELECT strftime(make_timestamp(start_s * 1000000),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM w GROUP BY 1
         """,
         "events_sessionize": """
             WITH o AS (
