@@ -859,6 +859,22 @@ def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_tf(docs, dim=64)
 
 
+def q_cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the corpus token stream (width 256, depth 4):
+    the fixed-size, cell-wise-mergeable frequency summary — heavy-hitter
+    detection without a vocab-sized table. The full grid is hashed
+    against the oracle, not just sampled answers."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(TX.words(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    return SK.count_min_sketch(tok, "tok", width=256, depth=4)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1330,7 +1346,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # covered by tpch_q8's case-sum shape), tpch_q12 (same
     # join + conditional-agg family)
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
-    "events_sliding_window",
+    "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
     # SemDeDup, source mixing, incremental cross-corpus dedup
     "span_dedup", "quantile_filtered_docs", "token_budget_subset",
@@ -1354,7 +1370,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "training_prep_rollup", "text_scrub", "label_centroids",
     "centroid_assign", "merge_upsert_orders", "approx_aggregates",
     "window_distribution", "window_first_last", "cube_revenue",
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q13",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # round-2 driver reds, fixed this round (event_time dtype adaptivity)
@@ -1424,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
         "hashed_tf": q_hashed_tf,
+        "cms_token_sketch": q_cms_token_sketch,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2207,6 +2224,20 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_rate
             FROM documents
             GROUP BY source
+        """,
+        "cms_token_sketch": f"""
+            WITH ctok AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_WORD_SQL}')) AS tok
+                FROM documents),
+            cells AS (
+                SELECT t.d AS row,
+                       ('0x' || substr(md5('cms' || t.d || '|' || tok), 1, 15))::BIGINT
+                           % 256 AS slot
+                FROM ctok, range(4) AS t(d))
+            SELECT CAST(row AS INTEGER) AS row, slot,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY row, slot
         """,
         "hashed_tf": f"""
             WITH htok AS (

@@ -67,3 +67,48 @@ def test_word_vocab_min_count(spark):
     df = spark.createDataFrame([(1, "x x x y")], ["doc_id", "text"])
     v = B.word_vocab(df, min_count=2)
     assert [r["word"] for r in v.collect()] == ["x"]
+
+
+# --- count-min sketch (operators/sketches.py) --------------------------------
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    sk = SK.count_min_sketch(df, "k", width=8, depth=3)  # tiny -> collisions
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("never",)], ["k"])
+    est = {r["k"]: r["est"] for r in
+           SK.cms_estimate(sk, keys, "k", width=8, depth=3).collect()}
+    truth = {"a": 50, "b": 7, "c": 3, "d": 1, "never": 0}
+    for k, t in truth.items():
+        assert est[k] >= t  # one-sided error
+    assert est["a"] >= 50 and est["a"] <= 61  # overshoot bounded by N-t
+
+    # mergeability: sketch(all) == cms_merge(sketch(half1), sketch(half2))
+    h1 = spark.createDataFrame(rows[:30], ["k"])
+    h2 = spark.createDataFrame(rows[30:], ["k"])
+    merged = SK.cms_merge(
+        SK.count_min_sketch(h1, "k", width=8, depth=3),
+        SK.count_min_sketch(h2, "k", width=8, depth=3),
+    )
+    whole = {(r["row"], r["slot"]): r["cnt"]
+             for r in SK.count_min_sketch(df, "k", width=8, depth=3).collect()}
+    got = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_cms_weighted_counts(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], ["k", "w"])
+    sk = SK.count_min_sketch(df, "k", width=64, depth=4, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], ["k"])
+    est = {r["k"]: r["est"] for r in
+           SK.cms_estimate(sk, keys, "k", width=64, depth=4).collect()}
+    assert est == {"a": 15, "b": 2}
