@@ -875,6 +875,34 @@ def q_cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.count_min_sketch(tok, "tok", width=256, depth=4)
 
 
+def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=8, 256 registers) over the event
+    user stream: the fixed-size, cell-wise-MAX-mergeable cardinality
+    summary. The full register table is hashed against the oracle, not
+    just the estimate — every bucket and leading-run length must agree."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.hll_sketch(ev, "user_id", p=8)
+
+
+def q_hll_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate next to the exact answer (calibration row a pipeline
+    records per corpus): distinct users estimated from 256 registers vs
+    COUNT(DISTINCT). Doubles rounded 6dp; linear-counting small-range
+    branch included in both engines."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = SK.hll_estimate(SK.hll_sketch(ev, "user_id", p=8), p=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1345,6 +1373,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # customers_without_orders), tpch_q14 (join + conditional-agg ratio,
     # covered by tpch_q8's case-sum shape), tpch_q12 (same
     # join + conditional-agg family)
+    "hll_user_sketch", "hll_cardinality_report",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1441,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "hashed_tf": q_hashed_tf,
         "cms_token_sketch": q_cms_token_sketch,
+        "hll_user_sketch": q_hll_user_sketch,
+        "hll_cardinality_report": q_hll_cardinality_report,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2238,6 +2269,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row AS INTEGER) AS row, slot,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM cells GROUP BY row, slot
+        """,
+        "hll_user_sketch": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL)
+            SELECT hv % 256 AS bucket,
+                   CAST(MAX(CASE WHEN hv // 256 = 0 THEN 53
+                            ELSE 52 - length(bin(hv // 256)) + 1 END)
+                        AS INTEGER) AS rho
+            FROM h GROUP BY bucket
+        """,
+        "hll_cardinality_report": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL),
+            regs AS (
+                SELECT hv % 256 AS bucket,
+                       MAX(CASE WHEN hv // 256 = 0 THEN 53
+                           ELSE 52 - length(bin(hv // 256)) + 1 END) AS rho
+                FROM h GROUP BY bucket),
+            agg AS (
+                SELECT COUNT(*) AS nz, SUM(power(2.0, -rho)) AS s FROM regs),
+            est AS (
+                SELECT CAST(256 - nz AS BIGINT) AS zero_registers,
+                       (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                           / (s + (256 - nz)) AS raw,
+                       nz
+                FROM agg)
+            SELECT CAST(256 AS BIGINT) AS m,
+                   zero_registers,
+                   ROUND(raw, 6) AS raw_estimate,
+                   ROUND(CASE WHEN raw <= 640.0 AND zero_registers > 0
+                         THEN 256.0 * ln(256.0 / zero_registers)
+                         ELSE raw END, 6) AS estimate,
+                   (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+            FROM est
         """,
         "hashed_tf": f"""
             WITH htok AS (

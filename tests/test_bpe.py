@@ -112,3 +112,54 @@ def test_cms_weighted_counts(spark):
     est = {r["k"]: r["est"] for r in
            SK.cms_estimate(sk, keys, "k", width=64, depth=4).collect()}
     assert est == {"a": 15, "b": 2}
+
+
+def test_hll_merge_law_and_accuracy(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    n = 20_000
+    df = spark.range(n).selectExpr("concat('key-', id) AS k")
+    sk = SK.hll_sketch(df, "k", p=11)
+    est = SK.hll_estimate(sk, p=11).collect()[0]
+    # standard error 1.04/sqrt(2048) ~= 2.3%; allow 4 sigma
+    assert abs(est["estimate"] - n) / n < 0.10
+    assert est["raw_estimate"] > 0
+
+    # merge law: sketch(A U B) == merge(sketch(A), sketch(B)) EXACTLY
+    a = spark.range(0, 12_000).selectExpr("concat('key-', id) AS k")
+    b = spark.range(8_000, n).selectExpr("concat('key-', id) AS k")  # overlap
+    merged = SK.hll_merge(SK.hll_sketch(a, "k", p=11), SK.hll_sketch(b, "k", p=11))
+    whole = {r["bucket"]: r["rho"] for r in sk.collect()}
+    got = {r["bucket"]: r["rho"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_hll_small_range_linear_counting(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # 30 distinct keys, m=256 registers -> linear-counting branch; the
+    # correction makes tiny cardinalities near-exact
+    df = spark.createDataFrame([(f"u{i % 30}",) for i in range(500)], ["k"])
+    est = SK.hll_estimate(SK.hll_sketch(df, "k", p=8), p=8).collect()[0]
+    assert est["zero_registers"] >= 256 - 30
+    assert abs(est["estimate"] - 30) <= 3
+    # duplicates must not move the registers: set semantics
+    once = spark.createDataFrame([(f"u{i}",) for i in range(30)], ["k"])
+    r1 = {r["bucket"]: r["rho"] for r in SK.hll_sketch(df, "k", p=8).collect()}
+    r2 = {r["bucket"]: r["rho"] for r in SK.hll_sketch(once, "k", p=8).collect()}
+    assert r1 == r2
+
+
+def test_hll_null_keys_ignored_and_bad_p(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], ["k"])
+    assert SK.hll_sketch(df, "k", p=8).count() <= 2
+    with pytest.raises(ValueError):
+        SK.hll_sketch(df, "k", p=3)
