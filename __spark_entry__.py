@@ -903,6 +903,15 @@ def q_hll_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition of the corpus by self-LM score
+    tertiles (arXiv:1911.00359): the standard 'keep the fluent two
+    thirds' pretraining cut. Thresholds are one broadcast aggregate;
+    no full-corpus sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.perplexity_buckets(docs)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1373,7 +1382,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # customers_without_orders), tpch_q14 (join + conditional-agg ratio,
     # covered by tpch_q8's case-sum shape), tpch_q12 (same
     # join + conditional-agg family)
-    "hll_user_sketch", "hll_cardinality_report",
+    "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1472,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_sketch": q_cms_token_sketch,
         "hll_user_sketch": q_hll_user_sketch,
         "hll_cardinality_report": q_hll_cardinality_report,
+        "ccnet_buckets": q_ccnet_buckets,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2269,6 +2279,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row AS INTEGER) AS row, slot,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM cells GROUP BY row, slot
+        """,
+        "ccnet_buckets": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS tok
+                FROM documents),
+            v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM v),
+            lp AS (SELECT t.doc_id, ln(v.n / tot.N) AS l
+                   FROM tok t JOIN v ON t.tok = v.tok CROSS JOIN tot),
+            scored AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       ROUND(AVG(l), 6) AS mean_logprob
+                FROM lp GROUP BY doc_id),
+            thr AS (
+                SELECT ROUND(quantile_cont(mean_logprob, {1.0 / 3.0!r}), 6) AS t_lo,
+                       ROUND(quantile_cont(mean_logprob, {2.0 / 3.0!r}), 6) AS t_hi
+                FROM scored)
+            SELECT doc_id, n_tokens, mean_logprob,
+                   CASE WHEN mean_logprob >= t_hi THEN 'head'
+                        WHEN mean_logprob >= t_lo THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored CROSS JOIN thr
         """,
         "hll_user_sketch": """
             WITH h AS (

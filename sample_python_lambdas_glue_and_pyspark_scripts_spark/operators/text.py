@@ -670,3 +670,46 @@ def hashed_tf(
         ).cast("double"),
     )
     return as_map.select(F.col(id_col), vec.alias("tf_vec"))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3): score every doc under the corpus's own LM
+    (here the self-unigram proxy from :func:`unigram_logprob`), cut the
+    score distribution at the ``q`` quantiles, and label each doc
+    ``head`` (most fluent third), ``middle``, or ``tail``. CCNet keeps
+    head+middle for pretraining and uses tail as the discard/inspect set.
+
+    Scale shape: scoring is the unigram_logprob plan (vocab-sized
+    shuffles); the two thresholds are ONE corpus-wide aggregate
+    broadcast back — no per-row shuffle, no sort of the full corpus.
+    ``exact=True`` uses ``percentile`` (matches DuckDB ``quantile_cont``
+    at 6dp — contract-checkable); at 100 TB flip to ``exact=False``
+    (``approx_percentile``, mergeable t-digest, same plan shape).
+    Thresholds and comparisons are on 6dp-rounded scores (parity kit),
+    so the partition is identical across engines.
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    fn = "percentile" if exact else "approx_percentile"
+    thr = scored.agg(
+        F.round(F.expr(f"{fn}(mean_logprob, {q[0]!r}d)"), 6).alias("__t_lo"),
+        F.round(F.expr(f"{fn}(mean_logprob, {q[1]!r}d)"), 6).alias("__t_hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("mean_logprob"),
+            F.when(F.col("mean_logprob") >= F.col("__t_hi"), F.lit("head"))
+            .when(F.col("mean_logprob") >= F.col("__t_lo"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -578,3 +578,49 @@ def test_hashed_tf_feeds_semantic_dedup(spark):
     kept = {r["vec_id"] for r in
             semantic_dedup(vecs, threshold=0.95, k=2, n_iter=1).collect()}
     assert kept == {1, 3}
+
+
+def test_perplexity_buckets_tertile_partition(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    # 9 docs on a clear fluency gradient: common-word docs score high
+    # under the self-unigram LM, rare-token docs low
+    rows = [
+        (1, "the the the the the"), (2, "the the the the and"),
+        (3, "the and the and the"), (4, "the and of to in"),
+        (5, "the of and qq to"), (6, "and to of zz yy"),
+        (7, "xx yy zz ww vv"), (8, "aa bb cc dd ee"),
+        (9, "ff gg hh ii jj"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = perplexity_buckets(df)
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    assert len(got) == 9
+    assert set(got.values()) == {"head", "middle", "tail"}
+    # the most fluent doc is head, the rarest-token docs are tail
+    assert got[1] == "head"
+    assert got[8] == "tail" and got[9] == "tail"
+    # monotone: scores ordered by bucket rank
+    scores = {r["doc_id"]: r["mean_logprob"] for r in out.collect()}
+    rank = {"head": 2, "middle": 1, "tail": 0}
+    for a in rows:
+        for b in rows:
+            if rank[got[a[0]]] > rank[got[b[0]]]:
+                assert scores[a[0]] >= scores[b[0]]
+
+
+def test_perplexity_buckets_approx_same_shape(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} the and of w{i % 3}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    exact = perplexity_buckets(df, exact=True)
+    approx = perplexity_buckets(df, exact=False)
+    assert exact.columns == approx.columns
+    assert approx.count() == 40
