@@ -912,6 +912,18 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.perplexity_buckets(docs)
 
 
+def q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): pick the 100 non-English
+    docs whose hashed-ngram distribution looks most like the English
+    target corpus. Both corpora collapse to ≤1024-row bucket tables;
+    the log-ratio table broadcasts; top-k is TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    is_en = F.coalesce(F.col("lang"), F.lit("")) == "en"
+    return TX.dsir_select(
+        docs.filter(~is_en), docs.filter(is_en), k=100, dim=1024
+    ).select("doc_id", "source", "lang", "dsir_logw")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1383,6 +1395,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # covered by tpch_q8's case-sum shape), tpch_q12 (same
     # join + conditional-agg family)
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
+    "dsir_selected_docs",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1482,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_sketch": q_hll_user_sketch,
         "hll_cardinality_report": q_hll_cardinality_report,
         "ccnet_buckets": q_ccnet_buckets,
+        "dsir_selected_docs": q_dsir_selected_docs,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2302,6 +2316,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mean_logprob >= t_lo THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM scored CROSS JOIN thr
+        """,
+        "dsir_selected_docs": f"""
+            WITH dtoks AS (
+                SELECT doc_id, coalesce(lang, '') AS lang,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            feats AS (
+                SELECT doc_id, lang,
+                       unnest(list_concat(w,
+                           CASE WHEN len(w) >= 2 THEN list_transform(
+                                    range(1, len(w)),
+                                    i -> array_to_string(w[i:i+1], ' '))
+                           ELSE [] END)) AS g
+                FROM dtoks),
+            fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir|' || g), 1, 15))::BIGINT % 1024
+                           AS bucket,
+                       COUNT(*) AS cnt
+                FROM feats GROUP BY doc_id, lang, bucket),
+            tgt AS (SELECT bucket, SUM(cnt) AS nt FROM fb
+                    WHERE lang = 'en' GROUP BY bucket),
+            rawc AS (SELECT bucket, SUM(cnt) AS nr FROM fb
+                     WHERE lang <> 'en' GROUP BY bucket),
+            nt_tot AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tot_t FROM tgt),
+            nr_tot AS (SELECT CAST(SUM(nr) AS DOUBLE) AS tot_r FROM rawc),
+            ratio AS (
+                SELECT r.bucket,
+                       ln((coalesce(t.nt, 0) + 1.0) / (tot_t + 1024.0))
+                         - ln((r.nr + 1.0) / (tot_r + 1024.0)) AS lr
+                FROM rawc r LEFT JOIN tgt t ON r.bucket = t.bucket
+                CROSS JOIN nt_tot CROSS JOIN nr_tot),
+            wts AS (
+                SELECT fb.doc_id, ROUND(SUM(fb.cnt * ratio.lr), 6) AS dsir_logw
+                FROM fb JOIN ratio ON fb.bucket = ratio.bucket
+                WHERE fb.lang <> 'en'
+                GROUP BY fb.doc_id)
+            SELECT d.doc_id, d.source, d.lang, w.dsir_logw
+            FROM documents d JOIN wts w ON d.doc_id = w.doc_id
+            ORDER BY w.dsir_logw DESC, d.doc_id
+            LIMIT 100
         """,
         "hll_user_sketch": """
             WITH h AS (

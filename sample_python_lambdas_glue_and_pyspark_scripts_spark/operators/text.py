@@ -713,3 +713,93 @@ def perplexity_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def _dsir_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int, seed: str = "dsir|"
+) -> DataFrame:
+    """Hashed bag-of-ngrams (unigrams + word bigrams → md5 % dim), long
+    form ``(id, bucket, cnt)``. The md5 recipe is the oracle-parity hash;
+    the explode is map-side and the count shuffles at most
+    |docs|·min(len, dim) rows after partial aggregation."""
+    toks = words(F.coalesce(_c(text_col), F.lit("")))
+    grams = F.concat(toks, _word_ngrams(toks, 2))
+    g = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col("__g"))), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(dim)
+    )
+    return (
+        g.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    rank ``raw`` documents by their importance log-weight under hashed
+    n-gram unigram models of the ``target`` vs the ``raw`` corpus —
+    ``log w(x) = Σ_b cnt_x(b) · (ln p̂_target(b) − ln p̂_raw(b))`` with
+    add-``alpha`` smoothing — and keep the top ``k`` most target-like.
+    (The paper samples ∝ w; the deterministic top-k is the
+    contract-checkable variant — swap the cut for a seeded Gumbel draw
+    to recover sampling.)
+
+    Scale shape: both corpora reduce to a ≤ ``dim``-row bucket table
+    (vocab-sized shuffle with map-side combine), the log-ratio table
+    broadcasts back onto the raw docs' features (no shuffle of the
+    corpus), the per-doc weight is one keyed aggregation, and the top-k
+    is Spark's TakeOrdered (per-partition heaps, no global sort
+    materialization). Weights rounded 6dp; the cut breaks ties on
+    ``id_col`` — deterministic across engines.
+    """
+    if k < 1 or dim < 1:
+        raise ValueError("k and dim must be >= 1")
+    rf = _dsir_features(raw, text_col, id_col, dim)
+    tf_ = _dsir_features(target, text_col, id_col, dim)
+    # totals derive from the same aggregates they cross-join back onto —
+    # qualify every reference or Spark flags the lineage ambiguous (the
+    # unigram_logprob pattern)
+    tgt = tf_.groupBy("bucket").agg(F.sum("cnt").alias("__nt")).alias("tg")
+    rawc = rf.groupBy("bucket").agg(F.sum("cnt").alias("__nr")).alias("rw")
+    nt_tot = tgt.agg(F.sum("__nt").cast("double").alias("__NT")).alias("tt")
+    nr_tot = rawc.agg(F.sum("__nr").cast("double").alias("__NR")).alias("rt")
+    ratio = (
+        rawc.join(tgt, F.col("rw.bucket") == F.col("tg.bucket"), "left")
+        .crossJoin(F.broadcast(nt_tot))
+        .crossJoin(F.broadcast(nr_tot))
+        .select(
+            F.col("rw.bucket").alias("bucket"),
+            (
+                F.log(
+                    (F.coalesce(F.col("tg.__nt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tt.__NT") + F.lit(alpha * dim))
+                )
+                - F.log(
+                    (F.col("rw.__nr") + F.lit(alpha))
+                    / (F.col("rt.__NR") + F.lit(alpha * dim))
+                )
+            ).alias("__lr"),
+        )
+    )
+    weights = (
+        rf.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("cnt") * F.col("__lr")), 6).alias("dsir_logw"))
+    )
+    return (
+        raw.join(weights, id_col)
+        .orderBy(F.col("dsir_logw").desc(), F.col(id_col))
+        .limit(k)
+    )

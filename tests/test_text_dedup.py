@@ -624,3 +624,34 @@ def test_perplexity_buckets_approx_same_shape(spark):
     approx = perplexity_buckets(df, exact=False)
     assert exact.columns == approx.columns
     assert approx.count() == 40
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat"),      # near-target
+            (2, "cat mat the sat on on"),     # same unigrams, off bigrams
+            (3, "zz qq ww ee rr tt"),         # nothing in common
+            (4, "stock market prices fell"),  # nothing in common
+        ],
+        ["doc_id", "text"],
+    )
+    top2 = dsir_select(raw, target, k=2, dim=256)
+    assert {r["doc_id"] for r in top2.collect()} == {1, 2}
+    ranked = dsir_select(raw, target, k=4, dim=256).collect()
+    ws = {r["doc_id"]: r["dsir_logw"] for r in ranked}
+    assert ws[1] > ws[3] and ws[1] > ws[4]
+    # weights are data-derived: the near-target doc scores above the
+    # unigram-only match because bigram features count too
+    assert ws[1] > ws[2]
+
+    with pytest.raises(ValueError):
+        dsir_select(raw, target, k=0)
