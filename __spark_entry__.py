@@ -924,6 +924,31 @@ def q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "dsir_logw")
 
 
+def q_langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score in one plan: 2-iteration full-batch logistic
+    regression on hashed-TF features predicting lang=='en' (the
+    fastText-style classifier a curation pipeline fits on its own
+    labeled slice). Every gradient/weight is 6dp-rounded, so the SCORES
+    of the fit — not just counts — are oracle-checked against the
+    GD loop unrolled as DuckDB CTEs."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        classifier as CL,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "__is_en", (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("double")
+    )
+    w = CL.logreg_fit(labeled, "__is_en", dim=64, n_iter=2, lr=1.0)
+    scores = CL.logreg_predict(docs, w, dim=64)
+    return scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "lr_score",
+        (F.col("lr_score") >= 0.5).alias("pred_en"),
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1395,7 +1420,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # covered by tpch_q8's case-sum shape), tpch_q12 (same
     # join + conditional-agg family)
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
-    "dsir_selected_docs",
+    "dsir_selected_docs", "langid_classifier_scores",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1496,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality_report": q_hll_cardinality_report,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_selected_docs": q_dsir_selected_docs,
+        "langid_classifier_scores": q_langid_classifier_scores,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2357,6 +2383,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN wts w ON d.doc_id = w.doc_id
             ORDER BY w.dsir_logw DESC, d.doc_id
             LIMIT 100
+        """,
+        "langid_classifier_scores": f"""
+            WITH ltoks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_WORD_SQL}')) AS tok
+                FROM documents),
+            tf AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('tf|' || tok), 1, 15))::BIGINT % 64
+                           AS bucket,
+                       COUNT(*) AS cnt
+                FROM ltoks GROUP BY doc_id, bucket),
+            feats AS (
+                SELECT * FROM tf
+                UNION ALL
+                SELECT doc_id, -1 AS bucket, 1 AS cnt FROM documents),
+            lab AS (
+                SELECT doc_id,
+                       CASE WHEN coalesce(lang, '') = 'en'
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM documents),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            g1 AS (
+                SELECT f.bucket,
+                       ROUND(SUM((0.5 - l.y) * f.cnt) / nn.n, 6) AS g
+                FROM feats f JOIN lab l USING (doc_id) CROSS JOIN nn
+                GROUP BY f.bucket, nn.n),
+            w1 AS (SELECT bucket, ROUND(0.0 - 1.0 * g, 6) AS w FROM g1),
+            m2 AS (
+                SELECT f.doc_id, SUM(f.cnt * w1.w) AS m
+                FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+            r2 AS (
+                SELECT m2.doc_id, 1.0 / (1.0 + exp(-m2.m)) - l.y AS r
+                FROM m2 JOIN lab l USING (doc_id)),
+            g2 AS (
+                SELECT f.bucket, ROUND(SUM(r2.r * f.cnt) / nn.n, 6) AS g
+                FROM feats f JOIN r2 USING (doc_id) CROSS JOIN nn
+                GROUP BY f.bucket, nn.n),
+            w2 AS (
+                SELECT w1.bucket, ROUND(w1.w - 1.0 * g2.g, 6) AS w
+                FROM w1 JOIN g2 USING (bucket)),
+            m3 AS (
+                SELECT f.doc_id, SUM(f.cnt * w2.w) AS m
+                FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+            SELECT d.doc_id, d.lang,
+                   ROUND(1.0 / (1.0 + exp(-m3.m)), 6) AS lr_score,
+                   (ROUND(1.0 / (1.0 + exp(-m3.m)), 6) >= 0.5) AS pred_en
+            FROM documents d JOIN m3 USING (doc_id)
         """,
         "hll_user_sketch": """
             WITH h AS (
