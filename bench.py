@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "corpus_admitted",
     "gopher_quality_flags",
     "corpus_report",
+    # round-3 continuation: sketches + model-based curation
+    "hll_user_sketch",
+    "ccnet_buckets",
+    "dsir_selected_docs",
+    "langid_classifier_scores",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Streaming cardinality: HyperLogLog registers as persistent stream
+state. The batch side (`operators/sketches.hll_sketch`) answers "how
+many distinct users/URLs/tokens so far" for a static corpus; this wires
+the SAME register table into the incremental-intake loop
+(`streaming/incremental.run_incremental`) so a continuously-arriving
+stream keeps a live distinct-count without ever re-scanning history.
+
+Why this shape at 100 TB:
+- Per micro-batch the work is one ``hll_sketch`` over the batch (one
+  keyed shuffle, map-side MAX) writing ≤ 2^p rows — state size is
+  INDEPENDENT of stream length.
+- State layout copies streaming/minhash_dedup.py: one partition dir per
+  micro-batch epoch (``registers/batch_id=N/``), each write a per-batch
+  overwrite — a replayed batch rewrites its own dir and nothing else,
+  so the callback is idempotent under crash/replay. Cell-wise MAX adds
+  a second safety net: merging the same batch twice is a no-op even if
+  layout discipline is lost.
+- Reads merge all batch dirs with one groupBy MAX (the ``hll_merge``
+  law); ``compact_registers`` folds old dirs into one to bound file
+  count, with the checked-rename promote protocol (Hadoop ``rename``
+  returns False on failure — CLAUDE.md constraint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketches import hll_estimate, hll_sketch
+from .incremental import run_incremental
+
+_REG_SCHEMA = "bucket bigint, rho int"
+
+
+def make_hll_batch_fn(work_dir: str, key_col: str, p: int = 12):
+    """Per-micro-batch callback, standalone so probes can wrap the real
+    production path."""
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        hll_sketch(batch_df, key_col, p).write.mode("overwrite").parquet(
+            f"{work_dir}/registers/batch_id={batch_id}"
+        )
+
+    return batch_fn
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    work_dir: str,
+    key_col: str,
+    p: int = 12,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live HLL register table over a stream. Layout under
+    ``work_dir``: ``registers/batch_id=N/`` (state), ``ckpt/`` (stream
+    checkpoint)."""
+    return run_incremental(
+        stream_df,
+        make_hll_batch_fn(work_dir, key_col, p),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_hll_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The merged register table across every batch dir (cell-wise MAX).
+    Empty-but-valid when no batch has committed yet."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/registers")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _REG_SCHEMA)
+    return (
+        spark.read.schema(_REG_SCHEMA)
+        .parquet(f"{work_dir}/registers")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_state_estimate(spark: SparkSession, work_dir: str, p: int = 12) -> DataFrame:
+    """One-row cardinality estimate of everything the stream has seen."""
+    return hll_estimate(read_hll_state(spark, work_dir), p=p)
+
+
+def compact_registers(spark: SparkSession, work_dir: str) -> int:
+    """Offline maintenance: fold every committed batch dir into a single
+    ``batch_id=compact`` dir so the state stays O(2^p) FILES as well as
+    rows. Returns the number of batch dirs merged away.
+
+    Promote protocol (checked renames, backup kept until the swap
+    lands): write merged registers to a hidden tmp dir, back up the
+    previous compact dir if present, rename tmp into place, then drop
+    the merged-away per-batch dirs and the backup. MAX-merge idempotency
+    makes a crash at ANY point safe: the un-deleted batch dirs simply
+    re-merge next time.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    reg_root = f"{work_dir}/registers"
+    root = hpath(reg_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    batch_dirs = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    ]
+    if len(batch_dirs) <= 1:
+        return 0
+    merged = (
+        spark.read.schema(_REG_SCHEMA)
+        .parquet(reg_root)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    tmp = f"{work_dir}/.registers_compact_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    target = hpath(f"{reg_root}/batch_id=compact")
+    bak = hpath(f"{work_dir}/.registers_compact_bak")
+    if fs.exists(bak):
+        fs.delete(bak, True)  # stale backup from a crashed earlier run
+    had_target = fs.exists(target)
+    if had_target and not fs.rename(target, bak):
+        raise IOError(f"compact_registers: backup rename failed for {target}")
+    if not fs.rename(hpath(tmp), target):
+        if had_target:
+            fs.rename(bak, target)  # restore; original state intact
+        raise IOError(f"compact_registers: promote rename failed for {target}")
+    # swap landed: drop the merged-away per-batch dirs and the backup
+    removed = 0
+    for p_ in batch_dirs:
+        if p_.getName() != "batch_id=compact":
+            fs.delete(p_, True)
+            removed += 1
+    if had_target:
+        fs.delete(bak, True)
+    return removed

@@ -1,0 +1,102 @@
+"""Streaming HLL cardinality state (streaming/sketch_state.py): live
+register maintenance across micro-batches, batch↔streaming register
+parity, replay idempotency of the MAX merge, and compaction's promote
+protocol."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+    hll_estimate,
+    hll_sketch,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+    compact_registers,
+    hll_state_estimate,
+    make_hll_batch_fn,
+    read_hll_state,
+    streaming_hll,
+)
+
+EV_SCHEMA = "event_id BIGINT, user_id BIGINT"
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="streamhll-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, lo, hi, mod):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"), (F.col("id") % mod).alias("user_id")
+    )
+
+
+def test_streaming_hll_matches_batch_sketch(spark, workdir, tmp_path):
+    src = str(tmp_path / "src")
+    _events(spark, 0, 500, 40).coalesce(1).write.mode("append").parquet(src)
+    _events(spark, 500, 1000, 70).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_hll(stream, workdir, "user_id", p=10)
+    q.awaitTermination(180)
+
+    whole = _events(spark, 0, 500, 40).unionByName(_events(spark, 500, 1000, 70))
+    batch = {r["bucket"]: r["rho"]
+             for r in hll_sketch(whole, "user_id", p=10).collect()}
+    streamed = {r["bucket"]: r["rho"]
+                for r in read_hll_state(spark, workdir).collect()}
+    assert streamed == batch
+
+    est = hll_state_estimate(spark, workdir, p=10).collect()[0]
+    # true distinct: 0..69 = 70 users; linear-counting regime at p=10
+    assert abs(est["estimate"] - 70) <= 10
+
+
+def test_hll_batch_fn_replay_idempotent(spark, workdir):
+    fn = make_hll_batch_fn(workdir, "user_id", p=9)
+    b0 = _events(spark, 0, 300, 25)
+    b1 = _events(spark, 300, 600, 55)
+    fn(b0, 0)
+    fn(b1, 1)
+    before = sorted(read_hll_state(spark, workdir).collect())
+    fn(b0, 0)  # crash/replay: same epoch re-delivered
+    fn(b1, 1)
+    after = sorted(read_hll_state(spark, workdir).collect())
+    assert after == before
+
+
+def test_compact_registers_preserves_state(spark, workdir):
+    fn = make_hll_batch_fn(workdir, "user_id", p=9)
+    for i in range(4):
+        fn(_events(spark, i * 100, (i + 1) * 100, 17 + i), i)
+    before = sorted(read_hll_state(spark, workdir).collect())
+    removed = compact_registers(spark, workdir)
+    assert removed == 4
+    after = sorted(read_hll_state(spark, workdir).collect())
+    assert after == before
+    # second compaction folds {compact} ∪ nothing → no-op
+    assert compact_registers(spark, workdir) == 0
+    # new batches after compaction still merge in
+    fn(_events(spark, 1000, 1100, 97), 99)
+    grown = read_hll_state(spark, workdir)
+    est = hll_estimate(grown, p=9).collect()[0]
+    assert est["estimate"] > hll_estimate(
+        spark.createDataFrame(
+            [(b["bucket"], b["rho"]) for b in before], "bucket bigint, rho int"
+        ),
+        p=9,
+    ).collect()[0]["estimate"]
+
+
+def test_read_hll_state_empty_dir(spark, workdir):
+    assert read_hll_state(spark, workdir).count() == 0
+    assert compact_registers(spark, workdir) == 0
