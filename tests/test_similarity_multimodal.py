@@ -509,3 +509,56 @@ def test_semantic_dedup_threshold_one_keeps_all_distinct(spark):
     # nothing is exactly identical -> threshold 1.0 drops nothing
     kept = semantic_dedup(df, threshold=1.0, k=2, n_iter=1).count()
     assert kept == 6
+
+
+def test_semantic_dedup_engines_agree(spark):
+    """The BLAS within-cluster scan must reproduce the join formulation
+    exactly — including zero-norm vectors (NULL sim → never dropped) and
+    exact-boundary similarities under the 6dp HALF_UP round."""
+    import random
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    # planted near-dups + a zero vector + an exact dup pair
+    rows += [
+        (100, rows[3][1][:]),                       # exact dup of 3
+        (101, [v * 1.0001 for v in rows[10][1]]),   # scaled ≈ cos 1
+        (102, [0.0] * 8),                           # zero norm: kept
+        (103, [0.0] * 8),                           # second zero: kept too
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for thr in (0.9, 0.999999):
+        a = sorted(
+            (r["vec_id"], r["assigned_label"])
+            for r in semantic_dedup(
+                df, threshold=thr, k=3, n_iter=2, engine="vectorized"
+            ).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["assigned_label"])
+            for r in semantic_dedup(
+                df, threshold=thr, k=3, n_iter=2, engine="join"
+            ).collect()
+        )
+        assert a == b, f"engines disagree at threshold {thr}"
+    kept = {t[0] for t in a}
+    assert {102, 103} <= kept  # zero-norm pairs never drop
+
+
+def test_semantic_dedup_engine_validation(spark):
+    import pytest as _pytest
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, engine="nope")
+    sdf = spark.createDataFrame([("a", [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(TypeError):
+        semantic_dedup(sdf, k=1, engine="vectorized")
