@@ -1063,6 +1063,25 @@ def q_corpus_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the mean-centered embedding cloud via
+    2 power iterations from the fixed 1/sqrt(d) start — the A^T(Av)
+    product as two keyed aggregations per round, no d×d covariance ever
+    materialized. 6dp rounds at every normalization make the whole
+    iteration oracle-checkable as unrolled SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.pca_power_iteration(emb, n_iter=2)
+
+
+def q_pca_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the fitted top component (the scoring
+    half of PCA): one broadcast join + one keyed aggregation over the
+    long form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = SM.pca_power_iteration(emb, n_iter=2)
+    return SM.pca_project(emb, comp)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
     vectors ≥0.35 cosine-similar to a lower-id vector in the same
@@ -1421,6 +1440,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # join + conditional-agg family)
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
     "dsir_selected_docs", "langid_classifier_scores",
+    "pca_component", "pca_projections",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1522,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
+        "pca_component": q_pca_component,
+        "pca_projections": q_pca_projections,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -1572,6 +1594,37 @@ def _tpch_ext():
 
 _TOKEN_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 _WORD_SQL = r"[a-z0-9]+"
+
+# shared CTE block for the power-iteration PCA oracles: long-form
+# explode (1-based list_transform index -> 0-based dim), 6dp-rounded
+# per-dim means, fixed 1/sqrt(d) start vector, two unrolled A^T(Av)
+# rounds — mirrors similarity.pca_power_iteration(n_iter=2) exactly
+_PCA_SQL_CTES = """
+    WITH lf0 AS (
+        SELECT vec_id, CAST(u.dim - 1 AS INTEGER) AS dim,
+               CAST(u.val AS DOUBLE) AS raw
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {'dim': i, 'val': x})) AS u
+              FROM embeddings WHERE embedding IS NOT NULL)),
+    mu AS (SELECT dim, ROUND(AVG(raw), 6) AS mu FROM lf0 GROUP BY dim),
+    lf AS (SELECT l.vec_id, l.dim, l.raw - m.mu AS val
+           FROM lf0 l JOIN mu m USING (dim)),
+    v0 AS (SELECT dim, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM mu)), 6) AS v
+           FROM mu),
+    d1 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+           FROM lf l JOIN v0 v USING (dim) GROUP BY l.vec_id),
+    w1 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+           FROM lf l JOIN d1 d USING (vec_id) GROUP BY l.dim),
+    n1 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w1),
+    v1 AS (SELECT dim, ROUND(w / nrm, 6) AS v FROM w1 CROSS JOIN n1),
+    d2 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+           FROM lf l JOIN v1 v USING (dim) GROUP BY l.vec_id),
+    w2 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+           FROM lf l JOIN d2 d USING (vec_id) GROUP BY l.dim),
+    n2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w2),
+    v2 AS (SELECT dim, ROUND(w / nrm, 6) AS v FROM w2 CROSS JOIN n2)
+"""
 
 
 # shared unrolled k-means CTE prefix (2 Lloyd iterations over embeddings,
@@ -2432,6 +2485,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-m3.m)), 6) AS lr_score,
                    (ROUND(1.0 / (1.0 + exp(-m3.m)), 6) >= 0.5) AS pred_en
             FROM documents d JOIN m3 USING (doc_id)
+        """,
+        "pca_component": _PCA_SQL_CTES + """
+            SELECT dim, v FROM v2
+        """,
+        "pca_projections": _PCA_SQL_CTES + """
+            SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
+            FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id
         """,
         "hll_user_sketch": """
             WITH h AS (

@@ -932,3 +932,123 @@ def semantic_dedup(
     return labeled.join(dropped, id_col, "left_anti").select(
         id_col, "assigned_label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA: the dominant principal component of the embedding
+# cloud, distributed. Used in curation to find (and project out / bucket
+# by) the dominant axis of variation, and as the standard diagnostic for
+# anisotropy before cosine-based dedup/ANN.
+# ---------------------------------------------------------------------------
+
+
+def pca_power_iteration(
+    vectors: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the mean-centered vectors via power
+    iteration (Mises & Pollaczek-Geiringer 1929; the Krylov workhorse
+    behind every large-scale PCA). Returns ``(dim, v)`` — the unit
+    component, one row per dimension.
+
+    Each iteration is two keyed aggregations over the LONG form
+    ``(id, dim, val)``: ``dot_i = Σ_d x'_{id} v_d`` (groupBy id, with the
+    ≤ d-row component broadcast) and ``w_d = Σ_i x'_{id} dot_i``
+    (groupBy dim), then one broadcast scalar normalization — i.e. the
+    matrix A^T(Av) product without ever materializing the d×d
+    covariance. Shuffled volume per iteration is |rows| + d after
+    map-side partial aggregation; nothing is ever collected.
+
+    Determinism contract: the per-dim mean and the component after each
+    normalization are rounded to 6dp, and the start vector is the fixed
+    ``1/sqrt(d)``; a fixed-``n_iter`` run therefore unrolls to plain SQL
+    (the kmeans_fit pattern) and the sign is pinned by the identical
+    arithmetic on both engines — no sign convention needed.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    first = vectors.select(F.size(_dbl(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_power_iteration: empty input")
+    d = int(first["d"])
+    lf = (
+        ensure_parallelism(vectors)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
+        )
+    )
+    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
+    lf = (
+        lf.alias("lf")
+        .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
+        .select(
+            F.col("lf.__id").alias("__id"),
+            F.col("lf.dim").alias("dim"),
+            (F.col("lf.__raw") - F.col("mu.__mu")).alias("__val"),
+        )
+        .persist()
+    )
+    try:
+        comp = mu.select(
+            F.col("dim"), F.round(F.lit(1.0 / d**0.5), 6).alias("v")
+        )
+        for _ in range(n_iter):
+            dots = (
+                lf.join(F.broadcast(comp), "dim")
+                .groupBy("__id")
+                .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
+            )
+            nxt = (
+                lf.join(dots, "__id")
+                .groupBy("dim")
+                .agg(F.sum(F.col("__val") * F.col("__dot")).alias("__w"))
+            )
+            nrm = nxt.agg(
+                F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+            )
+            comp = (
+                nxt.crossJoin(F.broadcast(nrm))
+                .select(
+                    "dim", F.round(F.col("__w") / F.col("__n"), 6).alias("v")
+                )
+                .localCheckpoint(eager=False)
+            )
+        return comp
+    finally:
+        lf.unpersist()
+
+
+def pca_project(
+    vectors: DataFrame,
+    component: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc1",
+) -> DataFrame:
+    """Project each (mean-centered) vector onto a fitted component:
+    ``(id, pc1)`` rounded 6dp. One broadcast join + one keyed
+    aggregation — the scoring half of :func:`pca_power_iteration`."""
+    lf = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
+    )
+    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
+    centered = (
+        lf.alias("lf")
+        .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
+        .select(
+            F.col("lf.__id").alias("__id"),
+            F.col("lf.dim").alias("dim"),
+            (F.col("lf.__raw") - F.col("mu.__mu")).alias("__val"),
+        )
+    )
+    return (
+        centered.join(F.broadcast(component), "dim")
+        .groupBy("__id")
+        .agg(F.round(F.sum(F.col("__val") * F.col("v")), 6).alias(out_col))
+        .select(F.col("__id").alias(id_col), out_col)
+    )

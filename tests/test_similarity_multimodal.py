@@ -562,3 +562,54 @@ def test_semantic_dedup_engine_validation(spark):
     sdf = spark.createDataFrame([("a", [1.0, 0.0])], ["vec_id", "embedding"])
     with _pytest.raises(TypeError):
         semantic_dedup(sdf, k=1, engine="vectorized")
+
+
+def test_pca_power_iteration_finds_dominant_axis(spark):
+    """On an anisotropic cloud the fitted component must align with
+    numpy's exact top eigenvector of the covariance (|cos| > 0.99 after
+    a few iterations), and projections must be the centered dots."""
+    import numpy as np
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        pca_power_iteration,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 6))
+    base[:, 2] *= 8.0  # dominant variance on axis 2
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    comp = pca_power_iteration(df, n_iter=8)
+    v = np.zeros(6)
+    for r in comp.collect():
+        v[r["dim"]] = r["v"]
+    x = base - base.mean(axis=0)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.99
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+
+    proj = {r["vec_id"]: r["pc1"] for r in pca_project(df, comp).collect()}
+    assert len(proj) == 300
+    want = x @ v
+    got = np.array([proj[i] for i in range(300)])
+    assert np.abs(got - want).max() < 1e-4
+    # projections of a centered cloud are centered
+    assert abs(got.mean()) < 0.1
+
+
+def test_pca_power_iteration_errors(spark):
+    import pytest as _pytest
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        pca_power_iteration(df, n_iter=0)
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    with _pytest.raises(ValueError):
+        pca_power_iteration(empty)
