@@ -949,6 +949,38 @@ def q_langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate mining: the 50 word-5-grams in the most
+    distinct documents. Gram-keyed shuffle with map-side combine;
+    deterministic (n_docs, n_occurrences, gram) cut via TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repeated_passages(docs, n=5, min_docs=2, k=50)
+
+
+def q_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap: at most 15 docs per source, longest
+    first (n_chars desc, doc_id tiebreak) — one keyed shuffle on
+    source, per-group window, no global sort."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.cap_per_group(docs, "source", 15, "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous decontamination report: per-doc fraction of distinct
+    word-3-gram shingles shared with the eval set (doc_id % 20 == 0
+    stands in for a benchmark) — the threshold-tuning companion of the
+    boolean decontaminate filter."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return DD.contamination_scores(docs, bench, shingle_n=3)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1440,7 +1472,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # join + conditional-agg family)
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
     "dsir_selected_docs", "langid_classifier_scores",
-    "pca_component", "pca_projections",
+    "pca_component", "pca_projections", "repeated_passages_report",
+    "per_source_caps", "contamination_report",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1544,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier_scores": q_langid_classifier_scores,
         "pca_component": q_pca_component,
         "pca_projections": q_pca_projections,
+        "repeated_passages_report": q_repeated_passages,
+        "per_source_caps": q_per_source_caps,
+        "contamination_report": q_contamination_report,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2492,6 +2528,42 @@ def oracle_sql() -> dict[str, str]:
         "pca_projections": _PCA_SQL_CTES + """
             SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
             FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id
+        """,
+        "repeated_passages_report": f"""
+            WITH rtoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 5 THEN list_transform(
+                                  range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' '))
+                              ELSE [] END) AS gram
+                FROM rtoks),
+            c AS (
+                SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+                       COUNT(*) AS n_occurrences
+                FROM grams GROUP BY gram)
+            SELECT gram, n_docs, n_occurrences FROM c WHERE n_docs >= 2
+            ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 50
+        """,
+        "per_source_caps": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 15
+        """,
+        "contamination_report": f"""
+            WITH {_shingle_ctes()},
+            bench AS (SELECT DISTINCT s FROM shx WHERE doc_id % 20 = 0),
+            hits AS (SELECT shx.doc_id, COUNT(*) AS h
+                     FROM shx JOIN bench USING (s) GROUP BY shx.doc_id)
+            SELECT z.doc_id, z.n_sh AS n_grams,
+                   ROUND(coalesce(hits.h, 0) / z.n_sh, 6) AS contamination
+            FROM sizes z LEFT JOIN hits USING (doc_id)
         """,
         "hll_user_sketch": """
             WITH h AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "dsir_selected_docs",
     "langid_classifier_scores",
+    "pca_projections",
 ]
 
 

@@ -740,3 +740,47 @@ def dedup_against_corpus(
         .distinct()
     )
     return survivors.join(near_dup, id_col, "left_anti")
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+) -> DataFrame:
+    """Continuous companion of :func:`decontaminate`: per-doc overlap
+    fraction ``round(|grams(doc) ∩ grams(bench)| / |grams(doc)|, 6)``
+    instead of a drop/keep verdict — the report a pipeline uses to pick
+    its decontamination threshold (and to audit near-miss docs the
+    boolean filter would silently keep).
+
+    Same scale shape as decontaminate: the benchmark gram set
+    BROADCASTS, the corpus side is a map-side shingle explode, hits fall
+    out of one grouped count; the corpus is never shuffled on content.
+    Every doc has ≥1 shingle by ``word_shingles``' short-doc convention,
+    so the division is total.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("g"))
+        .distinct()
+    )
+    cg = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    )
+    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cg.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.round(
+                F.coalesce(F.col("__h"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
+    )

@@ -356,3 +356,34 @@ def temperature_weights(
         for r in rows
         if r[group_col] is not None and r["__mass"] and r["__mass"] > 0
     }
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group under a deterministic total
+    order (``order_col`` then ``id_col`` tiebreak) — the C4-style
+    per-domain document cap that stops any one source from dominating a
+    training mix.
+
+    One keyed shuffle on the group column; the rank is a window over
+    each group only (never a global sort). Hot groups are exactly the
+    point — the window truncates them to ``n`` — but a single
+    pathological group still sorts within one partition; for
+    billion-row groups pre-filter with an approximate per-group
+    threshold first.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(ordc, F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

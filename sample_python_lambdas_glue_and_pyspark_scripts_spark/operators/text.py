@@ -803,3 +803,41 @@ def dsir_select(
         .orderBy(F.col("dsir_logw").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Cross-document repeated-passage mining: the ``k`` word
+    ``n``-grams appearing in the most DISTINCT documents (≥
+    ``min_docs``), with document and occurrence counts — the diagnostic
+    that surfaces boilerplate (headers, licenses, navigation chrome)
+    before span-level dedup is tuned.
+
+    One keyed shuffle on the gram with map-side partial aggregation
+    (shuffled volume is |distinct grams|, not |token stream|); the cut
+    is a deterministic total order (n_docs desc, n_occurrences desc,
+    gram asc) through TakeOrdered — no global sort materialization.
+    """
+    if n < 1 or k < 1 or min_docs < 1:
+        raise ValueError("n, k and min_docs must be >= 1")
+    toks = words(F.coalesce(_c(text_col), F.lit("")))
+    grams = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(_word_ngrams(toks, n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram")
+        )
+        .limit(k)
+    )

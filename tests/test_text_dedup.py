@@ -655,3 +655,72 @@ def test_dsir_select_prefers_target_like_docs(spark):
 
     with pytest.raises(ValueError):
         dsir_select(raw, target, k=0)
+
+
+def test_repeated_passages_counts_and_cut(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        repeated_passages,
+    )
+
+    boiler = "all rights reserved click here now"
+    rows = [
+        (1, f"document one {boiler} body text alpha"),
+        (2, f"document two {boiler} body text beta"),
+        (3, f"{boiler} {boiler}"),           # twice in one doc
+        (4, "totally unrelated content with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_passages(df, n=6, min_docs=2, k=10).collect()
+    got = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in out}
+    assert got["all rights reserved click here now"] == (3, 4)
+    # nothing from the unique doc survives min_docs=2
+    assert all("unrelated" not in g for g in got)
+    with pytest.raises(ValueError):
+        repeated_passages(df, n=0)
+
+
+def test_cap_per_group_deterministic_retention(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, "s1" if i < 6 else "s2", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = cap_per_group(df, "source", 3, "n_chars")
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # n_chars desc == doc_id asc here
+    assert sorted(by_src["s1"]) == [0, 1, 2]
+    assert sorted(by_src["s2"]) == [6, 7, 8]
+    # ascending flips the retention
+    kept_asc = cap_per_group(df, "source", 2, "n_chars", descending=False)
+    ids = sorted(r["doc_id"] for r in kept_asc.collect())
+    assert ids == [4, 5, 8, 9]
+    with pytest.raises(ValueError):
+        cap_per_group(df, "source", 0, "n_chars")
+
+
+def test_contamination_scores_fraction(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),        # identical: 1.0
+            (2, "the quick brown cat sits quietly"), # partial overlap
+            (3, "nothing shared at all here"),       # 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_scores(corpus, bench, shingle_n=3).collect()}
+    assert got[1]["contamination"] == 1.0
+    assert 0.0 < got[2]["contamination"] < 1.0
+    assert got[3]["contamination"] == 0.0
+    # doc 2: grams = 4 trigram shingles, 1 shared ("the quick brown")
+    assert got[2]["n_grams"] == 4 and got[2]["contamination"] == 0.25
