@@ -9,6 +9,7 @@ repartitioned right after read to restore parallelism (SURVEY.md §2.1 S2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -151,3 +152,50 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC columnar scan — same Catalyst pruning/pushdown contract as
     :func:`read_parquet` (ORC ships in Spark core; no extra jars)."""
     return spark.read.orc(path)
+
+
+#: extension → media kind for the binaryFile ingest path
+MEDIA_KINDS: dict[str, str] = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "bmp": "image", "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "mov": "video", "avi": "video",
+}
+
+
+def read_media_files(spark: SparkSession, path: str, pattern: str | None = None):
+    """Raw media ingest via Spark's ``binaryFile`` source: each file
+    becomes one row ``(media_path, media_id, kind, n_bytes, payload)``
+    ready for ``operators/multimodal.decode_media`` (which wants
+    ``media_id``/``kind``/``payload``).
+
+    ``media_id`` is the stable md5-of-path bigint (oracle-parity hash
+    recipe), NOT an ingest-order counter — re-runs and late-arriving
+    files keep their ids. ``kind`` comes from the extension
+    (``MEDIA_KINDS``; unknown → 'other' and the header parser classifies
+    by magic bytes downstream).
+
+    Scale notes: binaryFile caps files at
+    ``spark.sql.sources.binaryFile.maxLength`` (int max); listing is
+    driver-side like every file source — at 100 TB point ``path`` at a
+    partitioned prefix, not a flat dir of millions of objects, and use
+    ``pattern`` (``pathGlobFilter``) so pruning happens at listing time
+    rather than after a full scan.
+    """
+    r = spark.read.format("binaryFile")
+    if pattern:
+        r = r.option("pathGlobFilter", pattern)
+    df = r.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    kind = F.lit("other")
+    for e, k in MEDIA_KINDS.items():
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+    media_id = F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return df.select(
+        F.col("path").alias("media_path"),
+        media_id.alias("media_id"),
+        kind.alias("kind"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

@@ -237,3 +237,46 @@ def test_orc_partitioned_roundtrip_and_pushdown(spark, tmpdir):
     pushed = back.filter(F.col("price") > 15.0)
     pplan = pushed._jdf.queryExecution().toString()
     assert "PushedFilters: [" in pplan and "price" in pplan.split("PushedFilters")[1][:120]
+
+
+def test_read_media_files_binaryfile_roundtrip(spark, tmp_path):
+    """binaryFile ingest → decode_media(real) closes the multimodal
+    loop: files on disk in, parsed header metadata out."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.multimodal import (
+        decode_media,
+        synthetic_real_media,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+        read_media_files,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 2, 3)], ["doc_id"])
+    ext_for = {"image/png": "png", "image/gif": "gif",
+               "audio/wav": "wav", "video/mp4": "mp4"}
+    by_name = {}
+    for r in synthetic_real_media(ids).collect():
+        name = f"m{r['media_id']}.{ext_for[r['mime']]}"
+        (tmp_path / name).write_bytes(bytes(r["payload"]))
+        by_name[name] = r
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    raw = read_media_files(spark, str(tmp_path), pattern="*.{png,gif,wav,mp4}")
+    rows = {r["media_path"].rsplit("/", 1)[-1]: r for r in raw.collect()}
+    assert set(rows) == set(by_name)  # glob filtered the txt out
+    for name, r in rows.items():
+        assert r["kind"] == by_name[name]["kind"]
+        assert bytes(r["payload"]) == bytes(by_name[name]["payload"])
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+
+    decoded = {
+        r["kind"]: r for r in decode_media(raw, fake=False).collect()
+    }
+    assert decoded["image"]["width"] is not None
+    assert decoded["audio"]["duration_ms"] is not None
+    assert decoded["video"]["duration_ms"] is not None
+
+    # media_id is path-stable: re-reading yields identical ids
+    again = {r["media_path"]: r["media_id"] for r in
+             read_media_files(spark, str(tmp_path), "*.{png,gif,wav,mp4}").collect()}
+    first = {r["media_path"]: r["media_id"] for r in raw.collect()}
+    assert again == first
