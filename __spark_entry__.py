@@ -981,6 +981,20 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.contamination_scores(docs, bench, shingle_n=3)
 
 
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by doc_id
+    hash): map-side only, stable across engines/re-runs/partitioning —
+    the leakage-safe split a training pipeline stamps once and keeps."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.split_assign(
+        docs, "doc_id", fractions=(0.8, 0.1, 0.1)
+    ).select("doc_id", "source", "split")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1473,7 +1487,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
     "dsir_selected_docs", "langid_classifier_scores",
     "pca_component", "pca_projections", "repeated_passages_report",
-    "per_source_caps", "contamination_report",
+    "per_source_caps", "contamination_report", "dataset_splits",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1580,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages_report": q_repeated_passages,
         "per_source_caps": q_per_source_caps,
         "contamination_report": q_contamination_report,
+        "dataset_splits": q_dataset_splits,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2564,6 +2579,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT z.doc_id, z.n_sh AS n_grams,
                    ROUND(coalesce(hits.h, 0) / z.n_sh, 6) AS contamination
             FROM sizes z LEFT JOIN hits USING (doc_id)
+        """,
+        "dataset_splits": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                         1, 15))::BIGINT % 1000000 AS b
+                  FROM documents)
         """,
         "hll_user_sketch": """
             WITH h AS (

@@ -387,3 +387,38 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split|",
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: label every row ``train``/``val``/
+    ``test`` (or any label set) by key hash — same (key, seed) → same
+    split on any engine, at any scale, under any partitioning, across
+    re-runs and late-arriving data. Equal keys land in the same split,
+    so splitting by document id (or by URL/domain to prevent
+    train-test leakage across near-identical pages) is a pure map-side
+    projection: zero shuffles, composes with every downstream operator.
+
+    Cut points use the same rounded integer-bucket thresholds as
+    ``hash_sample`` (cross-engine exactness — no float boundary rows).
+    """
+    if len(fractions) != len(labels) or not labels:
+        raise ValueError("fractions and labels must align and be non-empty")
+    if any(f < 0 for f in fractions) or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    b = hash_bucket(key_col, seed)
+    cuts = []
+    acc = 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cuts.append(_threshold(acc))
+    expr = F.lit(labels[-1])
+    for cut, lab in zip(reversed(cuts), reversed(labels[:-1])):
+        expr = F.when(b < cut, F.lit(lab)).otherwise(expr)
+    return df.withColumn(label_col, expr)

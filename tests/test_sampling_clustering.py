@@ -348,3 +348,30 @@ def test_temperature_weights_rejects_negative_alpha(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with _pt.raises(ValueError):
         temperature_weights(df, alpha=-0.1)
+
+
+def test_split_assign_deterministic_partition(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    out = split_assign(df, "doc_id", fractions=(0.8, 0.1, 0.1))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    assert 1500 < counts["train"] < 1700  # ~80% ± hash noise
+    # stability: repartitioned input yields the identical assignment
+    again = split_assign(df.repartition(13), "doc_id", (0.8, 0.1, 0.1))
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # custom labels + validation
+    two = split_assign(df, "doc_id", (0.5, 0.5), ("a", "b"))
+    assert set(r["split"] for r in two.collect()) == {"a", "b"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(df, "doc_id", (0.5, 0.4))
+    with _pytest.raises(ValueError):
+        split_assign(df, "doc_id", (0.5, 0.5), ("only",))
