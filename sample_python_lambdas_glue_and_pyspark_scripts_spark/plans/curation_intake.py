@@ -1,0 +1,98 @@
+"""Streaming curation intake: the end-to-end pipeline a training-data
+team runs against a continuously-arriving document crawl, composed
+entirely from this engine's parts —
+
+    file stream → Gopher/C4 quality rules → benchmark decontamination
+    → cross-batch LSH near-dup admission → kept-doc sink
+    + live HLL distinct-fingerprint state
+
+Per micro-batch work (everything already individually oracle-checked /
+probed batch-side):
+- ``text.gopher_rules``: map-side rule battery, no shuffle;
+- ``dedup.decontaminate``: benchmark gram set broadcast, corpus never
+  content-shuffled;
+- ``minhash_dedup.lsh_admit``: greedy admission against the persistent
+  claimed-bucket state (idempotent per-epoch overwrites, crash-safe);
+- kept docs land partitioned by epoch (same idempotent layout);
+- ``sketch_state.make_hll_batch_fn``-style register write keeps a live
+  "distinct normalized texts ever admitted" count without rescanning.
+
+State layout under ``work_dir``: ``claimed/`` + ``kept/`` (from the
+minhash intake), ``registers/`` (HLL), ``ckpt/`` (stream checkpoint) —
+every write keyed by the micro-batch epoch, so replay after a crash
+rewrites the same dirs and the MAX-merged registers are doubly safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import decontaminate
+from ..operators.sketches import hll_sketch
+from ..operators.text import fingerprint, gopher_rules
+from ..streaming.incremental import run_incremental
+from ..streaming.minhash_dedup import _read_claimed, lsh_admit
+
+
+def make_intake_batch_fn(
+    work_dir: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    hll_p: int = 12,
+):
+    """Per-micro-batch callback, standalone so tests and probes drive
+    the exact production path. ``benchmark`` is a STATIC frame (eval
+    sets change rarely); its gram set broadcasts into every batch."""
+    claimed_dir = f"{work_dir}/claimed"
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        passed = (
+            gopher_rules(batch_df, text_col=text_col, min_words=min_words)
+            .filter(F.col("keep"))
+            .select(*batch_df.columns)
+        )
+        clean = decontaminate(passed, benchmark, text_col, id_col, shingle_n=3)
+        claimed = _read_claimed(spark, claimed_dir, batch_id)
+        kept, new_buckets = lsh_admit(clean, claimed, text_col, id_col)
+        # admission state first: a crash between the two writes must
+        # err toward re-dropping, never toward double-admitting
+        new_buckets.write.mode("overwrite").parquet(
+            f"{claimed_dir}/batch_id={batch_id}"
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{work_dir}/kept/batch_id={batch_id}"
+        )
+        admitted_fps = kept.select(fingerprint(text_col).alias("fp"))
+        hll_sketch(admitted_fps, "fp", hll_p).write.mode("overwrite").parquet(
+            f"{work_dir}/registers/batch_id={batch_id}"
+        )
+
+    return batch_fn
+
+
+def run_curation_intake(
+    stream_df: DataFrame,
+    work_dir: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    hll_p: int = 12,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the intake callback into the incremental runner (availableNow
+    drains the backlog exactly once; continuous mode just flips the
+    flag)."""
+    return run_incremental(
+        stream_df,
+        make_intake_batch_fn(
+            work_dir, benchmark, text_col, id_col, min_words, hll_p
+        ),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )

@@ -1,0 +1,93 @@
+"""End-to-end streaming curation intake (plans/curation_intake.py):
+quality rules → decontamination → cross-batch LSH admission → kept sink
++ live HLL registers, composed from individually-verified parts."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.curation_intake import (
+    make_intake_batch_fn,
+    run_curation_intake,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+    hll_state_estimate,
+)
+
+DOC_SCHEMA = "doc_id BIGINT, text STRING"
+
+GOOD_A = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+NEAR_A = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold night"
+)
+GOOD_B = (
+    "spark keeps the state of a stream in the checkpoint and it restores "
+    "every batch of records to the exact offset it saw before the failure"
+)
+LOW_QUALITY = "tiny doc"
+LEAKED = (
+    "the benchmark answer is exactly forty two and the model must not see "
+    "it during training because that would be a leak of the test data"
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="intake-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_intake_end_to_end_two_batches(spark, workdir, tmp_path):
+    src = str(tmp_path / "src")
+    bench = spark.createDataFrame([(900, LEAKED)], DOC_SCHEMA)
+    spark.createDataFrame(
+        [(1, GOOD_A), (2, LOW_QUALITY), (3, LEAKED)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, NEAR_A), (11, GOOD_B)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_curation_intake(stream, workdir, bench, min_words=5)
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(f"{workdir}/kept")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # 2 fails quality, 3 is contaminated, 10 is a near-dup of admitted 1
+    assert ids == [1, 11]
+
+    est = hll_state_estimate(spark, workdir, p=12).collect()[0]
+    assert abs(est["estimate"] - 2) < 1  # two distinct admitted texts
+
+
+def test_intake_batch_fn_replay_idempotent(spark, workdir):
+    bench = spark.createDataFrame([(900, LEAKED)], DOC_SCHEMA)
+    fn = make_intake_batch_fn(workdir, bench, min_words=5)
+    b0 = spark.createDataFrame([(1, GOOD_A), (3, LEAKED)], DOC_SCHEMA)
+    b1 = spark.createDataFrame([(10, NEAR_A), (11, GOOD_B)], DOC_SCHEMA)
+    fn(b0, 0)
+    fn(b1, 1)
+    kept_before = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{workdir}/kept").collect()
+    )
+    assert kept_before == [1, 11]
+    # crash/replay of BOTH epochs must change nothing
+    fn(b0, 0)
+    fn(b1, 1)
+    kept_after = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{workdir}/kept").collect()
+    )
+    assert kept_after == kept_before
+    est = hll_state_estimate(spark, workdir, p=12).collect()[0]
+    assert abs(est["estimate"] - 2) < 1
