@@ -995,6 +995,30 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+def q_hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set overlap from sketches alone: clickers vs purchasers by
+    inclusion-exclusion over mergeable HLL registers (no co-shuffle of
+    the two event streams), next to the exact intersection."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = SK.hll_sketch(ev.filter(F.col("event_type") == "click"), "user_id", p=8)
+    b = SK.hll_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", p=8
+    )
+    rep = SK.hll_intersect_estimate(a, b, p=8)
+    ua = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    ub = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    exact = ua.join(ub, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    return rep.crossJoin(F.broadcast(exact))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1488,6 +1512,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_selected_docs", "langid_classifier_scores",
     "pca_component", "pca_projections", "repeated_passages_report",
     "per_source_caps", "contamination_report", "dataset_splits",
+    "hll_overlap_report",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1595,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_caps": q_per_source_caps,
         "contamination_report": q_contamination_report,
         "dataset_splits": q_dataset_splits,
+        "hll_overlap_report": q_hll_overlap_report,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -1650,6 +1676,30 @@ _WORD_SQL = r"[a-z0-9]+"
 # explode (1-based list_transform index -> 0-based dim), 6dp-rounded
 # per-dim means, fixed 1/sqrt(d) start vector, two unrolled A^T(Av)
 # rounds — mirrors similarity.pca_power_iteration(n_iter=2) exactly
+def _hll_est_ctes(where: str, alias: str) -> str:
+    """CTE block estimating the HLL cardinality (p=8) of the user set
+    matching ``where`` — mirrors sketches.hll_sketch + hll_estimate."""
+    return f"""
+    {alias}_h AS (
+        SELECT ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL AND ({where})),
+    {alias}_r AS (
+        SELECT hv % 256 AS bucket,
+               MAX(CASE WHEN hv // 256 = 0 THEN 53
+                   ELSE 52 - length(bin(hv // 256)) + 1 END) AS rho
+        FROM {alias}_h GROUP BY bucket),
+    {alias}_g AS (
+        SELECT COUNT(*) AS nz, SUM(power(2.0, -rho)) AS s FROM {alias}_r),
+    {alias}_e AS (
+        SELECT ROUND(CASE WHEN raw <= 640.0 AND zr > 0
+                     THEN 256.0 * ln(256.0 / zr) ELSE raw END, 6) AS est
+        FROM (SELECT (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                         / (s + (256 - nz)) AS raw,
+                     256 - nz AS zr
+              FROM {alias}_g))"""
+
+
 _PCA_SQL_CTES = """
     WITH lf0 AS (
         SELECT vec_id, CAST(u.dim - 1 AS INTEGER) AS dim,
@@ -2589,6 +2639,23 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
                                          1, 15))::BIGINT % 1000000 AS b
                   FROM documents)
+        """,
+        "hll_overlap_report": f"""
+            WITH {_hll_est_ctes("event_type = 'click'", "a")},
+            {_hll_est_ctes("event_type = 'purchase'", "b")},
+            {_hll_est_ctes("event_type IN ('click', 'purchase')", "u")},
+            ex AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+                FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click' AND user_id IS NOT NULL) x
+                JOIN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase' AND user_id IS NOT NULL) y
+                USING (user_id))
+            SELECT a_e.est AS est_a, b_e.est AS est_b, u_e.est AS est_union,
+                   ROUND(greatest(a_e.est + b_e.est - u_e.est, 0.0), 6)
+                       AS est_intersection,
+                   ex.exact_intersection
+            FROM a_e CROSS JOIN b_e CROSS JOIN u_e CROSS JOIN ex
         """,
         "hll_user_sketch": """
             WITH h AS (

@@ -209,3 +209,40 @@ def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
         F.round(raw, 6).alias("raw_estimate"),
         F.round(corrected, 6).alias("estimate"),
     )
+
+
+def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int = 9) -> DataFrame:
+    """Set-overlap estimate from two register tables built with the same
+    ``p``: inclusion-exclusion ``|A∩B| ≈ |A| + |B| − |A∪B|``, where the
+    union estimate comes from the cell-wise-MAX merge (exact by the
+    merge law — no re-scan of either corpus). Returns one row
+    ``(est_a, est_b, est_union, est_intersection)``, clamped at 0.
+
+    Standard caveat (Flajolet; formalized in Ertl 2017): the
+    intersection inherits the ABSOLUTE error of the union, so small
+    intersections of large sets are noisy — size ``p`` for the union
+    cardinality, and treat sub-σ intersections as "indistinguishable
+    from empty". That trade is what makes cross-corpus overlap
+    auditable without ever co-shuffling the corpora.
+    """
+    ea = hll_estimate(a, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b), p).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("est_intersection"),
+        )
+    )

@@ -163,3 +163,24 @@ def test_hll_null_keys_ignored_and_bad_p(spark):
     assert SK.hll_sketch(df, "k", p=8).count() <= 2
     with pytest.raises(ValueError):
         SK.hll_sketch(df, "k", p=3)
+
+
+def test_hll_intersect_inclusion_exclusion(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # |A|=5000 (0..4999), |B|=5000 (3000..7999), |A∩B|=2000
+    a = spark.range(0, 5000).selectExpr("concat('k', id) AS k")
+    b = spark.range(3000, 8000).selectExpr("concat('k', id) AS k")
+    sa = SK.hll_sketch(a, "k", p=12)
+    sb = SK.hll_sketch(b, "k", p=12)
+    r = SK.hll_intersect_estimate(sa, sb, p=12).collect()[0]
+    assert abs(r["est_a"] - 5000) / 5000 < 0.1
+    assert abs(r["est_union"] - 8000) / 8000 < 0.1
+    # intersection carries the union's ABSOLUTE error: generous band
+    assert abs(r["est_intersection"] - 2000) < 600
+    # disjoint sets clamp at 0-ish
+    c = spark.range(100000, 105000).selectExpr("concat('k', id) AS k")
+    r2 = SK.hll_intersect_estimate(sa, SK.hll_sketch(c, "k", p=12), p=12)
+    assert r2.collect()[0]["est_intersection"] < 600
