@@ -756,6 +756,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.cosine_pairs(emb, threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup pairs (Charikar 2002): sign-of-projection band
+    keys bucket the candidates (Σ bucket², never n²), exact rounded
+    cosine verifies. Deterministic md5-derived hyperplanes make even
+    the approximate candidate set oracle-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.cosine_pairs_lsh(emb, threshold=0.4, n_planes=16, bands=4)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (IVF cells, nprobe probing). Deterministic by
     construction (fixed centroids, rounded sims, id tiebreaks) so even the
@@ -1512,7 +1521,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_selected_docs", "langid_classifier_scores",
     "pca_component", "pca_projections", "repeated_passages_report",
     "per_source_caps", "contamination_report", "dataset_splits",
-    "hll_overlap_report",
+    "hll_overlap_report", "embedding_near_dup_lsh",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1621,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "dataset_splits": q_dataset_splits,
         "hll_overlap_report": q_hll_overlap_report,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2656,6 +2666,46 @@ def oracle_sql() -> dict[str, str]:
                        AS est_intersection,
                    ex.exact_intersection
             FROM a_e CROSS JOIN b_e CROSS JOIN u_e CROSS JOIN ex
+        """,
+        "embedding_near_dup_lsh": """
+            WITH lfx AS (
+                SELECT vec_id, CAST(u.dim - 1 AS BIGINT) AS dim,
+                       CAST(u.val AS DOUBLE) AS val
+                FROM (SELECT vec_id,
+                             unnest(list_transform(embedding,
+                                    (x, i) -> {'dim': i, 'val': x})) AS u
+                      FROM embeddings WHERE embedding IS NOT NULL)),
+            dims AS (SELECT DISTINCT dim FROM lfx),
+            pl AS (
+                SELECT p.plane, dims.dim,
+                       ((('0x' || substr(md5('srp|' || CAST(p.plane AS VARCHAR)
+                             || '|' || CAST(dims.dim AS VARCHAR)), 1, 15))::BIGINT
+                         % 2001 - 1000) / 1000.0) AS coef
+                FROM range(16) p(plane), dims),
+            bits AS (
+                SELECT l.vec_id, pl.plane,
+                       CASE WHEN SUM(l.val * pl.coef) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM lfx l JOIN pl ON l.dim = pl.dim
+                GROUP BY l.vec_id, pl.plane),
+            bk AS (
+                SELECT vec_id, plane // 4 AS band_id,
+                       CAST(SUM(bit * CAST(power(2.0, plane % 4) AS BIGINT))
+                            AS BIGINT) AS band_hash
+                FROM bits GROUP BY vec_id, plane // 4),
+            cand AS (
+                SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                FROM bk l JOIN bk r
+                  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                 AND l.vec_id < r.vec_id),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+            SELECT cand.a, cand.b,
+                   ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+            FROM cand
+            JOIN e ea ON ea.vec_id = cand.a
+            JOIN e eb ON eb.vec_id = cand.b
+            WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
         """,
         "hll_user_sketch": """
             WITH h AS (

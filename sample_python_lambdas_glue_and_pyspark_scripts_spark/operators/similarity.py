@@ -1052,3 +1052,160 @@ def pca_project(
         .agg(F.round(F.sum(F.col("__val") * F.col("v")), 6).alias(out_col))
         .select(F.col("__id").alias(id_col), out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (Charikar 2002, STOC: SimHash for real
+# vectors): the scale path for embedding near-dup PAIRS that
+# cosine_pairs' docstring promises. Collision probability of one sign
+# bit is 1 − θ/π, so banding b×r bits gives the usual LSH S-curve over
+# cosine similarity.
+# ---------------------------------------------------------------------------
+
+
+def _srp_coef(plane: Column, dim: Column, seed: str) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in
+    [-1, 1] from the md5 parity recipe — identical in DuckDB via
+    ``(('0x' || substr(md5('srp|' || plane || '|' || dim), 1, 15))::BIGINT
+    % 2001 - 1000) / 1000.0``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), plane.cast("string"), F.lit("|"), dim.cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def srp_band_keys(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp|",
+) -> DataFrame:
+    """Per-vector LSH band keys from sign-of-projection bits:
+    ``(id, band_id, band_hash)`` where band_hash packs ``n_planes /
+    bands`` sign bits. The hyperplane table is (n_planes × d) rows —
+    generated, broadcast, never collected — and the projections are one
+    fan-out join + keyed aggregation (shuffled volume |rows| × n_planes
+    after partial agg, independent of corpus width).
+
+    Sign-boundary caveat: a projection within float ulp of 0 could in
+    principle bit-flip across engines; with O(1)-magnitude dots the band
+    is ~1e-16 wide — the same acceptance class as the 6dp rounding kit.
+    """
+    if n_planes < 1 or bands < 1 or n_planes % bands:
+        raise ValueError("n_planes must be a positive multiple of bands")
+    width = n_planes // bands
+    first = vectors.select(F.size(_dbl(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("srp_band_keys: empty input")
+    d = int(first["d"])
+    spark = vectors.sparkSession
+    planes = (
+        spark.range(n_planes)
+        .select(F.col("id").alias("plane"))
+        .crossJoin(spark.range(d).select(F.col("id").alias("dim")))
+        .select(
+            "plane",
+            "dim",
+            _srp_coef(F.col("plane"), F.col("dim"), seed).alias("coef"),
+        )
+    )
+    lf = ensure_parallelism(vectors).select(
+        F.col(id_col), F.posexplode(_dbl(vec_col)).alias("dim", "__val")
+    )
+    bits = (
+        lf.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "plane")
+        .agg(
+            (F.sum(F.col("__val") * F.col("coef")) >= 0)
+            .cast("bigint")
+            .alias("__bit")
+        )
+    )
+    return (
+        bits.groupBy(
+            F.col(id_col), (F.col("plane") / width).cast("bigint").alias("band_id")
+        )
+        .agg(
+            F.sum(
+                F.col("__bit")
+                * F.pow(F.lit(2.0), (F.col("plane") % width).cast("double")).cast(
+                    "bigint"
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at scale: SRP-LSH candidates (self-join on
+    ``(band_id, band_hash)`` — cost Σ bucket², never n²) verified with
+    the exact rounded cosine, same output contract as
+    :func:`cosine_pairs` restricted to colliding pairs. Approximate by
+    design: a pair colliding in no band is never considered (recall
+    follows the banding S-curve; raise ``n_planes``/lower ``bands`` to
+    push it up). ``max_bucket_size`` caps pathological buckets exactly
+    like ``dedup.lsh_candidate_pairs`` (deterministic lowest-id
+    survivors).
+    """
+    bk = srp_band_keys(vectors, n_planes, bands, id_col, vec_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col).asc())
+        bk = (
+            bk.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    cand = (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("a"), _dbl(vec_col).alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    vb = vectors.select(
+        F.col(id_col).alias("b"), _dbl(vec_col).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )

@@ -613,3 +613,36 @@ def test_pca_power_iteration_errors(spark):
     empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
     with _pytest.raises(ValueError):
         pca_power_iteration(empty)
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark):
+    import random
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    # planted near-identical pairs — cos ≈ 1 ⇒ same sign on every plane
+    rows += [(200, rows[5][1][:]), (201, [v * 1.001 for v in rows[40][1]])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r["a"], r["b"], r["sim"])
+             for r in cosine_pairs(df, threshold=0.4).collect()}
+    lsh = {(r["a"], r["b"], r["sim"])
+           for r in cosine_pairs_lsh(df, threshold=0.4, n_planes=16,
+                                     bands=4).collect()}
+    assert lsh <= exact                      # verify step: no false positives
+    assert (5, 200, 1.0) in lsh              # exact dup always collides
+    assert any(a == 40 and b == 201 for a, b, _ in lsh)
+
+    # bucket cap keeps output a subset and bounds candidates
+    capped = {(r["a"], r["b"]) for r in
+              cosine_pairs_lsh(df, 0.4, 16, 4, max_bucket_size=5).collect()}
+    assert capped <= {(a, b) for a, b, _ in lsh}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cosine_pairs_lsh(df, 0.4, n_planes=10, bands=4)  # not a multiple
