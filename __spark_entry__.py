@@ -1028,6 +1028,21 @@ def q_hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.crossJoin(F.broadcast(exact))
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis ∝-weight sample without replacement (100 docs
+    weighted by n_chars): deterministic hash-derived uniforms, map-side
+    scoring, TakeOrdered cut — the principled bridge from importance
+    weights to a training subset."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.weighted_sample(docs, "n_chars", k=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1521,7 +1536,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_selected_docs", "langid_classifier_scores",
     "pca_component", "pca_projections", "repeated_passages_report",
     "per_source_caps", "contamination_report", "dataset_splits",
-    "hll_overlap_report", "embedding_near_dup_lsh",
+    "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1631,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_splits": q_dataset_splits,
         "hll_overlap_report": q_hll_overlap_report,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "weighted_doc_sample": q_weighted_doc_sample,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2706,6 +2722,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = cand.a
             JOIN e eb ON eb.vec_id = cand.b
             WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROUND(ln(
+                           (('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT + 1)
+                           / 1152921504606846977.0)
+                         / CAST(n_chars AS DOUBLE), 6) AS s
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+            ORDER BY s DESC, doc_id LIMIT 100
         """,
         "hll_user_sketch": """
             WITH h AS (

@@ -422,3 +422,40 @@ def split_assign(
     for cut, lab in zip(reversed(cuts), reversed(labels[:-1])):
         expr = F.when(b < cut, F.lit(lab)).otherwise(expr)
     return df.withColumn(label_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "wsample|",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006, doi:10.1016/j.ipl.2005.11.003): each row draws a deterministic
+    uniform ``u`` from its key hash and scores ``ln(u) / w``; the k
+    LARGEST scores are exactly a ∝-weight sample without replacement.
+    This is the principled way to turn importance weights (DSIR,
+    quality scores, source priorities) into a training subset — rows
+    with zero/negative/NULL weight are excluded, heavier rows win more
+    often, and the draw is reproducible across engines, re-runs, and
+    partitioning (no ``rand()``).
+
+    One map-side projection + TakeOrdered: no shuffle beyond the per-
+    partition top-k merge, at any corpus size. The cut compares the
+    6dp-rounded score with a key tiebreak (oracle parity kit).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash60(F.col(key_col).cast("string"), seed=seed) + 1).cast("double") / F.lit(
+        float((1 << 60) + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es_score", score)
+        .orderBy(F.col("__es_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es_score")
+    )

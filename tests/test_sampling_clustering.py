@@ -375,3 +375,29 @@ def test_split_assign_deterministic_partition(spark):
         split_assign(df, "doc_id", (0.5, 0.4))
     with _pytest.raises(ValueError):
         split_assign(df, "doc_id", (0.5, 0.5), ("only",))
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 100 heavy rows (w=100) vs 900 light rows (w=1): a 50-row draw
+    # should be dominated by heavy rows (heavy mass ratio ~10:0.9)
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_sample(df, "w", k=50).collect()]
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy >= 35  # E[heavy] ≈ 46 under ES sampling
+    # deterministic: identical draw on a repartitioned input
+    again = [r["doc_id"] for r in
+             weighted_sample(df.repartition(17), "w", k=50).collect()]
+    assert sorted(got) == sorted(again)
+    # zero/negative/NULL weights never selected
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "doc_id: long, w: double"
+    )
+    assert [r["doc_id"] for r in weighted_sample(bad, "w", k=10).collect()] == [4]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w", k=0)
