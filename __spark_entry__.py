@@ -1176,6 +1176,16 @@ def q_pca_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.pca_project(emb, comp)
 
 
+def q_pca_top2_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA scores by deflation (the corpus-diagnostic scatter):
+    fit component 0, subtract 6dp-rounded projections, power-iterate
+    the residual for component 1, then score the ORIGINAL centered data
+    against both. Entire deflation unrolled as SQL for the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = SM.pca_top_components(emb, n_components=2, n_iter=2)
+    return SM.pca_project_components(emb, comps)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
     vectors ≥0.35 cosine-similar to a lower-id vector in the same
@@ -1524,19 +1534,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # move behind. Local check_correctness.py always runs ALL queries (104 as
 # of round 3) regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest (4): Gopher/C4 rule battery, per-source corpus report,
-    # interpolated bigram-LM scoring, hashing-trick TF features. Ceded
-    # slots, all still oracle-green locally: tpch_q17 + tpch_q15
-    # (scalar-subquery recipes driver-covered by tpch_q2), tpch_q16
-    # (distinct-count + anti-membership, covered by approx_aggregates /
-    # customers_without_orders), tpch_q14 (join + conditional-agg ratio,
-    # covered by tpch_q8's case-sum shape), tpch_q12 (same
-    # join + conditional-agg family)
+    # newest (14, round-3 continuation): the sketch family (HLL grid /
+    # calibration / overlap), model-based curation (CCNet buckets, DSIR,
+    # logreg classifier, PCA), curation reports (repeated passages,
+    # per-source caps, contamination, splits, ES-weighted sample), and
+    # the SRP-LSH embedding near-dup scale path. Every entry pushed out
+    # of the 50-slot window below stays oracle-green in the local gate
+    # (tools/check_correctness.py covers ALL queries each run).
     "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
     "dsir_selected_docs", "langid_classifier_scores",
     "pca_component", "pca_projections", "repeated_passages_report",
     "per_source_caps", "contamination_report", "dataset_splits",
     "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
+    "pca_top2_projections",
+    # previous round-3 batch:
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
     # round-3 batch (6): span dedup, quantile cut, token-budget mix,
@@ -1647,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_report": q_hll_overlap_report,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "weighted_doc_sample": q_weighted_doc_sample,
+        "pca_top2_projections": q_pca_top2_projections,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2612,6 +2624,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-m3.m)), 6) AS lr_score,
                    (ROUND(1.0 / (1.0 + exp(-m3.m)), 6) >= 0.5) AS pred_en
             FROM documents d JOIN m3 USING (doc_id)
+        """,
+        "pca_top2_projections": _PCA_SQL_CTES + """,
+            p1 AS (SELECT l.vec_id, SUM(l.val * v2.v) AS dot
+                   FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id),
+            rlf AS (SELECT l.vec_id, l.dim,
+                           ROUND(l.val - p1.dot * v2.v, 6) AS val
+                    FROM lf l JOIN p1 USING (vec_id) JOIN v2 USING (dim)),
+            rv0 AS (SELECT dim, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM mu)), 6)
+                        AS v FROM mu),
+            rd1 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+                    FROM rlf l JOIN rv0 v USING (dim) GROUP BY l.vec_id),
+            rw1 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+                    FROM rlf l JOIN rd1 d USING (vec_id) GROUP BY l.dim),
+            rn1 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw1),
+            rv1 AS (SELECT dim, ROUND(w / nrm, 6) AS v
+                    FROM rw1 CROSS JOIN rn1),
+            rd2 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+                    FROM rlf l JOIN rv1 v USING (dim) GROUP BY l.vec_id),
+            rw2 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+                    FROM rlf l JOIN rd2 d USING (vec_id) GROUP BY l.dim),
+            rn2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw2),
+            rv2 AS (SELECT dim, ROUND(w / nrm, 6) AS v
+                    FROM rw2 CROSS JOIN rn2)
+            SELECT s1.vec_id, s1.pc1, s2.pc2
+            FROM (SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
+                  FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id) s1
+            JOIN (SELECT l.vec_id, ROUND(SUM(l.val * rv2.v), 6) AS pc2
+                  FROM lf l JOIN rv2 USING (dim) GROUP BY l.vec_id) s2
+            USING (vec_id)
         """,
         "pca_component": _PCA_SQL_CTES + """
             SELECT dim, v FROM v2

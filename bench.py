@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dsir_selected_docs",
     "langid_classifier_scores",
     "pca_projections",
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -1209,3 +1209,140 @@ def cosine_pairs_lsh(
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+def _pca_centered_lf(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Long-form mean-centered ``(__id, dim, __val)`` (6dp-rounded per-dim
+    means — the shared front end of the PCA operators)."""
+    lf = (
+        ensure_parallelism(vectors)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
+        )
+    )
+    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
+    return (
+        lf.alias("lf")
+        .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
+        .select(
+            F.col("lf.__id").alias("__id"),
+            F.col("lf.dim").alias("dim"),
+            (F.col("lf.__raw") - F.col("mu.__mu")).alias("__val"),
+        )
+    )
+
+
+def _power_iterate_lf(lf: DataFrame, d: int, n_iter: int) -> DataFrame:
+    """Power iteration over a long-form matrix: ``(dim, v)`` unit
+    component, the A^T(Av) loop of :func:`pca_power_iteration`."""
+    dims = lf.select("dim").distinct()
+    comp = dims.select(F.col("dim"), F.round(F.lit(1.0 / d**0.5), 6).alias("v"))
+    for _ in range(n_iter):
+        dots = (
+            lf.join(F.broadcast(comp), "dim")
+            .groupBy("__id")
+            .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
+        )
+        nxt = (
+            lf.join(dots, "__id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("__val") * F.col("__dot")).alias("__w"))
+        )
+        nrm = nxt.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
+        comp = (
+            nxt.crossJoin(F.broadcast(nrm))
+            .select("dim", F.round(F.col("__w") / F.col("__n"), 6).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return comp
+
+
+def pca_top_components(
+    vectors: DataFrame,
+    n_components: int = 2,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top ``n_components`` principal components by deflation (Hotelling
+    1933): fit the dominant component, subtract each vector's projection
+    onto it (residuals 6dp-rounded — the determinism contract that keeps
+    the whole deflation SQL-unrollable), and power-iterate again on the
+    residual. Returns ``(component, dim, v)`` — component 0 is the
+    dominant axis.
+
+    Same per-round cost as :func:`pca_power_iteration`; deflation adds
+    one projection join per extra component. Components are orthogonal
+    up to the rounding contract (|v_i·v_j| ≲ 1e-4), which is what a
+    corpus-diagnostic scatter needs — for a tight orthonormal basis at
+    higher k, re-orthogonalize the small (k × d) table driver-side.
+    """
+    if n_components < 1 or n_iter < 1:
+        raise ValueError("n_components and n_iter must be >= 1")
+    first = vectors.select(F.size(_dbl(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_top_components: empty input")
+    d = int(first["d"])
+    lf = _pca_centered_lf(vectors, id_col, vec_col).persist()
+    try:
+        out = None
+        cur = lf
+        for c in range(n_components):
+            comp = _power_iterate_lf(cur, d, n_iter)
+            tagged = comp.select(
+                F.lit(c).alias("component"), F.col("dim"), F.col("v")
+            )
+            out = tagged if out is None else out.unionByName(tagged)
+            if c < n_components - 1:
+                dots = (
+                    cur.join(F.broadcast(comp), "dim")
+                    .groupBy("__id")
+                    .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
+                )
+                cur = (
+                    cur.join(dots, "__id")
+                    .join(F.broadcast(comp), "dim")
+                    .select(
+                        "__id",
+                        "dim",
+                        F.round(
+                            F.col("__val") - F.col("__dot") * F.col("v"), 6
+                        ).alias("__val"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+        return out
+    finally:
+        lf.unpersist()
+
+
+def pca_project_components(
+    vectors: DataFrame,
+    components: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Score every vector against a ``(component, dim, v)`` table:
+    ``(id, pc1, pc2, ...)`` — pc_k = centered · v_{k-1}, rounded 6dp
+    (standard PCA scores: always against the ORIGINAL centered data, not
+    the deflated residuals). One broadcast fan-out join + one keyed
+    aggregation + a literal-pivot."""
+    ks = [r["component"] for r in
+          components.select("component").distinct().orderBy("component").collect()]
+    lf = _pca_centered_lf(vectors, id_col, vec_col)
+    scores = (
+        lf.join(F.broadcast(components), "dim")
+        .groupBy("__id", "component")
+        .agg(F.round(F.sum(F.col("__val") * F.col("v")), 6).alias("__pc"))
+    )
+    wide = scores.groupBy("__id").pivot("component", ks).agg(F.first("__pc"))
+    renamed = wide.select(
+        F.col("__id").alias(id_col),
+        *[F.col(str(k)).alias(f"{prefix}{int(k) + 1}") for k in ks],
+    )
+    return renamed

@@ -646,3 +646,38 @@ def test_cosine_pairs_lsh_subset_and_recall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cosine_pairs_lsh(df, 0.4, n_planes=10, bands=4)  # not a multiple
+
+
+def test_pca_deflation_top2_matches_numpy(spark):
+    import numpy as np
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.similarity import (
+        pca_project_components,
+        pca_top_components,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(250, 5))
+    base[:, 1] *= 9.0   # dominant axis
+    base[:, 3] *= 4.0   # second axis
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(250)],
+        ["vec_id", "embedding"],
+    )
+    comps = pca_top_components(df, n_components=2, n_iter=8)
+    v = np.zeros((2, 5))
+    for r in comps.collect():
+        v[r["component"], r["dim"]] = r["v"]
+    x = base - base.mean(axis=0)
+    _, evecs = np.linalg.eigh(x.T @ x)
+    assert abs(float(v[0] @ evecs[:, -1])) > 0.99
+    assert abs(float(v[1] @ evecs[:, -2])) > 0.98
+    assert abs(float(v[0] @ v[1])) < 1e-3  # orthogonal up to rounding
+
+    proj = pca_project_components(df, comps)
+    assert sorted(proj.columns) == ["pc1", "pc2", "vec_id"]
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    want1, want2 = x @ v[0], x @ v[1]
+    for i in (0, 50, 249):
+        assert abs(got[i][0] - want1[i]) < 1e-4
+        assert abs(got[i][1] - want2[i]) < 1e-4
