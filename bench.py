@@ -147,14 +147,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # best-of-N (default 2): run-to-run variance on this host is large
+    # (semantic_dedup measured 2.9-13 s across identical runs); the min
+    # of two attempts is a far steadier estimate of plan cost than one
+    # draw, at the cost of one extra execution per query
+    best_of = max(1, int(os.environ.get("BENCH_BEST_OF", "2")))
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            force(qs[name](spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate per query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+        best = None
+        err = None
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            try:
+                force(qs[name](spark, SF_DIR))
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                err = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"BENCH-ERROR {name}: {err}", file=sys.stderr)
+                break
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        if best is not None:
+            timings[name] = round(best, 3)  # any successful attempt counts
+        elif err is not None:
+            errors[name] = err
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
