@@ -1043,6 +1043,22 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated crawl versions (old =
+    doc_id % 4 != 0, new = doc_id % 4 != 1 with every %10==2 doc's text
+    revised): per-doc added/removed/modified/unchanged by id +
+    fingerprint — only the md5 travels through the join."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return DD.corpus_diff(old, new)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1546,7 +1562,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pca_component", "pca_projections", "repeated_passages_report",
     "per_source_caps", "contamination_report", "dataset_splits",
     "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
-    "pca_top2_projections",
+    "pca_top2_projections", "corpus_diff",
     # previous round-3 batch:
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
@@ -1659,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "weighted_doc_sample": q_weighted_doc_sample,
         "pca_top2_projections": q_pca_top2_projections,
+        "corpus_diff": q_corpus_diff,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2763,6 +2780,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = cand.a
             JOIN e eb ON eb.vec_id = cand.b
             WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+        """,
+        "corpus_diff": """
+            WITH oldc AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                           AS fp
+                FROM documents WHERE doc_id % 4 != 0),
+            newc AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(
+                           CASE WHEN doc_id % 10 = 2 THEN text || ' v2'
+                                ELSE text END)), '\\s+', ' ', 'g')) AS fp
+                FROM documents WHERE doc_id % 4 != 1)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
         """,
         "weighted_doc_sample": """
             SELECT doc_id, source, n_chars FROM (

@@ -784,3 +784,34 @@ def contamination_scores(
             ).alias("contamination"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-doc status
+    ``added`` / ``removed`` / ``modified`` / ``unchanged`` by id +
+    normalized-text fingerprint — the release-notes report a curation
+    pipeline emits between crawls (and the input to incremental
+    reprocessing: only ``added``/``modified`` need re-scoring).
+
+    One fingerprint projection per side + one full-outer keyed join on
+    the id; no content shuffle (the md5 travels, not the text). At
+    100 TB both sides usually already persist fingerprint columns
+    (exact_dedup writes them) — pass projected frames to skip the
+    recompute.
+    """
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("__fp_old"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("__fp_new"))
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )

@@ -724,3 +724,25 @@ def test_contamination_scores_fraction(spark):
     assert got[3]["contamination"] == 0.0
     # doc 2: grams = 4 trigram shingles, 1 shared ("the quick brown")
     assert got[2]["n_grams"] == 4 and got[2]["contamination"] == 0.25
+
+
+def test_corpus_diff_statuses(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(2, "beta text"), (3, "gamma text REVISED"), (4, "delta text")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
+    # fingerprint normalization: case/whitespace changes are NOT modifications
+    new2 = spark.createDataFrame([(2, "  BETA   text ")], ["doc_id", "text"])
+    got2 = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old.filter("doc_id = 2"), new2).collect()}
+    assert got2 == {2: "unchanged"}
