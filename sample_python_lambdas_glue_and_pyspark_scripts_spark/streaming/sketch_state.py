@@ -138,3 +138,62 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     if had_target:
         fs.delete(bak, True)
     return removed
+
+
+# --- count-min twin: streaming heavy-hitter frequencies -------------------
+#
+# Same epoch-dir layout as the HLL registers. One difference in the
+# safety story: CMS merges by SUM, which is NOT idempotent — here the
+# LAYOUT carries idempotency alone (a replayed epoch overwrites its own
+# batch_id dir and nothing else), so the read-side sum across dirs never
+# double-counts. That is exactly why state lives in per-epoch dirs
+# rather than one running table.
+
+_CMS_SCHEMA = "row int, slot bigint, cnt bigint"
+
+
+def make_cms_batch_fn(
+    work_dir: str, key_col: str, width: int = 1024, depth: int = 4
+):
+    from ..operators.sketches import count_min_sketch
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        count_min_sketch(batch_df, key_col, width, depth).select(
+            F.col("row").cast("int"), "slot", "cnt"
+        ).write.mode("overwrite").parquet(f"{work_dir}/cms/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    work_dir: str,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live count-min grid over a stream (heavy-hitter
+    frequencies with one-sided error, state fixed at depth×width cells
+    per epoch regardless of stream length)."""
+    return run_incremental(
+        stream_df,
+        make_cms_batch_fn(work_dir, key_col, width, depth),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_cms_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Merged grid across every committed epoch (cell-wise SUM)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/cms")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _CMS_SCHEMA)
+    return (
+        spark.read.schema(_CMS_SCHEMA)
+        .parquet(f"{work_dir}/cms")
+        .groupBy("row", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

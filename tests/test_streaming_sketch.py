@@ -100,3 +100,50 @@ def test_compact_registers_preserves_state(spark, workdir):
 def test_read_hll_state_empty_dir(spark, workdir):
     assert read_hll_state(spark, workdir).count() == 0
     assert compact_registers(spark, workdir) == 0
+
+
+def test_streaming_cms_matches_batch_and_replay(spark, workdir, tmp_path):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_cms_batch_fn,
+        read_cms_state,
+        streaming_cms,
+    )
+
+    src = str(tmp_path / "csrc")
+    b0 = _events(spark, 0, 400, 7)
+    b1 = _events(spark, 400, 800, 13)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_cms(stream, workdir, "user_id", width=64, depth=3).awaitTermination(180)
+
+    whole = b0.unionByName(b1)
+    batch = {(r["row"], r["slot"]): r["cnt"] for r in
+             count_min_sketch(whole, "user_id", 64, 3).collect()}
+    streamed = {(r["row"], r["slot"]): r["cnt"] for r in
+                read_cms_state(spark, workdir).collect()}
+    assert streamed == batch
+
+    # SUM-merge is not idempotent; the epoch-dir layout must be:
+    # replaying an epoch leaves the merged grid unchanged
+    fn = make_cms_batch_fn(workdir, "user_id", 64, 3)
+    fn(b0, 0)
+    again = {(r["row"], r["slot"]): r["cnt"] for r in
+             read_cms_state(spark, workdir).collect()}
+    assert again == batch
+
+    # estimates over the merged state never undercount the true counts
+    keys = spark.createDataFrame([(0,), (5,)], ["user_id"])
+    est = {r["user_id"]: r["est"] for r in
+           cms_estimate(read_cms_state(spark, workdir), keys, "user_id",
+                        64, 3).collect()}
+    true0 = whole.filter(F.col("user_id") == 0).count()
+    assert est[0] >= true0
