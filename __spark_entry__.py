@@ -1477,6 +1477,86 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming-parity window aggregations -------------------------------------
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (signup → later click → later
+    purchase): per-user stage timestamps via layered window minima —
+    comparisons use the RAW ts column (only ordering matters, so the
+    plan is encoding-independent), one shuffle on user_id total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d1 = ev.withColumn(
+        "__s",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    d2 = d1.withColumn(
+        "__c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("__s")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "__p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("__c")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = d3.groupBy("user_id").agg(
+        F.max("__s").alias("s"), F.max("__c").alias("c"), F.max("__p").alias("p")
+    )
+    n_signup = F.count("s")
+    n_purchase = F.count("p")
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n_signup.alias("n_signup"),
+        F.count("c").alias("n_click_after_signup"),
+        n_purchase.alias("n_purchase_after_click"),
+        F.round(
+            F.when(n_signup > 0, n_purchase * F.lit(1.0) / n_signup), 6
+        ).alias("signup_to_purchase"),
+    )
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active k weeks after their first-seen
+    week. Week index from the type-adaptive event_time (exact under
+    both ts encodings); two keyed shuffles (distinct user-week, first
+    week) — never a per-event self-join."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp(event_time(ev, "ts")) / F.lit(604800))
+    uw = ev.select(F.col("user_id"), wk.alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    return (
+        uw.join(first, "user_id")
+        .select("user_id", (F.col("wk") - F.col("w0")).alias("week_offset"))
+        .groupBy("week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based throttle: drop an event arriving within 60 s of the
+    previous event of the same (user, type). Exact integer microseconds
+    from the type-adaptive event_time; deterministic (us, event_id)
+    order; one keyed window shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(event_time(ev, "ts"))
+    d = ev.withColumn("__us", us)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("__us").asc(), F.col("event_id").asc()
+    )
+    d = d.withColumn("__prev", F.lag("__us").over(w))
+    return d.filter(
+        F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") >= 60_000_000)
+    ).select("event_id", "user_id", "event_type")
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling event-time windows over events (same plan the
     streaming mode runs per micro-batch)."""
@@ -1563,6 +1643,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "per_source_caps", "contamination_report", "dataset_splits",
     "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
     "pca_top2_projections", "corpus_diff",
+    "event_funnel", "weekly_retention", "events_throttle",
     # previous round-3 batch:
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
@@ -1676,6 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "pca_top2_projections": q_pca_top2_projections,
         "corpus_diff": q_corpus_diff,
+        "event_funnel": q_event_funnel,
+        "weekly_retention": q_weekly_retention,
+        "events_throttle": q_events_throttle,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2780,6 +2864,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = cand.a
             JOIN e eb ON eb.vec_id = cand.b
             WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+        """,
+        "event_funnel": """
+            WITH f1 AS (
+                SELECT user_id, event_type, ts,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                           OVER (PARTITION BY user_id) AS s
+                FROM events),
+            f2 AS (
+                SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s
+                              THEN ts END)
+                              OVER (PARTITION BY user_id) AS c
+                FROM f1),
+            f3 AS (
+                SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c
+                              THEN ts END)
+                              OVER (PARTITION BY user_id) AS p
+                FROM f2),
+            pu AS (SELECT user_id, MAX(s) AS s, MAX(c) AS c, MAX(p) AS p
+                   FROM f3 GROUP BY user_id)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(s) AS BIGINT) AS n_signup,
+                   CAST(COUNT(c) AS BIGINT) AS n_click_after_signup,
+                   CAST(COUNT(p) AS BIGINT) AS n_purchase_after_click,
+                   ROUND(COUNT(p) * 1.0 / NULLIF(COUNT(s), 0), 6)
+                       AS signup_to_purchase
+            FROM pu
+        """,
+        "weekly_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       (epoch_ns(ts) // 1000000000) // 604800 AS wk
+                FROM events),
+            fw AS (SELECT user_id, MIN(wk) AS w0 FROM uw GROUP BY user_id)
+            SELECT uw.wk - fw.w0 AS week_offset,
+                   CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+            FROM uw JOIN fw USING (user_id)
+            GROUP BY 1
+        """,
+        "events_throttle": """
+            WITH te AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS us
+                FROM events),
+            lg AS (
+                SELECT *, LAG(us) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY us, event_id) AS prev
+                FROM te)
+            SELECT event_id, user_id, event_type
+            FROM lg WHERE prev IS NULL OR us - prev >= 60000000
         """,
         "corpus_diff": """
             WITH oldc AS (
