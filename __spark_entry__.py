@@ -1557,6 +1557,16 @@ def q_events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the per-doc quality ratios (the relational
+    UNPIVOT verb: one metric row per (doc, stat) — the shape metric
+    stores and per-stat aggregations want). Pure map-side expansion."""
+    docs = _t(spark, sf_dir, "documents")
+    ratios = ["stat_punct_ratio", "stat_stopword_ratio", "stat_chars_per_word"]
+    st = TX.text_stats(docs).select("doc_id", *ratios)
+    return st.unpivot("doc_id", ratios, "stat", "value")
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling event-time windows over events (same plan the
     streaming mode runs per micro-batch)."""
@@ -1643,7 +1653,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "per_source_caps", "contamination_report", "dataset_splits",
     "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
     "pca_top2_projections", "corpus_diff",
-    "event_funnel", "weekly_retention", "events_throttle",
+    "event_funnel", "weekly_retention", "events_throttle", "stats_unpivot",
     # previous round-3 batch:
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
@@ -1760,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "weekly_retention": q_weekly_retention,
         "events_throttle": q_events_throttle,
+        "stats_unpivot": q_stats_unpivot,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2864,6 +2875,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = cand.a
             JOIN e eb ON eb.vec_id = cand.b
             WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+        """,
+        "stats_unpivot": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                             / greatest(length(text), 1), 6) AS stat_punct_ratio,
+                       ROUND(len(regexp_extract_all(lower(text),
+                                 '\b(the|and|of|to|is|in|it|a)\b'))
+                             / greatest(len(regexp_extract_all(lower(text),
+                                            '[a-z0-9]+')), 1), 6)
+                           AS stat_stopword_ratio,
+                       ROUND(length(text)
+                             / greatest(len(regexp_extract_all(lower(text),
+                                            '[a-z0-9]+')), 1), 6)
+                           AS stat_chars_per_word
+                FROM documents)
+            SELECT doc_id, 'stat_punct_ratio' AS stat,
+                   stat_punct_ratio AS value FROM w
+            UNION ALL
+            SELECT doc_id, 'stat_stopword_ratio', stat_stopword_ratio FROM w
+            UNION ALL
+            SELECT doc_id, 'stat_chars_per_word', stat_chars_per_word FROM w
         """,
         "event_funnel": """
             WITH f1 AS (
