@@ -88,6 +88,18 @@ BENCH_QUERIES = [
     "langid_classifier_scores",
     "pca_projections",
     "embedding_near_dup_lsh",
+    "hll_overlap_report",
+    "repeated_passages_report",
+    "per_source_caps",
+    "contamination_report",
+    "dataset_splits",
+    "weighted_doc_sample",
+    "corpus_diff",
+    "pca_top2_projections",
+    "event_funnel",
+    "weekly_retention",
+    "events_throttle",
+    "stats_unpivot",
 ]
 
 
