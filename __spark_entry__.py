@@ -1059,6 +1059,24 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.corpus_diff(old, new)
 
 
+def q_hll_grouped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user HLL estimates beside the exact
+    counts (the grouped mergeable COUNT DISTINCT): ≤ 2^p register rows
+    per group, one (group, bucket)-keyed shuffle."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = SK.hll_estimate_grouped(
+        SK.hll_sketch_grouped(ev, "event_type", "user_id", p=8), "event_type", p=8
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (the monitoring rollup a curation
     pipeline runs after every intake): doc/token counts, exact-dup rate
@@ -1654,6 +1672,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
     "pca_top2_projections", "corpus_diff",
     "event_funnel", "weekly_retention", "events_throttle", "stats_unpivot",
+    "hll_grouped_report",
     # previous round-3 batch:
     "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
     "events_sliding_window", "cms_token_sketch",
@@ -1771,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_retention": q_weekly_retention,
         "events_throttle": q_events_throttle,
         "stats_unpivot": q_stats_unpivot,
+        "hll_grouped_report": q_hll_grouped_report,
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
@@ -2976,6 +2996,39 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_chars AS DOUBLE), 6) AS s
                 FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
             ORDER BY s DESC, doc_id LIMIT 100
+        """,
+        "hll_grouped_report": """
+            WITH gh AS (
+                SELECT event_type,
+                       ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL),
+            gr AS (
+                SELECT event_type, hv % 256 AS bucket,
+                       MAX(CASE WHEN hv // 256 = 0 THEN 53
+                           ELSE 52 - length(bin(hv // 256)) + 1 END) AS rho
+                FROM gh GROUP BY event_type, bucket),
+            gg AS (
+                SELECT event_type, COUNT(*) AS nz,
+                       SUM(power(2.0, -rho)) AS s
+                FROM gr GROUP BY event_type),
+            ge AS (
+                SELECT event_type,
+                       CAST(256 - nz AS BIGINT) AS zero_registers,
+                       ROUND(CASE WHEN raw <= 640.0 AND 256 - nz > 0
+                             THEN 256.0 * ln(256.0 / (256 - nz))
+                             ELSE raw END, 6) AS estimate
+                FROM (SELECT event_type, nz,
+                             (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                                 / (s + (256 - nz)) AS raw
+                      FROM gg)),
+            gx AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM events GROUP BY event_type)
+            SELECT ge.event_type, ge.zero_registers, ge.estimate,
+                   gx.exact_distinct
+            FROM ge JOIN gx USING (event_type)
         """,
         "hll_user_sketch": """
             WITH h AS (

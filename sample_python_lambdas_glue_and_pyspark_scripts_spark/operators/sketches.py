@@ -246,3 +246,56 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int = 9) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+def hll_sketch_grouped(
+    df: DataFrame, group_col: str, key_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group register tables ``(group, bucket, rho)`` — the
+    mergeable replacement for ``GROUP BY g, COUNT(DISTINCT key)`` when
+    the key domain is unbounded: at most ``2^p`` rows per group, one
+    keyed shuffle on (group, bucket) with map-side MAX, and groups merge
+    across corpora/days exactly like the ungrouped sketch."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    bits = _HLL_BITS - p
+    h = _hll_hash(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits) - F.length(F.conv(rest.cast("string"), 10, 2)) + 1)
+        .cast("int")
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col), (h % F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_col: str, p: int = 9) -> DataFrame:
+    """Per-group cardinality estimates from grouped register tables:
+    ``(group, zero_registers, estimate)``, same correction and 6dp
+    rounding as :func:`hll_estimate`, one aggregation keyed on the
+    group."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+    )
+    zeros = (F.lit(m) - F.col("__nz")).cast("bigint")
+    raw = F.lit(alpha) * F.lit(float(m) * float(m)) / (
+        F.col("__s") + zeros.cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col),
+        zeros.alias("zero_registers"),
+        F.round(corrected, 6).alias("estimate"),
+    )

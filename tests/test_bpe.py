@@ -184,3 +184,27 @@ def test_hll_intersect_inclusion_exclusion(spark):
     c = spark.range(100000, 105000).selectExpr("concat('k', id) AS k")
     r2 = SK.hll_intersect_estimate(sa, SK.hll_sketch(c, "k", p=12), p=12)
     assert r2.collect()[0]["est_intersection"] < 600
+
+
+def test_hll_grouped_matches_per_group_sketch(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g",
+        "concat('u', id % 500) AS k",
+    )
+    grouped = SK.hll_sketch_grouped(df, "g", "k", p=9)
+    # per-group registers must equal the ungrouped sketch of that slice
+    for g in ("a", "b"):
+        solo = {r["bucket"]: r["rho"] for r in
+                SK.hll_sketch(df.filter(f"g = '{g}'"), "k", p=9).collect()}
+        got = {r["bucket"]: r["rho"] for r in
+               grouped.filter(f"g = '{g}'").collect()}
+        assert got == solo
+    est = {r["g"]: r["estimate"] for r in
+           SK.hll_estimate_grouped(grouped, "g", p=9).collect()}
+    # gcd(3, 500) = 1, so BOTH groups cycle through all 500 residues
+    assert abs(est["a"] - 500) / 500 < 0.15
+    assert abs(est["b"] - 500) / 500 < 0.15
