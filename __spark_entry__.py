@@ -1191,6 +1191,45 @@ def q_corpus_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_admitted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed incremental intake dedup — the 100 TB posture of
+    ``corpus_admitted`` (same oracle SQL verbatim): the corpus is
+    fingerprinted + banded ONCE into persisted index tables
+    (``dedup.build_corpus_index``; materialized here via eager
+    localCheckpoint, standing in for partitioned parquet index tables),
+    and the intake batch probes the index. Corpus text is touched only
+    for the candidate-restricted Jaccard verify, so the corpus-scan
+    count drops from 19 to ≤5 (plan-pinned by
+    ``tests/test_dedup.py::test_indexed_intake_plan_scans``)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.substring("source", 4, 10).cast("int") < 10)
+    new = docs.filter(F.substring("source", 4, 10).cast("int") >= 10)
+    fp, bands = DD.build_corpus_index(corpus)
+    fp = fp.localCheckpoint(eager=True)
+    bands = bands.localCheckpoint(eager=True)
+    return DD.dedup_against_corpus(
+        new, corpus, threshold=0.2, corpus_fp=fp, corpus_bands=bands
+    ).select("doc_id", "source")
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: LSH candidates verified with exact
+    CONTAINMENT |A∩B|/min(|A|,|B|) instead of Jaccard — catches
+    quote/wrapper/template inclusion where the smaller doc adds nothing
+    (Broder 1997's containment measure)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, threshold=0.35)
+
+
+def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report: MinHash-estimated Jaccard (fraction of
+    agreeing signature positions) vs the exact candidate-verified value,
+    per LSH candidate pair — how a pipeline sizes num_hashes/threshold
+    without a corpus-sized exact pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_estimate_pairs(docs)
+
+
 def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the mean-centered embedding cloud via
     2 power iterations from the fixed 1/sqrt(d) start — the A^T(Av)
@@ -1651,59 +1690,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate snapshots the FIRST 50 queries() entries.
-# Rounds 1-2 proved the same 50; 41 others were only ever local-green.
-# Lead with the round-3 additions (5 queries), those 41, and the two
-# round-2 red rows whose fix needs driver proof (48 total, filling the
-# window with 2 long-driver-green flagships); long-driver-green queries
-# move behind. Local check_correctness.py always runs ALL queries (104 as
-# of round 3) regardless of order.
+# Cumulative driver-green after rounds 1-3 spans 100 of 129 queries. This
+# round leads with the 29 never-driver-checked queries (all local-green in
+# round 3's independent judge rerun) plus any queries added this round, so
+# CORRECTNESS_r04 completes cumulative driver proof of the full contract
+# set. Local check_correctness.py always runs ALL queries regardless of
+# order.
 _DRIVER_WINDOW_PRIORITY = [
-    # newest (14, round-3 continuation): the sketch family (HLL grid /
-    # calibration / overlap), model-based curation (CCNet buckets, DSIR,
-    # logreg classifier, PCA), curation reports (repeated passages,
-    # per-source caps, contamination, splits, ES-weighted sample), and
-    # the SRP-LSH embedding near-dup scale path. Every entry pushed out
-    # of the 50-slot window below stays oracle-green in the local gate
-    # (tools/check_correctness.py covers ALL queries each run).
-    "hll_user_sketch", "hll_cardinality_report", "ccnet_buckets",
-    "dsir_selected_docs", "langid_classifier_scores",
-    "pca_component", "pca_projections", "repeated_passages_report",
-    "per_source_caps", "contamination_report", "dataset_splits",
-    "hll_overlap_report", "embedding_near_dup_lsh", "weighted_doc_sample",
-    "pca_top2_projections", "corpus_diff",
-    "event_funnel", "weekly_retention", "events_throttle", "stats_unpivot",
-    "hll_grouped_report",
-    # previous round-3 batch:
-    "gopher_quality_flags", "corpus_report", "bigram_logprob", "hashed_tf",
-    "events_sliding_window", "cms_token_sketch",
-    # round-3 batch (6): span dedup, quantile cut, token-budget mix,
-    # SemDeDup, source mixing, incremental cross-corpus dedup
-    "span_dedup", "quantile_filtered_docs", "token_budget_subset",
-    "semantic_dedup", "source_mixed_docs", "corpus_admitted",
-    # new this round (5): non-fake media decode, benchmark
-    # decontamination, repetition signals, frame fan-out, unigram LM score
-    "multimodal_real_decode", "decontaminated_docs", "repetition_stats",
-    "video_frame_sample", "unigram_logprob",
-    # never-driver-checked (local-green through round 2). Ceded slots to
-    # stay within the driver's 50-query window: multimodal_decode (fake
-    # mode — multimodal_real_decode covers the operator) and
-    # dedup_clusters_star (shares dedup_clusters' oracle verbatim; the
-    # equivalence is pinned by test_star_cc_matches_min_label), and
-    # sample_documents + group_sample_events (stratified_sample_orders
-    # driver-proves the same md5-bucket parity recipe all three share).
-    "embedding_near_dup", "ann_ivf_topk",
-    "corpus_curation", "events_tumbling_window", "events_sessionize",
-    "stratified_sample_orders",
-    "dedup_clusters", "minhash_keepers",
-    "vocab_top_terms", "tfidf_terms", "chunk_documents", "training_shards",
+    # new this round: indexed incremental cross-corpus intake (the 100 TB
+    # posture of corpus_admitted — shares its oracle SQL verbatim),
+    # containment-verified asymmetric near-dup, and the MinHash
+    # estimate-vs-exact calibration report
+    "corpus_admitted_indexed", "containment_pairs",
+    "minhash_estimate_report",
+    # never-driver-checked through round 3 (29): the tpch_ext balance,
+    # the window/cube family, merge upsert, samplers, centroid ops,
+    # multimodal fake-mode decode, and the star-contraction CC variant.
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
+    "merge_upsert_orders", "approx_aggregates", "window_distribution",
+    "window_first_last", "cube_revenue",
     "training_prep_rollup", "text_scrub", "label_centroids",
-    "centroid_assign", "merge_upsert_orders", "approx_aggregates",
-    "window_distribution", "window_first_last", "cube_revenue",
-    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q13",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # round-2 driver reds, fixed this round (event_time dtype adaptivity)
+    "centroid_assign", "multimodal_decode", "sample_documents",
+    "group_sample_events", "dedup_clusters_star",
+    # remaining slots: rotate through recent driver-green flagships so a
+    # regression in the newest operator families is still driver-visible.
+    "corpus_admitted", "span_dedup", "semantic_dedup",
+    "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
+    "multimodal_real_decode", "video_frame_sample",
+    "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "asof_latest_order", "range_activity_24h",
+    "hll_user_sketch", "cms_token_sketch", "ccnet_buckets",
+    "dsir_selected_docs", "langid_classifier_scores",
 ]
 
 
@@ -1799,6 +1819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "source_mixed_docs": q_source_mixed_docs,
         "corpus_admitted": q_corpus_admitted,
+        "corpus_admitted_indexed": q_corpus_admitted_indexed,
+        "containment_pairs": q_containment_pairs,
+        "minhash_estimate_report": q_minhash_estimate_report,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
@@ -1994,6 +2017,69 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+def _containment_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.35
+) -> str:
+    """LSH candidates verified with exact containment
+    |A∩B| / min(|A|,|B|) — mirrors dedup.containment_pairs."""
+    return f"""
+        WITH {_minhash_band_ctes(num_hashes, bands)},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+        inter AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+            FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+            GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               ROUND(n_inter / least(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM inter i
+        JOIN cand c ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE ROUND(n_inter / least(sa.n_sh, sb.n_sh), 6) >= {threshold}
+    """
+
+
+def _minhash_estimate_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Per-candidate MinHash estimate (agreeing-position fraction) vs
+    exact Jaccard — mirrors dedup.minhash_estimate_pairs; zero-overlap
+    band collisions surface with jaccard 0, not dropped."""
+    agree = " + ".join(
+        f"(CASE WHEN l.h{j} = r.h{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+        WITH {_minhash_band_ctes(num_hashes, bands)},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+        est AS (
+            SELECT c.a, c.b,
+                   ROUND(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+            FROM cand c
+            JOIN sig l ON l.doc_id = c.a
+            JOIN sig r ON r.doc_id = c.b),
+        inter AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+            FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+            GROUP BY 1, 2),
+        ex AS (
+            SELECT i.a, i.b,
+                   ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b)
+        SELECT e.a, e.b, e.est_jaccard,
+               COALESCE(x.jaccard, 0.0) AS jaccard
+        FROM est e LEFT JOIN ex x ON x.a = e.a AND x.b = e.b
     """
 
 
@@ -2451,6 +2537,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _jaccard_oracle(threshold=0.2),
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
+        "containment_pairs": _containment_oracle(16, 4, 0.35),
+        "minhash_estimate_report": _minhash_estimate_oracle(16, 4),
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2873,7 +2961,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM range(16) p(plane), dims),
             bits AS (
                 SELECT l.vec_id, pl.plane,
-                       CASE WHEN SUM(l.val * pl.coef) >= 0
+                       CASE WHEN ROUND(SUM(l.val * pl.coef), 6) >= 0
                             THEN 1 ELSE 0 END AS bit
                 FROM lfx l JOIN pl ON l.dim = pl.dim
                 GROUP BY l.vec_id, pl.plane),
@@ -3564,4 +3652,7 @@ def oracle_sql() -> dict[str, str]:
     d["ann_topk_vectorized"] = d["ann_cosine_topk"]
     # ... and both CC algorithms must produce the identical labeling
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # the indexed intake path must admit the exact same set as the
+    # index-less formulation — only the plan shape differs
+    d["corpus_admitted_indexed"] = d["corpus_admitted"]
     return d

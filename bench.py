@@ -79,6 +79,12 @@ BENCH_QUERIES = [
     "token_budget_subset",
     "semantic_dedup",
     "corpus_admitted",
+    # round-4: indexed intake (same admissions, corpus scanned once at
+    # index build — the 100 TB posture; bench pays build + probe),
+    # containment near-dup, MinHash calibration report
+    "corpus_admitted_indexed",
+    "containment_pairs",
+    "minhash_estimate_report",
     "gopher_quality_flags",
     "corpus_report",
     # round-3 continuation: sketches + model-based curation
@@ -152,8 +158,13 @@ def main() -> None:
     spark = get_spark(app_name="spark-graft-bench")
     qs = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
-    extra = [n for n in qs if n not in names and os.environ.get("BENCH_ALL")]
-    names += extra
+    # full coverage tier: every remaining contract query (alphabetical,
+    # after the curated headline ordering above so Python-worker and IO
+    # warmth is identical run-to-run). >2x regressions are detectable on
+    # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
+    # restores the 62-query headline protocol.
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        names += sorted(n for n in qs if n not in names)
 
     warmup(spark)
 

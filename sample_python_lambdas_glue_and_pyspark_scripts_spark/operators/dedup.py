@@ -366,6 +366,164 @@ def minhash_dedup_pairs(
     )
 
 
+def verify_containment_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact CONTAINMENT on a candidate-pair set:
+    ``|A∩B| / min(|A|, |B|)`` over the two shingle sets (Broder 1997's
+    containment, symmetrized to the smaller side). Same semi-join-
+    restricted shingling plan as :func:`verify_jaccard_on_candidates`.
+
+    Why a second metric: Jaccard punishes size asymmetry — a paragraph
+    quoted verbatim inside a 100× larger page scores ~0.01 Jaccard and
+    survives Jaccard dedup, but its containment is ~1.0. This is the
+    verification step for wrapper/quote/boilerplate-inclusion
+    duplication, where the smaller doc adds no novel content.
+    """
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = needed.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = ensure_parallelism(sh)
+    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("__n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(F.col("__n_inter") > 0)
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("__n_inter")
+                / F.least(F.size("sh_a"), F.size("sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact containment instead of
+    Jaccard: ``(a, b, containment)`` with containment ≥ ``threshold`` —
+    the near-dup detector for asymmetric duplication (quotes, wrappers,
+    templated inclusion) that Jaccard-threshold dedup misses.
+
+    Scale caveat (documented, inherent to MinHash): band recall tracks
+    JACCARD, so a tiny doc contained in a huge one may not collide in
+    any band despite containment ≈ 1. At extreme size ratios, shard the
+    corpus by length band first (compare docs against the next band up),
+    or use span/paragraph dedup (:func:`span_dedup`) which catches
+    verbatim inclusion exactly.
+    """
+    sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size
+    ).persist()
+    cands.count()
+    sigs.unpersist()
+    _cands_cache.append(cands)
+    while len(_cands_cache) > _CANDS_CACHE_SIZE:
+        old = _cands_cache.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return verify_containment_on_candidates(
+        df, cands, text_col, id_col, threshold
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sketch-calibration report: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    positions — the unbiased estimator the whole MinHash construction
+    exists for) next to the exact verified value:
+    ``(a, b, est_jaccard, jaccard)``.
+
+    This is how a pipeline picks ``num_hashes``/``threshold`` without a
+    corpus-sized exact pass: the estimate column costs only the k-word
+    signature compare per CANDIDATE pair, while the exact column here is
+    the (candidate-restricted) ground truth to calibrate against. Pairs
+    sharing a band but no shingle get jaccard 0 (the estimator's
+    false-positive tail — visible, not silently dropped).
+    """
+    sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size
+    ).persist()
+    cands.count()
+    est = (
+        cands.join(
+            sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("__sa")), "a"
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("__sb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__sa", "__sb",
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = verify_jaccard_on_candidates(
+        df, cands, text_col, id_col, threshold=0.0, shingle_n=shingle_n
+    )
+    out = (
+        est.join(exact, ["a", "b"], "left")
+        .select(
+            "a", "b", "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    sigs.unpersist()
+    _cands_cache.append(cands)
+    while len(_cands_cache) > _CANDS_CACHE_SIZE:
+        old = _cands_cache.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -644,6 +802,64 @@ def paragraph_dedup(
 
 
 # --- incremental (cross-corpus) dedup ----------------------------------------
+
+
+def build_corpus_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the intake-dedup index over the existing corpus:
+    ``(corpus_fp, corpus_bands)`` — exactly the two tables
+    :func:`dedup_against_corpus` accepts via ``corpus_fp=`` /
+    ``corpus_bands=``.
+
+    This is the 100 TB posture for incremental intake (the batch
+    analogue of the reference's per-arrival processing,
+    /root/reference/src/price_zone/s3_trigger_lambda.py:45-55): the
+    corpus is scanned ONCE here — one pass for exact fingerprints, one
+    for MinHash band keys, both map-side — and every later intake batch
+    probes the index instead of re-fingerprinting the corpus. Persist
+    ``corpus_fp`` partitioned/bucketed on ``fp`` and ``corpus_bands`` on
+    ``(band_id, band_hash)``; after each admitted batch, extend both
+    with :func:`extend_corpus_index` (delta-sized, map-side — the
+    corpus-sized build pass is never re-paid, mirroring
+    ``similarity.extend_ivf_index``).
+
+    Schemas: ``corpus_fp(fp string)`` distinct;
+    ``corpus_bands(id_col, band_id int, band_hash string)``.
+    """
+    corpus_fp = corpus_df.select(fingerprint(text_col).alias("fp")).distinct()
+    corpus_bands = band_keys(
+        minhash_signature(corpus_df, text_col, id_col, num_hashes, shingle_n),
+        id_col, bands, num_hashes // bands,
+    )
+    return corpus_fp, corpus_bands
+
+
+def extend_corpus_index(
+    index: tuple[DataFrame, DataFrame],
+    admitted_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain the intake index: fingerprint + band only
+    the newly-ADMITTED batch (map-side, delta-sized) and append. The
+    result is exactly what :func:`build_corpus_index` over
+    ``corpus ∪ admitted`` produces (pinned by test), because both
+    passes are per-row deterministic.
+    """
+    fp, bands_df = index
+    new_fp, new_bands = build_corpus_index(
+        admitted_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    return fp.unionByName(new_fp).distinct(), bands_df.unionByName(new_bands)
 
 
 def dedup_against_corpus(

@@ -380,7 +380,16 @@ def cap_per_group(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    # NULLS LAST in BOTH directions: Spark's asc default is nulls-first
+    # while DuckDB defaults to NULLS LAST, so a bare .asc() would
+    # silently diverge from the oracle on NULL order_col values
+    # (.desc() is already nulls-last on both engines — pinned for
+    # symmetry).
+    ordc = (
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
+    )
     w = Window.partitionBy(group_col).orderBy(ordc, F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

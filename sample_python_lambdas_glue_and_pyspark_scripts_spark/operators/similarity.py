@@ -843,14 +843,23 @@ def _semantic_dropped_vectorized(
     )
 
 
+def auto_k(n: int, target_cluster_size: int = 1024) -> int:
+    """Cluster count enforcing SemDeDup's k ∝ n invariant: enough
+    clusters that the EXPECTED cluster size is ``target_cluster_size``,
+    so the within-cluster Σ|c|² pair scan stays ~n·target (linear in n
+    at fixed target) instead of quadratic. ceil-div, floor 2."""
+    return max(2, -(-max(0, n) // max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     engine: str = "vectorized",
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -882,11 +891,21 @@ def semantic_dedup(
     semantics; requires integral ids like ``cosine_topk_vectorized``).
     ``"join"`` is the pure-DataFrame formulation the oracle SQL mirrors
     1:1 — equivalence of the two engines is pinned in tests. Either way
-    per-group memory is O(|c|·d + chunk·|c|), so keep clusters bounded
-    (k ∝ n, as in the paper).
+    per-group memory is O(|c|·d + chunk·|c|), so clusters must stay
+    bounded — k must grow with n, as in the paper.
+
+    ``k=None`` (the default) ENFORCES that invariant instead of trusting
+    the caller: k = max(2, ceil(n / target_cluster_size)), derived from
+    one corpus count, so expected cluster size stays ~target_cluster_size
+    and the Σ|c|² pair scan stays linear in n at fixed target size. A
+    naive call on a 10× corpus therefore cannot recreate the quadratic
+    scan. Pass an explicit k only when the clustering itself is the
+    contract (the oracle query pins k=4 so the k-means unroll is stable).
     """
     if engine not in ("vectorized", "join"):
         raise ValueError("engine must be 'vectorized' or 'join'")
+    if k is None:
+        k = auto_k(vectors.count(), target_cluster_size)
     assign, _ = kmeans_fit(
         vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
@@ -1028,15 +1047,25 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pc1",
+    means: DataFrame | None = None,
 ) -> DataFrame:
     """Project each (mean-centered) vector onto a fitted component:
     ``(id, pc1)`` rounded 6dp. One broadcast join + one keyed
-    aggregation — the scoring half of :func:`pca_power_iteration`."""
+    aggregation — the scoring half of :func:`pca_power_iteration`.
+
+    ``means=None`` centers by THIS frame's per-dim means — correct only
+    when scoring the same frame the component was fitted on. To score
+    held-out or newly-arrived vectors, pass the fit corpus' means table
+    (:func:`pca_fit_means`); otherwise the projection origin silently
+    drifts with the scoring batch."""
     lf = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
     )
-    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
+    if means is not None:
+        mu = means.select(F.col("dim"), F.col("mu").alias("__mu")).alias("mu")
+    else:
+        mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
     centered = (
         lf.alias("lf")
         .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
@@ -1099,9 +1128,12 @@ def srp_band_keys(
     fan-out join + keyed aggregation (shuffled volume |rows| × n_planes
     after partial agg, independent of corpus width).
 
-    Sign-boundary caveat: a projection within float ulp of 0 could in
-    principle bit-flip across engines; with O(1)-magnitude dots the band
-    is ~1e-16 wide — the same acceptance class as the 6dp rounding kit.
+    The projection is rounded to 6dp BEFORE the sign comparison (parity
+    kit convention, mirrored in the oracle SQL): a float sum's
+    accumulation order is partition-dependent, so an unrounded
+    ``sum >= 0`` on a projection within ulp of 0 could flip a band bit
+    across runs or engines. Rounding puts the bit on the same acceptance
+    class as every other float in the kit.
     """
     if n_planes < 1 or bands < 1 or n_planes % bands:
         raise ValueError("n_planes must be a positive multiple of bands")
@@ -1128,7 +1160,7 @@ def srp_band_keys(
         lf.join(F.broadcast(planes), "dim")
         .groupBy(id_col, "plane")
         .agg(
-            (F.sum(F.col("__val") * F.col("coef")) >= 0)
+            (F.round(F.sum(F.col("__val") * F.col("coef")), 6) >= 0)
             .cast("bigint")
             .alias("__bit")
         )
@@ -1211,11 +1243,31 @@ def cosine_pairs_lsh(
     )
 
 
+def pca_fit_means(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dim 6dp-rounded means ``(dim, mu)`` of the fit corpus — the
+    centering table every PCA operator uses. Persist it alongside the
+    fitted component and pass it to :func:`pca_project` /
+    :func:`pca_project_components` when scoring a DIFFERENT frame than
+    the fit input (held-out or newly-arrived vectors): recomputing means
+    from the scoring frame silently centers by the wrong origin."""
+    return (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(_dbl(vec_col)).alias("dim", "__raw"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("__raw"), 6).alias("mu"))
+    )
+
+
 def _pca_centered_lf(
-    vectors: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame, id_col: str, vec_col: str,
+    means: DataFrame | None = None,
 ) -> DataFrame:
     """Long-form mean-centered ``(__id, dim, __val)`` (6dp-rounded per-dim
-    means — the shared front end of the PCA operators)."""
+    means — the shared front end of the PCA operators). ``means``
+    (schema ``(dim, mu)``, from :func:`pca_fit_means`) overrides the
+    from-this-frame means for scoring against a fitted model."""
     lf = (
         ensure_parallelism(vectors)
         .filter(F.col(vec_col).isNotNull())
@@ -1224,7 +1276,12 @@ def _pca_centered_lf(
             F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
         )
     )
-    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
+    if means is not None:
+        mu = means.select(
+            F.col("dim"), F.col("mu").alias("__mu")
+        ).alias("mu")
+    else:
+        mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
     return (
         lf.alias("lf")
         .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
@@ -1326,15 +1383,18 @@ def pca_project_components(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefix: str = "pc",
+    means: DataFrame | None = None,
 ) -> DataFrame:
     """Score every vector against a ``(component, dim, v)`` table:
     ``(id, pc1, pc2, ...)`` — pc_k = centered · v_{k-1}, rounded 6dp
     (standard PCA scores: always against the ORIGINAL centered data, not
     the deflated residuals). One broadcast fan-out join + one keyed
-    aggregation + a literal-pivot."""
+    aggregation + a literal-pivot. Pass ``means`` (the fit corpus'
+    :func:`pca_fit_means` table) when scoring a different frame than the
+    fit input — see :func:`pca_project`."""
     ks = [r["component"] for r in
           components.select("component").distinct().orderBy("component").collect()]
-    lf = _pca_centered_lf(vectors, id_col, vec_col)
+    lf = _pca_centered_lf(vectors, id_col, vec_col, means=means)
     scores = (
         lf.join(F.broadcast(components), "dim")
         .groupBy("__id", "component")

@@ -197,7 +197,10 @@ def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
     )
     zeros = (F.lit(m) - F.col("__nz")).cast("bigint")
-    denom = F.col("__s") + zeros.cast("double")
+    # coalesce: SUM over an EMPTY register table is NULL; with nz=0 the
+    # V=m linear-counting branch must yield estimate 0.0 (an un-committed
+    # streaming sketch is an empty set, not a NULL cardinality)
+    denom = F.coalesce(F.col("__s"), F.lit(0.0)) + zeros.cast("double")
     raw = F.lit(alpha) * F.lit(float(m) * float(m)) / denom
     corrected = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
@@ -288,7 +291,7 @@ def hll_estimate_grouped(sketch: DataFrame, group_col: str, p: int = 9) -> DataF
     )
     zeros = (F.lit(m) - F.col("__nz")).cast("bigint")
     raw = F.lit(alpha) * F.lit(float(m) * float(m)) / (
-        F.col("__s") + zeros.cast("double")
+        F.coalesce(F.col("__s"), F.lit(0.0)) + zeros.cast("double")
     )
     corrected = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),

@@ -43,10 +43,16 @@ def make_intake_batch_fn(
     id_col: str = "doc_id",
     min_words: int = 5,
     hll_p: int = 12,
+    shingle_n: int = 13,
 ):
     """Per-micro-batch callback, standalone so tests and probes drive
     the exact production path. ``benchmark`` is a STATIC frame (eval
-    sets change rarely); its gram set broadcasts into every batch."""
+    sets change rarely); its gram set broadcasts into every batch.
+
+    ``shingle_n`` follows the standard decontamination convention (13-gram
+    overlap, matching ``dedup.decontaminate``'s default): a production
+    intake must not drop every document sharing a single trigram with the
+    benchmark. Tests shrink it to 3 to exercise hits on short fixtures."""
     claimed_dir = f"{work_dir}/claimed"
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -56,7 +62,7 @@ def make_intake_batch_fn(
             .filter(F.col("keep"))
             .select(*batch_df.columns)
         )
-        clean = decontaminate(passed, benchmark, text_col, id_col, shingle_n=3)
+        clean = decontaminate(passed, benchmark, text_col, id_col, shingle_n=shingle_n)
         claimed = _read_claimed(spark, claimed_dir, batch_id)
         kept, new_buckets = lsh_admit(clean, claimed, text_col, id_col)
         # admission state first: a crash between the two writes must
@@ -83,6 +89,7 @@ def run_curation_intake(
     id_col: str = "doc_id",
     min_words: int = 5,
     hll_p: int = 12,
+    shingle_n: int = 13,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Wire the intake callback into the incremental runner (availableNow
@@ -91,7 +98,8 @@ def run_curation_intake(
     return run_incremental(
         stream_df,
         make_intake_batch_fn(
-            work_dir, benchmark, text_col, id_col, min_words, hll_p
+            work_dir, benchmark, text_col, id_col, min_words, hll_p,
+            shingle_n,
         ),
         f"{work_dir}/ckpt",
         available_now=available_now,

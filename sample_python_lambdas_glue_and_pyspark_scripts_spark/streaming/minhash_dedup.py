@@ -59,6 +59,11 @@ from .incremental import run_incremental
 # session-wide, so it reads as string and is cast where compared)
 _CLAIMED_SCHEMA = "band_id INT, band_hash STRING, batch_id STRING"
 
+# compaction output sizing: ~4M (band_id, band_hash) rows ≈ 150-250 MB
+# parquet per file — big enough that a year of compactions stays at a
+# handful of files, small enough to split across readers
+_ROWS_PER_COMPACT_FILE = 4_000_000
+
 
 def lsh_admit(
     docs: DataFrame,
@@ -265,7 +270,12 @@ def compact_claimed(
         .select("band_id", "band_hash")
     )
     before = hist.count()
-    merged = hist.distinct()
+    # coalesce the merged partition to ~ROWS_PER_COMPACT_FILE rows per
+    # file (no extra shuffle — it caps the reduce-side task count of the
+    # distinct): the point of compaction is collapsing thousands of tiny
+    # per-batch files, so writing it back 32-ways would defeat it
+    n_files = max(1, -(-before // _ROWS_PER_COMPACT_FILE))
+    merged = hist.distinct().coalesce(n_files)
     tmp = f"{work_dir}/.claimed_compact_tmp"
     fs.delete(hpath(tmp), True)
     merged.write.mode("overwrite").parquet(tmp)

@@ -208,3 +208,20 @@ def test_hll_grouped_matches_per_group_sketch(spark):
     # gcd(3, 500) = 1, so BOTH groups cycle through all 500 residues
     assert abs(est["a"] - 500) / 500 < 0.15
     assert abs(est["b"] - 500) / 500 < 0.15
+
+
+def test_hll_empty_sketch_estimates_zero(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # an EMPTY register table (e.g. hll_state_estimate before the first
+    # stream commit) is an empty set: linear counting with V=m must give
+    # estimate 0.0, never NULL (SUM over zero rows is NULL without the
+    # coalesce)
+    df = spark.createDataFrame([("a",)], ["k"])
+    empty = SK.hll_sketch(df.filter(F.lit(False)), "k", p=8)
+    est = SK.hll_estimate(empty, p=8).collect()[0]
+    assert est["zero_registers"] == 256
+    assert est["estimate"] == 0.0
+    assert est["raw_estimate"] is not None

@@ -59,7 +59,7 @@ def test_intake_end_to_end_two_batches(spark, workdir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = run_curation_intake(stream, workdir, bench, min_words=5)
+    q = run_curation_intake(stream, workdir, bench, min_words=5, shingle_n=3)
     q.awaitTermination(180)
 
     kept = spark.read.parquet(f"{workdir}/kept")
@@ -73,7 +73,7 @@ def test_intake_end_to_end_two_batches(spark, workdir, tmp_path):
 
 def test_intake_batch_fn_replay_idempotent(spark, workdir):
     bench = spark.createDataFrame([(900, LEAKED)], DOC_SCHEMA)
-    fn = make_intake_batch_fn(workdir, bench, min_words=5)
+    fn = make_intake_batch_fn(workdir, bench, min_words=5, shingle_n=3)
     b0 = spark.createDataFrame([(1, GOOD_A), (3, LEAKED)], DOC_SCHEMA)
     b1 = spark.createDataFrame([(10, NEAR_A), (11, GOOD_B)], DOC_SCHEMA)
     fn(b0, 0)

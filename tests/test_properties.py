@@ -171,3 +171,98 @@ def test_bpe_merge_fold_matches_python_reference(spark, syms, pair):
     df = spark.createDataFrame([(syms,)], "syms: array<string>")
     got = df.select(B._merge_pair(F.col("syms"), a, b).alias("m")).first()["m"]
     assert list(got) == _py_merge(syms, a, b)
+
+
+# --- end-to-end BPE training vs pure-Python Sennrich reference ---------------
+
+
+def _py_bpe_train(word_counts, n_merges):
+    """Canonical Sennrich BPE on a (word -> count) table; ties break on
+    count desc then lexicographically smallest pair — the exact
+    determinism contract of bpe.bpe_train."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        vocab = {w: _py_merge(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+_word = st.from_regex(r"[ab]{1,4}", fullmatch=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.lists(_word, min_size=1, max_size=6), min_size=1,
+                     max_size=5))
+def test_bpe_train_matches_python_reference(spark, docs):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        bpe as B,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    vocab = B.word_vocab(df)
+    merges, seg = B.bpe_train(vocab, n_merges=4)
+
+    counts = {}
+    for ws in docs:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    py_merges, py_vocab = _py_bpe_train(counts, 4)
+    assert merges == py_merges
+    got = {r["word"]: list(r["syms"]) for r in seg.collect()}
+    assert got == py_vocab
+
+
+# --- sequence packing vs pure-Python greedy reference ------------------------
+
+
+def _py_pack(rows, budget):
+    """Greedy sequential packer: rows (pos, n_tokens) in pos order; a
+    pack closes when the next row would exceed the budget; an oversized
+    row gets its own pack."""
+    pack_id, acc, out = 0, 0, {}
+    for pos, t in sorted(rows):
+        if acc > 0 and acc + t > budget:
+            pack_id += 1
+            acc = 0
+        acc += t
+        out[pos] = pack_id
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=12), min_size=1,
+                    max_size=16),
+    budget=st.integers(min_value=1, max_value=20),
+    n_shards=st.integers(min_value=1, max_value=3),
+)
+def test_pack_sequences_matches_python_reference(spark, tokens, budget,
+                                                 n_shards):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SP,
+    )
+
+    rows = [(i % n_shards, i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, ["shard", "pos", "n_tokens"])
+    got = {
+        (r["shard"], r["pos"]): r["pack_id"]
+        for r in SP.pack_sequences(df, budget).collect()
+    }
+    want = {}
+    for s in range(n_shards):
+        shard_rows = [(p, t) for sh, p, t in rows if sh == s]
+        for pos, pid in _py_pack(shard_rows, budget).items():
+            want[(s, pos)] = pid
+    assert got == want

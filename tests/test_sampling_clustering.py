@@ -401,3 +401,49 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         weighted_sample(df, "w", k=0)
+
+
+def test_cap_per_group_ascending_nulls_last(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SP,
+    )
+
+    # DuckDB parity: ascending order puts NULL order_col values LAST
+    # (Spark's bare .asc() would put them first and silently diverge)
+    df = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, 5.0), ("g", 3, 1.0), ("g", 4, None)],
+        ["source", "doc_id", "score"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in SP.cap_per_group(
+            df, "source", 2, "score", descending=False
+        ).collect()
+    )
+    assert kept == [2, 3]  # the two non-NULL scores, never the NULLs
+    kept_desc = sorted(
+        r["doc_id"]
+        for r in SP.cap_per_group(
+            df, "source", 2, "score", descending=True
+        ).collect()
+    )
+    assert kept_desc == [2, 3]
+
+
+def test_semantic_dedup_default_k_scales_with_n(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as SM,
+    )
+
+    # the k ∝ n invariant is ENFORCED by default: a 10x corpus gets ~10x
+    # the clusters, so expected cluster size (and the Σ|c|² pair scan per
+    # row) stays constant instead of growing linearly
+    assert SM.auto_k(10_000, 1024) == 10
+    assert SM.auto_k(100_000, 1024) == 98
+    assert SM.auto_k(0, 1024) == 2 and SM.auto_k(5, 1024) == 2
+    # smoke: k=None derives k and runs end-to-end
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    kept = SM.semantic_dedup(df, threshold=0.999, k=None, target_cluster_size=10)
+    labels = {r["assigned_label"] for r in kept.collect()}
+    assert len(labels) > 2  # auto_k(60, 10) = 6 clusters fitted

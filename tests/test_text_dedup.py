@@ -746,3 +746,89 @@ def test_corpus_diff_statuses(spark):
     got2 = {r["doc_id"]: r["status"]
             for r in corpus_diff(old.filter("doc_id = 2"), new2).collect()}
     assert got2 == {2: "unchanged"}
+
+
+def test_build_corpus_index_feeds_intake(spark):
+    # build_corpus_index output is drop-in for corpus_fp/corpus_bands and
+    # admits the exact set the index-less formulation admits
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "existing corpus text about engines and pipelines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "fresh new document body about something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp, bands = D.build_corpus_index(corpus)
+    assert fp.columns == ["fp"]
+    assert bands.columns == ["doc_id", "band_id", "band_hash"]
+    direct = sorted(
+        r["doc_id"] for r in D.dedup_against_corpus(new, corpus).collect()
+    )
+    indexed = sorted(
+        r["doc_id"]
+        for r in D.dedup_against_corpus(
+            new, corpus, corpus_fp=fp, corpus_bands=bands
+        ).collect()
+    )
+    assert direct == indexed == [11]
+
+
+def test_extend_corpus_index_matches_rebuild(spark):
+    # extending the index with an admitted batch == rebuilding over the
+    # union (both passes are per-row deterministic)
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "existing corpus text about engines and pipelines"),
+        ],
+        ["doc_id", "text"],
+    )
+    admitted = spark.createDataFrame(
+        [(11, "fresh new document body about something else")],
+        ["doc_id", "text"],
+    )
+    ext_fp, ext_bands = D.extend_corpus_index(
+        D.build_corpus_index(corpus), admitted
+    )
+    re_fp, re_bands = D.build_corpus_index(corpus.unionByName(admitted))
+    assert sorted(r["fp"] for r in ext_fp.collect()) == sorted(
+        r["fp"] for r in re_fp.collect()
+    )
+    key = lambda r: (r["doc_id"], r["band_id"], r["band_hash"])
+    assert sorted(map(key, ext_bands.collect())) == sorted(
+        map(key, re_bands.collect())
+    )
+
+
+def test_containment_catches_asymmetric_inclusion(spark):
+    # a small doc quoted verbatim inside a much larger one: Jaccard is
+    # tiny (size asymmetry) but containment of the smaller side is 1.0
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame([(1, big), (2, small)], ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 2)], ["a", "b"])
+    got = D.verify_containment_on_candidates(df, cand, threshold=0.9).collect()
+    assert len(got) == 1 and got[0]["containment"] == 1.0
+    jac = D.verify_jaccard_on_candidates(df, cand, threshold=0.0).collect()
+    assert jac[0]["jaccard"] < 0.1  # Jaccard-threshold dedup misses it
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # identical docs estimate 1.0 exactly; near-dups estimate within the
+    # sketch's 1/sqrt(k) band of the true value
+    t1 = "the quick brown fox jumps over the lazy dog tonight my friends"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t1 + " again")], ["doc_id", "text"]
+    )
+    rows = {(r["a"], r["b"]): r for r in D.minhash_estimate_pairs(df).collect()}
+    exact_pair = rows[(1, 2)]
+    assert exact_pair["est_jaccard"] == 1.0 and exact_pair["jaccard"] == 1.0
+    for k, r in rows.items():
+        assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.5  # k=16 band

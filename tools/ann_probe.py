@@ -157,6 +157,42 @@ def main():
         out[f"serve_p{nprobe}_sec"] = sec
         out[f"serve_p{nprobe}_recall"] = round(hits / n_exact, 4)
         out[f"serve_p{nprobe}_speedup"] = round(brute_sec / sec, 1)
+
+    # incremental maintenance: a 10k-vector delta arrives. extend =
+    # assign ONLY the delta against the fixed centroids and append its
+    # cells (the "index is a partitioned table maintained incrementally"
+    # claim); rebuild = re-pay the full (N+delta) x ncells build. The
+    # cells are identical either way (test-pinned); the probe measures
+    # what the incremental path saves.
+    n_delta = 10_000
+    rnd2 = random.Random(7)
+    centers = [
+        [rnd2.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_CLUSTERS)
+    ]
+    centers_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    delta = spark.range(
+        N_CORPUS + N_QUERIES, N_CORPUS + N_QUERIES + n_delta
+    ).select(F.col("id").alias("vec_id"), _vector_expr(centers_lit))
+    delta.repartition(4).write.parquet(f"{WORK}/delta")
+    delta = spark.read.parquet(f"{WORK}/delta")
+
+    idx_on_disk = (centroids, spark.read.parquet(f"{WORK}/cells"))
+    ext_cells = S.extend_ivf_index(idx_on_disk, delta)[1]
+    out["extend_delta_rows"] = n_delta
+    # extend = read the existing cells table + assign ONLY the delta
+    # (O(delta x ncells)); rebuild re-pays the full (N+delta) x ncells
+    # scoring pass. Identical cells either way (test-pinned).
+    out["extend_sec"] = timed(
+        lambda: ext_cells.write.mode("overwrite").format("noop").save()
+    )
+    reb_cells = S.build_ivf_index(corpus.unionByName(delta), ncells=NCELLS)[1]
+    out["rebuild_sec"] = timed(
+        lambda: reb_cells.write.mode("overwrite").format("noop").save()
+    )
+    out["extend_speedup_vs_rebuild"] = round(
+        out["rebuild_sec"] / out["extend_sec"], 1
+    )
+    out["extend_matches_rebuild_rows"] = ext_cells.count() == reb_cells.count()
     print(json.dumps(out))
     shutil.rmtree(WORK, ignore_errors=True)
 

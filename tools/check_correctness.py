@@ -58,9 +58,19 @@ def _duck_kind(typename: str) -> str:
     t = typename.upper()
     if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
         return "hugeint"
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "UTINYINT",
-             "USMALLINT", "UINTEGER", "UBIGINT"):
-        return "int"
+    # width-aware integer kinds: the driver's hash is type-aware, so
+    # DuckDB INTEGER vs Spark BIGINT must be caught locally, not just
+    # the HUGEINT case (round-4; previously collapsed to one "int")
+    if t in ("TINYINT",):
+        return "int8"
+    if t in ("SMALLINT", "UTINYINT"):
+        return "int16"
+    if t in ("INTEGER", "INT", "USMALLINT"):
+        return "int32"
+    if t in ("BIGINT", "UINTEGER"):
+        return "int64"
+    if t == "UBIGINT":
+        return "uint64"
     if t in ("FLOAT", "DOUBLE", "REAL"):
         return "float"
     if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
@@ -88,8 +98,14 @@ def _duck_kind(typename: str) -> str:
 
 def _spark_kind(dtype: str) -> str:
     t = dtype.lower()
-    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
-        return "int"
+    if t in ("tinyint", "byte"):
+        return "int8"
+    if t in ("smallint", "short"):
+        return "int16"
+    if t in ("int", "integer"):
+        return "int32"
+    if t in ("bigint", "long"):
+        return "int64"
     if t in ("float", "double"):
         return "float"
     if t.startswith("decimal"):
@@ -120,11 +136,12 @@ def dtype_lint(spark_schema, duck_cols, duck_types):
     DuckDB HUGEINT vs Spark BIGINT) means local green would NOT predict a
     green driver row.
 
-    Deliberately kind-level, not width-level: integer widths (DuckDB
-    INTEGER vs Spark BIGINT) are conflated because every observed driver
-    red traced to the HUGEINT case only — the driver's hash normalizes
-    int32/int64 the same way `canon` here does. If a future driver round
-    reds on a width-only mismatch, split the "int" kind by width.
+    Width-aware since round 4: integer kinds carry their width
+    (int8/int16/int32/int64), so a DuckDB INTEGER vs Spark BIGINT
+    mismatch fails locally instead of passing here and risking a red on
+    the driver's type-aware hash. Fix mismatches at the source — CAST in
+    the oracle SQL or .cast() in the Spark query — never by widening the
+    lint.
     """
     spark_kinds = {f.name: _spark_kind(f.dataType.simpleString()) for f in spark_schema.fields}
     msgs = []

@@ -134,6 +134,36 @@ def main():
         "last4_avg_sec": round(sum(secs[-4:]) / 4, 2),
         "claimed_rows": claimed_n,
     }
+
+    # incremental-maintenance lever: compact_claimed merges the
+    # N_BATCHES tiny per-batch claim partitions into one distinct
+    # partition (stream stopped — the documented protocol). Measured:
+    # compaction cost, the history-scan time a batch pays before vs
+    # after, and the file-count collapse that drives it.
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+        _read_claimed,
+        compact_claimed,
+    )
+
+    def history_scan_sec() -> float:
+        t0 = time.monotonic()
+        _read_claimed(spark, claimed_dir, N_BATCHES).count()
+        return round(time.monotonic() - t0, 2)
+
+    def claim_files() -> int:
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(claimed_dir)
+        )
+
+    out["history_scan_before_sec"] = history_scan_sec()
+    out["claim_files_before"] = claim_files()
+    t0 = time.monotonic()
+    rows_before, rows_after = compact_claimed(spark, WORK, N_BATCHES)
+    out["compact_sec"] = round(time.monotonic() - t0, 2)
+    out["history_scan_after_sec"] = history_scan_sec()
+    out["claim_files_after"] = claim_files()
+    out["compact_rows"] = [rows_before, rows_after]
     print(json.dumps(out))
     shutil.rmtree(WORK, ignore_errors=True)
 
