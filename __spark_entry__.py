@@ -1230,6 +1230,39 @@ def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_estimate_pairs(docs)
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) over per-(brand, type) part groups:
+    the non-dominated price-vs-size tradeoffs (min avg_price, max
+    max_size) — the multi-criteria operator Spark SQL lacks, two-phase
+    distributed (partition-local skylines → global merge; EDBT 2023
+    skyline-in-Spark line of work)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        skyline as SKY,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    g = part.groupBy("p_brand", "p_type").agg(
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+    return SKY.skyline(g, {"avg_price": "min", "max_size": "max"})
+
+
+def q_skyline_brand_fronts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skyline: each brand's Pareto front over (min price, max
+    size) — one keyed shuffle, dominance filtered per group in
+    applyInPandas, no global merge (dominance never crosses groups)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        skyline as SKY,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    return SKY.skyline_grouped(
+        pts, ["p_brand"], {"p_retailprice": "min", "p_size": "max"}
+    )
+
+
 def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the mean-centered embedding cloud via
     2 power iterations from the fixed 1/sqrt(d) start — the A^T(Av)
@@ -1702,7 +1735,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # containment-verified asymmetric near-dup, and the MinHash
     # estimate-vs-exact calibration report
     "corpus_admitted_indexed", "containment_pairs",
-    "minhash_estimate_report",
+    "minhash_estimate_report", "skyline_parts", "skyline_brand_fronts",
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
@@ -1723,7 +1756,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "asof_latest_order", "range_activity_24h",
     "hll_user_sketch", "cms_token_sketch", "ccnet_buckets",
-    "dsir_selected_docs", "langid_classifier_scores",
 ]
 
 
@@ -1822,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_admitted_indexed": q_corpus_admitted_indexed,
         "containment_pairs": q_containment_pairs,
         "minhash_estimate_report": q_minhash_estimate_report,
+        "skyline_parts": q_skyline_parts,
+        "skyline_brand_fronts": q_skyline_brand_fronts,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
@@ -2539,6 +2573,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
         "containment_pairs": _containment_oracle(16, 4, 0.35),
         "minhash_estimate_report": _minhash_estimate_oracle(16, 4),
+        "skyline_parts": """
+            WITH g AS (
+                SELECT p_brand, p_type,
+                       ROUND(AVG(p_retailprice), 6) AS avg_price,
+                       MAX(p_size) AS max_size
+                FROM part GROUP BY p_brand, p_type)
+            SELECT p_brand, p_type, avg_price, max_size
+            FROM g a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM g b
+                WHERE b.avg_price <= a.avg_price
+                  AND b.max_size >= a.max_size
+                  AND (b.avg_price < a.avg_price
+                       OR b.max_size > a.max_size))
+        """,
+        "skyline_brand_fronts": """
+            SELECT p_brand, p_partkey, p_size, p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_brand = a.p_brand
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+        """,
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

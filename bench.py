@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "corpus_admitted_indexed",
     "containment_pairs",
     "minhash_estimate_report",
+    "skyline_parts",
+    "skyline_brand_fronts",
     "gopher_quality_flags",
     "corpus_report",
     # round-3 continuation: sketches + model-based curation

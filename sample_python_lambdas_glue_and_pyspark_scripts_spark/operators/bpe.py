@@ -134,6 +134,67 @@ def bpe_train(
     return merges, cur
 
 
+def bpe_encode(
+    df: DataFrame,
+    seg_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents into actual BPE token SEQUENCES (not counts):
+    ``(id_col, out_col array<string>)`` with tokens in document order.
+    Out-of-vocabulary words fall back to character symbols + ``</w>``
+    (the same cold path as :func:`bpe_segment`'s counting).
+
+    Plan: posexplode the words (keeping word position), one keyed join
+    against the (broadcastable) seg table, then re-assemble per doc with
+    ``array_sort`` on the position — the flatten is
+    ``aggregate(concat)`` over the position-ordered per-word arrays, all
+    JVM-side. No merge replay at query time: the trained seg table IS
+    the tokenizer, exactly as a production vocab file would be.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(words(F.coalesce(_c(text_col), F.lit("")))).alias(
+            "__pos", "word"
+        ),
+    )
+    seg = seg_table.select(
+        F.col("word").alias("__w"), F.col("syms").alias("__syms")
+    )
+    char_syms = F.concat(
+        F.split(F.col("word"), "").cast("array<string>"),
+        F.array(F.lit(END_OF_WORD)),
+    )
+    joined = tok.join(seg, tok["word"] == seg["__w"], "left").select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.coalesce(F.col("__syms"), char_syms).alias("__syms"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos"), F.col("__syms")))
+        ).alias("__ws")
+    )
+    flat = F.aggregate(
+        F.col("__ws"),
+        F.array().cast("array<string>"),
+        lambda acc, w: F.concat(acc, w["__syms"]),
+    )
+    # docs with zero words never appear in `tok`: restore them with an
+    # empty token array so encode output covers every input doc
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                flat, F.array().cast("array<string>")
+            ).alias(out_col),
+        )
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     seg_table: DataFrame,

@@ -48,6 +48,10 @@ def count_min_sketch(
         raise ValueError("width and depth must be >= 1")
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    # NULL keys are ignored, matching hll_sketch: md5(NULL) is NULL, so
+    # an unfiltered NULL key would inject a (row, NULL) cell that
+    # corrupts grid merges (found by the pure-Python property oracle)
+    df = df.where(F.col(key_col).isNotNull())
     cells = df.select(
         F.explode(
             F.array(

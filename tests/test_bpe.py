@@ -225,3 +225,32 @@ def test_hll_empty_sketch_estimates_zero(spark):
     assert est["zero_registers"] == 256
     assert est["estimate"] == 0.0
     assert est["raw_estimate"] is not None
+
+
+def test_bpe_encode_sequences_and_oov_fallback(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        bpe as B,
+    )
+
+    corpus = spark.createDataFrame(
+        [("low low lower",)], ["text"]
+    )
+    vocab = B.word_vocab(corpus)
+    _, seg = B.bpe_train(vocab, n_merges=3)
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in B.bpe_encode(docs, seg).collect()}
+    seg_rows = {r["word"]: list(r["syms"]) for r in seg.collect()}
+    # in-vocab words use their trained segmentation, in document order
+    assert got[1] == seg_rows["low"] + seg_rows["lower"]
+    # OOV falls back to characters + </w>
+    assert got[2] == list("newest") + ["</w>"]
+    # NULL/empty text encode to empty sequences, not missing rows
+    assert got[3] == [] and got[4] == []
+    # counting path agrees with sequence lengths
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in B.bpe_segment(docs, seg).collect()}
+    assert counts[1] == len(got[1]) and counts[2] == len(got[2])

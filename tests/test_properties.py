@@ -266,3 +266,70 @@ def test_pack_sequences_matches_python_reference(spark, tokens, budget,
         for pos, pid in _py_pack(shard_rows, budget).items():
             want[(s, pos)] = pid
     assert got == want
+
+
+# --- HLL / CMS sketches vs pure-Python references ----------------------------
+# A third, independent implementation of the md5 parity-kit recipes: the
+# Spark sketch and the DuckDB oracle could in principle share a
+# misunderstanding; hashlib-based Python cannot.
+
+import hashlib
+
+
+def _md5_60bit(prefix, key):
+    return int(hashlib.md5((prefix + key).encode()).hexdigest()[:15], 16)
+
+
+def _py_hll_registers(keys, p=8):
+    m, bits = 1 << p, 60 - p
+    regs = {}
+    for k in keys:
+        if k is None:
+            continue
+        h = _md5_60bit("hll|", str(k))
+        bucket, rest = h % m, h >> p
+        rho = bits + 1 if rest == 0 else bits - rest.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_cms_grid(keys, width=64, depth=3):
+    grid = {}
+    for k in keys:
+        if k is None:
+            continue
+        for r in range(depth):
+            slot = _md5_60bit(f"cms{r}|", str(k)) % width
+            grid[(r, slot)] = grid.get((r, slot), 0) + 1
+    return grid
+
+
+_key = st.one_of(st.none(), st.from_regex(r"[a-z0-9]{1,8}", fullmatch=True))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(_key, min_size=0, max_size=40))
+def test_hll_registers_match_python_reference(spark, keys):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: string")
+    got = {r["bucket"]: r["rho"]
+           for r in SK.hll_sketch(df, "k", p=8).collect()}
+    assert got == _py_hll_registers(keys, p=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(_key, min_size=0, max_size=40))
+def test_cms_grid_matches_python_reference(spark, keys):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: string")
+    got = {(r["row"], r["slot"]): r["cnt"]
+           for r in SK.count_min_sketch(df, "k", width=64, depth=3).collect()}
+    assert got == _py_cms_grid(keys, width=64, depth=3)
