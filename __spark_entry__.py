@@ -1263,6 +1263,35 @@ def q_skyline_brand_fronts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (supplier-nation →
+    customer-nation, edge weight = lineitem count): 3 damped power
+    iterations, 6dp-rounded per iteration so the whole run unrolls to a
+    DuckDB oracle — the link-centrality quality signal of web-crawl
+    curation, as DataFrame joins + keyed aggregations."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return GR.pagerank(edges, "src", "dst", "w", n_iter=3).select(
+        F.col("node").alias("nationkey"), "rank"
+    )
+
+
 def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the mean-centered embedding cloud via
     2 power iterations from the fixed 1/sqrt(d) start — the A^T(Av)
@@ -1736,6 +1765,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # estimate-vs-exact calibration report
     "corpus_admitted_indexed", "containment_pairs",
     "minhash_estimate_report", "skyline_parts", "skyline_brand_fronts",
+    "nation_pagerank",
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
@@ -1755,7 +1785,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_real_decode", "video_frame_sample",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "asof_latest_order", "range_activity_24h",
-    "hll_user_sketch", "cms_token_sketch", "ccnet_buckets",
+    "hll_user_sketch", "cms_token_sketch",
 ]
 
 
@@ -1856,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_report": q_minhash_estimate_report,
         "skyline_parts": q_skyline_parts,
         "skyline_brand_fronts": q_skyline_brand_fronts,
+        "nation_pagerank": q_nation_pagerank,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
@@ -2114,6 +2145,44 @@ def _minhash_estimate_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         SELECT e.a, e.b, e.est_jaccard,
                COALESCE(x.jaccard, 0.0) AS jaccard
         FROM est e LEFT JOIN ex x ON x.a = e.a AND x.b = e.b
+    """
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled damped power iteration over the nation trade graph —
+    mirrors graph.pagerank (6dp per-iteration rounds, uniform start,
+    lost-mass dangling handling via LEFT JOIN + COALESCE 0)."""
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            c{k} AS (
+                SELECT tr.v, SUM({prev}.rank * tr.p) AS i
+                FROM tr JOIN {prev} ON tr.u = {prev}.node GROUP BY tr.v),
+            r{k} AS (
+                SELECT nodes.node,
+                       ROUND(ROUND((1.0 - {damping}) / nn.n, 6)
+                             + {damping} * COALESCE(c{k}.i, 0.0), 6) AS rank
+                FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.v
+                CROSS JOIN nn)""")
+        prev = f"r{k}"
+    return f"""
+        WITH e AS (
+            SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT u, SUM(w) AS ow FROM e GROUP BY u),
+        tr AS (SELECT e.u, e.v, ROUND(e.w / ow.ow, 6) AS p
+               FROM e JOIN ow ON e.u = ow.u),
+        r0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS rank
+               FROM nodes CROSS JOIN nn),{",".join(iters)}
+        SELECT node AS nationkey, rank FROM {prev}
     """
 
 
@@ -2599,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.p_retailprice < a.p_retailprice
                        OR b.p_size > a.p_size))
         """,
+        "nation_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

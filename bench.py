@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "minhash_estimate_report",
     "skyline_parts",
     "skyline_brand_fronts",
+    "nation_pagerank",
     "gopher_quality_flags",
     "corpus_report",
     # round-3 continuation: sketches + model-based curation

@@ -161,10 +161,14 @@ def connected_components_star(
     a (count, xor-of-hashes) checksum comparison — two numbers to the
     driver per round, never data. Fails loudly past ``max_iter``.
     """
+    # persist the input projection across the two eager materializations
+    # below: verts and edges otherwise EACH re-run the whole upstream
+    # pair pipeline (for MinHash-LSH input that is the full
+    # signature+band+verify pass — one redundant corpus pass)
     e = pairs.select(
         F.col(src).cast("bigint").alias("u"),
         F.col(dst).cast("bigint").alias("v"),
-    )
+    ).persist()
     verts = (
         e.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
@@ -179,6 +183,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    e.unpersist()
 
     def checksum(df: DataFrame):
         # xor, not sum: ANSI mode makes a sum of 64-bit hashes a long-

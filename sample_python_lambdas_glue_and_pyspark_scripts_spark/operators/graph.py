@@ -1,0 +1,114 @@
+"""Graph centrality — PageRank (Brin & Page 1998) over an edge table.
+
+Why in a data-curation engine: link-graph centrality is a standard
+document-quality signal for web-crawl corpora (rank the crawl's domain
+graph, keep/weight documents from central hosts — the same role the
+CCNet/Gopher scores play on the text side). The companion to
+``clustering.connected_components`` on the graph-analytics shelf.
+
+Scale design: the rank vector lives as a ``(node, rank)`` DataFrame —
+never collected. Each iteration is one join of the edge table against
+the current ranks (shuffle keyed on the source node) plus one keyed
+aggregation onto the destination (map-side partial sums), i.e. exactly
+the A^T x product shape of ``similarity.pca_power_iteration``, with the
+same determinism contract: ranks round to 6dp per iteration, so a
+fixed-``n_iter`` run unrolls to plain SQL for the DuckDB oracle, and
+per-iteration lineage is truncated with lazy localCheckpoints.
+
+Dangling nodes (no out-edges) keep receiving rank but redistribute
+nothing — the "lost mass" formulation of the original paper (total mass
+shrinks below 1; ranks remain a valid relative ordering). The
+alternative (re-spreading dangling mass uniformly) needs one extra
+scalar aggregate per iteration; left out to keep the unrolled oracle
+small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import ensure_parallelism
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Ranks after ``n_iter`` damped power iterations from the uniform
+    start: ``(node, rank)``, 6dp-rounded each iteration.
+
+    ``weight_col`` makes the walk weighted (transition probability
+    w(u,v) / Σ_v' w(u,v')); ``None`` treats every edge as weight 1.
+    Parallel edges are legal and simply add weight. Self-loops are legal
+    too (they hold mass in place).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__u").alias("node"))
+        .union(e.select(F.col("__v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("pagerank: empty edge table")
+        # per-source transition probabilities: one groupBy + broadcast
+        # join back (out-degree tables are node-sized, not edge-sized)
+        outw = e.groupBy("__u").agg(F.sum("__w").alias("__ow"))
+        trans = (
+            e.join(outw, "__u")
+            .select(
+                "__u", "__v",
+                F.round(F.col("__w") / F.col("__ow"), 6).alias("__p"),
+            )
+        )
+        # HALF_UP via F.round, never Python round() (banker's) — the
+        # parity-kit rule for every literal that reaches a comparison
+        base = F.round(F.lit((1.0 - damping) / n), 6)
+        ranks = nodes.select(
+            "node", F.round(F.lit(1.0 / n), 6).alias("rank")
+        )
+        for _ in range(n_iter):
+            contrib = (
+                trans.join(
+                    ranks.select(F.col("node").alias("__u"), "rank"), "__u"
+                )
+                .groupBy("__v")
+                .agg(F.sum(F.col("rank") * F.col("__p")).alias("__in"))
+            )
+            ranks = (
+                nodes.join(
+                    contrib.select(F.col("__v").alias("node"), "__in"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.round(
+                        base
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
+                        6,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks
+    finally:
+        nodes.unpersist()

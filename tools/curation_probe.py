@@ -36,6 +36,13 @@ def run_ops(docs, bench):
         ("unigram_logprob", lambda: T.unigram_logprob(docs)),
         ("span_dedup", lambda: D.span_dedup(docs, span_words=3)),
         ("gopher_rules", lambda: T.gopher_rules(docs)),
+        # round-4 dedup additions: both ride the capped-LSH candidate
+        # machinery, so the interesting question is whether the verify /
+        # signature-compare stage stays near-linear as the corpus grows
+        ("containment_pairs", lambda: D.containment_pairs(
+            docs, threshold=0.35, max_bucket_size=64)),
+        ("minhash_estimate", lambda: D.minhash_estimate_pairs(
+            docs, max_bucket_size=64)),
     ]:
         t0 = time.perf_counter()
         force(fn())
