@@ -1198,9 +1198,11 @@ def q_corpus_admitted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.build_corpus_index``; materialized here via eager
     localCheckpoint, standing in for partitioned parquet index tables),
     and the intake batch probes the index. Corpus text is touched only
-    for the candidate-restricted Jaccard verify, so the corpus-scan
-    count drops from 19 to ≤5 (plan-pinned by
-    ``tests/test_dedup.py::test_indexed_intake_plan_scans``)."""
+    for the candidate-restricted Jaccard verify — plan-pinned by
+    ``tests/test_plan_shapes.py``: corpus-side file scans == 1 vs >= 3
+    index-less (``test_indexed_intake_corpus_scan_count``) and total
+    scans drop 19 -> <= 11 on this contract formulation
+    (``test_indexed_intake_contract_query_scans_drop``)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.substring("source", 4, 10).cast("int") < 10)
     new = docs.filter(F.substring("source", 4, 10).cast("int") >= 10)

@@ -165,7 +165,8 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the 62-query headline protocol.
+    # restores the curated headline tier (68 entries after the round-4
+    # additions; the recorded 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)
 

@@ -513,8 +513,11 @@ def minhash_estimate_pairs(
             F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
         )
     )
-    sigs.unpersist()
+    # the returned plan joins `sigs` TWICE (est side) — do NOT unpersist
+    # it here or execution re-runs the whole corpus signature pass; park
+    # both persisted frames in the FIFO cache for deferred eviction
     _cands_cache.append(cands)
+    _cands_cache.append(sigs)
     while len(_cands_cache) > _CANDS_CACHE_SIZE:
         old = _cands_cache.pop(0)
         try:

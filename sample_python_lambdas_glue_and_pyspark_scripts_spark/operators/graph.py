@@ -56,21 +56,27 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
+    # persist the edge projection AND the transition table for the whole
+    # iteration: the rank loop references trans once per iteration (and
+    # trans references e twice, via e ⋈ outw(e)) — without the caches an
+    # upstream edge pipeline (e.g. the 4-table trade-graph join of
+    # q_nation_pagerank) re-executes ~2x per iteration
     e = ensure_parallelism(edges).select(
         F.col(src).alias("__u"), F.col(dst).alias("__v"), w.alias("__w")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("__u").alias("node"))
         .union(e.select(F.col("__v").alias("node")))
         .distinct()
         .persist()
     )
+    trans = None
     try:
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: empty edge table")
-        # per-source transition probabilities: one groupBy + broadcast
-        # join back (out-degree tables are node-sized, not edge-sized)
+        # per-source transition probabilities: one groupBy + join back
+        # (out-degree tables are node-sized, not edge-sized)
         outw = e.groupBy("__u").agg(F.sum("__w").alias("__ow"))
         trans = (
             e.join(outw, "__u")
@@ -78,6 +84,7 @@ def pagerank(
                 "__u", "__v",
                 F.round(F.col("__w") / F.col("__ow"), 6).alias("__p"),
             )
+            .persist()
         )
         # HALF_UP via F.round, never Python round() (banker's) — the
         # parity-kit rule for every literal that reaches a comparison
@@ -109,6 +116,12 @@ def pagerank(
                 )
                 .localCheckpoint(eager=False)
             )
-        return ranks
+        # materialize the final ranks ONCE while the e/trans/nodes caches
+        # are still live (they are unpersisted below); the eager
+        # checkpoint pins the result so later actions replay nothing
+        return ranks.localCheckpoint(eager=True)
     finally:
         nodes.unpersist()
+        e.unpersist()
+        if trans is not None:
+            trans.unpersist()

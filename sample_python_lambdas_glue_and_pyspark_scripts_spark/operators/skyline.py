@@ -102,11 +102,26 @@ def skyline(df: DataFrame, criteria: dict[str, str]) -> DataFrame:
             if len(out):
                 yield out
 
+    def global_pass(batches: Iterator) -> Iterator:
+        # mapInPandas splits even a single partition into Arrow batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch, 10k here), and
+        # per-batch filtering would never check dominance ACROSS batches
+        # — concatenate everything first, then one dominance pass
+        import pandas as pd
+
+        parts = list(batches)
+        if parts:
+            out = _dominance_filter(
+                pd.concat(parts, ignore_index=True), crit_cols, signs
+            )
+            if len(out):
+                yield out
+
     candidates = clean.mapInPandas(local, schema=schema)
     # the global pass must see every candidate at once: dominance across
     # partitions. Candidates are local skylines — small by construction
     # (see module docstring for the degenerate case).
-    return candidates.repartition(1).mapInPandas(local, schema=schema)
+    return candidates.repartition(1).mapInPandas(global_pass, schema=schema)
 
 
 def skyline_grouped(

@@ -270,12 +270,15 @@ def compact_claimed(
         .select("band_id", "band_hash")
     )
     before = hist.count()
-    # coalesce the merged partition to ~ROWS_PER_COMPACT_FILE rows per
-    # file (no extra shuffle — it caps the reduce-side task count of the
-    # distinct): the point of compaction is collapsing thousands of tiny
-    # per-batch files, so writing it back 32-ways would defeat it
+    # size the output to ~ROWS_PER_COMPACT_FILE rows per file: the point
+    # of compaction is collapsing thousands of tiny per-batch files, so
+    # writing back 32-ways would defeat it. repartition, NOT coalesce —
+    # coalesce would propagate into the distinct's shuffle read and
+    # serialize the whole history dedup through n_files tasks (OOM-prone
+    # exactly at the history sizes compaction exists for); the extra
+    # shuffle moves only already-deduped rows
     n_files = max(1, -(-before // _ROWS_PER_COMPACT_FILE))
-    merged = hist.distinct().coalesce(n_files)
+    merged = hist.distinct().repartition(n_files)
     tmp = f"{work_dir}/.claimed_compact_tmp"
     fs.delete(hpath(tmp), True)
     merged.write.mode("overwrite").parquet(tmp)

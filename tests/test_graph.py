@@ -26,8 +26,10 @@ def test_pagerank_star_center_dominates(spark):
         [(i, 0) for i in range(1, 5)] + [(0, 1)], ["src", "dst"]
     )
     r = _ranks(pagerank(e, n_iter=3))
-    assert r[0] > r[1] > r[2] * 0  # center highest
-    assert all(r[0] > r[i] for i in range(2, 5))
+    assert all(r[0] > r[i] for i in range(1, 5))  # center highest
+    # node 1 alone receives the center's back-edge mass; pure leaves
+    # only get the teleport base and tie
+    assert r[1] > r[2] == r[3] == r[4]
 
 
 def test_pagerank_dangling_mass_is_lost_not_crashed(spark):

@@ -72,3 +72,22 @@ def test_skyline_grouped_per_group_fronts(spark):
     # b: (3: 2,2) vs (4: 1,3): neither dominates (y worse); (5: 3,1)
     # incomparable with both -> b keeps 3,4,5
     assert got == [1, 3, 4, 5]
+
+
+def test_skyline_global_merge_crosses_arrow_batches(spark):
+    # regression: the global pass previously filtered PER ARROW BATCH
+    # (10k rows), so a candidate dominated only by a row in another
+    # batch survived. 11k-point front + 5k dominated points in a
+    # separate partition -> 16k global candidates (> one batch); every
+    # dominated point's dominator sits in the first batch.
+    n = 11000
+    front = spark.createDataFrame(
+        [(i, float(i), float(n - i)) for i in range(n)], ["id", "x", "y"]
+    ).coalesce(1)
+    dominated = spark.createDataFrame(
+        [(n + j, j + 0.5, float(n - j) + 0.5) for j in range(5000)],
+        ["id", "x", "y"],
+    ).coalesce(1)
+    df = front.union(dominated)
+    out = skyline(df, {"x": "min", "y": "min"})
+    assert out.count() == n

@@ -181,7 +181,12 @@ def main():
     out["extend_delta_rows"] = n_delta
     # extend = read the existing cells table + assign ONLY the delta
     # (O(delta x ncells)); rebuild re-pays the full (N+delta) x ncells
-    # scoring pass. Identical cells either way (test-pinned).
+    # scoring pass. The cells are identical either way because
+    # build_ivf_index's centroids are the first NCELLS vectors by id and
+    # the delta's ids are all larger — the union picks the same
+    # centroids, and assignment is a pure function of (vector,
+    # centroids). Checked below as an exact (vec_id, cell) set match,
+    # not a row count (counts are equal by construction at nprobe=1).
     out["extend_sec"] = timed(
         lambda: ext_cells.write.mode("overwrite").format("noop").save()
     )
@@ -192,7 +197,14 @@ def main():
     out["extend_speedup_vs_rebuild"] = round(
         out["rebuild_sec"] / out["extend_sec"], 1
     )
-    out["extend_matches_rebuild_rows"] = ext_cells.count() == reb_cells.count()
+    n_agree = (
+        ext_cells.select("vec_id", "cell")
+        .join(reb_cells.select("vec_id", "cell"), ["vec_id", "cell"])
+        .count()
+    )
+    out["extend_matches_rebuild_assignments"] = (
+        n_agree == ext_cells.count() == reb_cells.count()
+    )
     print(json.dumps(out))
     shutil.rmtree(WORK, ignore_errors=True)
 
