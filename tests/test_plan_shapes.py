@@ -182,3 +182,46 @@ def test_indexed_intake_contract_query_scans_drop(spark):
     assert unindexed >= 15
     assert indexed <= 11
     assert indexed < unindexed
+
+
+def test_skyline_grouped_is_one_keyed_shuffle(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        skyline as SKY,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = SKY.skyline_grouped(
+        part.select("p_brand", "p_partkey", "p_size", "p_retailprice"),
+        ["p_brand"],
+        {"p_retailprice": "min", "p_size": "max"},
+    )
+    # per-group fronts: one keyed shuffle on the group column, dominance
+    # in applyInPandas, and NO global single-partition merge stage
+    assert count_exchanges(plan) == 1
+    ex = _executed(plan)
+    assert ex.count("FlatMapGroupsInPandas") == 1
+    assert "Coalesce 1" not in ex and "SinglePartition" not in ex
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            (F.col("l_partkey") % 25).alias("dst"),
+        )
+        .count()
+        .withColumnRenamed("count", "w")
+    )
+    ranks = GR.pagerank(edges, "src", "dst", "w", n_iter=2)
+    # result is an eager local checkpoint: downstream plans read the
+    # cached rank RDD (scan-free), and the whole fit stayed JVM-side
+    plan = _fmt_plan(spark, ranks)
+    assert "Scan ExistingRDD" in plan
+    assert "Location:" not in plan  # no file re-scan after the fit
