@@ -1265,6 +1265,30 @@ def q_skyline_brand_fronts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection on the event stream: flag events whose
+    value is ≥ 2.5 sample standard deviations from that user's mean
+    (z-score outliers — the metrics-stream QA screen). One keyed window
+    per user (avg + stddev_samp), z rounded 6dp, cut on the rounded
+    value; zero-variance and single-event users emit nothing."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id")
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w))
+        / F.stddev_samp("value").over(w),
+        6,
+    )
+    return (
+        e.withColumn("__sd", F.stddev_samp("value").over(w))
+        .filter(F.col("__sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "user_id", "value", "z")
+    )
+
+
 def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation trade graph (supplier-nation →
     customer-nation, edge weight = lineitem count): 3 damped power
@@ -1767,7 +1791,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # estimate-vs-exact calibration report
     "corpus_admitted_indexed", "containment_pairs",
     "minhash_estimate_report", "skyline_parts", "skyline_brand_fronts",
-    "nation_pagerank",
+    "nation_pagerank", "event_anomaly",
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
@@ -1787,7 +1811,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_real_decode", "video_frame_sample",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "asof_latest_order", "range_activity_24h",
-    "hll_user_sketch", "cms_token_sketch",
+    "hll_user_sketch",
 ]
 
 
@@ -1889,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "skyline_brand_fronts": q_skyline_brand_fronts,
         "nation_pagerank": q_nation_pagerank,
+        "event_anomaly": q_event_anomaly,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
@@ -2671,6 +2696,19 @@ def oracle_sql() -> dict[str, str]:
                        OR b.p_size > a.p_size))
         """,
         "nation_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "event_anomaly": """
+            WITH s AS (
+                SELECT user_id, AVG(value) AS mu,
+                       STDDEV_SAMP(value) AS sd
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                GROUP BY user_id)
+            SELECT e.event_id, e.user_id, e.value,
+                   ROUND((e.value - s.mu) / s.sd, 6) AS z
+            FROM events e JOIN s USING (user_id)
+            WHERE e.value IS NOT NULL AND s.sd > 0
+              AND ABS(ROUND((e.value - s.mu) / s.sd, 6)) >= 2.5
+        """,
         "simhash_signatures": _simhash_oracle(bits=32),
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "skyline_parts",
     "skyline_brand_fronts",
     "nation_pagerank",
+    "event_anomaly",
     "gopher_quality_flags",
     "corpus_report",
     # round-3 continuation: sketches + model-based curation
