@@ -2677,7 +2677,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM part GROUP BY p_brand, p_type)
             SELECT p_brand, p_type, avg_price, max_size
             FROM g a
-            WHERE NOT EXISTS (
+            -- mirror the operator's NULL/NaN-criteria drop (NULL rows
+            -- would otherwise vacuously pass NOT EXISTS); no-op on
+            -- TPC-H's NOT NULL columns but keeps the pair equivalent
+            -- on nullable data
+            WHERE a.avg_price IS NOT NULL AND a.max_size IS NOT NULL
+              AND NOT isnan(a.avg_price)
+              AND NOT EXISTS (
                 SELECT 1 FROM g b
                 WHERE b.avg_price <= a.avg_price
                   AND b.max_size >= a.max_size
@@ -2687,7 +2693,11 @@ def oracle_sql() -> dict[str, str]:
         "skyline_brand_fronts": """
             SELECT p_brand, p_partkey, p_size, p_retailprice
             FROM part a
-            WHERE NOT EXISTS (
+            -- mirror the operator's NULL/NaN-criteria drop (see
+            -- skyline_parts note)
+            WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+              AND NOT isnan(a.p_retailprice)
+              AND NOT EXISTS (
                 SELECT 1 FROM part b
                 WHERE b.p_brand = a.p_brand
                   AND b.p_retailprice <= a.p_retailprice

@@ -11,39 +11,65 @@ O(n²) self-joins.
 Scale design (the standard two-phase distributed skyline): each
 partition computes its LOCAL skyline (mapInPandas, vectorized dominance
 checks — no shuffle), then the union of local skylines is reduced to
-the GLOBAL skyline in one final pass. Correct because dominance is
-transitive: any point dominated in the full set is dominated by some
-global-skyline point, which also survives its own partition's local
-pass — so skyline(∪ skyline(partition_i)) = skyline(S). The final merge
-runs in a single task sized by Σ|local skylines|, which for real
-tradeoff data is orders of magnitude below |S| (for d criteria over
-independent dims it is O(log^{d-1} n) per partition); a pathological
-all-incomparable input (every row on the Pareto front) degenerates to
-the full set, in which case the answer itself is corpus-sized and no
-algorithm helps.
+the GLOBAL skyline. Correct because dominance is transitive: any point
+dominated in the full set is dominated by some global-skyline point,
+which also survives its own partition's local pass — so
+skyline(∪ skyline(partition_i)) = skyline(S).
+
+The global merge is GUARDED: the candidate union is materialized and
+counted, and while it exceeds ``merge_rows_per_task`` the local pass is
+re-applied over a bounded tree of merge tasks (each round re-runs the
+partition-local filter on ⌈n / merge_rows_per_task⌉ partitions —
+dominance across the new partition boundaries keeps shrinking the set).
+A front that will not compress below ``merge_rows_per_task`` — or grows
+past ``max_candidates`` — raises :class:`SkylineFrontTooLargeError`
+instead of silently scheduling a single task holding Σ|local skylines|
+rows (the all-incomparable degenerate case: the answer itself is
+corpus-sized and no algorithm helps; the caller should add criteria or
+pre-filter).
 
 Determinism contract: the skyline is a SET — partitioning can reorder
 the output but never change membership (ties on every criterion do not
-dominate each other, so exact duplicates all survive). Comparisons are
-raw value comparisons (no arithmetic), so float criteria compare
-bit-identically across engines as long as the inputs match — round any
-DERIVED criterion (avg etc.) to 6dp upstream per the parity kit.
+dominate each other, so exact duplicates all survive). Rows with NULL
+**or NaN** in any criterion are dropped up front (NaN has no dominance
+order; DuckDB sorts it greatest, numpy comparisons always fail — the
+only cross-engine-stable semantics is exclusion, and oracle SQL must
+mirror it with ``WHERE crit IS NOT NULL AND NOT isnan(crit)``).
+Comparisons are raw value comparisons (no arithmetic), so float
+criteria compare bit-identically across engines as long as the inputs
+match — round any DERIVED criterion (avg etc.) to 6dp upstream per the
+parity kit.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class SkylineFrontTooLargeError(RuntimeError):
+    """The Pareto front is too large for the single-task global merge.
+
+    Raised by :func:`skyline` when the candidate set stays above
+    ``merge_rows_per_task`` after tree-merge rounds (an incompressible
+    — mostly all-incomparable — front) or exceeds ``max_candidates``
+    outright. The result would be corpus-sized: add criteria, pre-filter
+    / pre-aggregate the input, or raise the knobs explicitly if a task
+    really can hold that many rows.
+    """
+
+
 def _dominance_filter(pdf, crit_cols, signs):
     """Rows of ``pdf`` not dominated by any other row (pandas/numpy).
 
-    Sorted by the (minimized) first criterion so a row can only be
-    dominated by an earlier kept row — one pass, O(n·|skyline|) with
-    vectorized inner checks.
+    Sorted by the (minimized) criteria lexicographically so a row can
+    only be dominated by an earlier kept row — one pass,
+    O(n·|skyline|) with vectorized inner checks. The kept matrix is a
+    preallocated slice-growing buffer (never per-row vstack — that was
+    O(front²) memory traffic on wide fronts).
     """
     import numpy as np
 
@@ -53,35 +79,24 @@ def _dominance_filter(pdf, crit_cols, signs):
         signs, dtype="float64"
     )
     order = np.lexsort(tuple(M[:, i] for i in range(M.shape[1] - 1, -1, -1)))
-    M = M[order]
+    Ms = M[order]
     kept_rows = []
-    kept = np.empty((0, M.shape[1]), dtype="float64")
-    for i in range(M.shape[0]):
-        p = M[i]
-        if kept.shape[0]:
-            le = (kept <= p).all(axis=1)
-            lt = (kept < p).any(axis=1)
-            if bool((le & lt).any()):
+    K = np.empty_like(Ms)  # upper bound: every row kept
+    k = 0
+    for i in range(Ms.shape[0]):
+        p = Ms[i]
+        if k:
+            KV = K[:k]
+            if bool(((KV <= p).all(axis=1) & (KV < p).any(axis=1)).any()):
                 continue
-        kept = np.vstack([kept, p[None, :]])
+        K[k] = p
+        k += 1
         kept_rows.append(order[i])
     return pdf.iloc[sorted(kept_rows)]
 
 
-def skyline(df: DataFrame, criteria: dict[str, str]) -> DataFrame:
-    """Non-dominated rows of ``df`` under ``criteria``: a mapping
-    ``{column: "min" | "max"}`` (at least one entry; criterion columns
-    must be numeric and non-null — filter/coalesce upstream).
-
-    Example::
-
-        skyline(parts, {"avg_price": "min", "max_size": "max"})
-
-    Plan: mapInPandas local skyline per partition (no shuffle, output
-    ≤ input), repartition(1) of the surviving candidates, one final
-    dominance pass. Equivalent to the O(n²) ``NOT EXISTS`` self-join
-    (the DuckDB oracle formulation) at a distributed-scan cost.
-    """
+def _criteria_guard(df: DataFrame, criteria: dict[str, str]):
+    """Validate criteria, drop NULL/NaN rows, return (clean, cols, signs)."""
     if not criteria:
         raise ValueError("skyline needs at least one criterion")
     bad = [d for d in criteria.values() if d not in ("min", "max")]
@@ -89,11 +104,37 @@ def skyline(df: DataFrame, criteria: dict[str, str]) -> DataFrame:
         raise ValueError(f"criteria directions must be min/max, got {bad}")
     crit_cols = list(criteria)
     signs = [1.0 if criteria[c] == "min" else -1.0 for c in crit_cols]
-    null_guard = None
+    guard = None
     for c in crit_cols:
-        cond = F.col(c).isNotNull()
-        null_guard = cond if null_guard is None else (null_guard & cond)
-    clean = df.filter(null_guard)
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        guard = cond if guard is None else (guard & cond)
+    return df.filter(guard), crit_cols, signs
+
+
+def skyline(
+    df: DataFrame,
+    criteria: dict[str, str],
+    *,
+    merge_rows_per_task: int = 200_000,
+    max_candidates: int = 2_000_000,
+) -> DataFrame:
+    """Non-dominated rows of ``df`` under ``criteria``: a mapping
+    ``{column: "min" | "max"}`` (at least one entry; criterion columns
+    must be numeric — NULL/NaN rows are dropped, see module docstring).
+
+    Example::
+
+        skyline(parts, {"avg_price": "min", "max_size": "max"})
+
+    Plan: mapInPandas local skyline per partition (no shuffle, output
+    ≤ input), candidate union materialized + counted, a bounded tree of
+    re-merge rounds while the count exceeds ``merge_rows_per_task``,
+    then one final single-task dominance pass. Equivalent to the O(n²)
+    ``NOT EXISTS`` self-join (the DuckDB oracle formulation) at a
+    distributed-scan cost. Raises :class:`SkylineFrontTooLargeError`
+    rather than scheduling an unboundedly large final task.
+    """
+    clean, crit_cols, signs = _criteria_guard(df, criteria)
     schema = clean.schema
 
     def local(batches: Iterator) -> Iterator:
@@ -117,10 +158,47 @@ def skyline(df: DataFrame, criteria: dict[str, str]) -> DataFrame:
             if len(out):
                 yield out
 
-    candidates = clean.mapInPandas(local, schema=schema)
-    # the global pass must see every candidate at once: dominance across
-    # partitions. Candidates are local skylines — small by construction
-    # (see module docstring for the degenerate case).
+    # localCheckpoint(eager=True) materializes the candidates so the
+    # guard count is free of recompute and the returned (lazy) plan
+    # reads the stored blocks — no persist/unpersist bookkeeping to leak
+    candidates = clean.mapInPandas(local, schema=schema).localCheckpoint(eager=True)
+    n = candidates.count()
+    rounds = 0
+    while n > merge_rows_per_task:
+        if rounds >= 4:
+            # geometric shrink would have landed by now; a crawl toward
+            # the threshold is the incompressible case in slow motion
+            raise SkylineFrontTooLargeError(
+                f"skyline front still has {n} candidates after {rounds} "
+                f"tree-merge rounds (merge_rows_per_task={merge_rows_per_task})"
+                " — add criteria, pre-filter, or raise the knobs explicitly"
+            )
+        rounds += 1
+        if n > max_candidates:
+            raise SkylineFrontTooLargeError(
+                f"skyline candidate set has {n} rows (> max_candidates="
+                f"{max_candidates}); the Pareto front is near-corpus-sized — "
+                "add criteria, pre-filter, or raise max_candidates explicitly"
+            )
+        fanin = max(2, math.ceil(n / merge_rows_per_task))
+        reduced = (
+            candidates.repartition(fanin)
+            .mapInPandas(local, schema=schema)
+            .localCheckpoint(eager=True)
+        )
+        m = reduced.count()
+        if m >= n:
+            # incompressible: candidates are mutually non-dominating
+            # across every tried partitioning — the front IS this big
+            raise SkylineFrontTooLargeError(
+                f"skyline front does not compress below merge_rows_per_task="
+                f"{merge_rows_per_task} (stuck at {m} candidates) — the "
+                "result is all-incomparable at this size; add criteria, "
+                "pre-filter, or raise merge_rows_per_task explicitly"
+            )
+        candidates, n = reduced, m
+    # the final pass sees every candidate at once (dominance across
+    # partitions) in one task bounded by merge_rows_per_task
     return candidates.repartition(1).mapInPandas(global_pass, schema=schema)
 
 
@@ -139,18 +217,7 @@ def skyline_grouped(
     """
     if not group_cols:
         raise ValueError("skyline_grouped needs at least one group column")
-    if not criteria:
-        raise ValueError("skyline needs at least one criterion")
-    bad = [d for d in criteria.values() if d not in ("min", "max")]
-    if bad:
-        raise ValueError(f"criteria directions must be min/max, got {bad}")
-    crit_cols = list(criteria)
-    signs = [1.0 if criteria[c] == "min" else -1.0 for c in crit_cols]
-    null_guard = None
-    for c in crit_cols:
-        cond = F.col(c).isNotNull()
-        null_guard = cond if null_guard is None else (null_guard & cond)
-    clean = df.filter(null_guard)
+    clean, crit_cols, signs = _criteria_guard(df, criteria)
     schema = clean.schema
 
     def per_group(pdf):

@@ -74,6 +74,88 @@ def test_skyline_grouped_per_group_fronts(spark):
     assert got == [1, 3, 4, 5]
 
 
+def test_skyline_nan_rows_dropped_like_nulls(spark):
+    # NaN has no dominance order (numpy comparisons always fail; DuckDB
+    # sorts it greatest) — the operator drops NaN-criteria rows exactly
+    # like NULLs, and the oracle SQL mirrors it with NOT isnan(...)
+    rows = [(1, 1.0, 1.0), (2, float("nan"), 0.0), (3, 0.5, float("nan"))]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    assert _ids(skyline(df, {"x": "min", "y": "min"})) == [1]
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skyline import (
+        skyline_grouped,
+    )
+
+    gdf = spark.createDataFrame(
+        [("g",) + r for r in rows], ["g", "id", "x", "y"]
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline_grouped(gdf, ["g"], {"x": "min", "y": "min"}).collect()
+    )
+    assert got == [1]
+
+
+def test_skyline_matches_not_exists_sql_on_nullable_data(spark):
+    # operator vs the oracle formulation WITH the null/NaN mirror filter
+    # on data that actually contains NULLs — pins the pair equivalence
+    # the contract queries rely on
+    rows = [
+        (1, 1.0, 9.0), (2, 9.0, 1.0), (3, 2.0, 2.0), (4, 3.0, 3.0),
+        (5, None, 0.0), (6, 0.0, None), (7, float("nan"), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    df.createOrReplaceTempView("sky_null_probe")
+    expected = sorted(
+        r["id"]
+        for r in spark.sql(
+            """
+            SELECT id FROM sky_null_probe a
+            WHERE a.x IS NOT NULL AND a.y IS NOT NULL
+              AND NOT isnan(a.x) AND NOT isnan(a.y)
+              AND NOT EXISTS (
+                SELECT 1 FROM sky_null_probe b
+                WHERE b.x IS NOT NULL AND b.y IS NOT NULL
+                  AND NOT isnan(b.x) AND NOT isnan(b.y)
+                  AND b.x <= a.x AND b.y <= a.y
+                  AND (b.x < a.x OR b.y < a.y))
+            """
+        ).collect()
+    )
+    assert _ids(skyline(df, {"x": "min", "y": "min"})) == expected
+
+
+def test_skyline_hierarchical_merge_same_membership(spark):
+    # forcing the tree-merge path (tiny merge_rows_per_task) must never
+    # change membership — only the merge topology
+    rows = [(i, float((i * 7) % 53), float((i * 13) % 47)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    base = _ids(skyline(df, {"x": "min", "y": "max"}))
+    tree = _ids(
+        skyline(df, {"x": "min", "y": "max"}, merge_rows_per_task=20,
+                max_candidates=10_000)
+    )
+    assert tree == base and len(base) >= 1
+
+
+def test_skyline_circuit_breaker_on_incompressible_front(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skyline import (
+        SkylineFrontTooLargeError,
+    )
+
+    # all-incomparable diagonal: every row is on the Pareto front, so no
+    # tree round can compress it — the guard must raise, not schedule a
+    # corpus-sized single merge task
+    rows = [(i, float(i), float(-i)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]).repartition(8)
+    with pytest.raises(SkylineFrontTooLargeError):
+        skyline(df, {"x": "min", "y": "min"}, merge_rows_per_task=50,
+                max_candidates=10_000)
+    # and outright max_candidates overflow raises without tree rounds
+    with pytest.raises(SkylineFrontTooLargeError):
+        skyline(df, {"x": "min", "y": "min"}, merge_rows_per_task=50,
+                max_candidates=100)
+
+
 def test_skyline_global_merge_crosses_arrow_batches(spark):
     # regression: the global pass previously filtered PER ARROW BATCH
     # (10k rows), so a candidate dominated only by a row in another
