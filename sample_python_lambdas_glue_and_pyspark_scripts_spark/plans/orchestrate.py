@@ -13,7 +13,10 @@ status roll-up → archive → notify. Here:
         → ledger SUCCEEDED/FAILED with counts → optional archive.
 
 Boundaries that were 8 Lambdas + Step Functions + Glue jobs in the
-reference collapse into one Spark application; per-opco load failures are
+reference collapse into one Spark application; per-opco load failures
+first RETRY with backoff (interval/attempts/multiplier knobs defaulting to
+the reference's 3 s / 2 / x10 — etl_controller_step_function.json:42-51,
+each retry recorded as a LOAD_RETRY ledger row) and only then are
 isolated (try/except per opco) exactly like the reference's Map-state
 Catch (etl_controller_step_function.json:23-67).
 """
@@ -47,6 +50,14 @@ class RunConfig:
     policy: ValidationPolicy = ValidationPolicy.FAIL
     archive_dir: str | None = None
     input_sep: str = ","
+    # O1 Retry: the reference retries each per-opco load on failure
+    # (etl_controller_step_function.json:42-51 — IntervalSeconds 3,
+    # MaxAttempts 2, BackoffRate 10). Same knobs, same defaults:
+    # attempts = 1 initial try + load_retry_attempts retries, sleeping
+    # interval, interval*backoff, ... between them.
+    load_retry_attempts: int = 2
+    load_retry_interval_sec: float = 3.0
+    load_retry_backoff: float = 10.0
 
 
 @dataclass
@@ -63,6 +74,9 @@ class RunOutcome:
     # opco -> repr(exception): the Map-state Catch's error cause, kept so
     # operators can tell a policy rejection from a storage failure
     failure_reasons: dict = field(default_factory=dict)
+    # opco -> number of load attempts actually made (1 = first try
+    # succeeded; >1 = the Retry state fired)
+    load_attempts: dict = field(default_factory=dict)
 
 
 def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
@@ -105,21 +119,44 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
             r["opco_id"] for r in written.select("opco_id").distinct().collect()
         )
         running_exports = ledger.full_export_opcos()
-        loaded, failed, reasons = [], [], {}
+        loaded, failed, reasons, attempts_map = [], [], {}, {}
         for opco in opcos:
-            try:
-                catalog.init_opco_if_absent(opco)
-                catalog.load_opco(
-                    written.filter(F.col("opco_id") == opco),
-                    opco,
-                    is_partial=(cfg.file_type != "full"),
-                    running_export_opcos=running_exports,
-                    policy=cfg.policy,
-                )
-                loaded.append(opco)
-            except Exception as e:  # isolated, like the Map-state Catch
-                failed.append(opco)
-                reasons[opco] = repr(e)
+            # O1 Retry then Catch, like the reference's Load Job state:
+            # each failed attempt (while retries remain) appends a
+            # LOAD_RETRY ledger row naming the opco, sleeps the
+            # backed-off interval, and tries again; only exhaustion
+            # lands in the Catch (failed + reason).
+            attempt, delay = 0, cfg.load_retry_interval_sec
+            while True:
+                attempt += 1
+                try:
+                    catalog.init_opco_if_absent(opco)
+                    catalog.load_opco(
+                        written.filter(F.col("opco_id") == opco),
+                        opco,
+                        is_partial=(cfg.file_type != "full"),
+                        running_export_opcos=running_exports,
+                        policy=cfg.policy,
+                    )
+                    loaded.append(opco)
+                    break
+                except Exception as e:  # isolated, like the Map-state Catch
+                    if attempt <= cfg.load_retry_attempts:
+                        ledger.record(
+                            cfg.file_name, cfg.etl_timestamp, execution_id,
+                            "LOAD_RETRY", file_type=cfg.file_type,
+                            received_opcos=opco,
+                        )
+                        if delay > 0:
+                            import time as _time
+
+                            _time.sleep(delay)
+                        delay *= cfg.load_retry_backoff
+                        continue
+                    failed.append(opco)
+                    reasons[opco] = repr(e)
+                    break
+            attempts_map[opco] = attempt
 
         status = "FAILED" if failed else "SUCCEEDED"
         ledger.record(
@@ -154,6 +191,7 @@ def run_pipeline(spark: SparkSession, cfg: RunConfig) -> RunOutcome:
             execution_id, status, rep.total_count, rep.valid_count,
             rep.invalid_count, sorted(rep.invalid_groups, key=str),
             loaded, failed, failure_reasons=reasons,
+            load_attempts=attempts_map,
         )
     except Exception:
         ledger.record(cfg.file_name, cfg.etl_timestamp, execution_id, "FAILED",

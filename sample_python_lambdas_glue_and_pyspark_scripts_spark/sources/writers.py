@@ -77,6 +77,120 @@ def write_jdbc(
     )
 
 
+def jdbc_merge_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    staging_table: str | None = None,
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 5,
+    batch_size: int = 10000,
+    staging_column_types: str | None = None,
+    drop_staging: bool = True,
+) -> None:
+    """S7 full fidelity: REPLACE-by-key executed INSIDE the target DB.
+
+    The reference's ``LOAD DATA FROM S3 ... REPLACE INTO TABLE``
+    (load_job.py:74-90) is an in-database keyed overwrite — readers of
+    the target table never observe a half-replaced state. The relational
+    ``operators.upsert.merge_upsert`` + write-then-promote staging gets
+    the same FINAL contents but exposes an overwrite window while the
+    target is rewritten. This sink closes that gap:
+
+    1. bulk-write ``df`` into a staging table (the only distributed
+       step — same connection-capped JDBC writer as :func:`write_jdbc`);
+    2. execute ONE ``MERGE INTO target USING staging ON keys WHEN
+       MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...``
+       statement over a single JDBC connection — a single atomic
+       statement in the target DB (Derby >= 10.11, MySQL 8 via
+       INSERT..ON DUPLICATE KEY, every ANSI MERGE dialect), so
+       concurrent readers see either the old or the new rows, never the
+       window;
+    3. drop the staging table (best-effort, ``drop_staging=False`` keeps
+       it for audit).
+
+    ``keys`` must uniquely identify source rows (MERGE's cardinality
+    rule; the reference's PRIMARY KEY gives the same guarantee) — checked
+    with one aggregate before any DB write. The target table must exist
+    with UNQUOTED (case-insensitive) column identifiers — i.e. ordinary
+    DDL, like the reference's DBA-created MySQL tables; the staging
+    frame's columns are upper-cased on write so the unquoted MERGE text
+    binds on both sides.
+    """
+    if not keys:
+        raise ValueError("jdbc_merge_upsert needs at least one key column")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"key columns not in frame: {missing}")
+    from pyspark.sql import functions as F
+
+    dup = (
+        df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "jdbc_merge_upsert: source has duplicate merge keys — MERGE's "
+            "cardinality rule (and the reference's PRIMARY KEY) require "
+            "unique keys; pre-aggregate or dedup the source"
+        )
+
+    staging = staging_table or f"{table}_MERGE_STAGE"
+    props = dict(properties or {})
+    if staging_column_types:
+        props["createTableColumnTypes"] = staging_column_types
+    # Spark's JDBC writer QUOTES column names at CREATE (case-sensitive
+    # in Derby/Postgres), while DBA-created targets use unquoted DDL
+    # (folded to upper). Upper-case the staging frame so its quoted
+    # names bind to the same identifiers the unquoted MERGE text below
+    # resolves to — both sides of the statement then see plain
+    # case-insensitive SQL identifiers.
+    df = df.toDF(*[c.upper() for c in df.columns])
+    write_jdbc(
+        df, url, staging, mode="overwrite", num_partitions=num_partitions,
+        properties=props, batch_size=batch_size,
+    )
+
+    cols = df.columns
+    keys = [k.upper() for k in keys]
+    non_keys = [c for c in cols if c not in keys]
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    insert_cols = ", ".join(cols)
+    insert_vals = ", ".join(f"s.{c}" for c in cols)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    merge_sql = (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+    spark = df.sparkSession
+    driver = props.get("driver")
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(merge_sql)  # one statement: atomic in the DB
+            if drop_staging:
+                try:
+                    stmt.executeUpdate(f"DROP TABLE {staging}")
+                except Exception:
+                    pass  # best-effort cleanup; staging is inert
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def append_run_metrics(df: DataFrame, path: str) -> None:
     """S10: structured run ledger replacing the reference's append-to-JSON
     metadata log (metadata_aggregator.py:7-34)."""

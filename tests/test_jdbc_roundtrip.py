@@ -114,3 +114,92 @@ def test_jdbc_replace_upsert_through_db(spark, derby_url):
         for r in read_jdbc_table(spark, derby_url, "UPSERT_T", properties=PROPS).collect()
     }
     assert final == {(1, "old-1"), (2, "new-2"), (3, "old-3"), (4, "new-4")}
+
+
+def test_jdbc_merge_into_upsert_in_db(spark, derby_url):
+    """S7 full fidelity: the keyed REPLACE runs as ONE MERGE statement
+    inside the DB — matched keys update in place, new keys insert,
+    unmatched target rows survive, and the staging table is dropped."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        jdbc_merge_upsert,
+    )
+
+    types = "k INT, payload VARCHAR(16)"
+    # target created like the reference's: plain DDL, unquoted columns
+    spark._jvm.java.lang.Class.forName(DRIVER)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE MERGE_T (k INT, payload VARCHAR(16))")
+        st.executeUpdate(
+            "INSERT INTO MERGE_T VALUES (1, 'old-1'), (2, 'old-2'), (3, 'old-3')"
+        )
+        st.close()
+    finally:
+        conn.close()
+    source = spark.createDataFrame(
+        [(2, "new-2"), (4, "new-4")], "k int, payload string"
+    )
+    jdbc_merge_upsert(
+        source, derby_url, "MERGE_T", keys=["k"],
+        properties=PROPS, staging_column_types=types,
+    )
+    final = {
+        tuple(r) # DDL-created table: unquoted (upper-cased) column names
+        for r in read_jdbc_table(spark, derby_url, "MERGE_T", properties=PROPS).collect()
+    }
+    assert final == {(1, "old-1"), (2, "new-2"), (3, "old-3"), (4, "new-4")}
+    # staging dropped
+    with pytest.raises(Exception):
+        read_jdbc_table(
+            spark, derby_url, "MERGE_T_MERGE_STAGE", properties=PROPS
+        ).collect()
+
+
+def test_jdbc_merge_failure_leaves_target_untouched(spark, derby_url):
+    """Concurrent-read consistency: a MERGE that fails mid-statement
+    (constraint violation on one row) must leave the target EXACTLY as
+    it was — unlike the write-then-promote path there is no window where
+    a reader can observe partial or missing rows."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        jdbc_merge_upsert,
+    )
+
+    spark._jvm.java.lang.Class.forName(DRIVER)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(
+            "CREATE TABLE MERGE_G (k INT, payload VARCHAR(16) NOT NULL)"
+        )
+        st.executeUpdate("INSERT INTO MERGE_G VALUES (1, 'old-1'), (2, 'old-2')")
+        st.close()
+    finally:
+        conn.close()
+
+    # row (2, NULL) violates NOT NULL during UPDATE -> whole MERGE rolls back
+    bad = spark.createDataFrame(
+        [(2, None), (4, "new-4")], "k int, payload string"
+    )
+    with pytest.raises(Exception):
+        jdbc_merge_upsert(
+            bad, derby_url, "MERGE_G", keys=["k"],
+            properties=PROPS, staging_column_types="k INT, payload VARCHAR(16)",
+        )
+    final = {
+        tuple(r)
+        for r in read_jdbc_table(spark, derby_url, "MERGE_G", properties=PROPS).collect()
+    }
+    assert final == {(1, "old-1"), (2, "old-2")}  # untouched
+
+
+def test_jdbc_merge_rejects_duplicate_source_keys(spark, derby_url):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        jdbc_merge_upsert,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, payload string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        jdbc_merge_upsert(dup, derby_url, "MERGE_T", keys=["k"], properties=PROPS)

@@ -198,6 +198,7 @@ def test_archive_failure_never_upgrades_failed_load(spark, workdir, monkeypatch)
         active_opcos=["019", "020", "021"], file_name="ctt_z.csv",
         etl_timestamp="t11", file_type="partial",
         archive_dir=f"{inp}/nested",  # mkdirs under a FILE raises
+        load_retry_interval_sec=0.0,  # permanent failure: don't sleep out
     ))
     assert out.status == "FAILED"
     assert out.loaded_opcos == ["019"] and out.failed_opcos == ["021"]
@@ -207,3 +208,87 @@ def test_archive_failure_never_upgrades_failed_load(spark, workdir, monkeypatch)
     rec = lg.events().filter("file_name = 'ctt_z.csv'").orderBy(
         "updated_at", ascending=False).first()
     assert rec["status"] == "FAILED"
+
+
+def test_transient_load_failure_retries_and_succeeds(spark, workdir, monkeypatch):
+    """O1 Retry parity (etl_controller_step_function.json:42-51): a load
+    that fails once then succeeds must be retried — attempt 2 loads the
+    opco, the run SUCCEEDs, and the ledger shows a LOAD_RETRY row naming
+    the opco between RUNNING and SUCCEEDED."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        versioning as V,
+    )
+
+    orig = V.VersionedCatalog.load_opco
+    calls = {"021": 0}
+
+    def transient(self, df, opco, *a, **k):
+        if opco == "021":
+            calls["021"] += 1
+            if calls["021"] == 1:
+                raise RuntimeError("transient storage blip")
+        return orig(self, df, opco, *a, **k)
+
+    monkeypatch.setattr(V.VersionedCatalog, "load_opco", transient)
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+    out = run_pipeline(spark, RunConfig(
+        input_path=inp, work_dir=f"{workdir}/engine",
+        active_opcos=["019", "020", "021"], file_name="ctt_r.csv",
+        etl_timestamp="t20", file_type="partial",
+        load_retry_interval_sec=0.01, load_retry_backoff=2.0,
+    ))
+    assert out.status == "SUCCEEDED"
+    assert "021" in out.loaded_opcos and out.failed_opcos == []
+    assert out.load_attempts["021"] == 2 and out.load_attempts["019"] == 1
+    assert calls["021"] == 2
+
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    evs = [
+        (r["status"], r["received_opcos"])
+        for r in lg.events().filter("file_name = 'ctt_r.csv'")
+        .orderBy("updated_at").collect()
+    ]
+    statuses = [s for s, _ in evs]
+    assert "LOAD_RETRY" in statuses and statuses[-1] == "SUCCEEDED"
+    assert ("LOAD_RETRY", "021") in evs  # the retried attempt names its opco
+    # exactly one retry row: the second attempt succeeded
+    assert statuses.count("LOAD_RETRY") == 1
+
+
+def test_retries_exhausted_lands_in_catch(spark, workdir, monkeypatch):
+    """Permanent failure: retries burn down, then the Catch isolates the
+    opco — attempts = 1 + load_retry_attempts, each retry ledgered."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        versioning as V,
+    )
+
+    orig = V.VersionedCatalog.load_opco
+
+    def broken(self, df, opco, *a, **k):
+        if opco == "021":
+            raise RuntimeError("storage down")
+        return orig(self, df, opco, *a, **k)
+
+    monkeypatch.setattr(V.VersionedCatalog, "load_opco", broken)
+    inp = f"{workdir}/in.csv"
+    with open(inp, "w") as f:
+        f.write(CSV)
+    out = run_pipeline(spark, RunConfig(
+        input_path=inp, work_dir=f"{workdir}/engine",
+        active_opcos=["019", "020", "021"], file_name="ctt_s.csv",
+        etl_timestamp="t21", file_type="partial",
+        load_retry_interval_sec=0.0,
+    ))
+    assert out.status == "FAILED"
+    assert out.failed_opcos == ["021"] and "021" in out.failure_reasons
+    assert out.load_attempts["021"] == 3  # 1 initial + 2 retries (ref parity)
+
+    lg = RunLedger(spark, f"{workdir}/engine/ledger")
+    statuses = [
+        r["status"]
+        for r in lg.events().filter("file_name = 'ctt_s.csv'")
+        .orderBy("updated_at").collect()
+    ]
+    assert statuses.count("LOAD_RETRY") == 2 and statuses[-1] == "FAILED"
