@@ -166,7 +166,7 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (68 entries after the round-4
+    # restores the curated headline tier (69 entries after the round-4
     # additions; the recorded 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)
@@ -213,6 +213,18 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # compact summary LAST: the driver's bench record keeps only the
+    # tail of the output, and the big per-query line above overflows it
+    # (BENCH_r04.json lost the headline total) — this line survives any
+    # tail truncation
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }))
     sys.exit(1 if errors else 0)
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import WORD_REGEX, fingerprint
-from .util import ensure_parallelism
+from .util import ensure_parallelism, guard_quadratic
 
 # 2^60 range: 15 hex chars of md5 → non-negative bigint, identical in
 # DuckDB via ('0x' || substr(md5(s),1,15))::bigint
@@ -232,21 +232,31 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Without ``candidates``: joins on shared shingle (each co-occurring
     shingle contributes one match row; groupBy pair counts the
-    intersection) — the exact baseline. With ``candidates`` (e.g. from
-    LSH): delegates to ``verify_jaccard_on_candidates`` so only the
-    candidate pairs are evaluated (a post-join filter would still run the
-    full quadratic shingle self-join).
+    intersection) — the exact baseline, guarded: hot shingles make it
+    quadratic, so inputs over ``util.QUADRATIC_GUARD_ROWS`` raise unless
+    ``allow_quadratic=True`` (the scale path is LSH candidates). With
+    ``candidates`` (e.g. from LSH): delegates to
+    ``verify_jaccard_on_candidates`` so only the candidate pairs are
+    evaluated (a post-join filter would still run the full quadratic
+    shingle self-join).
     Output: (a, b, jaccard) with a < b.
     """
     if candidates is not None:
         return verify_jaccard_on_candidates(
             df, candidates, text_col, id_col, threshold, shingle_n
         )
+    guard_quadratic(
+        df, "jaccard_pairs",
+        "lsh_candidate_pairs(...) then jaccard_pairs(candidates=...) — "
+        "see dedup_minhash_lsh",
+        allow_quadratic,
+    )
     df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
@@ -513,17 +523,15 @@ def minhash_estimate_pairs(
             F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
         )
     )
-    # the returned plan joins `sigs` TWICE (est side) — do NOT unpersist
-    # it here or execution re-runs the whole corpus signature pass; park
-    # both persisted frames in the FIFO cache for deferred eviction
-    _cands_cache.append(cands)
-    _cands_cache.append(sigs)
-    while len(_cands_cache) > _CANDS_CACHE_SIZE:
-        old = _cands_cache.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    # the plan joins `sigs` TWICE (est side); parking it in the shared
+    # FIFO cache risked eviction BEFORE the caller executed the lazy
+    # plan (two later dedup calls in one session would silently re-run
+    # the corpus signature pass). The report is candidate-pair-sized —
+    # eagerly materialize it instead, then both persisted inputs can be
+    # released immediately and deterministically.
+    out = out.localCheckpoint(eager=True)
+    cands.unpersist()
+    sigs.unpersist()
     return out
 
 

@@ -224,6 +224,8 @@ def select_token_budget(
     score_col: str,
     token_col: str,
     id_col: str = "doc_id",
+    max_levels: int = 10_000,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Greedy best-first subset under a global token budget: walk rows in
     (``score_col`` DESC, ``id_col`` ASC) order and keep each row while the
@@ -241,13 +243,33 @@ def select_token_budget(
        distinct score), prefix-sum THAT with a window, broadcast it back.
 
     Requires ``score_col`` to be low-cardinality (a quantized/rounded
-    score or bucket — the offsets frame is one row per level). With
-    continuous scores, round or bucket first; curation scores are
-    discretized in practice.
+    score or bucket — the offsets frame is one row per level), and now
+    ENFORCES it: the level cardinality is estimated up front and more
+    than ``max_levels`` distinct scores raises rather than silently
+    building a level-count-sized single-partition window in phase 2.
+    With continuous scores, pass ``quantize=<ndigits>`` to 6dp-style
+    round the score first (HALF_UP, matching the parity kit) — curation
+    scores are discretized in practice.
 
     Returns the kept rows plus ``cum_tokens`` (inclusive global running
     total). Rows are kept iff their inclusive cumulative total fits.
     """
+    if quantize is not None:
+        df = df.withColumn(
+            score_col, F.round(F.col(score_col).cast("double"), quantize)
+        )
+    n_levels = df.agg(
+        F.approx_count_distinct(score_col).alias("n")
+    ).first()["n"]
+    if n_levels > max_levels:
+        raise ValueError(
+            f"select_token_budget: score_col={score_col!r} has ~{n_levels} "
+            f"distinct levels (> max_levels={max_levels}) — a continuous "
+            "score would turn the phase-2 offsets prefix-sum into a "
+            "level-count-sized single-partition window. Pass "
+            "quantize=<ndigits> (or bucket the score upstream), or raise "
+            "max_levels if the offsets frame really fits one task."
+        )
     per_level = Window.partitionBy(score_col).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import ensure_parallelism
+from .util import ensure_parallelism, guard_quadratic
 
 
 def _dbl(col: Column | str) -> Column:
@@ -73,6 +73,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, sim).
 
@@ -81,7 +82,17 @@ def cosine_topk(
     candidate rows. Self-matches (same id) are excluded. Ranking uses the
     rounded similarity with neighbor-id tiebreak so the cut is
     deterministic across engines.
+
+    Cost is |corpus| × |queries| expression rows — guarded on the QUERY
+    side (the corpus side streams; a corpus-sized query set makes this
+    all-pairs). Scale paths: ``cosine_topk_vectorized`` (BLAS batches)
+    or ``ann_ivf_topk`` (index probe).
     """
+    guard_quadratic(
+        queries, "cosine_topk",
+        "cosine_topk_vectorized (BLAS) or ann_ivf_topk (IVF index)",
+        allow_quadratic,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
     ).withColumn("qn", l2_norm(F.col("qv")))
@@ -612,13 +623,21 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: (a, b, sim) with a < b, sim >= threshold.
 
-    Brute-force O(n²) within the join — correct baseline; at scale,
-    pre-bucket with ``assign_cells`` and join on cell (the IVF trick) or
-    random-hyperplane LSH before verifying.
+    Brute-force O(n²) within the join — correct baseline, guarded above
+    ``util.QUADRATIC_GUARD_ROWS`` (pass ``allow_quadratic=True`` to
+    override); at scale, pre-bucket with ``assign_cells`` and join on
+    cell (the IVF trick) or random-hyperplane LSH (``cosine_pairs_lsh``)
+    before verifying.
     """
+    guard_quadratic(
+        vectors, "cosine_pairs",
+        "cosine_pairs_lsh (SRP-banded) or assign_cells + within-cell join",
+        allow_quadratic,
+    )
     vectors = ensure_parallelism(vectors)
     l = vectors.select(
         F.col(id_col).alias("a"), _dbl(vec_col).alias("va")

@@ -45,3 +45,45 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if small:
         return df.repartition(target)
     return df
+
+
+# Raw all-pairs baselines (exact Jaccard, all-pairs cosine, brute-force
+# top-k) are kept as oracle mirrors of their LSH/index scale siblings —
+# correct, but quadratic. Above this row count the quadratic plan is not
+# runnable in practice and the guard refuses to build it.
+QUADRATIC_GUARD_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_QUADRATIC_GUARD_ROWS", "200000")
+)
+
+
+class QuadraticPlanError(RuntimeError):
+    """An all-pairs baseline was asked to run over an input too large for
+    a quadratic plan. Use the registered scale sibling (LSH candidates,
+    IVF/vectorized top-k, indexed intake) or pass ``allow_quadratic=True``
+    after sizing the cluster for |n|² work."""
+
+
+def guard_quadratic(
+    df: DataFrame,
+    op_name: str,
+    scale_alternative: str,
+    allow_quadratic: bool = False,
+    max_rows: int | None = None,
+) -> None:
+    """Refuse to build an O(n²) plan over a large input.
+
+    Probe cost is one ``limit(max_rows + 1).count()`` over a single
+    column — it short-circuits as soon as the limit is hit, so the guard
+    never scans more than the threshold. The exact count is irrelevant;
+    only "over the line" matters.
+    """
+    if allow_quadratic:
+        return
+    limit = QUADRATIC_GUARD_ROWS if max_rows is None else max_rows
+    probe = df.select(df.columns[0]).limit(limit + 1).count()
+    if probe > limit:
+        raise QuadraticPlanError(
+            f"{op_name}: input exceeds {limit} rows — the all-pairs plan "
+            f"is quadratic and will not finish at this size. Scale path: "
+            f"{scale_alternative}. Pass allow_quadratic=True to override."
+        )
