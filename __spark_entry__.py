@@ -1347,6 +1347,21 @@ def q_pca_top2_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.pca_project_components(emb, comps)
 
 
+def q_pca_project_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out PCA scoring — the fit/score split template that
+    ``pca_project``'s docstring mandates: fit means + component on the
+    90% fit split (pca_fit_means + pca_power_iteration), then score the
+    held-out 10% against the FIT means (``means=``), so the projection
+    origin is the fit corpus', never the scoring batch's. This is the
+    scoring flow for newly-arrived vectors at intake time."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = emb.filter(F.col("vec_id") % 10 != 0)
+    held = emb.filter(F.col("vec_id") % 10 == 0)
+    comp = SM.pca_power_iteration(fit, n_iter=2)
+    means = SM.pca_fit_means(fit)
+    return SM.pca_project(held, comp, means=means)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
     vectors ≥0.35 cosine-similar to a lower-id vector in the same
@@ -1785,7 +1800,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # set. Local check_correctness.py always runs ALL queries regardless of
 # order.
 _DRIVER_WINDOW_PRIORITY = [
-    # new this round: indexed incremental cross-corpus intake (the 100 TB
+    # new in round 5: held-out PCA scoring (fit means + component on the
+    # fit split, score the held-out tenth) — the intake-time scoring
+    # template pca_project's docstring mandates, now oracle-proven
+    "pca_project_heldout",
+    # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
     # estimate-vs-exact calibration report
@@ -1811,7 +1830,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_real_decode", "video_frame_sample",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "asof_latest_order", "range_activity_24h",
-    "hll_user_sketch",
 ]
 
 
@@ -1885,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier_scores": q_langid_classifier_scores,
         "pca_component": q_pca_component,
         "pca_projections": q_pca_projections,
+        "pca_project_heldout": q_pca_project_heldout,
         "repeated_passages_report": q_repeated_passages,
         "per_source_caps": q_per_source_caps,
         "contamination_report": q_contamination_report,
@@ -1985,14 +2004,25 @@ def _hll_est_ctes(where: str, alias: str) -> str:
               FROM {alias}_g))"""
 
 
-_PCA_SQL_CTES = """
+def _pca_sql_ctes(fit_where: str = "") -> str:
+    """Unrolled 2-iteration power-PCA CTE prefix (mu → lf → v2).
+    ``fit_where`` narrows the FIT corpus (e.g. the held-out split's
+    complement) — means and component then derive from the fit rows
+    only, mirroring pca_fit_means + pca_power_iteration(fit)."""
+    return f"""
     WITH lf0 AS (
         SELECT vec_id, CAST(u.dim - 1 AS INTEGER) AS dim,
                CAST(u.val AS DOUBLE) AS raw
         FROM (SELECT vec_id,
                      unnest(list_transform(embedding,
-                            (x, i) -> {'dim': i, 'val': x})) AS u
-              FROM embeddings WHERE embedding IS NOT NULL)),
+                            (x, i) -> {{'dim': i, 'val': x}})) AS u
+              FROM embeddings WHERE embedding IS NOT NULL {fit_where})),"""
+
+
+# the fit-side body: means + centered long form + 2 unrolled power
+# iterations ending at v2 (shared by the whole-corpus oracles and the
+# held-out scoring oracle)
+_PCA_ITER_BODY = """
     mu AS (SELECT dim, ROUND(AVG(raw), 6) AS mu FROM lf0 GROUP BY dim),
     lf AS (SELECT l.vec_id, l.dim, l.raw - m.mu AS val
            FROM lf0 l JOIN mu m USING (dim)),
@@ -2011,6 +2041,8 @@ _PCA_SQL_CTES = """
     n2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w2),
     v2 AS (SELECT dim, ROUND(w / nrm, 6) AS v FROM w2 CROSS JOIN n2)
 """
+
+_PCA_SQL_CTES = _pca_sql_ctes() + _PCA_ITER_BODY
 
 
 # shared unrolled k-means CTE prefix (2 Lloyd iterations over embeddings,
@@ -3060,6 +3092,24 @@ def oracle_sql() -> dict[str, str]:
         "pca_projections": _PCA_SQL_CTES + """
             SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
             FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id
+        """,
+        # fit on vec_id % 10 <> 0, score the held-out tenth with the FIT
+        # means + component (mirrors pca_fit_means + pca_project(means=))
+        "pca_project_heldout": _pca_sql_ctes(
+            fit_where="AND vec_id % 10 <> 0"
+        ) + _PCA_ITER_BODY + """,
+            hlf0 AS (
+                SELECT vec_id, CAST(u.dim - 1 AS INTEGER) AS dim,
+                       CAST(u.val AS DOUBLE) AS raw
+                FROM (SELECT vec_id,
+                             unnest(list_transform(embedding,
+                                    (x, i) -> {'dim': i, 'val': x})) AS u
+                      FROM embeddings
+                      WHERE embedding IS NOT NULL AND vec_id % 10 = 0)),
+            hlf AS (SELECT l.vec_id, l.dim, l.raw - m.mu AS val
+                    FROM hlf0 l JOIN mu m USING (dim))
+            SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
+            FROM hlf l JOIN v2 USING (dim) GROUP BY l.vec_id
         """,
         "repeated_passages_report": f"""
             WITH rtoks AS (
