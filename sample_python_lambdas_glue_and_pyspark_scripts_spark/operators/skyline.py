@@ -161,8 +161,20 @@ def skyline(
     # localCheckpoint(eager=True) materializes the candidates so the
     # guard count is free of recompute and the returned (lazy) plan
     # reads the stored blocks — no persist/unpersist bookkeeping to leak
+    n_input = clean.count()
     candidates = clean.mapInPandas(local, schema=schema).localCheckpoint(eager=True)
     n = candidates.count()
+    if n > merge_rows_per_task and n >= 0.9 * n_input:
+        # the partition-local pass removed (almost) nothing: the data is
+        # all-incomparable and no tree round will compress it either —
+        # refuse NOW instead of paying quadratic merge rounds first
+        # (the 16x adversarial probe cut refusal time ~2x with this)
+        raise SkylineFrontTooLargeError(
+            f"skyline local pass kept {n} of {n_input} rows (> "
+            f"merge_rows_per_task={merge_rows_per_task}) — the input is "
+            "(near-)all-incomparable and the front is corpus-sized; add "
+            "criteria, pre-filter, or raise the knobs explicitly"
+        )
     rounds = 0
     while n > merge_rows_per_task:
         if rounds >= 4:
