@@ -173,3 +173,41 @@ def test_skyline_global_merge_crosses_arrow_batches(spark):
     df = front.union(dominated)
     out = skyline(df, {"x": "min", "y": "min"})
     assert out.count() == n
+
+
+def test_dominance_filter_2d_fast_path_matches_bruteforce():
+    # the vectorized 2-criteria path vs an O(n^2) reference, on data
+    # dense with exact ties and duplicates (the tricky cases)
+    import numpy as np
+    import pandas as pd
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skyline import (
+        _dominance_filter,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = 120
+        # small integer grid -> many ties/duplicates
+        x = rng.randint(0, 8, n).astype(float)
+        y = rng.randint(0, 8, n).astype(float)
+        pdf = pd.DataFrame({"id": np.arange(n), "x": x, "y": y})
+        for signs in ([1.0, 1.0], [1.0, -1.0], [-1.0, -1.0]):
+            got = set(_dominance_filter(pdf, ["x", "y"], signs)["id"])
+            M = np.stack([x, y], axis=1) * np.asarray(signs)
+            brute = {
+                int(i)
+                for i in range(n)
+                if not any(
+                    (M[j] <= M[i]).all() and (M[j] < M[i]).any()
+                    for j in range(n)
+                )
+            }
+            assert got == brute, (trial, signs)
+    # 3+ criteria still routes through the general loop: sanity check
+    pdf3 = pd.DataFrame(
+        {"id": [0, 1, 2], "x": [1.0, 2.0, 1.0], "y": [1.0, 2.0, 2.0],
+         "z": [3.0, 1.0, 3.0]}
+    )
+    got3 = set(_dominance_filter(pdf3, ["x", "y", "z"], [1.0, 1.0, 1.0])["id"])
+    assert got3 == {0, 1}
