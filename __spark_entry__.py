@@ -681,6 +681,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(docs.select("doc_id", "text")).drop("text")
 
 
+BM25_QUERY_TERMS = ["spark", "join", "vector", "stream"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (Robertson &
+    Zaragoza 2009, Lucene +1 IDF): top-25 docs for a 4-term query. One
+    corpus aggregate for (N, avgdl, per-term df), map-side scoring, and
+    a TakeOrderedAndProject top-k — the lexical retrieval sibling of
+    ann_ivf_topk."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_scores(docs, BM25_QUERY_TERMS, top_k=25)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_score(docs.select("doc_id", "text")).select(
@@ -1801,9 +1814,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 5: held-out PCA scoring (fit means + component on the
-    # fit split, score the held-out tenth) — the intake-time scoring
-    # template pca_project's docstring mandates, now oracle-proven
-    "pca_project_heldout",
+    # fit split, score the held-out tenth) and BM25 ranked retrieval —
+    # the lexical sibling of the ANN serving path
+    "pca_project_heldout", "bm25_search",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1829,7 +1842,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
     "multimodal_real_decode", "video_frame_sample",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
-    "asof_latest_order", "range_activity_24h",
+    "asof_latest_order",
 ]
 
 
@@ -1875,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_zone_pipeline": q_price_zone_pipeline,
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
+        "bm25_search": q_bm25_search,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2258,6 +2272,48 @@ def _minhash_keepers_oracle(num_hashes: int = 16, bands: int = 4) -> str:
              AND l.doc_id < r.doc_id)
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """
+
+
+def _bm25_oracle(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 25
+) -> str:
+    """Mirrors text.bm25_scores term by term: same 6dp idf/avgdl rounds,
+    same left-associative float expression order, same rounded-score +
+    id-tiebreak top-k cut."""
+    m = len(terms)
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(m)
+    )
+    norm = f"{k1} * ({1.0 - b} + {b} * dl / greatest(avgdl, 0.000000001))"
+    score = " + ".join(
+        f"(ROUND(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0), 6)"
+        f" * (tf{i} * {k1 + 1.0})) / (tf{i} + {norm})"
+        for i in range(m)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS t
+            FROM documents),
+        base AS (
+            SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM toks),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(AVG(dl), 6) AS avgdl,
+                   {df_cols}
+            FROM base)
+        SELECT doc_id, ROUND({score}, 6) AS bm25
+        FROM base CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {top_k}
     """
 
 
@@ -2652,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "text_stats": _TEXT_STATS_SQL,
+        "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
         "quality_score": rf"""
             WITH s AS (
                 SELECT doc_id,

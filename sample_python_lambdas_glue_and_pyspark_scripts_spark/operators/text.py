@@ -370,6 +370,101 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: str | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` IDF so every term score stays
+    positive): ``(doc_id, bm25)``, optionally cut to the global top-k.
+
+    The lexical half of the similarity-search shelf (the embedding half
+    is ``similarity.cosine_topk``/``ann_ivf_topk``). Query terms are a
+    handful of literals, so per-term tf lands as map-side array
+    ``filter``+``size`` over ONE materialized token array — no explode,
+    no (doc, term) shuffle at all.
+
+    Plan shape: pass 1 is a single partial-aggregated corpus aggregate
+    (N, avgdl, per-term document frequencies — one output row,
+    broadcast back); pass 2 is pure map-side scoring. ``top_k`` uses
+    ``orderBy().limit()``, which Spark executes as
+    TakeOrderedAndProject: per-partition heaps of k rows merged on the
+    driver — never a single-partition ranking window.
+
+    Determinism contract (parity kit): idf and avgdl round to 6dp before
+    use, the final score rounds to 6dp, and the top-k cut orders by the
+    ROUNDED score with an id tiebreak — identical across engines.
+    """
+    if isinstance(query_terms, str):
+        import re
+
+        query_terms = re.findall(WORD_REGEX, query_terms.lower())
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("bm25_scores: empty query")
+    # token array in its own projection: Catalyst does not CSE across
+    # nested higher-order functions (CLAUDE.md), so the m per-term
+    # filters must reference one materialized array
+    tokd = ensure_parallelism(df).select(
+        F.col(id_col), words(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+    )
+    def _term_eq(term: str):
+        # closure, NOT a default arg: F.filter treats a two-parameter
+        # lambda as (element, index) and would pass the index into it
+        return lambda x: x == F.lit(term)
+
+    base = tokd.select(
+        F.col(id_col),
+        F.size("__toks").cast("double").alias("__dl"),
+        *[
+            F.size(F.filter(F.col("__toks"), _term_eq(t)))
+            .cast("double")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.round(F.avg("__dl"), 6).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint"))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("__dl") / F.greatest(F.col("__avgdl"), F.lit(1e-9))
+    )
+    expr = None
+    for i in range(len(terms)):
+        idf = F.round(
+            F.log(
+                (F.col("__n") - F.col(f"__df{i}") + 0.5)
+                / (F.col(f"__df{i}") + 0.5)
+                + 1.0
+            ),
+            6,
+        )
+        term_score = (idf * (F.col(f"__tf{i}") * F.lit(k1 + 1.0))) / (
+            F.col(f"__tf{i}") + norm
+        )
+        expr = term_score if expr is None else expr + term_score
+    out = scored.select(F.col(id_col), F.round(expr, 6).alias("bm25"))
+    if top_k is not None:
+        out = out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(
+            int(top_k)
+        )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -225,3 +225,24 @@ def test_pagerank_no_cartesian_no_python(spark, sf_dir):
     plan = _fmt_plan(spark, ranks)
     assert "Scan ExistingRDD" in plan
     assert "Location:" not in plan  # no file re-scan after the fit
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.bm25_scores(docs, ["spark", "join", "vector"], top_k=10)
+    ex = _executed(plan)
+    # stats row broadcasts back; no (doc, term) explode/shuffle, no
+    # Python, and the top-k is per-partition heaps, never a global sort
+    assert "BroadcastNestedLoopJoin" in ex or "BroadcastHashJoin" in ex
+    assert "Generate" not in ex  # no explode
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    assert "TakeOrderedAndProject" in ex
+    # tokenization evaluates once per corpus pass (scoring side): the
+    # m per-term filters reference ONE materialized token array
+    fmtd = _fmt_plan(spark, plan)
+    import re as _re
+
+    per_node = [
+        seg.count("regexp_extract_all") for seg in fmtd.split("Project")
+    ]
+    assert max(per_node) <= 1, "token regex inlined into per-term filters"

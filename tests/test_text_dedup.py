@@ -832,3 +832,39 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert exact_pair["est_jaccard"] == 1.0 and exact_pair["jaccard"] == 1.0
     for k, r in rows.items():
         assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.5  # k=16 band
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    # corpus of 3 docs, query = ["cat", "dog"]
+    rows = [(0, "cat cat fish"), (1, "dog"), (2, "fish bird"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in T.bm25_scores(df, ["cat", "dog"]).collect()
+    }
+    n, k1, b = 4.0, 1.2, 0.75
+    avgdl = round((3 + 1 + 2 + 0) / 4.0, 6)
+    def idf(dfreq):
+        return round(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6)
+    def score(tf, dl, dfreq):
+        return (idf(dfreq) * (tf * (k1 + 1.0))) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+    assert out[0] == round(score(2, 3, 1) + 0.0, 6)   # cat twice
+    assert out[1] == round(score(1, 1, 1), 6)          # dog once, short doc
+    assert out[2] == 0.0 and out[3] == 0.0             # no hits / NULL text
+    # top_k cuts on rounded score desc with id tiebreak
+    top = T.bm25_scores(df, ["cat", "dog"], top_k=2).collect()
+    assert [r["doc_id"] for r in top] == sorted(
+        out, key=lambda d: (-out[d], d)
+    )[:2]
+    # string query tokenizes through the same word regex
+    via_str = {
+        r["doc_id"]: r["bm25"]
+        for r in T.bm25_scores(df, "Cat, DOG!").collect()
+    }
+    assert via_str == out
+    with pytest.raises(ValueError):
+        T.bm25_scores(df, [])
