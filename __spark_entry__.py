@@ -729,6 +729,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_dedup_pairs(docs, threshold=0.2)
 
 
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: MinHash-LSH candidates verified with
+    exact JVM levenshtein, normalized to edit_sim = 1 - dist/max(len).
+    Catches small in-place edits that Jaccard scores leniently; the LSH
+    blocking is part of the semantics and the oracle mirrors it."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.edit_distance_pairs(docs, threshold=0.9)
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash(docs)
@@ -1814,9 +1823,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 5: held-out PCA scoring (fit means + component on the
-    # fit split, score the held-out tenth) and BM25 ranked retrieval —
-    # the lexical sibling of the ANN serving path
-    "pca_project_heldout", "bm25_search",
+    # fit split, score the held-out tenth), BM25 ranked retrieval — the
+    # lexical sibling of the ANN serving path — and character-level
+    # (levenshtein) near-dup on LSH candidates
+    "pca_project_heldout", "bm25_search", "edit_near_dup",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1842,7 +1852,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
     "multimodal_real_decode", "video_frame_sample",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
-    "asof_latest_order",
 ]
 
 
@@ -1895,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "edit_near_dup": q_edit_near_dup,
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
@@ -2155,6 +2165,34 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+def _edit_distance_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.9
+) -> str:
+    """LSH candidates verified with exact levenshtein — mirrors
+    dedup.edit_distance_pairs (blocking is part of the semantics)."""
+    return f"""
+        WITH {_minhash_band_ctes(num_hashes, bands)},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+        v AS (
+            SELECT c.a, c.b,
+                   levenshtein(coalesce(da.text, ''),
+                               coalesce(db.text, '')) AS dist,
+                   greatest(greatest(length(coalesce(da.text, '')),
+                                     length(coalesce(db.text, ''))), 1) AS ml
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.a
+            JOIN documents db ON db.doc_id = c.b)
+        SELECT a, b, CAST(dist AS INTEGER) AS dist,
+               ROUND(1.0 - CAST(dist AS DOUBLE) / ml, 6) AS edit_sim
+        FROM v
+        WHERE ROUND(1.0 - CAST(dist AS DOUBLE) / ml, 6) >= {threshold}
     """
 
 
@@ -2756,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _jaccard_oracle(threshold=0.2),
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
+        "edit_near_dup": _edit_distance_oracle(num_hashes=16, bands=4, threshold=0.9),
         "containment_pairs": _containment_oracle(16, 4, 0.35),
         "minhash_estimate_report": _minhash_estimate_oracle(16, 4),
         "skyline_parts": """

@@ -89,9 +89,11 @@ BENCH_QUERIES = [
     "skyline_brand_fronts",
     "nation_pagerank",
     "event_anomaly",
-    # round-5: lexical retrieval (BM25) + held-out PCA scoring
+    # round-5: lexical retrieval (BM25), held-out PCA scoring,
+    # character-level near-dup on LSH candidates
     "bm25_search",
     "pca_project_heldout",
+    "edit_near_dup",
     "gopher_quality_flags",
     "corpus_report",
     # round-3 continuation: sketches + model-based curation
@@ -169,7 +171,7 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (71 entries after the round-5
+    # restores the curated headline tier (72 entries after the round-5
     # additions; the recorded 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)

@@ -339,6 +339,74 @@ def verify_jaccard_on_candidates(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: ``(a, b, dist, edit_sim)`` with
+    ``edit_sim = 1 - levenshtein/max(len)`` >= ``threshold`` — the
+    character-level member of the dedup family (exact, MinHash-Jaccard,
+    SimHash, containment, embedding). Catches small in-place edits
+    (typo fixes, boilerplate date stamps) that shingle Jaccard scores
+    leniently and exact dedup misses entirely.
+
+    Scale design: NEVER all-pairs — candidates come from MinHash LSH
+    banding (shared shingles predict small edit distance for
+    similar-length docs; ``candidates=`` overrides with any blocking),
+    then a semi-join restricts text lookup to candidate ids and the
+    verify is the built-in JVM ``levenshtein`` per candidate pair, so
+    cost is O(|candidates| * len²) with the corpus never content-
+    shuffled. The LSH blocking is part of the SEMANTICS (a pair sharing
+    no band is not reported even if textually close) — the oracle
+    mirrors it, same contract as ``minhash_dedup_pairs``.
+
+    Determinism: levenshtein is exact integer edit distance in both
+    engines; ``edit_sim`` rounds to 6dp; NULL text behaves as empty.
+    """
+    if candidates is None:
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+        candidates = lsh_candidate_pairs(
+            sigs, id_col, bands, num_hashes // bands, max_bucket_size
+        )
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    txt = df.join(cand_ids, on=id_col, how="left_semi").select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
+    return (
+        candidates.join(
+            txt.select(F.col(id_col).alias("a"), F.col("__t").alias("__ta")), "a"
+        )
+        .join(
+            txt.select(F.col(id_col).alias("b"), F.col("__t").alias("__tb")), "b"
+        )
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .withColumn(
+            "edit_sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("dist").cast("double")
+                / F.greatest(
+                    F.greatest(F.length("__ta"), F.length("__tb")), F.lit(1)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("edit_sim") >= threshold)
+        .select("a", "b", "dist", "edit_sim")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -868,3 +868,43 @@ def test_bm25_hand_computed(spark):
     assert via_str == out
     with pytest.raises(ValueError):
         T.bm25_scores(df, [])
+
+
+def test_edit_distance_pairs_semantics(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    rows = [
+        (0, base + " dog"),
+        (1, base + " cat"),  # 3-char edit on a long shared prefix
+        (2, "completely different text about spark shuffles here!"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["a", "b"])
+    out = {
+        (r["a"], r["b"]): (r["dist"], r["edit_sim"])
+        for r in D.edit_distance_pairs(
+            df, threshold=0.0, candidates=cands
+        ).collect()
+    }
+    L = len(base) + 4
+    assert out[(0, 1)][0] == 3
+    assert out[(0, 1)][1] == round(1.0 - 3 / L, 6)
+    # NULL text behaves as empty: dist = len(other), sim 0 at len parity
+    assert out[(0, 3)][0] == L and out[(0, 3)][1] == 0.0
+    # threshold filters on the rounded normalized similarity
+    kept = {
+        (r["a"], r["b"])
+        for r in D.edit_distance_pairs(
+            df, threshold=0.9, candidates=cands
+        ).collect()
+    }
+    assert kept == {(0, 1)}
+    # without candidates=, blocking comes from MinHash banding: the two
+    # one-word-apart docs share bands, the unrelated doc does not
+    auto = {
+        (r["a"], r["b"])
+        for r in D.edit_distance_pairs(df, threshold=0.9).collect()
+    }
+    assert auto == {(0, 1)}
