@@ -44,6 +44,9 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     validation as V,
 )
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    profiling as PF,
+)
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -692,6 +695,30 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk."""
     docs = _t(spark, sf_dir, "documents")
     return TX.bm25_scores(docs, BM25_QUERY_TERMS, top_k=25)
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake data-quality profile: per-column row/null/exact-distinct
+    counts, all in ONE aggregate pass (multi-column DISTINCT via Spark's
+    Expand; approx_count_distinct is the 100 TB flag)."""
+    return PF.profile_table(_t(spark, sf_dir, "orders"))
+
+
+def q_orders_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift summary (min/max/mean/stddev, 6dp) for the order
+    value columns — one map-side-partial aggregate, no Expand."""
+    return PF.numeric_profile(
+        _t(spark, sf_dir, "orders"), ["o_totalprice", "o_orderkey"]
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of extended price: observed-range
+    aggregate broadcast back, one keyed count on the bucket index, edge
+    arithmetic mirrored verbatim in the oracle so FP edges bin alike."""
+    return PF.equi_width_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=20
+    )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,6 +1854,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # lexical sibling of the ANN serving path — and character-level
     # (levenshtein) near-dup on LSH candidates
     "pca_project_heldout", "bm25_search", "edit_near_dup",
+    # round 5: the data-profiling layer (per-column quality counts,
+    # numeric drift summary, equi-width histogram)
+    "orders_profile", "orders_numeric_profile", "price_histogram",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1850,8 +1880,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # regression in the newest operator families is still driver-visible.
     "corpus_admitted", "span_dedup", "semantic_dedup",
     "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
-    "multimodal_real_decode", "video_frame_sample",
-    "events_tumbling_window", "events_sliding_window", "events_sessionize",
+    "multimodal_real_decode",
+    "events_tumbling_window",
 ]
 
 
@@ -1898,6 +1928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
+        "orders_profile": q_orders_profile,
+        "orders_numeric_profile": q_orders_numeric_profile,
+        "price_histogram": q_price_histogram,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2165,6 +2198,68 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    """Mirrors profiling.profile_table column by column."""
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _numeric_profile_oracle(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_val,
+               ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_val,
+               ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean_val,
+               ROUND(STDDEV_SAMP(CAST({c} AS DOUBLE)), 6) AS stddev_val
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _histogram_oracle(table: str, col: str, n_buckets: int) -> str:
+    """Mirrors profiling.equi_width_histogram: identical float bucket
+    arithmetic (floor over the same width expression) so edges bin the
+    same; DuckDB floor returns DOUBLE but is integral, so the INTEGER
+    cast is exact."""
+    n1 = n_buckets - 1
+    return f"""
+        WITH v AS (
+            SELECT CAST({col} AS DOUBLE) AS x FROM {table}
+            WHERE {col} IS NOT NULL),
+        r AS (SELECT MIN(x) AS lo0, MAX(x) AS hi0 FROM v),
+        st AS (SELECT x, lo0, hi0,
+                      (hi0 - lo0) / {float(n_buckets)} AS w
+               FROM v CROSS JOIN r),
+        bk AS (SELECT CASE WHEN hi0 = lo0 THEN 0
+                           ELSE CAST(least(greatest(floor((x - lo0) / w), 0),
+                                           {n1})
+                                     AS INTEGER) END AS bucket,
+                      lo0, w
+               FROM st)
+        SELECT bucket,
+               ROUND(MIN(lo0 + bucket * w), 6) AS lo,
+               ROUND(MIN(lo0 + (bucket + 1) * w), 6) AS hi,
+               COUNT(*) AS n
+        FROM bk GROUP BY bucket
     """
 
 
@@ -2747,6 +2842,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
+        "orders_profile": _profile_oracle("orders", _ORDERS_COLS),
+        "orders_numeric_profile": _numeric_profile_oracle(
+            "orders", ["o_totalprice", "o_orderkey"]
+        ),
+        "price_histogram": _histogram_oracle("lineitem", "l_extendedprice", 20),
         "quality_score": rf"""
             WITH s AS (
                 SELECT doc_id,

@@ -1,0 +1,164 @@
+"""Data profiling — the statistics pass an intake pipeline runs before
+committing a batch (null ratios, cardinalities, ranges, distributions).
+
+The reference's validation suite (validator.py) asserts fixed predicates;
+profiling is the other half of data quality: MEASURE the batch so drift
+is visible before predicates fire. Same single-pass discipline as
+``operators/validation.py``: every statistic that can share a scan does.
+
+Scale notes:
+- ``profile_table`` computes per-column null counts and distinct counts
+  in ONE aggregate job. Exact multi-column DISTINCT uses Spark's Expand
+  (input replicated once per profiled column before partial aggregation)
+  — the exact/oracle posture. At 100 TB profile with
+  ``exact_distinct=False``: approx_count_distinct's HLL sketches are
+  one map-side pass with constant-size state per column.
+- ``numeric_profile`` is pure map-side-partial aggregation (min / max /
+  mean / stddev), one job for all columns, no Expand.
+- ``equi_width_histogram`` is one aggregate for the range + one keyed
+  count on the bucket index — bucket boundaries derive from the SAME
+  float expression in the DuckDB oracle, so edges bin identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: ``(col_name, n_rows, n_null, n_distinct)``,
+    one row per profiled column, all counted in a single aggregate pass
+    (NULLs do not count toward ``n_distinct`` — both engines agree).
+
+    ``exact_distinct=False`` swaps COUNT(DISTINCT) for
+    approx_count_distinct (HLL) — the 100 TB posture; keep exact for
+    oracle-checked runs and small batches.
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[distinct(c).alias(f"__d_{i}") for i, c in enumerate(cols)],
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__null_{i}"), F.lit(0)).cast("bigint").alias(
+                    "n_null"
+                ),
+                F.col(f"__d_{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def numeric_profile(
+    df: DataFrame, columns: list[str], round_to: int = 6
+) -> DataFrame:
+    """Numeric summary ``(col_name, min_val, max_val, mean_val,
+    stddev_val)`` as 6dp-rounded doubles, one map-side-partial aggregate
+    for every column (stddev is the sample flavor, matching DuckDB's
+    STDDEV_SAMP at the rounding contract)."""
+    if not columns:
+        raise ValueError("numeric_profile needs at least one column")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"numeric_profile: unknown columns {missing}")
+    aggs = []
+    for i, c in enumerate(columns):
+        d = F.col(c).cast("double")
+        aggs += [
+            F.round(F.min(d), round_to).alias(f"__mn_{i}"),
+            F.round(F.max(d), round_to).alias(f"__mx_{i}"),
+            F.round(F.avg(d), round_to).alias(f"__av_{i}"),
+            F.round(F.stddev_samp(d), round_to).alias(f"__sd_{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__mn_{i}").alias("min_val"),
+                F.col(f"__mx_{i}").alias("max_val"),
+                F.col(f"__av_{i}").alias("mean_val"),
+                F.col(f"__sd_{i}").alias("stddev_val"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bucket, lo, hi,
+    n)`` with ``bucket`` in [0, n_buckets); values at the top edge land
+    in the last bucket, values outside an explicit ``lo``/``hi`` clamp
+    into the edge buckets; NULLs are dropped; empty buckets emit no row.
+
+    ``lo``/``hi`` default to the observed min/max (one extra aggregate,
+    broadcast back). The bucket index is
+    ``least(floor((x - lo) / ((hi - lo) / n)), n - 1)`` — written
+    identically in the DuckDB oracle so FP edge cases bin the same.
+    Degenerate range (lo == hi) puts everything in bucket 0.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    x = F.col(col).cast("double")
+    vals = df.filter(x.isNotNull()).select(x.alias("__x"))
+    if lo is None or hi is None:
+        rng = vals.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        staged = vals.crossJoin(F.broadcast(rng))
+    else:
+        staged = vals.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    # greatest(..., 0) clamps below-range values into the first bucket
+    # when explicit lo/hi narrow the range (no-op for the observed range)
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__x") - F.col("__lo")) / width), F.lit(0)
+            ),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("integer")
+    return (
+        staged.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(F.col("__lo") + F.col("bucket") * width), 6).alias("lo"),
+            F.round(
+                F.min(F.col("__lo") + (F.col("bucket") + 1) * width), 6
+            ).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
