@@ -697,6 +697,43 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_scores(docs, BM25_QUERY_TERMS, top_k=25)
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historized merge (Kimball type 2): a deterministic update
+    snapshot against an open dimension built from orders — changed keys
+    close at ts=100 and reopen, unchanged keys are no-ops, new keys
+    insert, absent keys pass through. One keyed full-outer join; each
+    joined row emits its 0/1/2 versions through a single explode."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        scd2 as S2,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    current = (
+        o.filter(F.col("o_orderkey") % 3 != 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(0).cast("bigint").alias("valid_from"),
+            F.lit(None).cast("bigint").alias("valid_to"),
+        )
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 4 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("Z"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit(100).cast("bigint").alias("effective_ts"),
+        )
+    )
+    return S2.scd2_apply(
+        current, updates,
+        keys=["o_orderkey"],
+        tracked_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intake data-quality profile: per-column row/null/exact-distinct
     counts, all in ONE aggregate pass (multi-column DISTINCT via Spark's
@@ -1855,8 +1892,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (levenshtein) near-dup on LSH candidates
     "pca_project_heldout", "bm25_search", "edit_near_dup",
     # round 5: the data-profiling layer (per-column quality counts,
-    # numeric drift summary, equi-width histogram)
+    # numeric drift summary, equi-width histogram) + SCD2 historized merge
     "orders_profile", "orders_numeric_profile", "price_histogram",
+    "scd2_orders",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1881,7 +1919,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_admitted", "span_dedup", "semantic_dedup",
     "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
     "multimodal_real_decode",
-    "events_tumbling_window",
 ]
 
 
@@ -1928,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pa_pipeline": q_pa_pipeline,
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
+        "scd2_orders": q_scd2_orders,
         "orders_profile": q_orders_profile,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
@@ -2199,6 +2237,45 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
     """
+
+
+_SCD2_ORDERS_SQL = """
+    WITH cur AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM orders WHERE o_orderkey % 3 <> 0),
+    upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'Z'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice,
+               CAST(100 AS BIGINT) AS ts
+        FROM orders WHERE o_orderkey % 4 <> 0),
+    same AS (
+        SELECT c.o_orderkey
+        FROM cur c JOIN upd u USING (o_orderkey)
+        WHERE u.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+          AND u.o_totalprice IS NOT DISTINCT FROM c.o_totalprice)
+    -- unchanged or un-updated open rows pass through
+    SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+           c.valid_from, c.valid_to
+    FROM cur c
+    WHERE c.o_orderkey IN (SELECT o_orderkey FROM same)
+       OR c.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    UNION ALL
+    -- changed keys: the old version closes at ts
+    SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+           c.valid_from, u.ts AS valid_to
+    FROM cur c JOIN upd u USING (o_orderkey)
+    WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM same)
+    UNION ALL
+    -- changed keys reopen + brand-new keys insert
+    SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice,
+           u.ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM upd u
+    WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM same)
+"""
 
 
 _ORDERS_COLS = [
@@ -2842,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
+        "scd2_orders": _SCD2_ORDERS_SQL,
         "orders_profile": _profile_oracle("orders", _ORDERS_COLS),
         "orders_numeric_profile": _numeric_profile_oracle(
             "orders", ["o_totalprice", "o_orderkey"]
