@@ -697,6 +697,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_scores(docs, BM25_QUERY_TERMS, top_k=25)
 
 
+def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with forward fill: dense bucket grid
+    (sequence+explode, map-side) + per-key ordered window — the
+    distributed pandas resample().ffill(). Bucket index is exact integer
+    division of epoch micros (div / DuckDB //, never double floor)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        timeseries as TS,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return TS.resample_ffill(
+        e, "user_id", event_time(e, "ts"), "value", interval_sec=3600
+    )
+
+
 def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 historized merge (Kimball type 2): a deterministic update
     snapshot against an open dimension built from orders — changed keys
@@ -1894,7 +1909,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round 5: the data-profiling layer (per-column quality counts,
     # numeric drift summary, equi-width histogram) + SCD2 historized merge
     "orders_profile", "orders_numeric_profile", "price_histogram",
-    "scd2_orders",
+    "scd2_orders", "events_resampled",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1918,7 +1933,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # regression in the newest operator families is still driver-visible.
     "corpus_admitted", "span_dedup", "semantic_dedup",
     "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
-    "multimodal_real_decode",
 ]
 
 
@@ -1966,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
         "scd2_orders": q_scd2_orders,
+        "events_resampled": q_events_resampled,
         "orders_profile": q_orders_profile,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
@@ -2237,6 +2252,28 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
     """
+
+
+_EVENTS_RESAMPLED_SQL = """
+    WITH b AS (
+        SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket, value
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    agg AS (
+        SELECT user_id, bucket, ROUND(AVG(value), 6) AS v
+        FROM b GROUP BY 1, 2),
+    rng AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM agg GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+             FROM rng),
+    j AS (SELECT g.user_id, g.bucket, a.v
+          FROM grid g LEFT JOIN agg a USING (user_id, bucket))
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           v IS NULL AS filled
+    FROM j
+"""
 
 
 _SCD2_ORDERS_SQL = """
@@ -2920,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
         "scd2_orders": _SCD2_ORDERS_SQL,
+        "events_resampled": _EVENTS_RESAMPLED_SQL,
         "orders_profile": _profile_oracle("orders", _ORDERS_COLS),
         "orders_numeric_profile": _numeric_profile_oracle(
             "orders", ["o_totalprice", "o_orderkey"]
