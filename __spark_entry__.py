@@ -606,6 +606,34 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend by aggregates (the grouped linear-regression
+    shortcut: slope = covar_pop/var_pop, intercept = ȳ − slope·x̄) of
+    event value over hours-since-epoch — drift screening for metrics
+    streams. Pure partial-aggregated groupBy; no window, no Python."""
+    e = _t(spark, sf_dir, "events")
+    ts = event_time(e, "ts")
+    g = (
+        e.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id", F.unix_micros(ts).alias("__us"), F.col("value").alias("y")
+        )
+        .withColumn("x", F.expr("__us div 3600000000").cast("double"))
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+            F.var_pop("x").alias("__vx"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("__vx") > 0))
+        .drop("__vx")
+    )
+
+
 # --- end-to-end pipeline parity (SURVEY §3.1/§3.2) ---------------------------
 
 
@@ -1909,7 +1937,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round 5: the data-profiling layer (per-column quality counts,
     # numeric drift summary, equi-width histogram) + SCD2 historized merge
     "orders_profile", "orders_numeric_profile", "price_histogram",
-    "scd2_orders", "events_resampled",
+    "scd2_orders", "events_resampled", "user_value_trend",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1932,7 +1960,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # remaining slots: rotate through recent driver-green flagships so a
     # regression in the newest operator families is still driver-visible.
     "corpus_admitted", "span_dedup", "semantic_dedup",
-    "embedding_near_dup_lsh", "ann_ivf_topk", "dedup_clusters",
+    "embedding_near_dup_lsh", "ann_ivf_topk",
 ]
 
 
@@ -1981,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "scd2_orders": q_scd2_orders,
         "events_resampled": q_events_resampled,
+        "user_value_trend": q_user_value_trend,
         "orders_profile": q_orders_profile,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
@@ -2958,6 +2987,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
         "scd2_orders": _SCD2_ORDERS_SQL,
         "events_resampled": _EVENTS_RESAMPLED_SQL,
+        "user_value_trend": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_ns(ts) // 3600000000000 AS DOUBLE) AS x,
+                       value AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL)
+            SELECT user_id, COUNT(*) AS n,
+                   ROUND(covar_pop(x, y) / var_pop(x), 6) AS slope,
+                   ROUND(AVG(y) - covar_pop(x, y) / var_pop(x) * AVG(x), 6)
+                       AS intercept
+            FROM g GROUP BY user_id
+            HAVING COUNT(*) >= 2 AND var_pop(x) > 0
+        """,
         "orders_profile": _profile_oracle("orders", _ORDERS_COLS),
         "orders_numeric_profile": _numeric_profile_oracle(
             "orders", ["o_totalprice", "o_orderkey"]
