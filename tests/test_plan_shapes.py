@@ -246,3 +246,44 @@ def test_bm25_plan_shape(spark, sf_dir):
         seg.count("regexp_extract_all") for seg in fmtd.split("Project")
     ]
     assert max(per_node) <= 1, "token regex inlined into per-term filters"
+
+
+def test_scd2_single_join_single_generate(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        scd2 as S2,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cur = o.limit(500).select(
+        "o_orderkey", "o_orderstatus",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    upd = o.limit(300).select(
+        "o_orderkey", F.lit("Z").alias("o_orderstatus"),
+        F.lit(9).cast("bigint").alias("effective_ts"),
+    )
+    plan = S2.scd2_apply(cur, upd, ["o_orderkey"], ["o_orderstatus"])
+    ex = _executed(plan)
+    # one keyed full-outer join, versions emitted by ONE explode, no
+    # Python anywhere, no three-branch re-scan of the join output
+    assert ex.count("Generate") == 1
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    joins = ex.count("SortMergeJoin") + ex.count("ShuffledHashJoin")
+    assert joins == 1
+
+
+def test_resample_no_python_mapside_grid(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
+        event_time,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        timeseries as TS,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = TS.resample_ffill(e, "user_id", event_time(e, "ts"), "value")
+    ex = _executed(plan)
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    assert "Generate" in ex  # sequence+explode grid, map-side
+    assert "Window" in ex    # per-key forward fill
