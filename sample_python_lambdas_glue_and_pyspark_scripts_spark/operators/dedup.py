@@ -371,10 +371,23 @@ def edit_distance_pairs(
     engines; ``edit_sim`` rounds to 6dp; NULL text behaves as empty.
     """
     if candidates is None:
-        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+        # materialize candidates eagerly (minhash_dedup_pairs pattern):
+        # the pair frame is referenced three times below (both sides of
+        # the id semi-join + the verify join) and would otherwise re-run
+        # the corpus-wide signature pipeline each time
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
         candidates = lsh_candidate_pairs(
             sigs, id_col, bands, num_hashes // bands, max_bucket_size
-        )
+        ).persist()
+        candidates.count()
+        sigs.unpersist()
+        _cands_cache.append(candidates)
+        while len(_cands_cache) > _CANDS_CACHE_SIZE:
+            old = _cands_cache.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     cand_ids = (
         candidates.select(F.col("a").alias(id_col))
         .union(candidates.select(F.col("b").alias(id_col)))
