@@ -50,6 +50,11 @@ def scd2_apply(
     valid_from + valid_to, ``valid_to`` NULL = open version)."""
     if not keys:
         raise ValueError("scd2_apply needs at least one key column")
+    if not tracked_cols:
+        raise ValueError(
+            "scd2_apply needs at least one tracked column (nothing to "
+            "version otherwise — use merge_upsert for key-only presence)"
+        )
     for c in keys + tracked_cols + [valid_from, valid_to]:
         if c not in current.columns:
             raise ValueError(f"scd2_apply: column {c!r} missing from current")

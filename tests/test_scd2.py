@@ -79,6 +79,8 @@ def test_scd2_rejects_duplicate_update_keys(spark):
     )
     with pytest.raises(ValueError, match="one row per key"):
         scd2_apply(_dim(spark), dup, keys=["k"], tracked_cols=["st"])
+    with pytest.raises(ValueError, match="tracked column"):
+        scd2_apply(_dim(spark), dup, keys=["k"], tracked_cols=[])
     with pytest.raises(ValueError, match="missing from updates"):
         scd2_apply(
             _dim(spark),
