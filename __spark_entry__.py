@@ -801,6 +801,16 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of extended price — exact
+    interpolated percentile cuts (4dp parity band) broadcast back,
+    map-side bucket assignment as a boundary count, one keyed count.
+    The skew-proof sibling of price_histogram."""
+    return PF.equi_depth_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=10
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_score(docs.select("doc_id", "text")).select(
@@ -1938,6 +1948,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # numeric drift summary, equi-width histogram) + SCD2 historized merge
     "orders_profile", "orders_numeric_profile", "price_histogram",
     "scd2_orders", "events_resampled", "user_value_trend",
+    "price_depth_histogram",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -1960,7 +1971,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # remaining slots: rotate through recent driver-green flagships so a
     # regression in the newest operator families is still driver-visible.
     "corpus_admitted", "span_dedup", "semantic_dedup",
-    "embedding_near_dup_lsh", "ann_ivf_topk",
+    "embedding_near_dup_lsh",
 ]
 
 
@@ -2013,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
+        "price_depth_histogram": q_price_depth_histogram,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2376,6 +2388,30 @@ def _numeric_profile_oracle(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def _depth_histogram_oracle(
+    table: str, col: str, n_buckets: int, round_to: int = 4
+) -> str:
+    """Mirrors profiling.equi_depth_histogram: same rounded percentile
+    cuts (quantile_cont ≡ Spark percentile at the parity band), same
+    count-of-boundaries assignment."""
+    fracs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    return f"""
+        WITH v AS (
+            SELECT CAST({col} AS DOUBLE) AS x FROM {table}
+            WHERE {col} IS NOT NULL),
+        b AS (SELECT list_transform(quantile_cont(x, [{fracs}]),
+                                    q -> ROUND(q, {round_to})) AS cuts
+              FROM v),
+        asg AS (SELECT x,
+                       CAST(len(list_filter(cuts, q -> x >= q)) AS INTEGER)
+                           AS bucket
+                FROM v CROSS JOIN b)
+        SELECT bucket, ROUND(MIN(x), 6) AS lo, ROUND(MAX(x), 6) AS hi,
+               COUNT(*) AS n
+        FROM asg GROUP BY bucket
+    """
 
 
 def _histogram_oracle(table: str, col: str, n_buckets: int) -> str:
@@ -3006,6 +3042,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", ["o_totalprice", "o_orderkey"]
         ),
         "price_histogram": _histogram_oracle("lineitem", "l_extendedprice", 20),
+        "price_depth_histogram": _depth_histogram_oracle(
+            "lineitem", "l_extendedprice", 10
+        ),
         "quality_score": rf"""
             WITH s AS (
                 SELECT doc_id,

@@ -109,6 +109,57 @@ def numeric_profile(
     return row.select(F.explode(structs).alias("p")).select("p.*")
 
 
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: ``(bucket, lo, hi, n)`` where
+    bucket boundaries are the exact interpolated percentiles at
+    ``i/n_buckets`` — each bucket holds ~equal row counts regardless of
+    skew (the histogram a query optimizer or drift monitor actually
+    wants on skewed columns; pairs with :func:`equi_width_histogram`).
+
+    Determinism: boundaries round to ``round_to`` dp (the
+    ordered-set-aggregate parity band) before assignment, and a row's
+    bucket is the COUNT of boundaries <= its value — both engines
+    compare the same rounded cuts, so ties land identically. Duplicate
+    boundaries on heavy-tied data simply leave some buckets empty.
+
+    Plan: one exact-percentile aggregate (single row, broadcast back) +
+    a map-side array count + one keyed count. At 100 TB swap the exact
+    percentile for ``approx_percentile`` (sketch pass) — the assignment
+    side is unchanged.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    x = F.col(col).cast("double")
+    vals = df.filter(x.isNotNull()).select(x.alias("__x"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = vals.agg(
+        F.transform(
+            F.percentile(
+                F.col("__x"), F.array(*[F.lit(f) for f in fracs])
+            ),
+            lambda q: F.round(q, round_to),
+        ).alias("__cuts")
+    )
+    staged = vals.crossJoin(F.broadcast(cuts))
+    bucket = F.size(
+        F.filter(F.col("__cuts"), lambda q: F.col("__x") >= q)
+    ).cast("integer")
+    return (
+        staged.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("__x"), 6).alias("lo"),
+            F.round(F.max("__x"), 6).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def equi_width_histogram(
     df: DataFrame,
     col: str,

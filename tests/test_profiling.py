@@ -89,3 +89,23 @@ def test_histogram_edges_and_degenerate(spark):
     assert len(d) == 1 and d[0]["bucket"] == 0 and d[0]["n"] == 2
     with pytest.raises(ValueError):
         P.equi_width_histogram(df, "x", n_buckets=0)
+
+
+def test_equi_depth_histogram_balanced_counts(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    out = {r["bucket"]: (r["lo"], r["hi"], r["n"])
+           for r in P.equi_depth_histogram(df, "x", n_buckets=4).collect()}
+    # uniform data: ~equal depths, ordered disjoint ranges
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[b][2] for b in sorted(out)] == [25, 25, 25, 25]
+    assert out[0][0] == 0.0 and out[3][1] == 99.0
+    # skewed data still splits by depth, not width
+    skew = spark.createDataFrame(
+        [(0.001 * i,) for i in range(90)] + [(1000.0 + i,) for i in range(10)],
+        ["x"],
+    )
+    d = {r["bucket"]: r["n"]
+         for r in P.equi_depth_histogram(skew, "x", n_buckets=5).collect()}
+    assert max(d.values()) <= 30  # no width-style 90/10 collapse
+    with pytest.raises(ValueError):
+        P.equi_depth_histogram(df, "x", n_buckets=1)
