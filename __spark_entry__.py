@@ -777,6 +777,17 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time view of the SCD2 dimension at ts=150 (post-update
+    world): pure validity-interval filter over the merged table — each
+    key resolves to exactly the version current at the asked instant."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        scd2 as S2,
+    )
+
+    return S2.scd2_snapshot(q_scd2_orders(spark, sf_dir), 150)
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intake data-quality profile: per-column row/null/exact-distinct
     counts, all in ONE aggregate pass (multi-column DISTINCT via Spark's
@@ -1982,6 +1993,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_profile", "orders_numeric_profile", "price_histogram",
     "scd2_orders", "events_resampled", "user_value_trend",
     "price_depth_histogram", "order_price_outliers",
+    "scd2_orders_snapshot",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
     # containment-verified asymmetric near-dup, and the MinHash
@@ -2003,7 +2015,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "group_sample_events", "dedup_clusters_star",
     # remaining slots: rotate through recent driver-green flagships so a
     # regression in the newest operator families is still driver-visible.
-    "corpus_admitted", "span_dedup", "semantic_dedup",
+    "corpus_admitted", "span_dedup",
 ]
 
 
@@ -2051,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
         "scd2_orders": q_scd2_orders,
+        "scd2_orders_snapshot": q_scd2_orders_snapshot,
         "events_resampled": q_events_resampled,
         "user_value_trend": q_user_value_trend,
         "orders_profile": q_orders_profile,
@@ -3055,6 +3068,11 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
         "scd2_orders": _SCD2_ORDERS_SQL,
+        "scd2_orders_snapshot": f"""
+            SELECT * FROM ({_SCD2_ORDERS_SQL})
+            WHERE valid_from <= 150
+              AND (valid_to IS NULL OR valid_to > 150)
+        """,
         "events_resampled": _EVENTS_RESAMPLED_SQL,
         "user_value_trend": """
             WITH g AS (

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "price_histogram",
     "price_depth_histogram",
     "order_price_outliers",
+    "scd2_orders_snapshot",
     "scd2_orders",
     "events_resampled",
     "user_value_trend",
@@ -178,7 +179,7 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (79 entries after the round-5
+    # restores the curated headline tier (80 entries after the round-5
     # additions; the recorded 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)
