@@ -134,8 +134,13 @@ def equi_depth_histogram(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    from .util import ensure_parallelism
+
     x = F.col(col).cast("double")
-    vals = df.filter(x.isNotNull()).select(x.alias("__x"))
+    # exact percentile partial-aggregates per partition; a small local
+    # parquet reads as ONE task and serializes the whole sort into it —
+    # fan out first (no-op on naturally-split inputs)
+    vals = ensure_parallelism(df.filter(x.isNotNull()).select(x.alias("__x")))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = vals.agg(
         F.transform(
