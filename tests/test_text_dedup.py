@@ -908,3 +908,24 @@ def test_edit_distance_pairs_semantics(spark):
         for r in D.edit_distance_pairs(df, threshold=0.9).collect()
     }
     assert auto == {(0, 1)}
+
+
+def test_bm25_additivity_across_terms(spark):
+    # BM25 is a sum of independent per-term scores: scoring with the
+    # union of two disjoint term sets must equal the sum of scoring
+    # each set alone (6dp rounding commutes within tolerance)
+    rows = [
+        (0, "cat cat fish bird"), (1, "dog fish"), (2, "bird bird dog"),
+        (3, "fish"), (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: r["bm25"] for r in T.bm25_scores(df, ["cat", "dog"]).collect()}
+    b = {r["doc_id"]: r["bm25"] for r in T.bm25_scores(df, ["fish"]).collect()}
+    ab = {r["doc_id"]: r["bm25"]
+          for r in T.bm25_scores(df, ["cat", "dog", "fish"]).collect()}
+    for d in a:
+        assert abs(ab[d] - (a[d] + b[d])) < 2e-6, d
+    # duplicate query terms collapse (no double counting)
+    dup = {r["doc_id"]: r["bm25"]
+           for r in T.bm25_scores(df, ["cat", "cat", "dog"]).collect()}
+    assert dup == a
