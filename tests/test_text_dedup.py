@@ -910,6 +910,60 @@ def test_edit_distance_pairs_semantics(spark):
     assert auto == {(0, 1)}
 
 
+def test_edit_distance_prefilter_lossless(spark):
+    # the verify prefilters (length band, equality short-circuit,
+    # thresholded levenshtein) must be invisible: results identical to
+    # the naive plain-levenshtein formulation on every candidate pair,
+    # including boundary pairs sitting exactly at the threshold
+    rows = [
+        (0, "abcdefghij" * 20),
+        (1, "abcdefghij" * 20),            # identical -> short-circuit
+        (2, "abcdefghij" * 20 + "x" * 20),  # dist 20 of L 220: sim 0.909090
+        (3, "abcdefghij" * 20 + "x" * 23),  # dist 23 of L 223: sim ~0.8968
+        (4, "x" * 200),                     # same length, far content
+        (5, "ab"),                          # tiny: length band kills it
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): (r["dist"], r["edit_sim"])
+        for r in D.edit_distance_pairs(
+            df, threshold=0.9, candidates=cands
+        ).collect()
+    }
+    # naive oracle in python
+    import math
+
+    def lev(s, t):
+        if s == t:
+            return 0
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    txt = dict(rows)
+    for a in range(6):
+        for b in range(a + 1, 6):
+            d = lev(txt[a], txt[b])
+            L = max(len(txt[a]), len(txt[b]), 1)
+            sim = round(1.0 - d / L, 6)
+            # HALF_UP like Spark for the .5 boundary
+            sim = math.floor((1.0 - d / L) * 1e6 + 0.5) / 1e6
+            if sim >= 0.9:
+                want[(a, b)] = (d, sim)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == (0, 1.0)
+
+
 def test_bm25_additivity_across_terms(spark):
     # BM25 is a sum of independent per-term scores: scoring with the
     # union of two disjoint term sets must equal the sum of scoring
