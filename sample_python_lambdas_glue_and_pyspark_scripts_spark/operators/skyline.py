@@ -108,18 +108,48 @@ def _dominance_filter(pdf, crit_cols, signs):
         dominated = ((grp_start > 0) & (prev_min <= y)) | (grp_min_y < y)
         kept_sorted = np.flatnonzero(~dominated)
         return pdf.iloc[sorted(order[kept_sorted])]
-    kept_rows = []
+    # k >= 3: block-vectorized dominance. Rows are processed in blocks;
+    # each block is first screened against the kept matrix K in one
+    # broadcasted (block x kept x d) reduction (sliced over K to bound
+    # temp memory), then survivors resolve intra-block dominance with a
+    # single (b x b x d) pairwise compare — correct without ordering
+    # because dominance is transitive (if the dominator was itself
+    # dominated, ITS dominator also dominates the victim), and exact
+    # duplicates never dominate each other (strict-on-one check fails).
+    # Replaces the per-row Python loop (O(n) interpreter iterations);
+    # the numpy work is the same O(n * |front| * d) but runs at C speed.
+    BLOCK = 512
+    K_SLAB = 16_384
+    n_rows, d = Ms.shape
     K = np.empty_like(Ms)  # upper bound: every row kept
     k = 0
-    for i in range(Ms.shape[0]):
-        p = Ms[i]
-        if k:
-            KV = K[:k]
-            if bool(((KV <= p).all(axis=1) & (KV < p).any(axis=1)).any()):
-                continue
-        K[k] = p
-        k += 1
-        kept_rows.append(order[i])
+    kept_rows: list = []
+    for s in range(0, n_rows, BLOCK):
+        B = Ms[s : s + BLOCK]
+        alive = np.ones(len(B), dtype=bool)
+        for ks in range(0, k, K_SLAB):
+            KV = K[ks : min(ks + K_SLAB, k)]
+            idx = np.flatnonzero(alive)
+            if not len(idx):
+                break
+            BA = B[idx]
+            # dominated by some kept row: KV <= p on all dims, < on one
+            le = (KV[None, :, :] <= BA[:, None, :]).all(axis=2)
+            lt = (KV[None, :, :] < BA[:, None, :]).any(axis=2)
+            alive[idx[np.logical_and(le, lt).any(axis=1)]] = False
+        idx = np.flatnonzero(alive)
+        if not len(idx):
+            continue
+        BA = B[idx]
+        if len(BA) > 1:
+            le = (BA[None, :, :] <= BA[:, None, :]).all(axis=2)
+            lt = (BA[None, :, :] < BA[:, None, :]).any(axis=2)
+            dominated_intra = np.logical_and(le, lt).any(axis=1)
+            idx = idx[~dominated_intra]
+            BA = BA[~dominated_intra]
+        K[k : k + len(BA)] = BA
+        k += len(BA)
+        kept_rows.extend(order[s + idx])
     return pdf.iloc[sorted(kept_rows)]
 
 
@@ -193,16 +223,36 @@ def skyline(
     candidates = clean.mapInPandas(local, schema=schema).localCheckpoint(eager=True)
     n = candidates.count()
     if n > merge_rows_per_task and n >= 0.9 * n_input:
-        # the partition-local pass removed (almost) nothing: the data is
-        # all-incomparable and no tree round will compress it either —
-        # refuse NOW instead of paying quadratic merge rounds first
-        # (the 16x adversarial probe cut refusal time ~2x with this)
-        raise SkylineFrontTooLargeError(
-            f"skyline local pass kept {n} of {n_input} rows (> "
-            f"merge_rows_per_task={merge_rows_per_task}) — the input is "
-            "(near-)all-incomparable and the front is corpus-sized; add "
-            "criteria, pre-filter, or raise the knobs explicitly"
+        # The partition-local pass removed (almost) nothing. Two inputs
+        # look like this: (a) all-incomparable data, where no merge round
+        # will compress either and refusal is the only honest answer, and
+        # (b) a criterion-correlated LAYOUT (e.g. data sorted by one
+        # criterion), where each partition is an anti-chain but rows
+        # across partitions dominate heavily and ONE re-merge round would
+        # collapse the front. Disambiguate with a bounded uniform sample
+        # ACROSS partitions (mixing breaks the layout): a subsample of an
+        # anti-chain is an anti-chain (kept fraction stays ~1.0), while
+        # case (b) compresses in the sample. Probe cost is one
+        # criteria-only scan + an O(sample * front_sample) local pass —
+        # refusal stays seconds on the adversarial 1.6M probe instead of
+        # paying a full quadratic merge round to learn the same thing.
+        probe_rows = 20_000
+        probe = (
+            candidates.select(*crit_cols)
+            .sample(fraction=min(1.0, (3.0 * probe_rows) / n), seed=7)
+            .limit(probe_rows)
+            .toPandas()
         )
+        probe_kept = _dominance_filter(probe, crit_cols, signs)
+        if len(probe_kept) >= 0.9 * len(probe):
+            raise SkylineFrontTooLargeError(
+                f"skyline local pass kept {n} of {n_input} rows (> "
+                f"merge_rows_per_task={merge_rows_per_task}) and a "
+                f"{len(probe)}-row cross-partition sample kept "
+                f"{len(probe_kept)} — the input is (near-)all-incomparable "
+                "and the front is corpus-sized; add criteria, pre-filter, "
+                "or raise the knobs explicitly"
+            )
     rounds = 0
     while n > merge_rows_per_task:
         if rounds >= 4:

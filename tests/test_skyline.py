@@ -211,3 +211,68 @@ def test_dominance_filter_2d_fast_path_matches_bruteforce():
     )
     got3 = set(_dominance_filter(pdf3, ["x", "y", "z"], [1.0, 1.0, 1.0])["id"])
     assert got3 == {0, 1}
+
+
+def test_dominance_filter_kd_block_path_matches_bruteforce():
+    # the block-vectorized k>=3 path vs an O(n^2) reference, across
+    # block boundaries (n > BLOCK) and dense tie grids
+    import numpy as np
+    import pandas as pd
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skyline import (
+        _dominance_filter,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial, n in [(0, 150), (1, 700), (2, 1300)]:  # 700/1300 cross BLOCK=512
+        cols = {
+            "x": rng.randint(0, 6, n).astype(float),
+            "y": rng.randint(0, 6, n).astype(float),
+            "z": rng.randint(0, 6, n).astype(float),
+        }
+        pdf = pd.DataFrame({"id": np.arange(n), **cols})
+        for signs in ([1.0, 1.0, 1.0], [1.0, -1.0, 1.0]):
+            got = set(_dominance_filter(pdf, ["x", "y", "z"], signs)["id"])
+            M = np.stack([cols["x"], cols["y"], cols["z"]], axis=1) * np.asarray(signs)
+            brute = {
+                int(i)
+                for i in range(n)
+                if not any(
+                    (M[j] <= M[i]).all() and (M[j] < M[i]).any()
+                    for j in range(n)
+                )
+            }
+            assert got == brute, (trial, signs)
+
+
+def test_skyline_partition_invariance_3_criteria(spark):
+    rows = [
+        (i, float((i * 7) % 23), float((i * 13) % 29), float((i * 5) % 17))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y", "z"])
+    a = _ids(skyline(df.repartition(1), {"x": "min", "y": "max", "z": "min"}))
+    b = _ids(skyline(df.repartition(13), {"x": "min", "y": "max", "z": "min"}))
+    assert a == b and len(a) >= 1
+
+
+def test_skyline_sorted_layout_not_refused(spark):
+    # adversarial LAYOUT, benign DATA: rows sorted by x so each range
+    # partition is locally an anti-chain (x up, y down within partition
+    # by construction below), but globally one point dominates almost
+    # everything. The old 90% heuristic refused this; the sampled
+    # cross-partition probe must see the compression and proceed.
+    n = 2000
+    # within each 250-row stripe, x ascends and y descends (anti-chain);
+    # later stripes are dominated by earlier ones (both coords larger)
+    rows = []
+    for s in range(8):
+        for i in range(250):
+            rows.append((s * 250 + i, float(s * 1000 + i), float(s * 1000 + 250 - i)))
+    df = spark.createDataFrame(rows, ["id", "x", "y"]).repartitionByRange(8, "id")
+    out = skyline(
+        df, {"x": "min", "y": "min"}, merge_rows_per_task=300,
+        max_candidates=10_000,
+    )
+    # only the first stripe's anti-chain survives
+    assert _ids(out) == list(range(250))
