@@ -114,6 +114,7 @@ def equi_depth_histogram(
     col: str,
     n_buckets: int = 10,
     round_to: int = 4,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Equi-depth (quantile) histogram: ``(bucket, lo, hi, n)`` where
     bucket boundaries are the exact interpolated percentiles at
@@ -128,9 +129,12 @@ def equi_depth_histogram(
     boundaries on heavy-tied data simply leave some buckets empty.
 
     Plan: one exact-percentile aggregate (single row, broadcast back) +
-    a map-side array count + one keyed count. At 100 TB swap the exact
-    percentile for ``approx_percentile`` (sketch pass) — the assignment
-    side is unchanged.
+    a map-side array count + one keyed count. At 100 TB pass
+    ``approx_accuracy`` to swap the exact percentile for the
+    ``approx_percentile`` SKETCH (bounded memory, rank error
+    <= 1/accuracy per boundary) — the assignment side is unchanged; the
+    ``depth_histogram_approx`` contract query pins the swap's error
+    band against the exact form.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
@@ -142,11 +146,17 @@ def equi_depth_histogram(
     # fan out first (no-op on naturally-split inputs)
     vals = ensure_parallelism(df.filter(x.isNotNull()).select(x.alias("__x")))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    frac_arr = F.array(*[F.lit(f) for f in fracs])
+    if approx_accuracy is None:
+        pctl = F.percentile(F.col("__x"), frac_arr)
+    else:
+        pctl = F.expr(
+            f"approx_percentile(__x, array({', '.join(map(str, fracs))}),"
+            f" {int(approx_accuracy)})"
+        )
     cuts = vals.agg(
         F.transform(
-            F.percentile(
-                F.col("__x"), F.array(*[F.lit(f) for f in fracs])
-            ),
+            pctl,
             lambda q: F.round(q, round_to),
         ).alias("__cuts")
     )

@@ -465,6 +465,157 @@ def bm25_scores(
     return out
 
 
+def build_bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the BM25 serving index: ``(stats, doclen, postings)`` —
+    the persisted-index split for ranked retrieval, mirroring
+    ``similarity.build_ivf_index`` / ``dedup.build_corpus_index``.
+
+    ``bm25_scores`` re-tokenizes the whole corpus per query batch; at
+    100 TB that is a full corpus pass per query. These three tables are
+    computed ONCE (tokenize + one (doc, term) shuffle — the classic
+    inverted-index build) and every later query batch is served from
+    them via :func:`bm25_scores_indexed` with the corpus text never
+    read again. Persist ``postings`` partitioned/bucketed on ``term``
+    (query-term filters become partition prunes), ``doclen`` on
+    ``id_col``; after each admitted batch, extend with
+    :func:`extend_bm25_index` (delta-sized — the corpus build is never
+    re-paid).
+
+    Schemas: ``stats(n_docs double, total_dl double)`` one row
+    (``total_dl`` not avgdl, so extension stays exact — doc lengths are
+    integral, their double sum is order-independent);
+    ``doclen(id_col, dl double)`` one row per doc (zero-token docs
+    included — they still score 0 in every query);
+    ``postings(id_col, term string, tf double)`` one row per (doc,
+    distinct term).
+    """
+    tokd = ensure_parallelism(df).select(
+        F.col(id_col),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
+    doclen = tokd.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("dl")
+    )
+    postings = (
+        tokd.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    return stats, doclen, postings
+
+
+def extend_bm25_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incrementally maintain the BM25 index: tokenize only the NEW
+    batch and append — delta-sized, the corpus-wide build is never
+    re-paid. Result is EXACTLY what a from-scratch build over the union
+    produces (pinned by test): postings/doclen rows are per-doc
+    deterministic, and the stats sums are exact because doc lengths are
+    integral doubles (order-independent addition). Assumes new doc ids
+    are disjoint from the indexed corpus (same contract as
+    ``extend_corpus_index``)."""
+    stats, doclen, postings = index
+    s2, d2, p2 = build_bm25_index(new_docs, text_col, id_col)
+    merged_stats = (
+        stats.unionByName(s2)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+    )
+    return (
+        merged_stats,
+        doclen.unionByName(d2),
+        postings.unionByName(p2),
+    )
+
+
+def bm25_scores_indexed(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    query_terms: str | list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval SERVED from a prebuilt index — same output
+    contract (and bit-identical scores, pinned by test) as
+    :func:`bm25_scores`, with the corpus text never touched.
+
+    Serve plan: postings filtered to the query terms (a partition prune
+    when postings is stored partitioned on term) feed TWO tiny
+    aggregates — per-doc tf pivot and the one-row per-term document
+    frequencies — then ``doclen`` LEFT-joins the matched docs so every
+    indexed document scores (zero for no-match, as in ``bm25_scores``),
+    and the one-row stats/df frames broadcast onto it. Corpus-sized
+    work at serve time is exactly one scan of the narrow ``doclen``
+    table; everything term-sized is query-pruned.
+    """
+    if isinstance(query_terms, str):
+        import re
+
+        query_terms = re.findall(WORD_REGEX, query_terms.lower())
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("bm25_scores_indexed: empty query")
+    stats, doclen, postings = index
+    filt = postings.filter(F.col("term").isin(terms))
+    matched = filt.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dfs = filt.agg(
+        *[
+            F.sum((F.col("term") == t).cast("bigint"))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = (
+        doclen.join(matched, id_col, "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    avgdl = F.round(F.col("total_dl") / F.col("n_docs"), 6)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") / F.greatest(avgdl, F.lit(1e-9))
+    )
+    expr = None
+    for i in range(len(terms)):
+        df_i = F.coalesce(F.col(f"__df{i}"), F.lit(0.0))
+        tf_i = F.coalesce(F.col(f"__tf{i}"), F.lit(0.0))
+        idf = F.round(
+            F.log(
+                (F.col("n_docs") - df_i + 0.5) / (df_i + 0.5) + 1.0
+            ),
+            6,
+        )
+        term_score = (idf * (tf_i * F.lit(k1 + 1.0))) / (tf_i + norm)
+        expr = term_score if expr is None else expr + term_score
+    out = scored.select(F.col(id_col), F.round(expr, 6).alias("bm25"))
+    if top_k is not None:
+        out = out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(
+            int(top_k)
+        )
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -287,3 +287,34 @@ def test_resample_no_python_mapside_grid(spark, sf_dir):
     assert "EvalPython" not in ex and "InPandas" not in ex
     assert "Generate" in ex  # sequence+explode grid, map-side
     assert "Window" in ex    # per-key forward fill
+
+
+def test_bm25_indexed_serve_never_scans_corpus(spark, tmp_path):
+    """The 100 TB claim behind bm25_search_indexed: served from the
+    persisted (stats, doclen, postings) tables, a query batch never
+    touches the corpus TEXT again — corpus-sized serve work is exactly
+    one scan of the narrow doclen table; postings scans are term-pruned
+    index probes."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_path = str(tmp_path / "corpus_text")
+    docs.select("doc_id", "text").write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    stats, doclen, postings = T.build_bm25_index(corpus)
+    ixdir = tmp_path / "bm25_index"
+    stats.write.parquet(str(ixdir / "stats"))
+    doclen.write.parquet(str(ixdir / "doclen"))
+    postings.write.parquet(str(ixdir / "postings"))
+    idx = (
+        spark.read.parquet(str(ixdir / "stats")),
+        spark.read.parquet(str(ixdir / "doclen")),
+        spark.read.parquet(str(ixdir / "postings")),
+    )
+    served = T.bm25_scores_indexed(idx, ["spark", "join"], top_k=10)
+    plan = _fmt_plan(spark, served)
+    scans = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert not any("corpus_text" in ln for ln in scans)  # text never re-read
+    assert sum(1 for ln in scans if "doclen" in ln) == 1  # one narrow corpus-sized scan
+    # and the direct form, for contrast, scans the corpus text
+    direct_plan = _fmt_plan(spark, T.bm25_scores(corpus, ["spark", "join"]))
+    assert "corpus_text" in direct_plan

@@ -983,3 +983,54 @@ def test_bm25_additivity_across_terms(spark):
     dup = {r["doc_id"]: r["bm25"]
            for r in T.bm25_scores(df, ["cat", "cat", "dog"]).collect()}
     assert dup == a
+
+
+def test_bm25_indexed_matches_direct(spark, docs):
+    # serving from the prebuilt (stats, doclen, postings) index must be
+    # bit-identical to the direct corpus-scan form, including zero-score
+    # docs, NULL text, absent query terms, and the top-k cut
+    rows = [(0, "cat cat fish"), (1, "dog"), (2, "fish bird"), (3, None),
+            (4, "cat dog cat dog unicorn")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = T.build_bm25_index(df)
+    for terms in (["cat", "dog"], ["absent_term"], ["fish"]):
+        direct = {(r["doc_id"], r["bm25"])
+                  for r in T.bm25_scores(df, terms).collect()}
+        served = {(r["doc_id"], r["bm25"])
+                  for r in T.bm25_scores_indexed(idx, terms).collect()}
+        assert served == direct, terms
+    top_d = T.bm25_scores(df, ["cat", "dog"], top_k=3).collect()
+    top_i = T.bm25_scores_indexed(idx, ["cat", "dog"], top_k=3).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in top_d] == [
+        (r["doc_id"], r["bm25"]) for r in top_i
+    ]
+    # and on the real documents table
+    real = docs.select("doc_id", "text")
+    ridx = T.build_bm25_index(real)
+    q = ["spark", "join", "vector", "stream"]
+    a = {(r["doc_id"], r["bm25"]) for r in T.bm25_scores(real, q).collect()}
+    bb = {(r["doc_id"], r["bm25"])
+          for r in T.bm25_scores_indexed(ridx, q).collect()}
+    assert bb == a
+    with pytest.raises(ValueError):
+        T.bm25_scores_indexed(idx, [])
+
+
+def test_extend_bm25_index_matches_rebuild(spark):
+    rows_a = [(0, "cat cat fish"), (1, "dog dog dog"), (2, None)]
+    rows_b = [(10, "fish bird cat"), (11, "dog unicorn")]
+    a = spark.createDataFrame(rows_a, ["doc_id", "text"])
+    b = spark.createDataFrame(rows_b, ["doc_id", "text"])
+    extended = T.extend_bm25_index(T.build_bm25_index(a), b)
+    rebuilt = T.build_bm25_index(a.union(b))
+    for ext, reb in zip(extended, rebuilt):
+        got = sorted(map(tuple, ext.collect()))
+        want = sorted(map(tuple, reb.collect()))
+        assert got == want
+    # and the served scores agree end-to-end
+    q = ["cat", "dog"]
+    got = {(r["doc_id"], r["bm25"])
+           for r in T.bm25_scores_indexed(extended, q).collect()}
+    want = {(r["doc_id"], r["bm25"])
+            for r in T.bm25_scores_indexed(rebuilt, q).collect()}
+    assert got == want
