@@ -866,8 +866,10 @@ def q_scd2_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intake data-quality profile: per-column row/null/exact-distinct
     counts, all in ONE aggregate pass (multi-column DISTINCT via Spark's
-    Expand; approx_count_distinct is the 100 TB flag)."""
-    return PF.profile_table(_t(spark, sf_dir, "orders"))
+    Expand; approx_count_distinct is the 100 TB flag). Columns pinned to
+    _ORDERS_COLS so both sides enumerate the same fixed set even if the
+    driver-regenerated orders table grows a column."""
+    return PF.profile_table(_t(spark, sf_dir, "orders"), columns=_ORDERS_COLS)
 
 
 def q_orders_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,11 +102,13 @@ def jdbc_merge_upsert(
        step — same connection-capped JDBC writer as :func:`write_jdbc`);
     2. execute ONE ``MERGE INTO target USING staging ON keys WHEN
        MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...``
-       statement over a single JDBC connection — a single atomic
-       statement in the target DB (Derby >= 10.11, MySQL 8 via
-       INSERT..ON DUPLICATE KEY, every ANSI MERGE dialect), so
-       concurrent readers see either the old or the new rows, never the
-       window;
+       statement over a single JDBC connection (opened with the same
+       ``properties`` auth/connection options as the staging write) — a
+       single atomic statement in the target DB (Derby >= 10.11 and any
+       other ANSI-MERGE dialect; a MySQL 8 target needs an
+       INSERT..ON DUPLICATE KEY dialect branch this sink does not emit
+       yet), so concurrent readers see either the old or the new rows,
+       never the window;
     3. drop the staging table (best-effort, ``drop_staging=False`` keeps
        it for audit).
 
@@ -175,7 +177,15 @@ def jdbc_merge_upsert(
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the MERGE connection must carry the same auth/connection options
+    # as the staging bulk write (user/password at minimum) — only
+    # Spark-writer-specific keys make no sense on a raw JDBC connection
+    jprops = jvm.java.util.Properties()
+    skip = {"driver", "createTableColumnTypes", "batchsize", "numPartitions"}
+    for k, v in props.items():
+        if k not in skip:
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
         try:

@@ -81,6 +81,11 @@ class Scd2DimStream:
         return self.spark.read.parquet(self._vdir(vs[-1]))
 
     def _empty_current(self, updates: DataFrame) -> DataFrame:
+        # the validity columns must take ts_col's OWN type: scd2_apply
+        # builds an array of structs mixing the dimension's valid_from
+        # with the update's effective ts, and a bigint/timestamp mix
+        # fails at plan time on the very first micro-batch
+        ts_t = updates.schema[self.ts_col].dataType.simpleString()
         cols = [
             updates.schema[c].dataType.simpleString()
             for c in self.keys + self.tracked_cols
@@ -88,7 +93,7 @@ class Scd2DimStream:
         names = self.keys + self.tracked_cols
         schema = ", ".join(
             [f"{n} {t}" for n, t in zip(names, cols)]
-            + ["valid_from bigint", "valid_to bigint"]
+            + [f"valid_from {ts_t}", f"valid_to {ts_t}"]
         )
         return self.spark.createDataFrame([], schema)
 

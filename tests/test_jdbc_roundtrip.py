@@ -203,3 +203,46 @@ def test_jdbc_merge_rejects_duplicate_source_keys(spark, derby_url):
     )
     with pytest.raises(ValueError, match="duplicate merge keys"):
         jdbc_merge_upsert(dup, derby_url, "MERGE_T", keys=["k"], properties=PROPS)
+
+
+def test_jdbc_merge_connection_carries_properties(spark, derby_url):
+    """Regression (round-6 ADVICE): the MERGE statement's connection
+    must be opened with the same `properties` as the staging bulk write.
+    Derby maps each user to its own default schema, so connecting the
+    staging write as MUSER but the MERGE as the default APP user makes
+    the unqualified staging/target names resolve to different schemas —
+    exactly the authenticated-target failure mode. With properties
+    forwarded, both statements run as MUSER and the merge lands."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        jdbc_merge_upsert,
+    )
+
+    props = dict(PROPS)
+    props.update({"user": "MUSER", "password": "anything"})
+    # target under the MUSER schema, like a DBA-created authenticated DB
+    spark._jvm.java.lang.Class.forName(DRIVER)
+    jp = spark._jvm.java.util.Properties()
+    jp.setProperty("user", "MUSER")
+    jp.setProperty("password", "anything")
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url, jp)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE MERGE_AUTH (k INT, payload VARCHAR(16))")
+        st.executeUpdate("INSERT INTO MERGE_AUTH VALUES (1, 'old-1')")
+        st.close()
+    finally:
+        conn.close()
+    source = spark.createDataFrame(
+        [(1, "new-1"), (2, "new-2")], "k int, payload string"
+    )
+    jdbc_merge_upsert(
+        source, derby_url, "MERGE_AUTH", keys=["k"], properties=props,
+        staging_column_types="k INT, payload VARCHAR(16)",
+    )
+    back = {
+        tuple(r)
+        for r in read_jdbc_table(
+            spark, derby_url, "MERGE_AUTH", properties=props
+        ).collect()
+    }
+    assert back == {(1, "new-1"), (2, "new-2")}

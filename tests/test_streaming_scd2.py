@@ -102,3 +102,34 @@ def test_streaming_scd2_replay_is_noop(spark, dirs):
     b1 = spark.createDataFrame([(1, "A1", 20)], SCHEMA)
     assert dim.apply_batch(b1, 1) is True
     assert dim.apply_batch(b0, 0) is False
+
+
+def test_streaming_scd2_timestamp_ts_col(spark, dirs):
+    """Regression (round-6 ADVICE): _empty_current previously hard-coded
+    bigint validity columns, so a timestamp-typed ts_col failed at plan
+    time on the FIRST micro-batch (scd2_apply builds structs mixing the
+    empty dimension's valid_from with the update's __uts). The validity
+    types must derive from ts_col's own type."""
+    import datetime as dt
+
+    schema = "k int, st string, effective_ts timestamp"
+    dim = Scd2DimStream(
+        spark, f"{dirs}/dim_ts", keys=["k"], tracked_cols=["st"]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    assert dim.apply_batch(
+        spark.createDataFrame([(1, "A", t0), (2, "B", t0)], schema), 0
+    ) is True
+    assert dim.apply_batch(
+        spark.createDataFrame([(1, "A2", t1)], schema), 1
+    ) is True
+    cur = dim.current()
+    assert dict(cur.dtypes)["valid_from"].startswith("timestamp")
+    rows = {
+        (r["k"], r["st"], r["valid_from"], r["valid_to"])
+        for r in cur.collect()
+    }
+    assert (1, "A", t0, t1) in rows       # closed old version
+    assert (1, "A2", t1, None) in rows    # reopened
+    assert (2, "B", t0, None) in rows     # untouched open row
