@@ -56,3 +56,54 @@ def test_drift_replay_idempotent(spark, root):
     hist = mon.profiles()
     assert hist.count() == 1  # one profile row (one column), not two
     assert hist.first()["batch_id"] == 0
+
+
+def test_drift_shape_tests_catch_what_mean_misses(spark, root):
+    """Variance collapse at an IDENTICAL mean: the mean-shift flag stays
+    false, the KS flag fires. Category mix flip at identical null/count
+    profile: PSI fires."""
+    mon = DriftMonitor(
+        spark, root, columns=["s", "v"], numeric_columns=["v"],
+        categorical_columns=["s"], quantile_fracs=19,
+    )
+    # batch 0: v symmetric wide around 50 (uniform 0..100), s mostly 'a'
+    b0 = [(i, "a" if i % 10 else "b", float(i % 101)) for i in range(2000)]
+    # batch 1: v CONSTANT 50 (same mean, zero variance), s mostly 'b'
+    b1 = [(i, "b" if i % 10 else "a", 50.0) for i in range(2000)]
+    mon.record_batch(_mk(spark, b0), 0)
+    mon.record_batch(_mk(spark, b1), 1)
+    rep = {r["col_name"]: r for r in mon.drift_report(0, 1).collect()}
+    # the mean test is blind to both changes...
+    assert rep["v"]["mean_drift"] is False
+    assert rep["v"]["null_drift"] is False
+    # ...the shape tests are not
+    assert rep["v"]["ks_drift"] is True and rep["v"]["ks_stat"] > 0.3
+    assert rep["s"]["psi_drift"] is True and rep["s"]["psi"] > 0.2
+    # self-comparison: all quiet
+    same = {r["col_name"]: r for r in mon.drift_report(1, 1).collect()}
+    assert all(
+        not r["psi_drift"] and not r["ks_drift"] for r in same.values()
+    )
+
+
+def test_drift_psi_other_bucket_and_nulls(spark, root):
+    """Category cap: beyond max_categories the tail folds into
+    __OTHER__ deterministically; NULL categories count as __NULL__."""
+    mon = DriftMonitor(
+        spark, root, columns=["s"], categorical_columns=["s"],
+        max_categories=2,
+    )
+    b0 = [(i, ["x", "y", "z", None][i % 4], 0.0) for i in range(400)]
+    b1 = [(i, ["x", "x", "x", "w"][i % 4], 0.0) for i in range(400)]
+    mon.record_batch(_mk(spark, b0), 0)
+    mon.record_batch(_mk(spark, b1), 1)
+    cats = {
+        (r["batch_id"], r["category"]): r["n"]
+        for r in mon.categories().collect()
+    }
+    # batch 0: 4 categories capped at 2 -> 2 named + __OTHER__ fold
+    b0_cats = {c for (b, c) in cats if b == 0}
+    assert "__OTHER__" in b0_cats and len(b0_cats) == 3
+    assert sum(n for (b, _), n in cats.items() if b == 0) == 400
+    rep = {r["col_name"]: r for r in mon.drift_report(0, 1).collect()}
+    assert rep["s"]["psi"] is not None and rep["s"]["psi_drift"] is True
