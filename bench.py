@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "skyline_brand_fronts",
     "nation_pagerank",
     "event_anomaly",
+    # round-6: BM25 served from the persisted inverted index, and the
+    # oracle-proven approx-percentile swaps
+    "bm25_search_indexed",
+    "price_quantiles_approx",
+    "depth_histogram_approx",
     # round-5: lexical retrieval (BM25), held-out PCA scoring,
     # character-level near-dup on LSH candidates
     "bm25_search",
@@ -179,7 +184,7 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (80 entries after the round-5
+    # restores the curated headline tier (83 entries after the round-6
     # additions; the recorded 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)
