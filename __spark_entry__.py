@@ -800,6 +800,70 @@ def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_scores_indexed(idx, BM25_QUERY_TERMS, top_k=25)
 
 
+BM25_BATCH_QUERIES = [
+    ("q1", ["spark", "join"]),
+    ("q2", ["vector", "stream"]),
+    ("q3", ["spark", "zz_absent_term_zz"]),  # absent term: scores on 'spark' alone
+]
+
+
+def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 serving: a query TABLE against the inverted index,
+    top-5 per query in one job (one postings pass serves the whole
+    batch). Per-term scores round to 6dp BEFORE the (query, doc) sum so
+    the aggregate is partial-aggregation-order-independent — both
+    engines sum identical decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = TX.build_bm25_index(docs)
+    qdf = spark.createDataFrame(
+        BM25_BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    return TX.bm25_topk_batch(idx, qdf, top_k=5)
+
+
+def q_orders_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB profiling swap, itself oracle-proven (the
+    approx_aggregates pattern): exact per-column counts hash-match the
+    oracle, and the HLL (approx_count_distinct, default rsd 5%)
+    cardinality must sit within ±15% (≈3σ) of the exact count — flag
+    literal TRUE in the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    exact = PF.profile_table(o, _ORDERS_COLS).alias("e")
+    hll = (
+        PF.profile_table(o, _ORDERS_COLS, exact_distinct=False)
+        .select(F.col("col_name"), F.col("n_distinct").alias("__h"))
+        .alias("h")
+    )
+    return exact.join(hll, "col_name").select(
+        "col_name",
+        F.col("e.n_rows").alias("n_rows"),
+        F.col("e.n_null").alias("n_null"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        (
+            F.abs(F.col("__h") - F.col("e.n_distinct"))
+            <= 0.15 * F.greatest(F.col("e.n_distinct"), F.lit(1))
+        ).alias("hll_ok"),
+    )
+
+
+def q_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead windows (§2.6 coverage): per customer, days since the
+    previous order and until the next (NULL at the partition edges) —
+    the inter-arrival screen behind retention/anomaly monitors."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "next_days"
+        ),
+    )
+
+
 def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resample with forward fill: dense bucket grid
     (sequence+explode, map-side) + per-key ordered window — the

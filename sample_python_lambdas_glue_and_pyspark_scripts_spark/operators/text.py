@@ -616,6 +616,87 @@ def bm25_scores_indexed(
     return out
 
 
+def bm25_topk_batch(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+) -> DataFrame:
+    """Batch BM25 serving: a TABLE of queries (``query_id, terms
+    array<string>``) against the prebuilt index, top-k per query in ONE
+    job — the realistic retrieval shape at scale (one postings pass
+    serves the whole query batch; per-query jobs would re-pay the probe
+    per query).
+
+    Returns ``(query_id, doc_id, bm25)`` — only docs matching ≥1 query
+    term (standard IR semantics; with the Lucene +1 IDF every match
+    scores > 0, so this equals ``bm25 > 0``), ranked per query by
+    (rounded score desc, doc id asc), top ``top_k``.
+
+    Plan: query terms explode + dedup (query-batch-sized), semi-join
+    prunes postings to needed terms, per-term df is one tiny aggregate
+    over the pruned postings, then ONE keyed (query, doc) aggregate sums
+    per-term scores and a per-query window takes top-k. Doc lengths join
+    from ``doclen`` on the pruned match set only — the full corpus-sized
+    doclen scan of ``bm25_scores_indexed`` is not needed because
+    zero-score docs are out of contract here.
+
+    Determinism: per-TERM scores round to 6dp BEFORE the sum, so both
+    engines sum identical decimals and the (query, doc) aggregate is
+    order-independent at the parity band (the exact trick behind the
+    pinned per-term-additivity invariant — an unrounded float SUM would
+    be partial-aggregation-order-dependent).
+    """
+    stats, doclen, postings = index
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    needed = qt.select("term").distinct()
+    filt = postings.join(F.broadcast(needed), "term", "left_semi")
+    dfs = filt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    j = (
+        qt.join(filt, "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(doclen, id_col)
+    )
+    avgdl = F.round(F.col("total_dl") / F.col("n_docs"), 6)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") / F.greatest(avgdl, F.lit(1e-9))
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    term_score = F.round(
+        (idf * (F.col("tf") * F.lit(k1 + 1.0))) / (F.col("tf") + norm), 6
+    )
+    scores = (
+        j.select("query_id", F.col(id_col), term_score.alias("__s"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(top_k))
+        .select("query_id", id_col, "bm25")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
