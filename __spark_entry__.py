@@ -955,11 +955,15 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier screen per group: values outside
-    [p25 − 1.5·IQR, p75 + 1.5·IQR] of their order-priority's total-price
+    [p25 − k·IQR, p75 + k·IQR] of their order-priority's total-price
     distribution. One exact-percentile aggregate per group broadcast
     back + a map-side flag filter — the standard numeric-QA screen next
     to the z-score anomaly query (fences are robust to the outliers
-    themselves; z-scores are not)."""
+    themselves; z-scores are not). k = 0.5 here, not the textbook 1.5:
+    the synthetic o_totalprice is near-uniform within each priority, so
+    k ≥ 0.75 yields an EMPTY result at every test SF and a 0-row
+    oracle match would prove nothing about the fence arithmetic
+    (VERDICT r6 #2); k = 0.5 returns rows at sf0.001 and sf0.01."""
     o = _t(spark, sf_dir, "orders")
     fences = (
         o.groupBy("o_orderpriority")
@@ -969,8 +973,8 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.round(F.col("p25") - 1.5 * (F.col("p75") - F.col("p25")), 6).alias("lo_fence"),
-            F.round(F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 6).alias("hi_fence"),
+            F.round(F.col("p25") - 0.5 * (F.col("p75") - F.col("p25")), 6).alias("lo_fence"),
+            F.round(F.col("p75") + 0.5 * (F.col("p75") - F.col("p25")), 6).alias("hi_fence"),
         )
     )
     return (
@@ -2124,6 +2128,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 7: batch BM25 serving (query TABLE against the
+    # index, one postings pass), the HLL profiling swap with an exact
+    # sanity band, lag/lead inter-arrival gaps, and the re-proven
+    # (now non-vacuous, k=0.5) Tukey-fence outlier screen
+    "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
+    "order_price_outliers",
     # new in round 6: BM25 served from the persisted inverted index
     # (shares bm25_search's oracle verbatim), and the oracle-proven
     # approx-percentile siblings of the exact-percentile queries (the
@@ -2139,7 +2149,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # numeric drift summary, equi-width histogram) + SCD2 historized merge
     "orders_profile", "orders_numeric_profile", "price_histogram",
     "scd2_orders", "events_resampled", "user_value_trend",
-    "price_depth_histogram", "order_price_outliers",
+    "price_depth_histogram",
     "scd2_orders_snapshot",
     # round 4: indexed incremental cross-corpus intake (the 100 TB
     # posture of corpus_admitted — shares its oracle SQL verbatim),
@@ -2158,11 +2168,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "merge_upsert_orders", "approx_aggregates", "window_distribution",
     "window_first_last", "cube_revenue",
     "training_prep_rollup", "text_scrub", "label_centroids",
-    "centroid_assign", "multimodal_decode", "sample_documents",
-    "group_sample_events", "dedup_clusters_star",
-    # remaining slots: rotate through recent driver-green flagships so a
-    # regression in the newest operator families is still driver-visible.
-    "corpus_admitted", "span_dedup",
+    "centroid_assign",
 ]
 
 
@@ -2210,6 +2216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
         "bm25_search_indexed": q_bm25_search_indexed,
+        "bm25_batch_topk": q_bm25_batch_topk,
+        "orders_profile_hll": q_orders_profile_hll,
+        "order_gap_days": q_order_gap_days,
         "price_quantiles_approx": q_price_quantiles_approx,
         "depth_histogram_approx": q_depth_histogram_approx,
         "scd2_orders": q_scd2_orders,
@@ -2825,6 +2834,67 @@ def _bm25_oracle(
     """
 
 
+def _bm25_batch_oracle(
+    batch: list[tuple[str, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+) -> str:
+    """Mirrors text.bm25_topk_batch against an inline query VALUES
+    table: postings = per-(doc, term) counts over the tokenized corpus,
+    per-TERM scores round to 6dp BEFORE the (query, doc) SUM (the
+    partial-aggregation-order-independence trick), top-k via
+    row_number on (rounded score desc, doc_id asc). Absent terms fall
+    out of the postings join on both engines identically."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in batch
+        for t in dict.fromkeys(terms)
+    )
+    avgdl = "ROUND(total_dl / n_docs, 6)"
+    norm = f"{k1} * ({1.0 - b} + {b} * dl / greatest({avgdl}, 0.000000001))"
+    idf = "ROUND(ln((n_docs - tdf + 0.5) / (tdf + 0.5) + 1.0), 6)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS t
+            FROM documents),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(len(t)) AS DOUBLE) AS total_dl
+            FROM toks),
+        doclen AS (
+            SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+        post AS (
+            SELECT doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks, unnest(t) AS u(term)
+            GROUP BY doc_id, u.term),
+        q AS (SELECT * FROM (VALUES {vals}) v(query_id, term)),
+        dfs AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS tdf
+            FROM post
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY term),
+        scored AS (
+            SELECT q.query_id, p.doc_id,
+                   ROUND(({idf} * (tf * {k1 + 1.0})) / (tf + {norm}), 6) AS s
+            FROM q
+            JOIN post p USING (term)
+            JOIN dfs USING (term)
+            CROSS JOIN stats
+            JOIN doclen d ON d.doc_id = p.doc_id),
+        agg AS (
+            SELECT query_id, doc_id, ROUND(SUM(s), 6) AS bm25
+            FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, bm25
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id ASC) AS r
+              FROM agg) z
+        WHERE r <= {top_k}
+    """
+
+
 def _jaccard_oracle(threshold: float = 0.2) -> str:
     return f"""
         WITH {_shingle_ctes()},
@@ -3225,6 +3295,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
+        "bm25_batch_topk": _bm25_batch_oracle(BM25_BATCH_QUERIES, top_k=5),
+        # the HLL estimate itself is engine-specific; the contract pins
+        # the exact columns hash-exactly and the estimate to a ±15%
+        # (≈3σ at rsd 5%) band that the oracle states as literal TRUE
+        "orders_profile_hll": f"""
+            SELECT col_name, n_rows, n_null, n_distinct, TRUE AS hll_ok
+            FROM ({_profile_oracle("orders", _ORDERS_COLS)}) z
+        """,
+        "order_gap_days": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(datediff('day', lag(o_orderdate) OVER w,
+                                 o_orderdate) AS INTEGER) AS gap_days,
+                   CAST(datediff('day', o_orderdate,
+                                 lead(o_orderdate) OVER w) AS INTEGER)
+                       AS next_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
         "scd2_orders": _SCD2_ORDERS_SQL,
         "scd2_orders_snapshot": f"""
             SELECT * FROM ({_SCD2_ORDERS_SQL})
@@ -3266,8 +3355,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY o_orderpriority),
             fe AS (
                 SELECT o_orderpriority,
-                       ROUND(p25 - 1.5 * (p75 - p25), 6) AS lo_fence,
-                       ROUND(p75 + 1.5 * (p75 - p25), 6) AS hi_fence
+                       ROUND(p25 - 0.5 * (p75 - p25), 6) AS lo_fence,
+                       ROUND(p75 + 0.5 * (p75 - p25), 6) AS hi_fence
                 FROM f)
             SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
                    fe.lo_fence, fe.hi_fence

@@ -181,9 +181,12 @@ def jdbc_merge_upsert(
     # as the staging bulk write (user/password at minimum) — only
     # Spark-writer-specific keys make no sense on a raw JDBC connection
     jprops = jvm.java.util.Properties()
-    skip = {"driver", "createTableColumnTypes", "batchsize", "numPartitions"}
+    # Spark JDBC option keys are case-INSENSITIVE ('batchSize' ≡
+    # 'batchsize'), so the skip filter must compare case-folded or a
+    # camelCase spelling leaks into DriverManager properties
+    skip = {"driver", "createtablecolumntypes", "batchsize", "numpartitions"}
     for k, v in props.items():
-        if k not in skip:
+        if k.lower() not in skip:
             jprops.setProperty(k, str(v))
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:

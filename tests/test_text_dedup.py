@@ -1016,6 +1016,51 @@ def test_bm25_indexed_matches_direct(spark, docs):
         T.bm25_scores_indexed(idx, [])
 
 
+def test_bm25_topk_batch_matches_per_query(spark):
+    # one batched job over a query TABLE must reproduce, per query, the
+    # per-query serving path restricted to matched docs (bm25 > 0 under
+    # the Lucene +1 idf), top-k by (rounded score desc, doc_id asc).
+    # The batch path rounds per-TERM scores to 6dp BEFORE the sum
+    # (partial-aggregation order independence), so scores agree with
+    # the end-rounded per-query path only within a 2e-6 band.
+    rows = [(0, "cat cat fish"), (1, "dog"), (2, "fish bird"), (3, None),
+            (4, "cat dog cat dog unicorn"), (5, "bird cat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = T.build_bm25_index(df)
+    batch = [
+        ("q1", ["cat", "dog"]),
+        ("q2", ["fish"]),
+        ("q3", ["cat", "zz_absent_zz"]),   # absent term scores on cat alone
+        ("q4", ["zz_absent_zz"]),          # no matches at all: no rows
+        ("q5", ["bird", "bird", "cat"]),   # duplicate terms collapse
+    ]
+    qdf = spark.createDataFrame(batch, "query_id string, terms array<string>")
+    out = {}
+    for r in T.bm25_topk_batch(idx, qdf, top_k=2).collect():
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    assert "q4" not in out
+    for qid, terms in batch:
+        if qid == "q4":
+            continue
+        terms_eff = [t for t in dict.fromkeys(terms) if t != "zz_absent_zz"]
+        direct = sorted(
+            ((r["doc_id"], r["bm25"])
+             for r in T.bm25_scores_indexed(idx, terms_eff).collect()
+             if r["bm25"] > 0),
+            key=lambda p: (-p[1], p[0]),
+        )[:2]
+        got = sorted(out[qid], key=lambda p: (-p[1], p[0]))
+        assert [g[0] for g in got] == [d[0] for d in direct], qid
+        for (gd, gs), (dd, ds) in zip(got, direct):
+            assert abs(gs - ds) < 2e-6, (qid, gd)
+    # q5's duplicate term must not double-count: equals ["bird","cat"]
+    got5 = dict(out["q5"])
+    dedup5 = {r["doc_id"]: r["bm25"]
+              for r in T.bm25_scores_indexed(idx, ["bird", "cat"]).collect()}
+    for d, s in got5.items():
+        assert abs(s - dedup5[d]) < 2e-6
+
+
 def test_extend_bm25_index_matches_rebuild(spark):
     rows_a = [(0, "cat cat fish"), (1, "dog dog dog"), (2, None)]
     rows_b = [(10, "fish bird cat"), (11, "dog unicorn")]
