@@ -1189,6 +1189,17 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob(docs)
 
 
+def q_bigram_logprob_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB posture of bigram_logprob: bigram types with corpus
+    count < 2 are pruned from the model table (long-tail-dominated, so
+    this halves-plus the |bigram-vocab| shuffle and the probe join's
+    build side) and score through the unigram backoff alone — the
+    Jelinek-Mercer unseen-bigram treatment, so every doc still gets a
+    row and the scores stay finite."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_logprob(docs, min_count=2)
+
+
 def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick TF features, long form (doc_id, bucket, tf) — the
     zero-model featurizer bridging text to the embedding operators."""
@@ -2133,7 +2144,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
     # (now non-vacuous, k=0.5) Tukey-fence outlier screen
     "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
-    "order_price_outliers",
+    "order_price_outliers", "bigram_logprob_pruned",
     # new in round 6: BM25 served from the persisted inverted index
     # (shares bm25_search's oracle verbatim), and the oracle-proven
     # approx-percentile siblings of the exact-percentile queries (the
@@ -2168,7 +2179,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "merge_upsert_orders", "approx_aggregates", "window_distribution",
     "window_first_last", "cube_revenue",
     "training_prep_rollup", "text_scrub", "label_centroids",
-    "centroid_assign",
 ]
 
 
@@ -2250,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
+        "bigram_logprob_pruned": q_bigram_logprob_pruned,
         "hashed_tf": q_hashed_tf,
         "cms_token_sketch": q_cms_token_sketch,
         "hll_user_sketch": q_hll_user_sketch,
@@ -4132,6 +4143,39 @@ def oracle_sql() -> dict[str, str]:
                        ln(0.5 * bc.nb / v1.n + 0.5 * v2.n / tot.N) AS l
                 FROM bg
                 JOIN bc ON bg.b = bc.b
+                JOIN v v1 ON v1.tok = split_part(bg.b, ' ', 1)
+                JOIN v v2 ON v2.tok = split_part(bg.b, ' ', 2)
+                CROSS JOIN tot)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(l), 6) AS mean_logprob
+            FROM lp GROUP BY doc_id
+        """,
+        # mirrors bigram_logprob(min_count=2): hapax bigrams pruned from
+        # the model table; pruned probes take the unigram backoff term
+        # (coalesce(nb, 0)) — the Jelinek-Mercer unseen-bigram form
+        "bigram_logprob_pruned": f"""
+            WITH btoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+                FROM documents),
+            uni AS (SELECT unnest(w) AS tok FROM btoks),
+            v AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM v),
+            bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                                  range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' '))
+                              ELSE [] END) AS b
+                FROM btoks),
+            bc AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY b
+                   HAVING COUNT(*) >= 2),
+            lp AS (
+                SELECT bg.doc_id,
+                       ln(0.5 * coalesce(bc.nb, 0) / v1.n
+                          + 0.5 * v2.n / tot.N) AS l
+                FROM bg
+                LEFT JOIN bc ON bg.b = bc.b
                 JOIN v v1 ON v1.tok = split_part(bg.b, ' ', 1)
                 JOIN v v2 ON v2.tok = split_part(bg.b, ' ', 2)
                 CROSS JOIN tot)

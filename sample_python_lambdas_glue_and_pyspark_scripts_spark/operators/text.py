@@ -880,6 +880,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Bigram-LM quality signal: each doc's mean log-probability of its
     word bigrams under the corpus's OWN bigram model with Jelinek-Mercer
@@ -905,9 +906,24 @@ def bigram_logprob(
     where the lineages coincide. The alternative — window counts over
     the full token stream — trades the scans for two |tokens|-sized
     sort shuffles, which is worse once the corpus outgrows memory.
+
+    ``min_count`` is the 100 TB lever (the 16× sweep's worst ratio was
+    this operator's |bigram-vocab|-sized table): bigram types seen
+    fewer than ``min_count`` times are PRUNED from the count table and
+    score through the unigram backoff alone (``P = (1-lam)·c(w2)/N``,
+    exactly the Jelinek-Mercer treatment of an unseen bigram). Natural
+    bigram vocabularies are long-tail-dominated — hapax bigrams are
+    typically >½ of all types — so ``min_count=2`` roughly halves the
+    model table, the downstream probe join's build side, and the count
+    table's shuffle write, while the probe stream itself is untouched.
+    ``min_count=1`` keeps every observed bigram and reproduces the
+    unpruned scores bit-for-bit (the LEFT join below coalesces a count
+    that is never NULL), so the original oracle stays exact.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError("lam must be in (0, 1]")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     staged = ensure_parallelism(df).withColumn(
         "_bl_toks", words(F.coalesce(_c(text_col), F.lit("")))
     )
@@ -920,7 +936,10 @@ def bigram_logprob(
         F.col(id_col),
         F.explode(_word_ngrams(F.col("_bl_toks"), 2)).alias("__bg"),
     ).alias("g")
-    bcnt = big.groupBy("__bg").agg(F.count(F.lit(1)).alias("__nb")).alias("b")
+    bcnt = big.groupBy("__bg").agg(F.count(F.lit(1)).alias("__nb"))
+    if min_count > 1:
+        bcnt = bcnt.filter(F.col("__nb") >= int(min_count))
+    bcnt = bcnt.alias("b")
     v1 = vocab.select(
         F.col("__tok").alias("__w1"), F.col("__n").alias("__n1")
     ).alias("v1")
@@ -928,14 +947,16 @@ def bigram_logprob(
         F.col("__tok").alias("__w2"), F.col("__n").alias("__n2")
     ).alias("v2")
     scored = (
-        big.join(bcnt, F.col("g.__bg") == F.col("b.__bg"))
+        big.join(bcnt, F.col("g.__bg") == F.col("b.__bg"), "left")
         .join(v1, F.split(F.col("g.__bg"), " ")[0] == F.col("v1.__w1"))
         .join(v2, F.split(F.col("g.__bg"), " ")[1] == F.col("v2.__w2"))
         .crossJoin(F.broadcast(total))
         .select(
             F.col(f"g.{id_col}").alias(id_col),
             F.log(
-                F.lit(lam) * F.col("b.__nb") / F.col("v1.__n1")
+                F.lit(lam)
+                * F.coalesce(F.col("b.__nb"), F.lit(0))
+                / F.col("v1.__n1")
                 + F.lit(1.0 - lam) * F.col("v2.__n2") / F.col("tt.__N")
             ).alias("__lp"),
         )

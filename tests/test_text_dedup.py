@@ -534,6 +534,34 @@ def test_bigram_logprob_rejects_bad_lambda(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         T.bigram_logprob(df, lam=0.0)
+    with pytest.raises(ValueError):
+        T.bigram_logprob(df, min_count=0)
+
+
+def test_bigram_logprob_min_count_pruning(spark):
+    import math
+
+    # same corpus as the exact-values test: bigrams "a b":3, "b a":1.
+    # min_count=2 prunes the hapax "b a"; its probes fall back to the
+    # pure unigram term .5*c(a)/N. Docs keep all their rows (pruning
+    # changes the MODEL, not the probe stream).
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    # min_count=1 must be bit-identical to the default (left-join +
+    # coalesce is invisible when nothing is pruned)
+    base = sorted(map(tuple, T.bigram_logprob(df).collect()))
+    mc1 = sorted(map(tuple, T.bigram_logprob(df, min_count=1).collect()))
+    assert mc1 == base
+    out = {r["doc_id"]: r for r in T.bigram_logprob(df, min_count=2).collect()}
+    assert set(out) == {1, 2}
+    p_ab = 0.5 * 3 / 3 + 0.5 * 3 / 7          # "a b" survives (count 3)
+    p_ba_pruned = 0.5 * 0 / 3 + 0.5 * 3 / 7   # "b a" pruned: backoff only
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba_pruned)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(exp1)
+    # doc 2 contains only the surviving bigram: unchanged by pruning
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(p_ab), 6))
 
 
 def test_hashed_tf_long_and_dense_agree(spark):
