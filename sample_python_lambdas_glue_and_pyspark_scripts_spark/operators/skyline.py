@@ -236,11 +236,16 @@ def skyline(
         # criteria-only scan + an O(sample * front_sample) local pass —
         # refusal stays seconds on the adversarial 1.6M probe instead of
         # paying a full quadratic merge round to learn the same thing.
+        # fraction alone, NO .limit(): CollectLimit fills from the first
+        # partitions it scans, so sample+limit is biased toward early
+        # partitions — a sorted layout whose LATER partitions dominate
+        # the earlier ones would probe as an anti-chain and be falsely
+        # refused. A bare Bernoulli sample draws from EVERY partition
+        # (expected probe_rows rows, tight binomial spread at 20k).
         probe_rows = 20_000
         probe = (
             candidates.select(*crit_cols)
-            .sample(fraction=min(1.0, (3.0 * probe_rows) / n), seed=7)
-            .limit(probe_rows)
+            .sample(fraction=min(1.0, probe_rows / n), seed=7)
             .toPandas()
         )
         probe_kept = _dominance_filter(probe, crit_cols, signs)
