@@ -47,6 +47,9 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     profiling as PF,
 )
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming import (
+    drift as DR,
+)
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -987,6 +990,29 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderpriority", "o_totalprice",
             "lo_fence", "hi_fence",
         )
+    )
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity contract for the streaming drift monitor: the full
+    per-column drift report (null-ratio delta, distinct ratio, mean
+    shift in baseline SDs, categorical PSI with the shared-category
+    fold, quantile-grid two-sample KS, and all four flags) between two
+    deterministic halves of the events table (event_id parity — the
+    same-distribution case, so the report is non-trivially non-drifted).
+    The streaming monitor shares these exact PSI/KS/assembly code paths
+    (psi_from_counts / ks_from_grids / assemble_drift_report), so this
+    oracle extends to the foreachBatch report the tests pin."""
+    e = _t(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return DR.batch_drift_report(
+        base,
+        cur,
+        columns=["user_id", "event_type", "value"],
+        numeric_columns=["value"],
+        categorical_columns=["event_type"],
+        quantile_fracs=19,
     )
 
 
@@ -2144,7 +2170,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
     # (now non-vacuous, k=0.5) Tukey-fence outlier screen
     "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
-    "order_price_outliers", "bigram_logprob_pruned",
+    "order_price_outliers", "bigram_logprob_pruned", "drift_report",
     # new in round 6: BM25 served from the persisted inverted index
     # (shares bm25_search's oracle verbatim), and the oracle-proven
     # approx-percentile siblings of the exact-percentile queries (the
@@ -2178,7 +2204,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q22",
     "merge_upsert_orders", "approx_aggregates", "window_distribution",
     "window_first_last", "cube_revenue",
-    "training_prep_rollup", "text_scrub", "label_centroids",
+    "training_prep_rollup", "text_scrub",
 ]
 
 
@@ -2240,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "price_depth_histogram": q_price_depth_histogram,
         "order_price_outliers": q_order_price_outliers,
+        "drift_report": q_drift_report,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2845,6 +2872,112 @@ def _bm25_oracle(
     """
 
 
+def _drift_report_oracle(grid: int = 19) -> str:
+    """Mirrors streaming.drift.batch_drift_report between the two
+    event_id-parity halves of events: profile deltas, PSI with the
+    shared-category intersection fold, exact-percentile KS on
+    6dp-rounded grids, and the four tolerance flags — every compare is
+    on a ROUND(..., 6) value (parity kit)."""
+    fracs = ", ".join(repr(i / (grid + 1)) for i in range(1, grid + 1))
+
+    def prof(side: str) -> str:
+        parts = [
+            f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+               FROM {side}"""
+            for c in ("user_id", "event_type", "value")
+        ]
+        return " UNION ALL ".join(parts)
+
+    return f"""
+        WITH bsd AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        csd AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        pb AS ({prof('bsd')}),
+        pc AS ({prof('csd')}),
+        core AS (
+            SELECT pb.col_name,
+                   ROUND(pc.n_null / greatest(pc.n_rows, 1)
+                         - pb.n_null / greatest(pb.n_rows, 1), 6)
+                       AS null_ratio_delta,
+                   ROUND(pc.n_distinct / greatest(pb.n_distinct, 1), 6)
+                       AS distinct_ratio
+            FROM pb JOIN pc USING (col_name)),
+        nb AS (SELECT 'value' AS col_name,
+                      ROUND(AVG(CAST(value AS DOUBLE)), 6) AS bm,
+                      ROUND(STDDEV_SAMP(CAST(value AS DOUBLE)), 6) AS bs
+               FROM bsd),
+        nc AS (SELECT 'value' AS col_name,
+                      ROUND(AVG(CAST(value AS DOUBLE)), 6) AS cm
+               FROM csd),
+        cb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__')
+                          AS category, COUNT(*) AS n
+               FROM bsd GROUP BY 1),
+        cc AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__')
+                          AS category, COUNT(*) AS n
+               FROM csd GROUP BY 1),
+        shared AS (SELECT category FROM cb INTERSECT SELECT category FROM cc),
+        fb AS (SELECT CASE WHEN category IN (SELECT category FROM shared)
+                           THEN category ELSE '__OTHER__' END AS cat,
+                      SUM(n) AS n
+               FROM cb GROUP BY 1),
+        fc AS (SELECT CASE WHEN category IN (SELECT category FROM shared)
+                           THEN category ELSE '__OTHER__' END AS cat,
+                      SUM(n) AS n
+               FROM cc GROUP BY 1),
+        pbp AS (SELECT cat, n / SUM(n) OVER () AS p FROM fb),
+        pcp AS (SELECT cat, n / SUM(n) OVER () AS p FROM fc),
+        psit AS (
+            SELECT 'event_type' AS col_name,
+                   ROUND(SUM((p2 - p1) * ln(p2 / p1)), 6) AS psi
+            FROM (SELECT greatest(coalesce(pbp.p, 0), 0.000001) AS p1,
+                         greatest(coalesce(pcp.p, 0), 0.000001) AS p2
+                  FROM pbp FULL OUTER JOIN pcp ON pbp.cat = pcp.cat) z),
+        gb AS (SELECT ROUND(u.v, 6) AS v
+               FROM (SELECT quantile_cont(CAST(value AS DOUBLE),
+                                          [{fracs}]) AS q FROM bsd) t,
+                    unnest(t.q) AS u(v)
+               WHERE u.v IS NOT NULL),
+        gc AS (SELECT ROUND(u.v, 6) AS v
+               FROM (SELECT quantile_cont(CAST(value AS DOUBLE),
+                                          [{fracs}]) AS q FROM csd) t,
+                    unnest(t.q) AS u(v)
+               WHERE u.v IS NOT NULL),
+        m AS (SELECT v, SUM(nb1) AS nb1, SUM(nc1) AS nc1
+              FROM (SELECT v, 1 AS nb1, 0 AS nc1 FROM gb
+                    UNION ALL
+                    SELECT v, 0 AS nb1, 1 AS nc1 FROM gc) u
+              GROUP BY v),
+        kst AS (
+            SELECT 'value' AS col_name,
+                   ROUND(MAX(ABS(cb2 / {float(grid)} - cc2 / {float(grid)})), 6)
+                       AS ks_stat
+            FROM (SELECT SUM(nb1) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cb2,
+                         SUM(nc1) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cc2
+                  FROM m) z),
+        rep AS (
+            SELECT core.col_name, core.null_ratio_delta, core.distinct_ratio,
+                   CASE WHEN nb.bs IS NOT NULL AND nb.bs > 0
+                        THEN ROUND((nc.cm - nb.bm) / nb.bs, 6) END
+                       AS mean_shift_sds,
+                   psit.psi, kst.ks_stat
+            FROM core
+            LEFT JOIN nb USING (col_name)
+            LEFT JOIN nc USING (col_name)
+            LEFT JOIN psit USING (col_name)
+            LEFT JOIN kst USING (col_name))
+        SELECT col_name, null_ratio_delta, distinct_ratio, mean_shift_sds,
+               psi, ks_stat,
+               ABS(null_ratio_delta) > 0.05 AS null_drift,
+               coalesce(ABS(mean_shift_sds) > 0.5, FALSE) AS mean_drift,
+               coalesce(psi > 0.2, FALSE) AS psi_drift,
+               coalesce(ks_stat > 0.1, FALSE) AS ks_drift
+        FROM rep
+    """
+
+
 def _bm25_batch_oracle(
     batch: list[tuple[str, list[str]]],
     k1: float = 1.2,
@@ -3375,6 +3508,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_totalprice < fe.lo_fence
                OR o.o_totalprice > fe.hi_fence
         """,
+        "drift_report": _drift_report_oracle(),
         "quality_score": rf"""
             WITH s AS (
                 SELECT doc_id,

@@ -86,6 +86,64 @@ def test_drift_shape_tests_catch_what_mean_misses(spark, root):
     )
 
 
+def test_psi_shared_category_fold_near_cap(spark, root):
+    """ADVICE r6: per-batch independent top-N capping can NAME a
+    category in one batch but fold it into __OTHER__ in the other,
+    double-counting the shift. With the report-time shared-category
+    fold, two batches with IDENTICAL distribution shape (same counts,
+    different tail labels beyond the cap) must report PSI == 0."""
+    mon = DriftMonitor(
+        spark, root, columns=["s"], categorical_columns=["s"],
+        max_categories=2,
+    )
+    # baseline: A:100, B:99, C:1  -> named {A, B}, C folds at record time
+    b0 = [(i, "A", 0.0) for i in range(100)] + \
+         [(i, "B", 0.0) for i in range(100, 199)] + [(199, "C", 0.0)]
+    # current:  A:100, C:99, B:1  -> named {A, C}, B folds at record time
+    b1 = [(i, "A", 0.0) for i in range(100)] + \
+         [(i, "C", 0.0) for i in range(100, 199)] + [(199, "B", 0.0)]
+    mon.record_batch(_mk(spark, b0), 0)
+    mon.record_batch(_mk(spark, b1), 1)
+    rep = {r["col_name"]: r for r in mon.drift_report(0, 1).collect()}
+    # shared named set = {A}; both sides fold B/C/__OTHER__ into
+    # __OTHER__ with identical mass -> no shift
+    assert rep["s"]["psi"] == 0.0 and rep["s"]["psi_drift"] is False
+
+
+def test_batch_report_matches_monitor(spark, root):
+    """batch_drift_report is the oracle-facing companion: on the same
+    two frames it must agree with the monitor's report exactly on
+    every profile/PSI statistic and flag; ks_stat may differ only by
+    the approx-vs-exact percentile sketch (same grid size, tight)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.drift import (
+        batch_drift_report,
+    )
+
+    b0 = _mk(spark, [(i, ["a", "b", None][i % 3],
+                      float(i % 50)) for i in range(300)])
+    b1 = _mk(spark, [(i, ["a", "a", "c"][i % 3],
+                      float(i % 80) + 5.0) for i in range(300)])
+    mon = DriftMonitor(
+        spark, root, columns=["k", "s", "v"], numeric_columns=["v"],
+        categorical_columns=["s"], quantile_fracs=19,
+    )
+    mon.record_batch(b0, 0)
+    mon.record_batch(b1, 1)
+    stream = {r["col_name"]: r for r in mon.drift_report(0, 1).collect()}
+    batch = {r["col_name"]: r for r in batch_drift_report(
+        b0, b1, columns=["k", "s", "v"], numeric_columns=["v"],
+        categorical_columns=["s"], quantile_fracs=19,
+    ).collect()}
+    assert set(stream) == set(batch) == {"k", "s", "v"}
+    for c in stream:
+        for f in ("null_ratio_delta", "distinct_ratio", "mean_shift_sds",
+                  "psi", "null_drift", "mean_drift", "psi_drift"):
+            assert stream[c][f] == batch[c][f], (c, f)
+    assert batch["v"]["ks_stat"] == pytest.approx(
+        stream["v"]["ks_stat"], abs=0.1
+    )
+
+
 def test_drift_psi_other_bucket_and_nulls(spark, root):
     """Category cap: beyond max_categories the tail folds into
     __OTHER__ deterministically; NULL categories count as __NULL__."""
