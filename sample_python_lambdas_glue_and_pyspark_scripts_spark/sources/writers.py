@@ -77,6 +77,61 @@ def write_jdbc(
     )
 
 
+def upsert_statement_sql(
+    url: str,
+    table: str,
+    staging: str,
+    cols: list[str],
+    keys: list[str],
+) -> str:
+    """The single atomic upsert statement ``jdbc_merge_upsert`` executes
+    in the target DB, selected by JDBC URL dialect:
+
+    - ``jdbc:mysql:`` / ``jdbc:mariadb:`` →
+      ``INSERT INTO target (..) SELECT .. FROM staging s ON DUPLICATE
+      KEY UPDATE col = s.col, ..`` — the reference's actual Aurora
+      MySQL sink semantics (``LOAD DATA .. REPLACE`` keyed overwrite,
+      load_job.py:74-90) in its modern non-deprecated form (column
+      references into the SELECT source, not the removed ``VALUES()``
+      function). MySQL resolves the duplicate through the target's
+      PRIMARY/UNIQUE key, so the target's key must cover ``keys`` —
+      same contract as the reference's PK. Key-only tables degrade to a
+      self-assign no-op update (MySQL requires an UPDATE clause).
+    - anything else → ANSI ``MERGE INTO .. USING .. ON .. WHEN
+      [NOT] MATCHED`` (Derby >= 10.11, Postgres 15+, Oracle, etc.) —
+      live-tested against embedded Derby.
+    """
+    non_keys = [c for c in cols if c not in keys]
+    insert_cols = ", ".join(cols)
+    dialect = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
+    if dialect in ("mysql", "mariadb"):
+        select_cols = ", ".join(f"s.{c}" for c in cols)
+        updates = (
+            ", ".join(f"{c} = s.{c}" for c in non_keys)
+            if non_keys
+            else f"{keys[0]} = {keys[0]}"
+        )
+        return (
+            f"INSERT INTO {table} ({insert_cols}) "
+            f"SELECT {select_cols} FROM {staging} s "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    insert_vals = ", ".join(f"s.{c}" for c in cols)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
 def jdbc_merge_upsert(
     df: DataFrame,
     url: str,
@@ -100,15 +155,16 @@ def jdbc_merge_upsert(
 
     1. bulk-write ``df`` into a staging table (the only distributed
        step — same connection-capped JDBC writer as :func:`write_jdbc`);
-    2. execute ONE ``MERGE INTO target USING staging ON keys WHEN
-       MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...``
-       statement over a single JDBC connection (opened with the same
-       ``properties`` auth/connection options as the staging write) — a
-       single atomic statement in the target DB (Derby >= 10.11 and any
-       other ANSI-MERGE dialect; a MySQL 8 target needs an
-       INSERT..ON DUPLICATE KEY dialect branch this sink does not emit
-       yet), so concurrent readers see either the old or the new rows,
-       never the window;
+    2. execute ONE upsert statement over a single JDBC connection
+       (opened with the same ``properties`` auth/connection options as
+       the staging write) — dialect chosen by URL via
+       :func:`upsert_statement_sql`: ANSI ``MERGE INTO`` for Derby/
+       Postgres/Oracle-style targets (live-tested against Derby),
+       ``INSERT .. SELECT .. ON DUPLICATE KEY UPDATE`` for
+       ``jdbc:mysql:``/``jdbc:mariadb:`` — the reference's actual
+       Aurora MySQL REPLACE-by-key semantics. Either way one atomic
+       statement in the target DB, so concurrent readers see either
+       the old or the new rows, never a half-replaced window;
     3. drop the staging table (best-effort, ``drop_staging=False`` keeps
        it for audit).
 
@@ -153,23 +209,8 @@ def jdbc_merge_upsert(
         properties=props, batch_size=batch_size,
     )
 
-    cols = df.columns
-    keys = [k.upper() for k in keys]
-    non_keys = [c for c in cols if c not in keys]
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    insert_cols = ", ".join(cols)
-    insert_vals = ", ".join(f"s.{c}" for c in cols)
-    matched = (
-        "WHEN MATCHED THEN UPDATE SET "
-        + ", ".join(f"t.{c} = s.{c}" for c in non_keys)
-        + " "
-        if non_keys
-        else ""
-    )
-    merge_sql = (
-        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
-        f"{matched}"
-        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    merge_sql = upsert_statement_sql(
+        url, table, staging, df.columns, [k.upper() for k in keys]
     )
 
     spark = df.sparkSession

@@ -246,3 +246,42 @@ def test_jdbc_merge_connection_carries_properties(spark, derby_url):
         ).collect()
     }
     assert back == {(1, "new-1"), (2, "new-2")}
+
+
+def test_upsert_statement_dialects():
+    """Statement-text pin for the URL-selected upsert dialect: MySQL /
+    MariaDB emit INSERT..SELECT..ON DUPLICATE KEY UPDATE (the
+    reference's Aurora REPLACE-by-key semantics, load_job.py:74-90);
+    everything else emits ANSI MERGE (Derby-live-tested above)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.writers import (
+        upsert_statement_sql,
+    )
+
+    cols, keys = ["K", "A", "B"], ["K"]
+    my = upsert_statement_sql(
+        "jdbc:mysql://db:3306/ref", "T", "T_STAGE", cols, keys
+    )
+    assert my == (
+        "INSERT INTO T (K, A, B) SELECT s.K, s.A, s.B FROM T_STAGE s "
+        "ON DUPLICATE KEY UPDATE A = s.A, B = s.B"
+    )
+    # VALUES() is deprecated/removed in MySQL 8 — must not be emitted
+    assert "VALUES(" not in my
+    assert upsert_statement_sql(
+        "jdbc:mariadb://db/ref", "T", "S", cols, keys
+    ).startswith("INSERT INTO T")
+    # key-only table: MySQL still requires an UPDATE clause -> no-op
+    only = upsert_statement_sql("jdbc:mysql://db/ref", "T", "S", ["K"], ["K"])
+    assert only.endswith("ON DUPLICATE KEY UPDATE K = K")
+    ansi = upsert_statement_sql(
+        "jdbc:derby:memory:x", "T", "T_STAGE", cols, keys
+    )
+    assert ansi == (
+        "MERGE INTO T t USING T_STAGE s ON (t.K = s.K) "
+        "WHEN MATCHED THEN UPDATE SET t.A = s.A, t.B = s.B "
+        "WHEN NOT MATCHED THEN INSERT (K, A, B) VALUES (s.K, s.A, s.B)"
+    )
+    # key-only ANSI MERGE: no WHEN MATCHED clause at all
+    assert "WHEN MATCHED" not in upsert_statement_sql(
+        "jdbc:postgresql://db/x", "T", "S", ["K"], ["K"]
+    )
