@@ -1727,6 +1727,25 @@ def q_pca_project_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.pca_project(held, comp, means=means)
 
 
+def q_pca_top2_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-fit PCA — the documented 100 TB posture of
+    pca_top2_projections (the bench's most expensive query; cost is
+    iteration count × corpus size): fit the top-2 components AND the
+    centering means on a deterministic hash sample (vec_id % 3 == 0 —
+    engine-independent, no rand()), then project the WHOLE corpus
+    against the fit means + components in one scoring pass. The
+    iterative A^T(Av) rounds then touch a third of the rows while the
+    full-corpus work drops to the single non-iterative projection —
+    at a 1% fit sample that is a ~100x cut on the iterated stage.
+    Same fit/score discipline as pca_project_heldout (means= from the
+    fit split, never the scoring frame)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = emb.filter(F.col("vec_id") % 3 == 0)
+    comps = SM.pca_top_components(fit, n_components=2, n_iter=2)
+    means = SM.pca_fit_means(fit)
+    return SM.pca_project_components(emb, comps, means=means)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means the embedding space, drop
     vectors ≥0.35 cosine-similar to a lower-id vector in the same
@@ -2171,6 +2190,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (now non-vacuous, k=0.5) Tukey-fence outlier screen
     "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
     "order_price_outliers", "bigram_logprob_pruned", "drift_report",
+    "pca_top2_sampled",
     # new in round 6: BM25 served from the persisted inverted index
     # (shares bm25_search's oracle verbatim), and the oracle-proven
     # approx-percentile siblings of the exact-percentile queries (the
@@ -2204,7 +2224,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q22",
     "merge_upsert_orders", "approx_aggregates", "window_distribution",
     "window_first_last", "cube_revenue",
-    "training_prep_rollup", "text_scrub",
+    "training_prep_rollup",
 ]
 
 
@@ -2306,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "weighted_doc_sample": q_weighted_doc_sample,
         "pca_top2_projections": q_pca_top2_projections,
+        "pca_top2_sampled": q_pca_top2_sampled,
         "corpus_diff": q_corpus_diff,
         "event_funnel": q_event_funnel,
         "weekly_retention": q_weekly_retention,
@@ -2437,6 +2458,35 @@ _PCA_ITER_BODY = """
 """
 
 _PCA_SQL_CTES = _pca_sql_ctes() + _PCA_ITER_BODY
+
+# deflation body: residuals of the fit frame against v2 (6dp-rounded,
+# mirroring pca_top_components' determinism contract), then 2 unrolled
+# power iterations on the residual ending at rv2 — the second
+# component. Shared by pca_top2_projections (fit = whole corpus) and
+# pca_top2_sampled (fit = the deterministic third).
+_PCA_DEFLATE_BODY = """,
+    p1 AS (SELECT l.vec_id, SUM(l.val * v2.v) AS dot
+           FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id),
+    rlf AS (SELECT l.vec_id, l.dim,
+                   ROUND(l.val - p1.dot * v2.v, 6) AS val
+            FROM lf l JOIN p1 USING (vec_id) JOIN v2 USING (dim)),
+    rv0 AS (SELECT dim, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM mu)), 6)
+                AS v FROM mu),
+    rd1 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+            FROM rlf l JOIN rv0 v USING (dim) GROUP BY l.vec_id),
+    rw1 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+            FROM rlf l JOIN rd1 d USING (vec_id) GROUP BY l.dim),
+    rn1 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw1),
+    rv1 AS (SELECT dim, ROUND(w / nrm, 6) AS v
+            FROM rw1 CROSS JOIN rn1),
+    rd2 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
+            FROM rlf l JOIN rv1 v USING (dim) GROUP BY l.vec_id),
+    rw2 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
+            FROM rlf l JOIN rd2 d USING (vec_id) GROUP BY l.dim),
+    rn2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw2),
+    rv2 AS (SELECT dim, ROUND(w / nrm, 6) AS v
+            FROM rw2 CROSS JOIN rn2)
+"""
 
 
 # shared unrolled k-means CTE prefix (2 Lloyd iterations over embeddings,
@@ -3915,28 +3965,7 @@ def oracle_sql() -> dict[str, str]:
                    (ROUND(1.0 / (1.0 + exp(-m3.m)), 6) >= 0.5) AS pred_en
             FROM documents d JOIN m3 USING (doc_id)
         """,
-        "pca_top2_projections": _PCA_SQL_CTES + """,
-            p1 AS (SELECT l.vec_id, SUM(l.val * v2.v) AS dot
-                   FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id),
-            rlf AS (SELECT l.vec_id, l.dim,
-                           ROUND(l.val - p1.dot * v2.v, 6) AS val
-                    FROM lf l JOIN p1 USING (vec_id) JOIN v2 USING (dim)),
-            rv0 AS (SELECT dim, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM mu)), 6)
-                        AS v FROM mu),
-            rd1 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
-                    FROM rlf l JOIN rv0 v USING (dim) GROUP BY l.vec_id),
-            rw1 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
-                    FROM rlf l JOIN rd1 d USING (vec_id) GROUP BY l.dim),
-            rn1 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw1),
-            rv1 AS (SELECT dim, ROUND(w / nrm, 6) AS v
-                    FROM rw1 CROSS JOIN rn1),
-            rd2 AS (SELECT l.vec_id, SUM(l.val * v.v) AS dot
-                    FROM rlf l JOIN rv1 v USING (dim) GROUP BY l.vec_id),
-            rw2 AS (SELECT l.dim, SUM(l.val * d.dot) AS w
-                    FROM rlf l JOIN rd2 d USING (vec_id) GROUP BY l.dim),
-            rn2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM rw2),
-            rv2 AS (SELECT dim, ROUND(w / nrm, 6) AS v
-                    FROM rw2 CROSS JOIN rn2)
+        "pca_top2_projections": _PCA_SQL_CTES + _PCA_DEFLATE_BODY + """
             SELECT s1.vec_id, s1.pc1, s2.pc2
             FROM (SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
                   FROM lf l JOIN v2 USING (dim) GROUP BY l.vec_id) s1
@@ -3946,6 +3975,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_component": _PCA_SQL_CTES + """
             SELECT dim, v FROM v2
+        """,
+        # fit means + top-2 deflated components on the vec_id % 3 == 0
+        # sample, score EVERY vector against the fit means/components
+        # (mirrors pca_top_components(fit) + pca_fit_means(fit) +
+        # pca_project_components(all, means=fit))
+        "pca_top2_sampled": _pca_sql_ctes(fit_where="AND vec_id % 3 = 0")
+        + _PCA_ITER_BODY + _PCA_DEFLATE_BODY + """,
+            alf0 AS (
+                SELECT vec_id, CAST(u.dim - 1 AS INTEGER) AS dim,
+                       CAST(u.val AS DOUBLE) AS raw
+                FROM (SELECT vec_id,
+                             unnest(list_transform(embedding,
+                                    (x, i) -> {'dim': i, 'val': x})) AS u
+                      FROM embeddings WHERE embedding IS NOT NULL)),
+            alf AS (SELECT l.vec_id, l.dim, l.raw - m.mu AS val
+                    FROM alf0 l JOIN mu m USING (dim))
+            SELECT s1.vec_id, s1.pc1, s2.pc2
+            FROM (SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
+                  FROM alf l JOIN v2 USING (dim) GROUP BY l.vec_id) s1
+            JOIN (SELECT l.vec_id, ROUND(SUM(l.val * rv2.v), 6) AS pc2
+                  FROM alf l JOIN rv2 USING (dim) GROUP BY l.vec_id) s2
+            USING (vec_id)
         """,
         "pca_projections": _PCA_SQL_CTES + """
             SELECT l.vec_id, ROUND(SUM(l.val * v2.v), 6) AS pc1
