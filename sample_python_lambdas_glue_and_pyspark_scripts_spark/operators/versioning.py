@@ -156,37 +156,33 @@ class VersionedCatalog:
         self.init_opco(opco)
 
     def _read_catalog(self) -> DataFrame | None:
+        # recover a crashed swap BEFORE reading: otherwise a run that
+        # died between the two renames reads "no catalog" and the next
+        # write rebuilds it without every other opco's rows
+        from ..sources.promote import recover_backup
+
+        recover_backup(
+            self.spark, self.catalog_path, error_cls=ETLLoadError
+        )
         try:
             return self.spark.read.parquet(self.catalog_path)
         except Exception:
             return None
 
     def _write_catalog(self, df: DataFrame) -> None:
-        # real write-then-rename swap: materialize to __new, swap the
-        # directory pointers with FS renames, clean up — the live path is
-        # only ever a complete catalog (modulo the instant between the two
-        # renames; the engine is single-writer, see SURVEY §4.3)
-        tmp = f"{self.catalog_path}__new"
-        old = f"{self.catalog_path}__old"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(self.catalog_path), hconf
+        # write-then-rename swap via the shared checked-rename helper
+        # (sources/promote.py): the live path is only ever a complete
+        # catalog, the old catalog survives as backup until the new one
+        # is promoted, and a crash between the renames is recovered on
+        # the next write (the engine is single-writer, SURVEY §4.3)
+        from ..sources.promote import promote_swap
+
+        promote_swap(
+            self.spark,
+            self.catalog_path,
+            lambda tmp: df.coalesce(1).write.mode("overwrite").parquet(tmp),
+            error_cls=ETLLoadError,
         )
-        Path = jvm.org.apache.hadoop.fs.Path
-        fs.delete(Path(old), True)
-        had_current = fs.exists(Path(self.catalog_path))
-        # Hadoop rename signals failure via its return value, not an
-        # exception — check every step, and never delete the backup until
-        # the new catalog is in place (restore it on failure instead).
-        if had_current and not fs.rename(Path(self.catalog_path), Path(old)):
-            raise ETLLoadError(f"catalog swap failed: cannot move {self.catalog_path} aside")
-        if not fs.rename(Path(tmp), Path(self.catalog_path)):
-            if had_current:
-                fs.rename(Path(old), Path(self.catalog_path))  # restore backup
-            raise ETLLoadError(f"catalog swap failed: cannot promote {tmp}")
-        fs.delete(Path(old), True)
 
     def table_name(self, opco: str, table_type: str) -> str:
         cat = self._read_catalog()

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import band_keys, minhash_signature
+from ..sources.promote import promote_swap
 from .incremental import run_incremental
 
 # claimed-table read schema: data columns + the batch_id partition column
@@ -279,22 +280,24 @@ def compact_claimed(
     # shuffle moves only already-deduped rows
     n_files = max(1, -(-before // _ROWS_PER_COMPACT_FILE))
     merged = hist.distinct().repartition(n_files)
-    tmp = f"{work_dir}/.claimed_compact_tmp"
-    fs.delete(hpath(tmp), True)
-    merged.write.mode("overwrite").parquet(tmp)
-    after = spark.read.parquet(tmp).count()
 
-    target = hpath(f"{claimed_dir}/batch_id={upto_batch - 1}")
-    bak = hpath(f"{claimed_dir}/.compact_bak_{upto_batch - 1}")
-    fs.delete(bak, True)
-    had_target = fs.exists(target)
-    if had_target and not fs.rename(target, bak):
-        raise IOError(f"compact_claimed: could not back up {target}")
-    if not fs.rename(hpath(tmp), target):
-        if had_target:
-            fs.rename(bak, target)  # restore; original state intact
-        raise IOError(f"compact_claimed: could not promote {tmp}")
-    # swap landed: drop the merged-away per-batch dirs and the backup
+    counted = {}
+
+    def _write(tmp_path: str) -> None:
+        merged.write.mode("overwrite").parquet(tmp_path)
+        counted["after"] = spark.read.parquet(tmp_path).count()
+
+    # checked-rename swap via the shared helper: old partition survives
+    # as backup until the compacted one is promoted (the orphan-backup
+    # prologue above handles crashed runs with OTHER upto_batch names)
+    promote_swap(
+        spark,
+        f"{claimed_dir}/batch_id={upto_batch - 1}",
+        _write,
+        tmp=f"{work_dir}/.claimed_compact_tmp",
+        backup=f"{claimed_dir}/.compact_bak_{upto_batch - 1}",
+    )
+    # swap landed: drop the merged-away per-batch dirs
     for st in fs.listStatus(hpath(claimed_dir)):
         name = st.getPath().getName()
         if name.startswith("batch_id="):
@@ -304,5 +307,4 @@ def compact_claimed(
                 continue
             if bid < upto_batch - 1:
                 fs.delete(st.getPath(), True)
-    fs.delete(bak, True)
-    return before, after
+    return before, counted["after"]

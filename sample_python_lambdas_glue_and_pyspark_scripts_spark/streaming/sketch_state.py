@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..sources.promote import promote_swap, recover_backup
+
 from ..operators.sketches import hll_estimate, hll_sketch
 from .incremental import run_incremental
 
@@ -103,6 +105,16 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
+    # crash recovery BEFORE reading: a run that died between its two
+    # renames left batch_id=compact missing and the backup as the ONLY
+    # copy of previously merged-away registers — the old inline swap
+    # deleted the "stale" backup unconditionally and would have lost
+    # them here; the shared helper restores first
+    recover_backup(
+        spark,
+        f"{reg_root}/batch_id=compact",
+        backup=f"{work_dir}/.registers_compact_bak",
+    )
     batch_dirs = [
         st.getPath()
         for st in fs.listStatus(root)
@@ -116,27 +128,19 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    tmp = f"{work_dir}/.registers_compact_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    target = hpath(f"{reg_root}/batch_id=compact")
-    bak = hpath(f"{work_dir}/.registers_compact_bak")
-    if fs.exists(bak):
-        fs.delete(bak, True)  # stale backup from a crashed earlier run
-    had_target = fs.exists(target)
-    if had_target and not fs.rename(target, bak):
-        raise IOError(f"compact_registers: backup rename failed for {target}")
-    if not fs.rename(hpath(tmp), target):
-        if had_target:
-            fs.rename(bak, target)  # restore; original state intact
-        raise IOError(f"compact_registers: promote rename failed for {target}")
-    # swap landed: drop the merged-away per-batch dirs and the backup
+    promote_swap(
+        spark,
+        f"{reg_root}/batch_id=compact",
+        lambda tmp: merged.coalesce(1).write.mode("overwrite").parquet(tmp),
+        tmp=f"{work_dir}/.registers_compact_tmp",
+        backup=f"{work_dir}/.registers_compact_bak",
+    )
+    # swap landed: drop the merged-away per-batch dirs
     removed = 0
     for p_ in batch_dirs:
         if p_.getName() != "batch_id=compact":
             fs.delete(p_, True)
             removed += 1
-    if had_target:
-        fs.delete(bak, True)
     return removed
 
 
