@@ -598,7 +598,13 @@ def q_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles hash-match the oracle, and the approx_percentile sketch
     values must sit within 2% of them (flags literal TRUE in the
     oracle). approx_percentile's rank error is <= 1/accuracy = 1e-4, so
-    2% on a smooth distribution is a loose, stable band."""
+    2% on a smooth distribution is a loose, stable band.
+
+    This is the CALIBRATION form, not the scale path: it carries the
+    exact per-group sort buffers alongside the sketch so the oracle can
+    band the sketch error, and those buffers OOMed an 8 GiB heap at the
+    64x sweep tier (BASELINE.md r7). At corpus scale run the sketch
+    alone — bounded state per group, 7.4x the exact sort at 64x."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),

@@ -110,7 +110,19 @@ def quantiles_off(spark, sf_dir):
 
 
 def quantiles_on(spark, sf_dir):
-    return entrymod.queries()["price_quantiles_approx"](spark, sf_dir)
+    """Lever: the sketch ALONE — bounded state per group. (The
+    contract query price_quantiles_approx is the CALIBRATION form: it
+    computes exact AND approx side by side so the oracle can band the
+    sketch error; carrying the exact buffers at the 64x tier is what
+    OOMed the first run of this sweep — at scale only the sketch
+    runs.)"""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99),"
+            " 10000)"
+        ).alias("q")
+    )
 
 
 PAIRS = {
