@@ -36,6 +36,9 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     text as TX,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    retrieval as RT,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     ledger as ldg,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
@@ -1109,6 +1112,98 @@ def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair relation never exists as Spark rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return SM.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+HYBRID_QUERY_VEC_ID = 7
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009): BM25 top-50 for the 4-term lexical query ∪
+    cosine top-50 for the stored query vector, fused by
+    ``1/(60 + rank)`` accumulated in fixed list order through a chained
+    full-outer join (no float aggregation), top-10 cut on the rounded
+    fused score. The rank lists are top-k cuts, so fusion cost is
+    k-row-bounded no matter the corpus size; the retrievers themselves
+    swap for their indexed forms (bm25_scores_indexed, ivf_topk) at
+    scale."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return RT.hybrid_rrf_search(
+        docs, emb, BM25_QUERY_TERMS, HYBRID_QUERY_VEC_ID, k_each=50, top_k=10
+    )
+
+
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-quantized embeddings (asymmetric serve: full-
+    precision queries vs reconstructed corpus): fit per-dim affine
+    params (dim-sized shuffle), encode map-side, top-10 per query for
+    vec_id < 3. The 100 TB memory lever — codes are 4× smaller than
+    float32 — with every arithmetic step (round-half-up encode, exact
+    IEEE reconstruct, 6dp cosine) mirrored by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = SM.fit_quantizer(emb)
+    codes = SM.quantize_embeddings(emb, params)
+    return SM.quantized_cosine_topk(
+        codes, params, emb.filter(F.col("vec_id") < 3), k=10
+    )
+
+
+def q_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode round-trip QA for the fitted quantizer: one row of
+    (n_vecs, n_dims, max_abs_err, mean_abs_err) — the acceptance gate
+    before a serve path switches to codes (the numeric analogue of the
+    IVF recall probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = SM.fit_quantizer(emb)
+    return SM.quantization_error_report(emb, params)
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the quantized serve against the exact full-precision
+    top-10, per query (vec_id < 3): the self-measuring quality gate for
+    the quantization swap, computed as a k-row × k-row join of the two
+    top-k lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = SM.fit_quantizer(emb)
+    codes = SM.quantize_embeddings(emb, params)
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = SM.cosine_topk(emb, qs, k=10)
+    quant = SM.quantized_cosine_topk(codes, params, qs, k=10)
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(quant.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS scheme): per-window rightmost-min k-gram hashes,
+    k=4, w=4 — LOCAL fingerprints guaranteeing any shared ≥ 7-word run
+    shares a fingerprint, at ~2/(w+1) gram retention. Entirely map-side
+    until the output explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, k=4, w=4)
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc span-match candidates by shared winnowing fingerprints
+    (≥ 2 shared, hot hashes present in > 50 docs dropped as boilerplate
+    — the lsh max_bucket_size knob): a fingerprint-keyed join, never
+    all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.winnow_matches(docs, k=4, w=4, min_shared=2, max_fp_docs=50)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2190,6 +2285,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
+    # quantization (serve + error + recall gates), and winnowing
+    # fingerprints + fingerprint-keyed match candidates
+    "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
+    "ann_quantized_recall", "winnow_fingerprints", "winnow_matches",
     # new in round 7: batch BM25 serving (query TABLE against the
     # index, one postings pass), the HLL profiling swap with an exact
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
@@ -2228,9 +2328,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
-    "merge_upsert_orders", "approx_aggregates", "window_distribution",
-    "window_first_last", "cube_revenue",
-    "training_prep_rollup",
+    # rotated out for the round-7 second batch (all driver-proven in
+    # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
+    # window_distribution, window_first_last, cube_revenue,
+    # training_prep_rollup
 ]
 
 
@@ -2278,6 +2379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bm25_search": q_bm25_search,
         "bm25_search_indexed": q_bm25_search_indexed,
+        "hybrid_rrf_search": q_hybrid_rrf_search,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "quantization_error_report": q_quantization_error_report,
+        "ann_quantized_recall": q_ann_quantized_recall,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_matches": q_winnow_matches,
         "bm25_batch_topk": q_bm25_batch_topk,
         "orders_profile_hll": q_orders_profile_hll,
         "order_gap_days": q_order_gap_days,
@@ -2886,12 +2993,12 @@ def _minhash_keepers_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
-def _bm25_oracle(
-    terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 25
-) -> str:
-    """Mirrors text.bm25_scores term by term: same 6dp idf/avgdl rounds,
-    same left-associative float expression order, same rounded-score +
-    id-tiebreak top-k cut."""
+def _bm25_ctes(
+    terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> tuple[str, str]:
+    """The bm25 oracle body as ``(ctes, score_expr)`` so composite
+    oracles (hybrid RRF) can reuse it: CTEs ``toks/base/stats`` plus the
+    per-term score expression over ``base CROSS JOIN stats``."""
     m = len(terms)
     tf_cols = ",\n                   ".join(
         f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
@@ -2907,8 +3014,7 @@ def _bm25_oracle(
         f" * (tf{i} * {k1 + 1.0})) / (tf{i} + {norm})"
         for i in range(m)
     )
-    return f"""
-        WITH toks AS (
+    ctes = f"""toks AS (
             SELECT doc_id,
                    regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS t
             FROM documents),
@@ -2920,12 +3026,130 @@ def _bm25_oracle(
             SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                    ROUND(AVG(dl), 6) AS avgdl,
                    {df_cols}
-            FROM base)
+            FROM base)"""
+    return ctes, score
+
+
+def _bm25_oracle(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 25
+) -> str:
+    """Mirrors text.bm25_scores term by term: same 6dp idf/avgdl rounds,
+    same left-associative float expression order, same rounded-score +
+    id-tiebreak top-k cut."""
+    ctes, score = _bm25_ctes(terms, k1, b)
+    return f"""
+        WITH {ctes}
         SELECT doc_id, ROUND({score}, 6) AS bm25
         FROM base CROSS JOIN stats
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT {top_k}
     """
+
+
+def _hybrid_rrf_oracle(
+    terms: list[str],
+    qvec_id: int,
+    k_each: int = 50,
+    k0: int = 60,
+    top_k: int = 10,
+) -> str:
+    """Mirrors retrieval.hybrid_rrf_search: the bm25 CTEs verbatim for
+    the lexical list, list_cosine_similarity for the semantic list, both
+    cut + ranked on (rounded score DESC, id ASC), fused with the same
+    left-to-right CASE additions and cut on the rounded RRF score."""
+    ctes, score = _bm25_ctes(terms)
+    return f"""
+        WITH {ctes},
+        bm AS (SELECT doc_id, ROUND({score}, 6) AS bm25
+               FROM base CROSS JOIN stats
+               ORDER BY bm25 DESC, doc_id ASC LIMIT {k_each}),
+        lexr AS (SELECT doc_id,
+                        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                             AS INTEGER) AS lex_rank
+                 FROM bm),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS (SELECT v FROM e WHERE vec_id = {qvec_id}),
+        sc AS (SELECT c.vec_id AS doc_id,
+                      ROUND(list_cosine_similarity(qv.v, c.v), 6) AS sim
+               FROM e c CROSS JOIN qv WHERE c.vec_id <> {qvec_id}),
+        semtop AS (SELECT doc_id, sim FROM sc
+                   ORDER BY sim DESC, doc_id ASC LIMIT {k_each}),
+        semr AS (SELECT doc_id,
+                        CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                             AS INTEGER) AS sem_rank
+                 FROM semtop)
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               ROUND((CASE WHEN l.lex_rank IS NOT NULL
+                           THEN 1.0 / ({float(k0)} + l.lex_rank)
+                           ELSE 0.0 END)
+                   + (CASE WHEN s.sem_rank IS NOT NULL
+                           THEN 1.0 / ({float(k0)} + s.sem_rank)
+                           ELSE 0.0 END), 6) AS rrf_score,
+               l.lex_rank, s.sem_rank
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT {top_k}
+    """
+
+
+# int8-style scalar quantization oracle body (mirrors
+# similarity.fit_quantizer / quantize_embeddings / dequantize_codes):
+# per-dim exact min/max, scale = (hi-lo)/255, round-half-away encode
+# (operand is non-negative, so it equals Spark's HALF_UP), clamp, exact
+# IEEE reconstruct. Lambda index i is 1-based in DuckDB = Spark's
+# element_at(..., i + 1) on the 0-based transform index.
+_QUANT_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        dl AS (SELECT CAST(u.dim AS INTEGER) - 1 AS dim,
+                      CAST(u.val AS DOUBLE) AS val
+               FROM (SELECT unnest(list_transform(v,
+                                (x, i) -> {'dim': i, 'val': x})) AS u
+                     FROM e) t),
+        pd AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi
+               FROM dl GROUP BY dim),
+        params AS (SELECT list(lo ORDER BY dim) AS lo_a,
+                          list((hi - lo) / 255.0 ORDER BY dim) AS sc_a
+                   FROM pd),
+        codes AS (SELECT e.vec_id,
+                         list_transform(e.v, (x, i) -> CAST(least(greatest(
+                             round(CASE WHEN sc_a[i] = 0.0 THEN 0.0
+                                        ELSE (x - lo_a[i]) / sc_a[i] END, 0),
+                             0.0), 255.0) AS INTEGER)) AS c
+                  FROM e CROSS JOIN params),
+        rec AS (SELECT codes.vec_id,
+                       list_transform(c, (cd, i) ->
+                           lo_a[i] + CAST(cd AS DOUBLE) * sc_a[i]) AS rv
+                FROM codes CROSS JOIN params)"""
+
+
+# winnowing oracle body (mirrors dedup.winnow_fingerprints, k=4 w=4):
+# 1-based gram positions, hash60 as ('0x' || md5[:15])::BIGINT, per-
+# window rightmost-min via ROW_NUMBER ordered (h ASC, pos DESC), short
+# docs (< k words) hash their full text, empty docs drop out. Slices
+# match: Spark slice(toks, i, 4) = DuckDB t[i : i + 3], both truncate.
+_WINNOW_CTES = f"""toksw AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS t
+            FROM documents),
+        lens AS (SELECT doc_id, t, greatest(len(t) - 3, 1) AS ng
+                 FROM toksw WHERE len(t) > 0),
+        gpos AS (SELECT doc_id, t,
+                        CAST(unnest(generate_series(1, ng)) AS INTEGER) AS pos
+                 FROM lens),
+        grams AS (SELECT doc_id, pos,
+                         ('0x' || substr(md5(array_to_string(
+                              t[pos : pos + 3], ' ')), 1, 15))::BIGINT AS h
+                  FROM gpos),
+        wins AS (SELECT doc_id,
+                        unnest(generate_series(1, greatest(ng - 3, 1))) AS wj
+                 FROM lens),
+        sel AS (SELECT wn.doc_id, wn.wj, gr.pos, gr.h,
+                       ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.wj
+                                          ORDER BY gr.h ASC, gr.pos DESC) AS rn
+                FROM wins wn JOIN grams gr
+                     ON gr.doc_id = wn.doc_id
+                    AND gr.pos BETWEEN wn.wj AND wn.wj + 3),
+        wfp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1)"""
 
 
 def _drift_report_oracle(grid: int = 19) -> str:
@@ -3495,6 +3719,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, top_k=25),
+        "hybrid_rrf_search": _hybrid_rrf_oracle(
+            BM25_QUERY_TERMS, HYBRID_QUERY_VEC_ID, k_each=50, k0=60, top_k=10
+        ),
+        "ann_quantized_topk": f"""
+            WITH {_QUANT_CTES},
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                              ROUND(list_cosine_similarity(q.qv, r.rv), 6) AS sim
+                       FROM q JOIN rec r ON r.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored) t
+            WHERE rn <= 10
+        """,
+        "quantization_error_report": f"""
+            WITH {_QUANT_CTES},
+            errs AS (SELECT e.vec_id,
+                            unnest(list_transform(e.v,
+                                (x, i) -> {{'dim': i, 'val': abs(x - rec.rv[i])}}))
+                                AS u
+                     FROM e JOIN rec USING (vec_id))
+            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                   CAST(MAX(u.dim) AS INTEGER) AS n_dims,
+                   ROUND(MAX(u.val), 6) AS max_abs_err,
+                   ROUND(AVG(u.val), 6) AS mean_abs_err
+            FROM errs
+        """,
+        "ann_quantized_recall": f"""
+            WITH {_QUANT_CTES},
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            xsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.query_id),
+            xtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM xsc) t
+                     WHERE rn <= 10),
+            qsc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.qv, r.rv), 6) AS sim
+                    FROM q JOIN rec r ON r.vec_id <> q.query_id),
+            qtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM qsc) t
+                     WHERE rn <= 10),
+            hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                     FROM xtop JOIN qtop USING (query_id, neighbor_id)
+                     GROUP BY query_id)
+            SELECT q2.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+            FROM (SELECT DISTINCT query_id FROM xtop) q2
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "winnow_fingerprints": f"""
+            WITH {_WINNOW_CTES}
+            SELECT doc_id, pos, h AS fp FROM wfp
+        """,
+        "winnow_matches": f"""
+            WITH {_WINNOW_CTES},
+            fp2 AS (SELECT DISTINCT doc_id, h FROM wfp),
+            keep AS (SELECT h FROM fp2 GROUP BY h HAVING COUNT(*) <= 50),
+            fpk AS (SELECT f2.doc_id, f2.h FROM fp2 f2 JOIN keep USING (h))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_fps
+            FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        """,
         "bm25_batch_topk": _bm25_batch_oracle(BM25_BATCH_QUERIES, top_k=5),
         # the HLL estimate itself is engine-specific; the contract pins
         # the exact columns hash-exactly and the estimate to a ±15%

@@ -1137,3 +1137,145 @@ def corpus_diff(
     return o.join(n, id_col, "full_outer").select(
         F.col(id_col), status.alias("status")
     )
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003) ------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm):
+    ``(id_col, pos, fp)`` — the selected k-gram hashes with their
+    1-based gram positions.
+
+    Per doc: hash every word k-gram (``hash60`` — the corpus-wide 60-bit
+    md5 family), slide a window of ``w`` consecutive gram hashes, and
+    keep each window's minimum (RIGHTMOST minimum on ties — robust
+    winnowing, which minimizes fingerprint count), deduplicated. The
+    guarantee (Schleimer §2): any shared run of at least ``w + k - 1``
+    words between two documents shares at least one fingerprint, while
+    only ~``2/(w+1)`` of grams are retained — a LOCAL fingerprinting
+    scheme, unlike MinHash's whole-document signatures, so it powers
+    span-level match detection (:func:`winnow_matches`) the way
+    :func:`span_dedup` powers verbatim-inclusion cleanup.
+
+    Plan shape: entirely map-side (token array, gram-hash array, and
+    window-min selection are three staged projections — Catalyst does
+    not CSE across nested higher-order functions, CLAUDE.md), then one
+    ``explode_outer`` + explicit null filter (never an inner explode:
+    the optimizer would push the implied ``size > 0`` filter below the
+    projections and re-inline the whole array pipeline into a per-row
+    Filter). Window minima fold in O(G·w) per doc with constant w.
+    Docs shorter than ``k`` words contribute their full-text gram; empty
+    docs contribute nothing.
+    """
+    kk, ww = int(k), int(w)
+    staged = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
+        ).alias("_wn_toks"),
+    )
+    toks = F.col("_wn_toks")
+    n_grams = F.greatest(F.size(toks) - (kk - 1), F.lit(1))
+    staged = staged.select(
+        F.col(id_col),
+        F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, kk))),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_wn_gh"),
+    )
+    gh = F.col("_wn_gh")
+    n_wins = F.greatest(F.size(gh) - (ww - 1), F.lit(1))
+    # fold keeps <= so ties resolve to the RIGHTMOST minimal gram; the
+    # zero element (2^62, -1) is above every 60-bit hash
+    zero = F.struct(
+        F.lit(2**62).cast("bigint").alias("h"), F.lit(-1).cast("int").alias("p")
+    )
+
+    def _win_min(j):
+        return F.aggregate(
+            F.sequence(j, F.least(j + (ww - 1), F.size(gh))),
+            zero,
+            lambda acc, p: F.when(
+                F.element_at(gh, p) <= acc["h"],
+                F.struct(
+                    F.element_at(gh, p).alias("h"), p.cast("int").alias("p")
+                ),
+            ).otherwise(acc),
+        )
+
+    selected = staged.select(
+        F.col(id_col),
+        F.when(
+            F.size(gh) > 0,
+            F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), _win_min)),
+        )
+        .otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+        .alias("_wn_sel"),
+    )
+    ex = selected.select(F.col(id_col), F.explode_outer("_wn_sel").alias("s"))
+    return ex.filter(F.col("s").isNotNull()).select(
+        F.col(id_col),
+        F.col("s.p").alias("pos"),
+        F.col("s.h").alias("fp"),
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Cross-doc match candidates by shared winnowing fingerprints:
+    ``(doc_a, doc_b, shared_fps)`` for pairs sharing at least
+    ``min_shared`` distinct fingerprint hashes.
+
+    The join is FINGERPRINT-keyed (Σ per-hash doc-count², never
+    all-pairs), with the standard hot-key cap: hashes present in more
+    than ``max_fp_docs`` documents are boilerplate (headers, licenses)
+    and are dropped before the self-join — the same knob as
+    ``lsh_candidate_pairs.max_bucket_size`` and the hot-shingle cap, and
+    the reason this scales: the cap bounds every hash's contribution at
+    ``max_fp_docs²`` pairs regardless of corpus size. By Schleimer's
+    guarantee a pair sharing a ≥ ``w + k - 1``-word run shares a
+    fingerprint, so capped-hash misses are boilerplate by construction,
+    not content.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= int(max_fp_docs))
+        .select("fp")
+    )
+    fps = fps.join(keep, on="fp", how="left_semi")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
+    )

@@ -1425,3 +1425,192 @@ def pca_project_components(
         *[F.col(str(k)).alias(f"{prefix}{int(k) + 1}") for k in ks],
     )
     return renamed
+
+
+# --- scalar (int8-style) embedding quantization -------------------------------
+
+
+def fit_quantizer(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_levels: int = 255,
+) -> DataFrame:
+    """Fit a per-dimension affine scalar quantizer: ONE row
+    ``(lo: array<double>, scale: array<double>, n_levels)``.
+
+    ``lo[d]``/``hi[d]`` are the exact per-dimension min/max over the fit
+    corpus (a posexplode → per-dim aggregate — the shuffle is DIM-sized,
+    like the PCA passes); ``scale[d] = (hi[d] - lo[d]) / n_levels``
+    (0.0 for constant dimensions — handled at encode/decode). The params
+    row is broadcast wherever it is used; at 100 TB it persists next to
+    the codes table like the IVF/BM25 index artifacts
+    (``sources.promote.promote_swap``), and — like IVF centroids — stays
+    FIXED as the corpus extends, so encode is map-side incremental and a
+    refit is a deliberate separate act when the distribution drifts.
+
+    Everything here is exact float arithmetic (min/max picks existing
+    values, one IEEE subtraction + division) — no rounding needed for
+    engine parity.
+    """
+    lf = corpus.select(
+        F.posexplode(_dbl(vec_col)).alias("dim", "val")
+    )
+    per_dim = lf.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    return per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("lo")))
+        ).alias("__l"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("hi")))
+        ).alias("__h"),
+    ).select(
+        F.transform(F.col("__l"), lambda s: s["lo"]).alias("lo"),
+        F.zip_with(
+            F.col("__h"),
+            F.col("__l"),
+            lambda h, l: (h["hi"] - l["lo"]) / F.lit(float(n_levels)),
+        ).alias("scale"),
+        F.lit(int(n_levels)).alias("n_levels"),
+    )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to integer codes: ``(id, codes: array<int>)``.
+
+    ``codes[d] = clamp(round((x[d] - lo[d]) / scale[d]), 0, n_levels)``
+    — Spark HALF_UP and DuckDB round() agree because the operand is
+    non-negative for in-range values and out-of-range values saturate at
+    the clamp. Constant dims (scale 0) encode as 0. Pure map-side over a
+    broadcast params row: the 100 TB memory lever — int8 codes are 4×
+    smaller than float32 (8× vs double), which is the difference between
+    an in-memory and a spilled ANN serve.
+    """
+    q = vectors.crossJoin(F.broadcast(params))
+    codes = F.expr(
+        """
+        transform({v}, (x, i) -> CAST(least(greatest(round(
+            CASE WHEN element_at(scale, i + 1) = 0.0 THEN 0.0
+                 ELSE (CAST(x AS DOUBLE) - element_at(lo, i + 1))
+                      / element_at(scale, i + 1) END,
+            0), 0.0), CAST(n_levels AS DOUBLE)) AS INT))
+        """.format(v=vec_col)
+    )
+    return q.select(F.col(id_col), codes.alias("codes"))
+
+
+def dequantize_codes(
+    codes: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    out_col: str = "recv",
+) -> DataFrame:
+    """Reconstruct ``x̂[d] = lo[d] + codes[d] * scale[d]`` (exact IEEE:
+    one multiply + one add per element). Map-side over broadcast params."""
+    d = codes.crossJoin(F.broadcast(params))
+    rec = F.expr(
+        f"""
+        transform({codes_col}, (c, i) ->
+            element_at(lo, i + 1)
+            + CAST(c AS DOUBLE) * element_at(scale, i + 1))
+        """
+    )
+    return d.select(F.col(id_col), rec.alias(out_col))
+
+
+def quantized_cosine_topk(
+    codes: DataFrame,
+    params: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Serve cosine top-k against the QUANTIZED corpus: full-precision
+    queries score against reconstructed corpus vectors
+    (asymmetric distance computation, the standard SQ serve). Output
+    schema matches :func:`cosine_topk` — ``(query_id, neighbor_id, sim)``
+    with the sim computed on reconstructed values, rounded, id-tiebreak.
+
+    Same brute scan shape as ``cosine_topk`` (guarded on the query
+    side); composes with IVF by quantizing each cell's codes — the
+    reconstruction is a per-row map, so any serve path can adopt it.
+    """
+    guard_quadratic(
+        queries, "quantized_cosine_topk",
+        "ivf_topk over quantized cells (reconstruction is map-side)",
+        allow_quadratic,
+    )
+    rec = dequantize_codes(codes, params, id_col=id_col)
+    c = ensure_parallelism(rec).select(
+        F.col(id_col).alias("neighbor_id"), F.col("recv").alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dbl(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                round_to,
+            ),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def quantization_error_report(
+    vectors: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row QA report for a fitted quantizer over a corpus:
+    ``(n_vecs, n_dims, max_abs_err, mean_abs_err)`` (errors rounded).
+
+    The acceptance gate before swapping a serve path to codes — the
+    numeric analogue of the IVF recall probe. Element errors come from
+    an encode→decode round trip computed in one map-side projection;
+    the aggregate is a single pass (max + avg over exploded elements).
+    """
+    codes = quantize_embeddings(vectors, params, id_col, vec_col)
+    rec = dequantize_codes(codes, params, id_col=id_col)
+    err = (
+        vectors.select(F.col(id_col), _dbl(vec_col).alias("v"))
+        .join(rec, on=id_col)
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col("v"), F.col("recv"), lambda a, b: F.abs(a - b)
+            ).alias("e"),
+        )
+    )
+    lf = err.select(F.col(id_col), F.posexplode_outer("e").alias("dim", "ae"))
+    return lf.agg(
+        F.count_distinct(F.col(id_col)).alias("n_vecs"),
+        (F.max("dim") + F.lit(1)).cast("int").alias("n_dims"),
+        F.round(F.max("ae"), round_to).alias("max_abs_err"),
+        F.round(F.avg("ae"), round_to).alias("mean_abs_err"),
+    )

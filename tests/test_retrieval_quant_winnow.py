@@ -1,0 +1,262 @@
+"""Round-7 batch 2: RRF fusion, scalar quantization, winnowing."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    retrieval as R,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    similarity as S,
+)
+
+VEC_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+# --- RRF fusion --------------------------------------------------------------
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, rank int")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = _ranked(spark, [(10, 1), (20, 2)])
+    b = _ranked(spark, [(20, 1), (30, 2)])
+    out = {
+        r["doc_id"]: r
+        for r in R.rrf_fuse(
+            [("a", a), ("b", b)], id_col="doc_id", k0=60
+        ).collect()
+    }
+    assert out[20]["rrf_score"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9
+    )
+    # single-list docs: the absent list contributes exactly 0.0
+    assert out[10]["rrf_score"] == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert out[30]["rrf_score"] == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    assert out[10]["b_rank"] is None and out[30]["a_rank"] is None
+
+
+def test_rrf_fuse_topk_cut_is_deterministic(spark):
+    # 10 and 30 tie exactly (rank 3 in one list each) -> id breaks it
+    a = _ranked(spark, [(10, 3)])
+    b = _ranked(spark, [(30, 3)])
+    out = R.rrf_fuse([("a", a), ("b", b)], id_col="doc_id", top_k=1).collect()
+    assert [r["doc_id"] for r in out] == [10]
+
+
+def test_rrf_fuse_rejects_bad_input(spark):
+    a = _ranked(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        R.rrf_fuse([], id_col="doc_id")
+    with pytest.raises(ValueError):
+        R.rrf_fuse([("x", a), ("x", a)], id_col="doc_id")
+
+
+def test_rank_list_orders_on_rounded_score_with_id_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.5)], "doc_id bigint, s double"
+    )
+    out = {r["doc_id"]: r["rank"] for r in R.rank_list(df, "s", "doc_id").collect()}
+    assert out == {2: 1, 1: 2, 3: 3}
+
+
+def test_hybrid_rrf_search_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join spark join stream"),
+            (1, "vector stream vector"),
+            (2, "nothing relevant here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (7, [1.0, 0.05])],
+        VEC_SCHEMA,
+    )
+    out = R.hybrid_rrf_search(
+        docs, emb, ["spark", "join", "vector", "stream"], query_vec_id=7,
+        k_each=3, top_k=4,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "rrf_score", "lex_rank", "sem_rank"}
+    # doc 0: lexical rank 1 AND semantically nearest to vec 7
+    assert rows[0]["lex_rank"] == 1 and rows[0]["sem_rank"] == 1
+    # doc 2 matches nothing lexically relevant but is still in the sem list
+    assert rows[2]["sem_rank"] is not None
+    # fused ordering puts the dual-list doc first
+    top = max(rows.values(), key=lambda r: r["rrf_score"])
+    assert top["doc_id"] == 0
+
+
+# --- scalar quantization -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qvecs(spark):
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 1.0, 5.0]),
+        (2, [0.25, 0.5, 5.0]),
+        (3, [0.75, -0.5, 5.0]),
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_quantizer_params_shape(spark, qvecs):
+    p = S.fit_quantizer(qvecs).collect()[0]
+    assert p["lo"] == [0.0, -1.0, 5.0]
+    assert p["scale"][0] == pytest.approx(1.0 / 255)
+    assert p["scale"][2] == 0.0  # constant dim
+
+
+def test_quantize_roundtrip_error_bounded(spark, qvecs):
+    p = S.fit_quantizer(qvecs)
+    rep = S.quantization_error_report(qvecs, p).collect()[0]
+    assert rep["n_vecs"] == 4 and rep["n_dims"] == 3
+    # error is bounded by half the largest step (scale 2/255 on dim 1)
+    assert rep["max_abs_err"] <= (2.0 / 255) / 2 + 1e-9
+    # constant dim reconstructs exactly -> mean err strictly below max
+    assert rep["mean_abs_err"] <= rep["max_abs_err"]
+
+
+def test_quantize_codes_range_and_constant_dim(spark, qvecs):
+    p = S.fit_quantizer(qvecs)
+    codes = {r["vec_id"]: r["codes"] for r in
+             S.quantize_embeddings(qvecs, p).collect()}
+    for c in codes.values():
+        assert all(0 <= x <= 255 for x in c)
+    assert all(c[2] == 0 for c in codes.values())  # constant dim -> 0
+    assert codes[0][:2] == [0, 0] and codes[1][:2] == [255, 255]
+
+
+def test_quantize_out_of_fit_range_saturates(spark, qvecs):
+    p = S.fit_quantizer(qvecs)
+    out = spark.createDataFrame([(9, [-5.0, 9.0, 5.0])], VEC_SCHEMA)
+    c = S.quantize_embeddings(out, p).collect()[0]["codes"]
+    assert c == [0, 255, 0]
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    # well-separated directions: int8 noise cannot flip the ranking
+    rows = [(i, [float(i == j) + 0.01 * j for j in range(4)]) for i in range(8)]
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    p = S.fit_quantizer(vecs)
+    codes = S.quantize_embeddings(vecs, p)
+    qs = vecs.filter(F.col("vec_id") < 2)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(vecs, qs, k=3).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in S.quantized_cosine_topk(codes, p, qs, k=3).collect()}
+    assert exact == quant
+
+
+def test_quantized_serve_has_no_python_stage(spark, qvecs):
+    p = S.fit_quantizer(qvecs)
+    codes = S.quantize_embeddings(qvecs, p)
+    plan = S.quantized_cosine_topk(
+        codes, p, qvecs.filter(F.col("vec_id") == 0), k=2
+    )
+    ex = plan._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ex and "InPandas" not in ex
+
+
+# --- winnowing ---------------------------------------------------------------
+
+
+def _py_winnow(text, k=4, w=4):
+    """Independent reference implementation (1-based positions)."""
+    toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+    if not toks:
+        return set()
+    n_grams = max(len(toks) - (k - 1), 1)
+    ghs = [
+        int(
+            hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16
+        )
+        for i in range(n_grams)
+    ]
+    sel = set()
+    for j in range(max(n_grams - (w - 1), 1)):
+        best_p, best_h = -1, 1 << 62
+        for off, h in enumerate(ghs[j:j + w]):
+            if h <= best_h:
+                best_h, best_p = h, j + off
+        sel.add((best_p + 1, best_h))
+    return sel
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "short one"),
+        (2, "a b a b a b a b a b a b"),  # heavy gram repetition -> ties
+        (3, None),
+        (4, ""),
+        (5, "one two three four"),  # exactly k words -> 1 gram
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {}
+    for r in D.winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts:
+        expect = _py_winnow(text)
+        assert got.get(doc_id, set()) == expect, f"doc {doc_id}"
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # docs share a 7-word run (= w + k - 1) embedded in different prefixes
+    run = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(0, "xx yy " + run + " zz"), (1, "completely different start " + run)],
+        "doc_id bigint, text string",
+    )
+    fps = D.winnow_fingerprints(df, k=4, w=4)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 0).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    assert a & b
+
+
+def test_winnow_matches_pairs_and_hot_cap(spark):
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"doc number {i} says " + run) for i in range(5)]
+    rows.append((9, "nothing in common with anything else at all here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.winnow_matches(df, min_shared=1, max_fp_docs=10).collect()
+    }
+    assert (0, 1) in pairs and (3, 4) in pairs
+    assert not any(9 in p for p in pairs)
+    # cap below the sharing degree: every shared fp is "hot" -> no pairs
+    capped = D.winnow_matches(df, min_shared=1, max_fp_docs=3)
+    assert capped.count() == 0
+
+
+def test_winnow_plan_is_map_side_with_single_tokenize(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = D.winnow_fingerprints(docs)
+    ex = plan._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    # staged projections hold: tokenize once, hash pipeline not re-inlined
+    # into a pushed-down filter (the span_dedup regression, CLAUDE.md)
+    assert ex.count("regexp_extract_all") == 1
