@@ -1175,7 +1175,9 @@ def winnow_fingerprints(
     docs contribute nothing.
     """
     kk, ww = int(k), int(w)
-    staged = df.select(
+    # the O(G·w) hash/fold stage is compute-heavy: fan a small
+    # single-split input out first (plan-size triggered, no-op at scale)
+    staged = ensure_parallelism(df).select(
         F.col(id_col),
         F.regexp_extract_all(
             F.lower(F.coalesce(F.col(text_col), F.lit(""))),
@@ -1263,18 +1265,36 @@ def winnow_matches(
         .select(F.col(id_col), F.col("fp"))
         .distinct()
     )
-    keep = (
+    # one hash-keyed aggregation instead of count + semi-join + self-join:
+    # each hash's (sorted, capped) doc list emits its pairs map-side — the
+    # fingerprint pipeline runs ONCE (the naive self-join re-ran the scan
+    # + tokenize per plan reference: 4 scans / 7 exchanges vs 1 / 3), and
+    # the Σ bucket² work is bounded by max_fp_docs² per hash
+    buckets = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") <= int(max_fp_docs))
-        .select("fp")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_docs"))
+        .filter(
+            (F.size("_docs") >= 2) & (F.size("_docs") <= int(max_fp_docs))
+        )
     )
-    fps = fps.join(keep, on="fp", how="left_semi")
-    a = fps.select(F.col("fp"), F.col(id_col).alias("doc_a"))
-    b = fps.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    docs_a = F.col("_docs")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(docs_a) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(docs_a)),
+                lambda j: F.struct(
+                    F.element_at(docs_a, i).alias("doc_a"),
+                    F.element_at(docs_a, j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    exploded = buckets.select(F.explode_outer(pair_arr).alias("_p")).filter(
+        F.col("_p").isNotNull()
+    )
     return (
-        a.join(b, on="fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        exploded.select(F.col("_p.doc_a"), F.col("_p.doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))

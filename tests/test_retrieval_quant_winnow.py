@@ -252,6 +252,21 @@ def test_winnow_matches_pairs_and_hot_cap(spark):
     assert capped.count() == 0
 
 
+def test_winnow_matches_plan_single_scan_three_shuffles(spark, sf_dir):
+    # the bucket pair-generation shape: the fingerprint pipeline runs
+    # ONCE (the naive self-join re-ran scan+tokenize per reference —
+    # 4 scans / 7 exchanges) and shuffles only on (doc,fp) / fp / pair
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.bucketing import (
+        count_exchanges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = D.winnow_matches(docs)
+    ex = plan._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("regexp_extract_all") == 1
+    assert count_exchanges(plan) <= 3
+
+
 def test_winnow_plan_is_map_side_with_single_tokenize(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = D.winnow_fingerprints(docs)
