@@ -306,3 +306,120 @@ def hll_estimate_grouped(sketch: DataFrame, group_col: str, p: int = 9) -> DataF
         zeros.alias("zero_registers"),
         F.round(corrected, 6).alias("estimate"),
     )
+
+
+# --- Bloom filter (Bloom 1970, CACM 13(7)) -----------------------------------
+#
+# The membership member of the sketch shelf (CMS = frequency, HLL =
+# cardinality, Bloom = set membership): a fixed m-bit array answering
+# "possibly present" (with bounded false-positive rate ~ (1-e^{-kn/m})^k)
+# or "definitely absent" — no false negatives. At 100 TB this is the
+# decontamination / intake prefilter: a benchmark or blocklist key set
+# becomes a few-KB bit table broadcast to every executor, and only
+# flagged rows pay the exact verification join.
+#
+# Representation: 60 bits per BIGINT word — rows ``(word_idx, bits)``,
+# at most ceil(m/60) of them. 60 (not 64) keeps every word positive and
+# every shift exact in BOTH engines (the hash60/shiftright rule from the
+# parity kit: never touch the sign bit). Bit positions are the seeded
+# md5 family ``('0x' || substr(md5('bf<j>|' || key), 1, 15))::BIGINT % m``
+# — the _cms_slot recipe, so the whole bit table is oracle-reproducible.
+
+BLOOM_WORD_BITS = 60
+
+
+def _bloom_pos(key: Column, j: int, m_bits: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{j}|"), key)), 1, 15), 16, 10
+        ).cast("bigint")
+        % F.lit(m_bits)
+    )
+
+
+def bloom_filter(
+    df: DataFrame, key_col: str, m_bits: int = 1024, k_hashes: int = 3
+) -> DataFrame:
+    """Build the filter: ``(word_idx, bits)`` — one map-side expansion
+    by ``k_hashes`` (constant), one keyed shuffle whose output is at
+    most ``ceil(m_bits/60)`` rows with map-side ``bit_or`` partials (hot
+    keys collapse before the exchange; duplicate inserts are free
+    because OR is idempotent). NULL keys are ignored (the CMS/HLL
+    convention). Size guidance: ``m ≈ 10·n`` bits with ``k = 7`` gives
+    ~1% FP; the contract query deliberately undersizes to exercise the
+    FP arithmetic."""
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError("m_bits and k_hashes must be >= 1")
+    key = F.col(key_col).cast("string")
+    pos = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(*[_bloom_pos(key, j, m_bits) for j in range(k_hashes)])
+        ).alias("_pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"_pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            (F.col("_pos") % BLOOM_WORD_BITS).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m_bits, k_hashes): word-wise
+    OR — union + one keyed shuffle over ≤ ceil(m/60) rows. Exactly the
+    filter a single build over the unioned keys produces (OR is
+    associative/commutative/idempotent; pinned by test)."""
+    if not filters:
+        raise ValueError("bloom_merge: no filters")
+    out = filters[0]
+    for s in filters[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Probe distinct non-null keys: ``(key_col, maybe_present)``.
+
+    Each key expands to its ``k`` (word, bit) positions map-side; the
+    filter — ≤ ceil(m/60) rows — broadcasts to the join, and a key is
+    flagged iff EVERY position's bit is set (a missing word row reads
+    as all-zero via coalesce). One broadcast join + one keyed
+    ``bool_and``; the probed table is never shuffled by content."""
+    key = F.col(key_col).cast("string")
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col), key.alias("_k"))
+        .distinct()
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("_k"), j, m_bits) for j in range(k_hashes)]
+                )
+            ).alias("_pos"),
+        )
+        .select(
+            F.col(key_col),
+            F.expr(f"_pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            (F.col("_pos") % BLOOM_WORD_BITS).alias("_bit"),
+        )
+    )
+    joined = pos.join(F.broadcast(bloom), on="word_idx", how="left")
+    hit = F.expr(
+        "(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(_bit AS INT)) & 1) = 1"
+    )
+    return joined.groupBy(key_col).agg(
+        F.bool_and(hit).alias("maybe_present")
+    )

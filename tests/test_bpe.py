@@ -254,3 +254,63 @@ def test_bpe_encode_sequences_and_oov_fallback(spark):
     counts = {r["doc_id"]: r["n_bpe_tokens"]
               for r in B.bpe_segment(docs, seg).collect()}
     assert counts[1] == len(got[1]) and counts[2] == len(got[2])
+
+
+# --- Bloom filter laws -------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_some_structure(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(40)], ["k"])
+    ins = keys.filter("k % 2 = 0")
+    bf = SK.bloom_filter(ins, "k", m_bits=300, k_hashes=3)
+    probed = {r["k"]: r["maybe_present"]
+              for r in SK.bloom_probe(keys, "k", bf, 300, 3).collect()}
+    # definitional guarantee: every inserted key is flagged
+    assert all(probed[i] for i in range(0, 40, 2))
+    # at this sizing (20 keys, 300 bits, k=3) some absent key must be clean
+    assert not all(probed[i] for i in range(1, 40, 2))
+    # word table is bounded and positive (60-bit packing, no sign bit)
+    words = bf.collect()
+    assert len(words) <= 5 and all(r["bits"] > 0 for r in words)
+
+
+def test_bloom_merge_law_exact(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(15)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(10, 30)], ["k"])
+    both = a.unionByName(b)
+    merged = {(r["word_idx"], r["bits"]) for r in
+              SK.bloom_merge(
+                  SK.bloom_filter(a, "k", 240, 3),
+                  SK.bloom_filter(b, "k", 240, 3),
+              ).collect()}
+    direct = {(r["word_idx"], r["bits"]) for r in
+              SK.bloom_filter(both, "k", 240, 3).collect()}
+    assert merged == direct  # OR is associative/idempotent: bit-identical
+
+
+def test_bloom_null_keys_ignored_and_empty_probe(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k int")
+    bf = SK.bloom_filter(keys, "k", m_bits=120, k_hashes=2)
+    direct = SK.bloom_filter(keys.where("k IS NOT NULL"), "k", 120, 2)
+    assert {tuple(r) for r in bf.collect()} == {tuple(r) for r in direct.collect()}
+    # probing against an EMPTY filter: everything definitely absent
+    empty = SK.bloom_filter(keys.where("k < 0"), "k", 120, 2)
+    out = SK.bloom_probe(keys, "k", empty, 120, 2).collect()
+    assert len(out) == 2 and not any(r["maybe_present"] for r in out)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SK.bloom_filter(keys, "k", m_bits=0)
+    with _pt.raises(ValueError):
+        SK.bloom_merge()
