@@ -201,3 +201,62 @@ def read_cms_state(spark: SparkSession, work_dir: str) -> DataFrame:
         .groupBy("row", "slot")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# --- Bloom twin: streaming membership state --------------------------------
+#
+# Same epoch-dir layout. Safety story matches HLL, not CMS: word-wise
+# OR is idempotent, so a replayed epoch is harmless through BOTH the
+# layout (overwrite-own-dir) and the merge law. The live use: a
+# continuously-extended blocklist/benchmark key set whose compact bit
+# table any intake job can read and broadcast as a prefilter.
+
+_BLOOM_SCHEMA = "word_idx bigint, bits bigint"
+
+
+def make_bloom_batch_fn(
+    work_dir: str, key_col: str, m_bits: int = 1024, k_hashes: int = 3
+):
+    from ..operators.sketches import bloom_filter
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_filter(batch_df, key_col, m_bits, k_hashes).write.mode(
+            "overwrite"
+        ).parquet(f"{work_dir}/bloom/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_bloom(
+    stream_df: DataFrame,
+    work_dir: str,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live Bloom filter over a stream: per epoch one
+    ``bloom_filter`` over the batch (≤ ceil(m/60) rows written),
+    state size independent of stream length."""
+    return run_incremental(
+        stream_df,
+        make_bloom_batch_fn(work_dir, key_col, m_bits, k_hashes),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_bloom_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Merged filter across every committed epoch (word-wise OR — the
+    ``bloom_merge`` law). Empty-but-valid before the first commit."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/bloom")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _BLOOM_SCHEMA)
+    return (
+        spark.read.schema(_BLOOM_SCHEMA)
+        .parquet(f"{work_dir}/bloom")
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

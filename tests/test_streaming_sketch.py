@@ -147,3 +147,58 @@ def test_streaming_cms_matches_batch_and_replay(spark, workdir, tmp_path):
                         64, 3).collect()}
     true0 = whole.filter(F.col("user_id") == 0).count()
     assert est[0] >= true0
+
+
+def test_streaming_bloom_matches_batch_and_replay(spark, workdir, tmp_path):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bloom_filter,
+        bloom_probe,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_bloom_batch_fn,
+        read_bloom_state,
+        streaming_bloom,
+    )
+
+    src = str(tmp_path / "bsrc")
+    b0 = _events(spark, 0, 300, 7)
+    b1 = _events(spark, 300, 600, 13)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_bloom(stream, workdir, "user_id", m_bits=240, k_hashes=3
+                    ).awaitTermination(180)
+
+    whole = b0.unionByName(b1)
+    batch = {(r["word_idx"], r["bits"]) for r in
+             bloom_filter(whole, "user_id", 240, 3).collect()}
+    streamed = {(r["word_idx"], r["bits"]) for r in
+                read_bloom_state(spark, workdir).collect()}
+    assert streamed == batch  # OR merge across epochs ≡ one batch build
+
+    # doubly replay-safe: layout (overwrite own dir) AND OR idempotency
+    fn = make_bloom_batch_fn(workdir, "user_id", 240, 3)
+    fn(b0, 0)
+    again = {(r["word_idx"], r["bits"]) for r in
+             read_bloom_state(spark, workdir).collect()}
+    assert again == batch
+
+    # live state serves probes with no false negatives
+    seen = spark.createDataFrame([(i,) for i in range(13)], ["user_id"])
+    probed = bloom_probe(seen, "user_id",
+                         read_bloom_state(spark, workdir), 240, 3)
+    assert all(r["maybe_present"] for r in probed.collect())
+
+
+def test_read_bloom_state_empty_is_valid(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        read_bloom_state,
+    )
+
+    df = read_bloom_state(spark, workdir)
+    assert df.count() == 0
+    assert df.columns == ["word_idx", "bits"]
