@@ -1452,6 +1452,26 @@ def q_bloom_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (orders ⋉ rich customers): the small
+    side's keys become a ≤ 18-word literal bit array tested per fact
+    row BEFORE the join shuffle; no false negatives makes the prefilter
+    semantically transparent, so the oracle is the PLAIN semi-join —
+    result identity is the correctness contract. The explicit,
+    deterministic form of a runtime join filter (cuts ~90% of the fact
+    side here before any exchange)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    out = SK.bloom_semi_join(
+        orders, "o_custkey", cust, "c_custkey", m_bits=1024, k_hashes=3
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition of the corpus by self-LM score
     tertiles (arXiv:1911.00359): the standard 'keep the fluent two
@@ -2364,7 +2384,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # fingerprints + fingerprint-keyed match candidates
     "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
     "ann_quantized_recall", "winnow_fingerprints", "winnow_matches",
-    "bloom_user_filter", "bloom_filter_report",
+    "bloom_user_filter", "bloom_filter_report", "orders_bloom_semi",
     # new in round 7: batch BM25 serving (query TABLE against the
     # index, one postings pass), the HLL profiling swap with an exact
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
@@ -2401,11 +2421,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20",
+    "tpch_q16", "tpch_q17", "tpch_q19",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
-    # training_prep_rollup, tpch_q21, tpch_q22
+    # training_prep_rollup, tpch_q20, tpch_q21, tpch_q22
 ]
 
 
@@ -2461,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": q_winnow_matches,
         "bloom_user_filter": q_bloom_user_filter,
         "bloom_filter_report": q_bloom_filter_report,
+        "orders_bloom_semi": q_orders_bloom_semi,
         "bm25_batch_topk": q_bm25_batch_topk,
         "orders_profile_hll": q_orders_profile_hll,
         "order_gap_days": q_order_gap_days,
@@ -3883,6 +3904,12 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"""
             WITH {_WINNOW_CTES}
             SELECT doc_id, pos, h AS fp FROM wfp
+        """,
+        "orders_bloom_semi": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o
+            WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_acctbal > 9000)
         """,
         "bloom_user_filter": f"""
             WITH {_bloom_ctes(BLOOM_M_BITS, BLOOM_K)}

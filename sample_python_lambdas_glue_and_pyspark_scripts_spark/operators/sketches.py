@@ -423,3 +423,53 @@ def bloom_probe(
     return joined.groupBy(key_col).agg(
         F.bool_and(hit).alias("maybe_present")
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join ``big ⋉ small`` with an explicit Bloom prefilter.
+
+    The small side's keys build a filter whose ≤ ``ceil(m/60)`` words
+    are collected into a LITERAL array (bounded by ``m_bits`` at build
+    time — the broadcast-offsets allowance, never data-sized) so the
+    definitely-absent test runs per-row, map-side, BEFORE the join
+    shuffle; survivors then pay the exact ``left_semi``. Because Bloom
+    has no false negatives the result EQUALS the plain semi-join — the
+    prefilter is semantically transparent (that identity IS the
+    contract oracle) and exists to cut the big side's shuffle volume
+    when most of it does not match. Spark's AQE runtime filters are the
+    implicit cousin; this form is deterministic, oracle-checkable, and
+    works where the planner declines (non-equi pipelines, pre-shuffle
+    UDF stages).
+
+    At 100 TB: ~10 bits per small-side key keeps the word array a few
+    hundred KB for tens of millions of keys — shipped once per executor
+    as an expression literal — while dropping the bulk of non-matching
+    fact rows before they shuffle.
+    """
+    bloom_rows = bloom_filter(small, small_key, m_bits, k_hashes).collect()
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    words = [0] * n_words
+    for r in bloom_rows:
+        words[int(r["word_idx"])] = int(r["bits"])
+    words_lit = F.array(*[F.lit(w).cast("bigint") for w in words])
+    key = F.col(big_key).cast("string")
+    # positions materialized in their own projection (nested-HOF CSE rule)
+    staged = big.withColumn(
+        "_bf_pos",
+        F.array(*[_bloom_pos(key, j, m_bits) for j in range(k_hashes)]),
+    ).withColumn("_bf_words", words_lit)
+    hit = F.expr(
+        f"forall(_bf_pos, p -> (shiftright(element_at(_bf_words, "
+        f"CAST(p div {BLOOM_WORD_BITS} AS INT) + 1), "
+        f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
+    )
+    pre = staged.filter(hit).drop("_bf_pos", "_bf_words")
+    right = small.select(F.col(small_key).alias(big_key)).distinct()
+    return pre.join(right, on=big_key, how="left_semi")

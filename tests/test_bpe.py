@@ -314,3 +314,45 @@ def test_bloom_null_keys_ignored_and_empty_probe(spark):
         SK.bloom_filter(keys, "k", m_bits=0)
     with _pt.raises(ValueError):
         SK.bloom_merge()
+
+
+def test_bloom_semi_join_transparent_and_selective(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_acctbal > 9000"
+    )
+    out = SK.bloom_semi_join(
+        orders, "o_custkey", cust, "c_custkey", m_bits=1024, k_hashes=3
+    )
+    plain = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    assert sorted(r["o_orderkey"] for r in out.collect()) == sorted(
+        r["o_orderkey"] for r in plain.collect()
+    )
+    # the prefilter itself must drop most non-matching fact rows BEFORE
+    # the join: rebuild just the filter stage and measure selectivity
+    rows = SK.bloom_filter(cust, "c_custkey", 1024, 3).collect()
+    words = [0] * 18
+    for r in rows:
+        words[int(r["word_idx"])] = int(r["bits"])
+    key = F.col("o_custkey").cast("string")
+    staged = orders.withColumn(
+        "_bf_pos", F.array(*[SK._bloom_pos(key, j, 1024) for j in range(3)])
+    ).withColumn("_bf_words", F.array(*[F.lit(w).cast("bigint") for w in words]))
+    pre_n = staged.filter(
+        F.expr(
+            "forall(_bf_pos, p -> (shiftright(element_at(_bf_words, "
+            "CAST(p div 60 AS INT) + 1), CAST(p % 60 AS INT)) & 1) = 1)"
+        )
+    ).count()
+    exact_n = plain.count()
+    assert exact_n <= pre_n < orders.count() * 0.7
