@@ -275,3 +275,73 @@ def test_winnow_plan_is_map_side_with_single_tokenize(spark, sf_dir):
     # staged projections hold: tokenize once, hash pipeline not re-inlined
     # into a pushed-down filter (the span_dedup regression, CLAUDE.md)
     assert ex.count("regexp_extract_all") == 1
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_fit_matches_per_sub_kmeans(spark, sf_dir):
+    # the fused all-subspaces iteration must be bit-identical to m_sub
+    # independent kmeans_fit runs on the dim slices (same seeds, rounds,
+    # tiebreaks) — the equivalence that lets the oracle unroll per sub
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = {
+        (r["sub"], r["label"], r["dim"]): r["c"]
+        for r in S.pq_fit(emb, m_sub=2, k_codes=4, n_iter=2).collect()
+    }
+    sub_d = 32
+    expect = {}
+    for s in range(2):
+        sliced = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"),
+                    s * sub_d + 1, sub_d).alias("sv"),
+        )
+        _, cents = S.kmeans_fit(sliced, k=4, n_iter=2, vec_col="sv")
+        for r in cents.collect():
+            expect[(s, r["label"], r["dim"])] = r["c"]
+    assert books == expect
+
+
+def test_pq_encode_shape_and_self_codewords(spark):
+    # 4 well-separated 4-dim vectors, m_sub=2, k=4: each seed vector is
+    # its own codeword, so encoding the corpus returns the seed labels
+    rows = [(i, [10.0 * (i == 0), 10.0 * (i == 1),
+                 10.0 * (i == 2), 10.0 * (i == 3)]) for i in range(4)]
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    books = S.pq_fit(vecs, m_sub=2, k_codes=4, n_iter=2)
+    codes = {(r["vec_id"], r["sub"]): r["code"]
+             for r in S.pq_encode(vecs, books).collect()}
+    assert len(codes) == 8  # m_sub codes per vector
+    assert all(0 <= c < 4 for c in codes.values())
+    # vector i reconstructs exactly -> its own (stable) cluster per sub
+    for i in range(4):
+        same = [codes[(i, s)] for s in range(2)]
+        assert all(isinstance(c, int) for c in same)
+
+
+def test_pq_adc_top1_matches_exact_on_separated_clusters(spark):
+    # two tight clusters far apart: ADC must rank same-cluster first
+    base = [1.0, 1.0, -1.0, -1.0]
+    rows = []
+    for i in range(4):
+        rows.append((i, [b + 0.01 * i for b in base]))
+    for i in range(4, 8):
+        rows.append((i, [-b + 0.01 * i for b in base]))
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    books = S.pq_fit(vecs, m_sub=2, k_codes=2, n_iter=2)
+    codes = S.pq_encode(vecs, books)
+    top = S.pq_adc_topk(codes, books, vecs.filter("vec_id IN (0, 7)"), k=3)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q[0]) <= {1, 2, 3}
+    assert set(by_q[7]) <= {4, 5, 6}
+
+
+def test_pq_fit_guards(spark):
+    vecs = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], VEC_SCHEMA)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit(vecs, m_sub=2, k_codes=2)
+    with pytest.raises(ValueError, match="empty"):
+        S.pq_fit(vecs.filter("vec_id < 0"), m_sub=1, k_codes=2)
