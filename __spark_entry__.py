@@ -1249,6 +1249,26 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serve (the industry-standard ANN stack composed from the
+    two proven halves): queries probe their 2 nearest of 4 IVF cells to
+    bound WHICH candidates score, PQ/ADC lookup-table sums bound WHAT
+    each candidate costs. Global codebooks (IVF-Flat-PQ; residual
+    encoding is the documented recall upgrade). Both the cell
+    assignment and the full per-sub codebook chain unroll into the
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        k=10,
+        ncells=4,
+        nprobe=2,
+        m_sub=PQ_M_SUB,
+        k_codes=PQ_K_CODES,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SM.cosine_pairs(emb, threshold=0.4)
@@ -2428,7 +2448,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
     "ann_quantized_recall", "winnow_fingerprints", "winnow_matches",
     "bloom_user_filter", "bloom_filter_report", "orders_bloom_semi",
-    "pq_codebooks", "pq_codes", "ann_pq_topk",
+    "pq_codebooks", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
     # new in round 7: batch BM25 serving (query TABLE against the
     # index, one postings pass), the HLL profiling swap with an exact
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
@@ -2464,12 +2484,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
-    # training_prep_rollup, tpch_q16, tpch_q17, tpch_q19, tpch_q20,
-    # tpch_q21, tpch_q22
+    # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
+    # tpch_q20, tpch_q21, tpch_q22
 ]
 
 
@@ -2529,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebooks": q_pq_codebooks,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "orders_profile_hll": q_orders_profile_hll,
         "order_gap_days": q_order_gap_days,
@@ -4034,6 +4055,43 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
                 FROM adc) t
+            WHERE rn <= 10
+        """,
+        "ann_ivfpq_topk": f"""
+            WITH {_pq_ctes(PQ_M_SUB, 16, PQ_K_CODES)},
+            centv AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+            csc AS (SELECT c.vec_id, ct.cid,
+                           ROUND(list_cosine_similarity(c.v, ct.v), 6) AS cs
+                    FROM e c CROSS JOIN centv ct),
+            cells AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid ASC) AS rn
+                        FROM csc) t WHERE rn = 1),
+            qcells AS (SELECT vec_id AS query_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid ASC) AS rn
+                        FROM csc WHERE vec_id < 3) t WHERE rn <= 2),
+            candv AS (SELECT q.query_id, cl.vec_id
+                      FROM qcells q JOIN cells cl ON cl.cid = q.cid
+                      WHERE cl.vec_id <> q.query_id),
+            scoredq AS ({" UNION ALL ".join(
+                f"SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,"
+                f" q.dist2 AS pd"
+                f" FROM dq_{s} q JOIN code_{s} cd ON cd.code = q.label"
+                f" WHERE q.vec_id < 3"
+                for s in range(PQ_M_SUB))}),
+            adcv AS (SELECT s.query_id, s.neighbor_id,
+                            ROUND(SUM(s.pd), 6) AS adc_dist2
+                     FROM scoredq s JOIN candv c
+                          ON c.query_id = s.query_id
+                         AND c.vec_id = s.neighbor_id
+                     GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, adc_dist2 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+                FROM adcv) t
             WHERE rn <= 10
         """,
         "orders_bloom_semi": """

@@ -1780,6 +1780,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, a
     ``m_sub × k_codes`` lookup table of subspace distances to every
@@ -1791,7 +1792,12 @@ def pq_adc_topk(
     Per-subspace distances round to 6dp BEFORE the sum (the
     bm25_topk_batch partial-aggregation-order contract) and the sum
     rounds again; the cut happens on rounded values + id, so the top-k
-    is engine-reproducible."""
+    is engine-reproducible.
+
+    ``candidates`` — optional ``(query_id, id_col)`` pairs restricting
+    which corpus codes are scored per query (the IVF probe set in
+    :func:`ivf_pq_topk`); without it every code row scores against
+    every query."""
     meta = codebooks.agg(
         F.max("sub").alias("ms"), F.max("dim").alias("md")
     ).collect()[0]
@@ -1804,13 +1810,27 @@ def pq_adc_topk(
         F.col("label"),
         _PQ_DIST2(F.col("subv"), F.col("centv")).alias("pd"),
     )
-    scored = codes.join(
-        F.broadcast(lut),
-        (codes["sub"] == lut["sub"]) & (codes["code"] == lut["label"]),
-    ).filter(F.col(id_col) != F.col("query_id"))
-    adc = scored.groupBy("query_id", id_col).agg(
-        F.round(F.sum("pd"), 6).alias("adc_dist2")
-    )
+    if candidates is None:
+        scored = codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["label"]),
+        ).filter(F.col(id_col) != F.col("query_id"))
+        adc = scored.groupBy("query_id", id_col).agg(
+            F.round(F.sum("pd"), 6).alias("adc_dist2")
+        )
+    else:
+        base = candidates.alias("cd").join(codes.alias("co"), id_col)
+        scored = base.join(
+            F.broadcast(lut).alias("lt"),
+            (F.col("co.sub") == F.col("lt.sub"))
+            & (F.col("co.code") == F.col("lt.label"))
+            & (F.col("cd.query_id") == F.col("lt.query_id")),
+        ).select(
+            F.col("cd.query_id").alias("query_id"), F.col(id_col), F.col("pd")
+        )
+        adc = scored.groupBy("query_id", id_col).agg(
+            F.round(F.sum("pd"), 6).alias("adc_dist2")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist2").asc(), F.col(id_col).asc()
     )
@@ -1818,4 +1838,57 @@ def pq_adc_topk(
         adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist2")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ serve — the industry-standard ANN architecture composed
+    from the two proven halves: IVF cells bound WHICH candidates are
+    scored (queries probe ``nprobe`` cells; Σ probed-cell sizes, never
+    the corpus) and PQ/ADC bounds WHAT scoring costs (sum of lookup-
+    table entries per candidate, no corpus-side vector math).
+
+    Codebooks here are global (IVF-Flat-PQ, no per-cell residual
+    encoding — residual PQ trades oracle-checkability for recall and is
+    the documented next step). Pass ``index`` =
+    ``(centroids, corpus_cells, codebooks, codes)`` — the persisted
+    artifacts of ``build_ivf_index`` + ``pq_fit`` + ``pq_encode`` — to
+    serve without re-paying any corpus-sized build (the
+    bm25_scores_indexed convention); otherwise everything builds inline.
+
+    Output matches :func:`pq_adc_topk`: ``(query_id, neighbor_id,
+    adc_dist2)`` ascending with id tiebreak, self excluded.
+    """
+    if index is not None:
+        centroids, corpus_cells, books, codes = index
+    else:
+        centroids, corpus_cells = build_ivf_index(
+            corpus, id_col, vec_col, ncells
+        )
+        books = pq_fit(corpus, m_sub, k_codes, 2, id_col, vec_col)
+        codes = pq_encode(corpus, books, id_col, vec_col)
+    query_cells = assign_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    )
+    cand = (
+        query_cells.select(F.col(id_col).alias("query_id"), "cell")
+        .join(
+            corpus_cells.select(F.col(id_col).alias("__cand"), "cell"), "cell"
+        )
+        .filter(F.col("__cand") != F.col("query_id"))
+        .select("query_id", F.col("__cand").alias(id_col))
+    )
+    return pq_adc_topk(
+        codes, books, queries, k, id_col, vec_col, candidates=cand
     )

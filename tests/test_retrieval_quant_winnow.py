@@ -345,3 +345,22 @@ def test_pq_fit_guards(spark):
         S.pq_fit(vecs, m_sub=2, k_codes=2)
     with pytest.raises(ValueError, match="empty"):
         S.pq_fit(vecs.filter("vec_id < 0"), m_sub=1, k_codes=2)
+
+
+def test_ivf_pq_indexed_serve_matches_inline_build(spark, sf_dir):
+    # serving from persisted artifacts must be bit-identical to the
+    # inline build (the bm25_scores_indexed convention)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter("vec_id < 2")
+    inline = S.ivf_pq_topk(emb, qs, k=5, ncells=4, nprobe=2,
+                           m_sub=4, k_codes=4)
+    cents, cells = S.build_ivf_index(emb, ncells=4)
+    books = S.pq_fit(emb, m_sub=4, k_codes=4, n_iter=2)
+    codes = S.pq_encode(emb, books)
+    served = S.ivf_pq_topk(
+        emb, qs, k=5, nprobe=2, index=(cents, cells, books, codes)
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["adc_dist2"])
+    assert sorted(map(key, inline.collect())) == sorted(
+        map(key, served.collect())
+    )
