@@ -1269,6 +1269,26 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (Jégou et al., TPAMI 2011 §III) —
+    the recall upgrade the flat IVF-PQ query documents: corpus vectors
+    PQ-encoded as residuals against their own cell centroid, codebooks
+    fit on residuals, and the ADC lookup table computed per (query,
+    probed cell). The full stack — cosine cell assignment, exact-IEEE
+    residuals, per-sub Lloyd fit, encode, per-cell LUT serve — unrolls
+    into the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.ivf_pq_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        k=10,
+        ncells=4,
+        nprobe=2,
+        m_sub=PQ_M_SUB,
+        k_codes=PQ_K_CODES,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SM.cosine_pairs(emb, threshold=0.4)
@@ -2442,6 +2462,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
+    # per-cell residuals, per-(query, probed cell) ADC lookup tables
+    "ann_ivfpq_residual_topk",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2484,12 +2507,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q11", "tpch_q12", "tpch_q13",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q14
 ]
 
 
@@ -2550,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
         "orders_profile_hll": q_orders_profile_hll,
         "order_gap_days": q_order_gap_days,
@@ -3317,19 +3341,25 @@ _WINNOW_CTES = f"""toksw AS (
         wfp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1)"""
 
 
-def _pq_ctes(m_sub: int, sub_d: int, k_codes: int) -> str:
+def _pq_ctes(
+    m_sub: int, sub_d: int, k_codes: int, vec_src: str = "e",
+    extra: str = "",
+) -> str:
     """Mirrors similarity.pq_fit (per-subspace kmeans_fit, n_iter=2) +
     pq_encode: per sub s the _kmeans_ctes chain over the dim slice
     ``v[s*sub_d+1 .. (s+1)*sub_d]`` extended one M-step to the returned
     codebook (cent2), then the encode E-step against it. Seeds (first
-    k_codes ids) are shared across subs."""
+    k_codes ids) are shared across subs. ``vec_src`` is the CTE the
+    per-sub chains read (vec_id, v) from — "e" for raw embeddings, a
+    residual CTE for residual PQ; ``extra`` CTEs are spliced between e
+    and seedq so vec_src can derive from e."""
     parts = [
         f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings),{extra}
         seedq AS (SELECT vec_id,
                          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
                               AS INTEGER) AS label
-                  FROM e ORDER BY vec_id LIMIT {k_codes})"""
+                  FROM {vec_src} ORDER BY vec_id LIMIT {k_codes})"""
     ]
     for s in range(m_sub):
         lo = s * sub_d
@@ -3338,7 +3368,7 @@ def _pq_ctes(m_sub: int, sub_d: int, k_codes: int) -> str:
                  FROM (SELECT vec_id, unnest(list_transform(
                            range(1, {sub_d} + 1),
                            i -> {{'dim': i - 1, 'val': v[{lo} + i]}})) AS p
-                       FROM e) t),
+                       FROM {vec_src}) t),
         c0_{s} AS (SELECT sd.label, d.dim, ROUND(AVG(d.x), 6) AS c
                   FROM seedq sd JOIN dims{s} d USING (vec_id) GROUP BY 1, 2),
         d0_{s} AS (SELECT d.vec_id, c.label,
@@ -3370,6 +3400,27 @@ def _pq_ctes(m_sub: int, sub_d: int, k_codes: int) -> str:
                                              ORDER BY dist2, label) AS rn
                    FROM dq_{s}) t WHERE rn = 1)""")
     return ",".join(parts)
+
+
+# residual-PQ extra CTEs: cosine cell assignment (the ivfpq oracle's
+# centv/csc/cells verbatim) + rv = per-vector residual against its own
+# cell centroid; spliced into _pq_ctes between e and seedq
+_IVFPQ_RES_EXTRA = f"""
+        centv AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+        csc AS (SELECT c.vec_id, ct.cid,
+                       ROUND(list_cosine_similarity(c.v, ct.v), 6) AS cs
+                FROM e c CROSS JOIN centv ct),
+        cells AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid ASC) AS rn
+                    FROM csc) t WHERE rn = 1),
+        rv AS (SELECT c.vec_id,
+                      list_transform(range(1, {PQ_M_SUB * 16} + 1),
+                                     i -> c.v[i] - ct.v[i]) AS v
+               FROM e c
+               JOIN cells cl ON cl.vec_id = c.vec_id
+               JOIN centv ct ON ct.cid = cl.cid),"""
 
 
 def _bloom_ctes(m_bits: int, k: int) -> str:
@@ -4088,6 +4139,55 @@ def oracle_sql() -> dict[str, str]:
                           ON c.query_id = s.query_id
                          AND c.vec_id = s.neighbor_id
                      GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, adc_dist2 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+                FROM adcv) t
+            WHERE rn <= 10
+        """,
+        # residual IVF-PQ: the _pq_ctes chain runs over rv (per-vector
+        # residual against its own cell centroid, exact IEEE v[i]-ct[i]);
+        # serving LUTs are per (query, probed cell) because candidates in
+        # cell c are encoded relative to centroid c
+        "ann_ivfpq_residual_topk": f"""
+            WITH {_pq_ctes(PQ_M_SUB, 16, PQ_K_CODES, vec_src="rv",
+                           extra=_IVFPQ_RES_EXTRA)},
+            qcells AS (SELECT vec_id AS query_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid ASC) AS rn
+                        FROM csc WHERE vec_id < 3) t WHERE rn <= 2),
+            qres AS (SELECT q.query_id, q.cid,
+                            list_transform(range(1, {PQ_M_SUB * 16} + 1),
+                                           i -> eq.v[i] - ct.v[i]) AS v
+                     FROM qcells q
+                     JOIN e eq ON eq.vec_id = q.query_id
+                     JOIN centv ct ON ct.cid = q.cid),
+            {",".join(f'''
+            qdims{s} AS (SELECT query_id, cid,
+                                CAST(p.dim AS INTEGER) AS dim, p.val AS x
+                         FROM (SELECT query_id, cid, unnest(list_transform(
+                                   range(1, 17),
+                                   i -> {{'dim': i - 1,
+                                          'val': v[{s * 16} + i]}})) AS p
+                               FROM qres) t),
+            qlut_{s} AS (SELECT d.query_id, d.cid, c.label,
+                                ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS pd
+                         FROM qdims{s} d JOIN c2_{s} c ON d.dim = c.dim
+                         GROUP BY 1, 2, 3)''' for s in range(PQ_M_SUB))},
+            candv AS (SELECT q.query_id, q.cid, cl.vec_id
+                      FROM qcells q JOIN cells cl ON cl.cid = q.cid
+                      WHERE cl.vec_id <> q.query_id),
+            scoredq AS ({" UNION ALL ".join(
+                f"SELECT cv.query_id, cv.vec_id AS neighbor_id, l.pd"
+                f" FROM candv cv"
+                f" JOIN code_{s} cd ON cd.vec_id = cv.vec_id"
+                f" JOIN qlut_{s} l ON l.query_id = cv.query_id"
+                f" AND l.cid = cv.cid AND l.label = cd.code"
+                for s in range(PQ_M_SUB))}),
+            adcv AS (SELECT query_id, neighbor_id,
+                            ROUND(SUM(pd), 6) AS adc_dist2
+                     FROM scoredq GROUP BY 1, 2)
             SELECT query_id, neighbor_id, adc_dist2 FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn

@@ -1841,6 +1841,143 @@ def pq_adc_topk(
     )
 
 
+def residualize(
+    vectors_with_cells: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Replace each vector with its residual against its assigned cell
+    centroid: ``r = v − centroid[cell]`` (exact IEEE element-wise
+    subtraction — both engines widen float32 → double identically, so no
+    extra rounding is needed for oracle parity). Input rows carry
+    ``(id, vec, cell)`` (the :func:`assign_cells` shape, one row per
+    (vector, probed cell)); output keeps the same shape with ``vec_col``
+    now holding the residual.
+
+    This is the residual-encoding half of IVF-PQ (Jégou et al., TPAMI
+    2011 §III): PQ codebooks fit on residuals only have to cover
+    WITHIN-cell variation, not the global spread — the standard recall
+    upgrade over flat global codebooks. Centroids broadcast; pure
+    map-side."""
+    ca = centroids.select(
+        F.col(id_col).alias(cell_col), _dbl(vec_col).alias("__centv")
+    )
+    return vectors_with_cells.join(F.broadcast(ca), cell_col).select(
+        id_col,
+        cell_col,
+        F.zip_with(
+            _dbl(vec_col), F.col("__centv"), lambda x, c: x - c
+        ).alias(vec_col),
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the recall upgrade
+    :func:`ivf_pq_topk` documents: corpus vectors are PQ-encoded as
+    residuals against their own cell centroid, so the codebooks spend
+    their k_codes × m_sub capacity on within-cell variation instead of
+    re-describing the coarse structure IVF already captured.
+
+    Serving differs from flat IVF-PQ in one place: the ADC lookup table
+    is per (query, probed cell) — the query's residual against THAT
+    cell's centroid scored against every codeword — because candidates
+    in cell c are encoded relative to centroid c. Each (query, neighbor)
+    pair is reachable through exactly one cell (the neighbor's own), so
+    no dedup is needed. LUTs stay broadcast-sized
+    (|queries| × nprobe × m_sub × k_codes rows).
+
+    Same determinism contract as the flat form (6dp-rounded per-sub
+    distances BEFORE the sum, rounded sum, (dist, id) cut), so the whole
+    stack — cell assignment, residuals, per-sub Lloyd fit on residuals,
+    encode, per-cell LUT serve — unrolls into one SQL oracle. Pass
+    ``index`` = ``(centroids, corpus_cells, codebooks, codes)`` (codes
+    fit/encoded on residuals) to serve from persisted artifacts.
+
+    Output matches :func:`pq_adc_topk`: ``(query_id, neighbor_id,
+    adc_dist2)`` ascending with id tiebreak, self excluded.
+    """
+    if index is not None:
+        centroids, corpus_cells, books, codes = index
+    else:
+        centroids, corpus_cells = build_ivf_index(
+            corpus, id_col, vec_col, ncells
+        )
+        res = residualize(corpus_cells, centroids, id_col, vec_col)
+        books = pq_fit(res, m_sub, k_codes, 2, id_col, vec_col)
+        codes = pq_encode(res, books, id_col, vec_col)
+    meta = books.agg(
+        F.max("sub").alias("ms"), F.max("dim").alias("md")
+    ).collect()[0]
+    m_sub, sub_d = int(meta["ms"]) + 1, int(meta["md"]) + 1
+    query_cells = assign_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    )
+    qres = residualize(query_cells, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cell", vec_col
+    )
+    # per-(query, probed cell) lookup table: residual subvectors vs
+    # every codeword — the only serve-time vector arithmetic
+    qlf = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(_dbl(vec_col), s * sub_d + 1, sub_d)
+                    for s in range(m_sub)
+                ]
+            )
+        ).alias("sub", "subv"),
+    )
+    cents = _pq_cent_arrays(books)
+    lut = qlf.join(F.broadcast(cents), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "label",
+        _PQ_DIST2(F.col("subv"), F.col("centv")).alias("pd"),
+    )
+    cand = (
+        query_cells.select(F.col(id_col).alias("query_id"), "cell")
+        .join(
+            corpus_cells.select(F.col(id_col).alias("__cand"), "cell"), "cell"
+        )
+        .filter(F.col("__cand") != F.col("query_id"))
+        .select("query_id", "cell", F.col("__cand").alias(id_col))
+    )
+    scored = cand.join(codes, id_col).join(
+        F.broadcast(lut).alias("lt"),
+        (cand["query_id"] == F.col("lt.query_id"))
+        & (cand["cell"] == F.col("lt.cell"))
+        & (codes["sub"] == F.col("lt.sub"))
+        & (codes["code"] == F.col("lt.label")),
+    ).select(cand["query_id"], F.col(id_col), F.col("pd"))
+    adc = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum("pd"), 6).alias("adc_dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist2")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1859,9 +1996,9 @@ def ivf_pq_topk(
     the corpus) and PQ/ADC bounds WHAT scoring costs (sum of lookup-
     table entries per candidate, no corpus-side vector math).
 
-    Codebooks here are global (IVF-Flat-PQ, no per-cell residual
-    encoding — residual PQ trades oracle-checkability for recall and is
-    the documented next step). Pass ``index`` =
+    Codebooks here are global (IVF-Flat-PQ; see
+    :func:`ivf_pq_residual_topk` for the residual-encoding recall
+    upgrade, same determinism contract). Pass ``index`` =
     ``(centroids, corpus_cells, codebooks, codes)`` — the persisted
     artifacts of ``build_ivf_index`` + ``pq_fit`` + ``pq_encode`` — to
     serve without re-paying any corpus-sized build (the

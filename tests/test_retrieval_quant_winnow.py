@@ -364,3 +364,67 @@ def test_ivf_pq_indexed_serve_matches_inline_build(spark, sf_dir):
     assert sorted(map(key, inline.collect())) == sorted(
         map(key, served.collect())
     )
+
+
+# --- residual IVF-PQ ----------------------------------------------------------
+
+
+def test_residualize_subtracts_own_cell_centroid(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [10.0, 20.0])], VEC_SCHEMA
+    )
+    vecs = spark.createDataFrame(
+        [(5, [2.0, 2.5], 0), (6, [9.0, 21.0], 1)],
+        "vec_id bigint, embedding array<double>, cell bigint",
+    )
+    out = {r["vec_id"]: r["embedding"]
+           for r in S.residualize(vecs, cents).collect()}
+    assert out[5] == [1.0, 0.5]
+    assert out[6] == [-1.0, 1.0]
+
+
+def test_residual_ivfpq_stays_in_cluster_and_finds_nearest(spark):
+    # two far-apart clusters (cosine-separable so vec 0 / vec 1 become
+    # the cell centroids); within-cluster variation is tiny — exactly
+    # the regime where flat global codebooks waste capacity on the
+    # coarse offsets and residual codebooks see only the deltas
+    rows = []
+    for j in range(4):  # cluster A: ids 0,2,4,6
+        rows.append((2 * j, [100.0, 0.0, 1.0 + 0.5 * j, 2.0 - 0.25 * j]))
+    for j in range(4):  # cluster B: ids 1,3,5,7
+        rows.append((2 * j + 1, [0.0, 100.0, -1.0 - 0.5 * j, 3.0 + 0.25 * j]))
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    qs = vecs.filter("vec_id IN (0, 1)")
+    top = S.ivf_pq_residual_topk(
+        vecs, qs, k=3, ncells=2, nprobe=1, m_sub=2, k_codes=4
+    )
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["adc_dist2"], r["neighbor_id"])
+        )
+    # nprobe=1: every neighbor comes from the query's own cluster
+    assert set(n for _, n in by_q[0]) <= {2, 4, 6}
+    assert set(n for _, n in by_q[1]) <= {3, 5, 7}
+    # the ADC top-1 is the true L2 nearest within the cluster
+    assert min(by_q[0])[1] == 2
+    assert min(by_q[1])[1] == 3
+
+
+def test_residual_ivfpq_indexed_serve_matches_inline_build(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter("vec_id < 2")
+    inline = S.ivf_pq_residual_topk(
+        emb, qs, k=5, ncells=4, nprobe=2, m_sub=4, k_codes=4
+    )
+    cents, cells = S.build_ivf_index(emb, ncells=4)
+    res = S.residualize(cells, cents)
+    books = S.pq_fit(res, m_sub=4, k_codes=4, n_iter=2)
+    codes = S.pq_encode(res, books)
+    served = S.ivf_pq_residual_topk(
+        emb, qs, k=5, nprobe=2, index=(cents, cells, books, codes)
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["adc_dist2"])
+    assert sorted(map(key, inline.collect())) == sorted(
+        map(key, served.collect())
+    )
