@@ -2073,6 +2073,22 @@ def q_group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "event_id")
 
 
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivorship — clusters into a deduplicated
+    corpus: per duplicate cluster (MinHash-LSH pairs → connected
+    components, the dedup_clusters graph) keep the LONGEST member
+    (ties → lowest doc_id), not an arbitrary one. One cluster-keyed
+    max_by aggregate (map-side partial) after the membership join;
+    singletons are their own canonical."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    return clustering.select_canonical(
+        docs, pairs, score=F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: MinHash-LSH pairs → connected components →
     every doc labeled with its duplicate-group id (operators/clustering.py,
@@ -2463,8 +2479,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
-    # per-cell residuals, per-(query, probed cell) ADC lookup tables
-    "ann_ivfpq_residual_topk",
+    # per-cell residuals, per-(query, probed cell) ADC lookup tables —
+    # and quality-ranked survivorship (longest member per dup cluster)
+    "ann_ivfpq_residual_topk", "dedup_canonical_docs",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2507,12 +2524,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q11", "tpch_q12",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q13, tpch_q14
 ]
 
 
@@ -2658,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": q_stratified_sample_orders,
         "group_sample_events": q_group_sample_events,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical_docs": q_dedup_canonical_docs,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
@@ -5384,6 +5402,29 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        # the dedup_clusters recursive CTE + longest-member survivorship
+        "dedup_canonical_docs": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a, b FROM ({_minhash_lsh_oracle()}) mh),
+            sym AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(id, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM sym) seeds
+                UNION
+                SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+            comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            mem AS (SELECT d.doc_id,
+                           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                           length(COALESCE(d.text, '')) AS sc
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+            SELECT cluster_id, canonical_doc, n_members FROM (
+                SELECT cluster_id, doc_id AS canonical_doc,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY sc DESC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+                FROM mem) t
+            WHERE rn = 1
         """,
         "tfidf_terms": f"""
             WITH dt AS (

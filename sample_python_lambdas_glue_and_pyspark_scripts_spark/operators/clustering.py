@@ -30,7 +30,7 @@ min-reachable-id per vertex (__spark_entry__ `dedup_clusters`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -133,6 +133,40 @@ def cluster_representatives(
     Anti-joining the corpus against this is 'drop near-duplicates'."""
     members = cluster_members(all_ids, pairs, id_col=id_col, **kwargs)
     return members.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+
+
+def select_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Quality-ranked survivorship — the step that turns clusters into a
+    deduplicated corpus: per duplicate cluster keep the member with the
+    highest ``score`` (a Column over ``docs``; ties → lowest id), not
+    just the min id. Returns ``(cluster_id, canonical_doc, n_members)``
+    — one row per cluster, singletons included (their own canonical).
+    Semi-joining the corpus on ``canonical_doc`` is "drop near-dups,
+    keep the best copy" (the RefinedWeb/FineWeb survivorship rule:
+    duplicates differ in truncation and boilerplate, so keeping an
+    arbitrary member leaks the worst copy into training).
+
+    One keyed aggregate after the membership join: ``max_by`` over
+    ``struct(score, -id)`` partial-aggregates map-side (the
+    assign_cells argmax pattern — no per-cluster window sort), so the
+    reduction is a single cluster-keyed shuffle of pre-combined rows.
+    """
+    members = cluster_members(docs.select(id_col), pairs, id_col, **kwargs)
+    scored = docs.select(id_col, score.alias("__score")).join(
+        members, id_col
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by(
+            id_col, F.struct(F.col("__score"), (-F.col(id_col)).alias("nid"))
+        ).alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
 
 
 def connected_components_star(

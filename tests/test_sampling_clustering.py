@@ -447,3 +447,34 @@ def test_semantic_dedup_default_k_scales_with_n(spark):
     kept = SM.semantic_dedup(df, threshold=0.999, k=None, target_cluster_size=10)
     labels = {r["assigned_label"] for r in kept.collect()}
     assert len(labels) > 2  # auto_k(60, 10) = 6 clusters fitted
+
+
+def test_select_canonical_keeps_best_scored_member(spark):
+    # component {1,2,3} (chain), component {7,8}, singleton 9
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "a"), (7, "bbb"), (8, "bbb"), (9, "c")],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a bigint, b bigint"
+    )
+    out = {
+        r["cluster_id"]: (r["canonical_doc"], r["n_members"])
+        for r in clustering.select_canonical(
+            docs, pairs, score=F.length("text")
+        ).collect()
+    }
+    # longest member wins; equal lengths tie-break to the LOWEST id;
+    # singleton is its own canonical
+    assert out == {1: (2, 3), 7: (7, 2), 9: (9, 1)}
+
+
+def test_select_canonical_null_text_scores_like_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    rows = clustering.select_canonical(
+        docs, pairs, score=F.length(F.coalesce(F.col("text"), F.lit("")))
+    ).collect()
+    assert [(r["canonical_doc"], r["n_members"]) for r in rows] == [(2, 2)]
