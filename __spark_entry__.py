@@ -1187,6 +1187,35 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of a prefix-truncated serve (first 32 of 64 dims — the
+    Matryoshka cheap tier: half the compute and working set) against the
+    exact full-precision top-10, per query. The same self-measuring
+    acceptance gate as ann_quantized_recall: the serve switch is taken
+    on MEASURED recall, not assumption."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = SM.cosine_topk(emb, qs, k=10)
+    trunc = SM.cosine_topk(
+        SM.truncate_dims(emb, 32), SM.truncate_dims(qs, 32), k=10
+    )
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003 — the MOSS scheme): per-window rightmost-min k-gram hashes,
@@ -2480,8 +2509,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
-    # and quality-ranked survivorship (longest member per dup cluster)
+    # quality-ranked survivorship (longest member per dup cluster), and
+    # the Matryoshka prefix-truncation serve recall gate
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
+    "ann_truncated_recall",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2524,12 +2555,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12",
+    "tpch_q11",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q13, tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q12, tpch_q13,
+    # tpch_q14
 ]
 
 
@@ -2581,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "quantization_error_report": q_quantization_error_report,
         "ann_quantized_recall": q_ann_quantized_recall,
+        "ann_truncated_recall": q_ann_truncated_recall,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_matches": q_winnow_matches,
         "bloom_user_filter": q_bloom_user_filter,
@@ -4067,6 +4100,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(u.val), 6) AS max_abs_err,
                    ROUND(AVG(u.val), 6) AS mean_abs_err
             FROM errs
+        """,
+        "ann_truncated_recall": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            xsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.query_id),
+            xtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM xsc) t
+                     WHERE rn <= 10),
+            tsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.qv[1:32],
+                                                        c.v[1:32]), 6) AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.query_id),
+            ttop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM tsc) t
+                     WHERE rn <= 10),
+            hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                     FROM xtop JOIN ttop USING (query_id, neighbor_id)
+                     GROUP BY query_id)
+            SELECT q2.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+            FROM (SELECT DISTINCT query_id FROM xtop) q2
+            LEFT JOIN hits h USING (query_id)
         """,
         "ann_quantized_recall": f"""
             WITH {_QUANT_CTES},

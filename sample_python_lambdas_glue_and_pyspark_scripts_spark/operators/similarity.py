@@ -1841,6 +1841,25 @@ def pq_adc_topk(
     )
 
 
+def truncate_dims(
+    vectors: DataFrame,
+    d_keep: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-truncate embeddings to their first ``d_keep`` dimensions
+    (the Matryoshka serve lever, Kusupati et al. 2022: MRL-trained
+    embeddings concentrate information in the prefix, so serving on a
+    prefix slice cuts compute and memory ``d/d_keep``× with bounded
+    recall loss — and even non-MRL embeddings make this a useful
+    cheap-tier serve whose recall the gate query MEASURES rather than
+    assumes). Pure map-side projection; pair with
+    :func:`cosine_topk`/:func:`cosine_topk_vectorized` on both sides.
+    """
+    if d_keep < 1:
+        raise ValueError(f"truncate_dims: d_keep must be >= 1, got {d_keep}")
+    return vectors.withColumn(vec_col, F.slice(F.col(vec_col), 1, d_keep))
+
+
 def residualize(
     vectors_with_cells: DataFrame,
     centroids: DataFrame,

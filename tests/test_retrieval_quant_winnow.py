@@ -428,3 +428,28 @@ def test_residual_ivfpq_indexed_serve_matches_inline_build(spark, sf_dir):
     assert sorted(map(key, inline.collect())) == sorted(
         map(key, served.collect())
     )
+
+
+# --- dimension truncation -----------------------------------------------------
+
+
+def test_truncate_dims_prefix_slice_and_guard(spark):
+    vecs = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 4.0])], VEC_SCHEMA)
+    out = S.truncate_dims(vecs, 2).collect()[0]["embedding"]
+    assert out == [1.0, 2.0]
+    with pytest.raises(ValueError, match="d_keep"):
+        S.truncate_dims(vecs, 0)
+
+
+def test_truncated_serve_exact_when_info_is_in_prefix(spark):
+    # all variation lives in the first 2 dims; tail dims are constant —
+    # the truncated serve must reproduce the full-precision top-k
+    rows = [(i, [float(i), float(-i), 7.0, 7.0]) for i in range(1, 8)]
+    vecs = spark.createDataFrame(rows, VEC_SCHEMA)
+    qs = vecs.filter("vec_id = 1")
+    full = [(r["query_id"], r["neighbor_id"])
+            for r in S.cosine_topk(vecs, qs, k=3).collect()]
+    trunc = [(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(S.truncate_dims(vecs, 2),
+                                    S.truncate_dims(qs, 2), k=3).collect()]
+    assert sorted(full) == sorted(trunc)
