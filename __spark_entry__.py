@@ -1781,6 +1781,21 @@ def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(docs, bench, shingle_n=3).select("doc_id", "source")
 
 
+def q_decontaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB posture of
+    decontaminated_docs: the benchmark gram set becomes a literal bit
+    array tested per corpus gram map-side, so only might-match grams
+    reach the exact broadcast verify and the contaminated-id shuffle.
+    No false negatives + exact verify ⇒ result ≡ plain decontaminate;
+    shares decontaminated_docs' oracle VERBATIM (the bloom_semi_join
+    identity pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return DD.bloom_decontaminate(docs, bench, shingle_n=3).select(
+        "doc_id", "source"
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality filter → exact dedup →
     language filter → per-source rollup (the end-to-end curation shape)."""
@@ -2509,10 +2524,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
-    # quality-ranked survivorship (longest member per dup cluster), and
-    # the Matryoshka prefix-truncation serve recall gate
+    # quality-ranked survivorship (longest member per dup cluster),
+    # the Matryoshka prefix-truncation serve recall gate, and Bloom-
+    # prefiltered decontamination (identity oracle)
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
-    "ann_truncated_recall",
+    "ann_truncated_recall", "decontaminated_docs_bloom",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2555,13 +2571,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q12, tpch_q13,
-    # tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q11, tpch_q12,
+    # tpch_q13, tpch_q14
 ]
 
 
@@ -2655,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
+        "decontaminated_docs_bloom": q_decontaminated_docs_bloom,
         "repetition_stats": q_repetition_stats,
         "gopher_quality_flags": q_gopher_quality_flags,
         "corpus_report": q_corpus_report,
@@ -5672,6 +5688,9 @@ def oracle_sql() -> dict[str, str]:
     d["ann_topk_vectorized"] = d["ann_cosine_topk"]
     # ... and both CC algorithms must produce the identical labeling
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # Bloom prefilter has no false negatives and survivors are exactly
+    # verified, so the result is identical to plain decontamination
+    d["decontaminated_docs_bloom"] = d["decontaminated_docs"]
     # the indexed intake path must admit the exact same set as the
     # index-less formulation — only the plan shape differs
     d["corpus_admitted_indexed"] = d["corpus_admitted"]

@@ -672,6 +672,61 @@ def decontaminate(
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    min_overlap: int = 1,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the corpus grams:
+    the benchmark gram set becomes a ≤ ``ceil(m_bits/60)``-word LITERAL
+    bit array tested per corpus gram map-side, so only grams that MIGHT
+    be benchmark grams reach the exact broadcast-join verify and the
+    contaminated-id distinct/count shuffle. Because Bloom has no false
+    negatives and every survivor is exactly verified, the result EQUALS
+    plain :func:`decontaminate` — the contract query shares its oracle
+    verbatim (the bloom_semi_join identity pattern).
+
+    Why at 100 TB: the exploded corpus-gram stream is corpus-sized × ~L
+    grams/doc, and under plain decontamination every gram probes a
+    broadcast hash table of full 13-gram STRINGS (an eval suite's
+    distinct grams can be hundreds of MB). The ~10-bits-per-gram word
+    array is a few hundred KB shipped once per executor as an
+    expression literal, and it drops the overwhelmingly-clean gram bulk
+    before the string probe and before ANY gram-derived row shuffles.
+    """
+    from .sketches import bloom_prefilter
+
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("g")
+        ).distinct()
+    )
+    corpus_grams = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
+    )
+    maybe = bloom_prefilter(
+        corpus_grams, "g", bench_grams, "g", m_bits, k_hashes
+    )
+    hit = maybe.join(F.broadcast(bench_grams), "g")
+    if min_overlap == 1:
+        contaminated = hit.select(id_col).distinct()
+    else:
+        contaminated = (
+            hit.groupBy(id_col)
+            .agg(F.countDistinct("g").alias("__n"))
+            .filter(F.col("__n") >= min_overlap)
+            .select(id_col)
+        )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -453,15 +453,36 @@ def bloom_semi_join(
     as an expression literal — while dropping the bulk of non-matching
     fact rows before they shuffle.
     """
-    bloom_rows = bloom_filter(small, small_key, m_bits, k_hashes).collect()
+    pre = bloom_prefilter(big, big_key, small, small_key, m_bits, k_hashes)
+    right = small.select(F.col(small_key).alias(big_key)).distinct()
+    return pre.join(right, on=big_key, how="left_semi")
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    keys: DataFrame,
+    keys_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The map-side half of :func:`bloom_semi_join`, reusable on its
+    own: build a Bloom filter over ``keys[keys_col]``, collect its
+    ≤ ``ceil(m_bits/60)`` words into a LITERAL array, and drop every
+    ``df`` row whose ``key_col`` is definitely absent — per-row,
+    map-side, before any shuffle. No false negatives, so the result is
+    a SUPERSET of the exact match; follow with an exact join/verify to
+    kill the false positives (decontamination, blocklists, dimension
+    prefilters)."""
+    bloom_rows = bloom_filter(keys, keys_col, m_bits, k_hashes).collect()
     n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
     words = [0] * n_words
     for r in bloom_rows:
         words[int(r["word_idx"])] = int(r["bits"])
     words_lit = F.array(*[F.lit(w).cast("bigint") for w in words])
-    key = F.col(big_key).cast("string")
+    key = F.col(key_col).cast("string")
     # positions materialized in their own projection (nested-HOF CSE rule)
-    staged = big.withColumn(
+    staged = df.withColumn(
         "_bf_pos",
         F.array(*[_bloom_pos(key, j, m_bits) for j in range(k_hashes)]),
     ).withColumn("_bf_words", words_lit)
@@ -470,6 +491,4 @@ def bloom_semi_join(
         f"CAST(p div {BLOOM_WORD_BITS} AS INT) + 1), "
         f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
     )
-    pre = staged.filter(hit).drop("_bf_pos", "_bf_words")
-    right = small.select(F.col(small_key).alias(big_key)).distinct()
-    return pre.join(right, on=big_key, how="left_semi")
+    return staged.filter(hit).drop("_bf_pos", "_bf_words")

@@ -356,3 +356,60 @@ def test_bloom_semi_join_transparent_and_selective(spark, sf_dir):
     ).count()
     exact_n = plain.count()
     assert exact_n <= pre_n < orders.count() * 0.7
+
+
+def test_bloom_prefilter_superset_of_exact_match(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"k{i % 40}") for i in range(400)], "row_id bigint, k string"
+    )
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 40, 4)], "k string"
+    )
+    pre = SK.bloom_prefilter(big, "k", keys, "k", m_bits=256, k_hashes=3)
+    exact = big.join(keys, "k", "left_semi")
+    # no false negatives: every exact match survives the prefilter
+    assert exact.join(pre, "row_id", "left_anti").count() == 0
+    # and it actually filters (undersized m so FPs possible, but the
+    # 90% non-member bulk cannot all collide)
+    assert pre.count() < big.count()
+
+
+def test_bloom_decontaminate_equals_plain(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        dedup as DD,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu"),
+            (4, "alpha beta gamma nu"),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma xi"), (101, "iota kappa lambda rho")],
+        "doc_id bigint, text string",
+    )
+    for mo in (1, 2):
+        plain = DD.decontaminate(corpus, bench, shingle_n=3, min_overlap=mo)
+        fast = DD.bloom_decontaminate(
+            corpus, bench, shingle_n=3, min_overlap=mo, m_bits=1024
+        )
+        assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+            r["doc_id"] for r in fast.collect()
+        )
+    # sanity: docs 1 and 4 share 'alpha beta gamma', doc 3 shares one
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.bloom_decontaminate(
+            corpus, bench, shingle_n=3, m_bits=1024
+        ).collect()
+    )
+    assert kept == [2, 5]
