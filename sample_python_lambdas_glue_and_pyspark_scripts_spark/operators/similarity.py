@@ -1997,6 +1997,47 @@ def ivf_pq_residual_topk(
     )
 
 
+def extend_ivf_pq_index(
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Incrementally maintain an IVF-PQ index (flat or residual): assign
+    only the NEW vectors against the existing centroids, encode them
+    against the existing codebooks, and append — neither the corpus-
+    sized cell build nor the codebook fit is re-paid (the
+    extend_ivf_index / extend_bm25_index maintenance convention;
+    incremental cost O(|delta| × (ncells + m_sub·k_codes)), map-side
+    plus one delta-keyed min_by).
+
+    Centroids AND codebooks stay fixed (the fit_quantizer convention —
+    quantizer quality degrades only under distribution drift, at which
+    point a rebuild is a deliberate act). Because encoding depends only
+    on those fixed artifacts, the extended (cells, codes) are EXACTLY
+    what re-assigning/re-encoding the unioned corpus against the same
+    artifacts produces — serve parity pinned by test. Pass
+    ``residual=True`` iff the index was built for
+    :func:`ivf_pq_residual_topk` (delta vectors are residualized
+    against their assigned cell before encoding).
+    """
+    centroids, corpus_cells, books, codes = index
+    delta_cells = assign_cells(new_vectors, centroids, id_col, vec_col, nprobe=1)
+    enc_src = (
+        residualize(delta_cells, centroids, id_col, vec_col)
+        if residual
+        else delta_cells
+    )
+    delta_codes = pq_encode(enc_src, books, id_col, vec_col)
+    return (
+        centroids,
+        corpus_cells.unionByName(delta_cells),
+        books,
+        codes.unionByName(delta_codes),
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

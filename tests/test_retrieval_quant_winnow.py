@@ -453,3 +453,34 @@ def test_truncated_serve_exact_when_info_is_in_prefix(spark):
              for r in S.cosine_topk(S.truncate_dims(vecs, 2),
                                     S.truncate_dims(qs, 2), k=3).collect()]
     assert sorted(full) == sorted(trunc)
+
+
+def test_extend_ivf_pq_index_matches_reencode_against_fixed_artifacts(
+    spark, sf_dir
+):
+    # extend must equal re-assign + re-encode of the UNION against the
+    # SAME fixed centroids/codebooks (encoding depends only on those)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")
+    for residual in (False, True):
+        cents, cells = S.build_ivf_index(old, ncells=4)
+        src = S.residualize(cells, cents) if residual else old
+        books = S.pq_fit(src, m_sub=4, k_codes=4, n_iter=2)
+        codes = S.pq_encode(src, books)
+        _, xcells, _, xcodes = S.extend_ivf_pq_index(
+            (cents, cells, books, codes), new, residual=residual
+        )
+        ref_cells = S.assign_cells(emb, cents, nprobe=1)
+        ref_src = S.residualize(ref_cells, cents) if residual else emb
+        ref_codes = S.pq_encode(ref_src, books)
+        ck = lambda df: sorted(
+            (r["vec_id"], r["cell"]) for r in df.collect()
+        )
+        dk = lambda df: sorted(
+            (r["vec_id"], r["sub"], r["code"]) for r in df.collect()
+        )
+        assert ck(xcells.select("vec_id", "cell")) == ck(
+            ref_cells.select("vec_id", "cell")
+        )
+        assert dk(xcodes) == dk(ref_codes)
