@@ -1781,6 +1781,20 @@ def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(docs, bench, shingle_n=3).select("doc_id", "source")
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (PPJoin
+    family) — the exact-recall sibling of dedup_minhash_lsh: candidates
+    share a shingle in their rarest-first (L − ⌈tL⌉ + 1)-prefixes
+    (complete by the prefix-filter theorem), then an integer-exact
+    verify (2·|A∩B| ≥ |A∪B|, t = 1/2). The oracle is the EXACT
+    quadratic Jaccard join — proving both completeness and the verify
+    arithmetic in one contract."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.prefix_filter_pairs(
+        docs, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+
+
 def q_decontaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — the 100 TB posture of
     decontaminated_docs: the benchmark gram set becomes a literal bit
@@ -2529,6 +2543,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # prefiltered decontamination (identity oracle)
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
     "ann_truncated_recall", "decontaminated_docs_bloom",
+    "prefix_jaccard_pairs",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2570,13 +2585,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q11, tpch_q12,
-    # tpch_q13, tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q9, tpch_q11,
+    # tpch_q12, tpch_q13, tpch_q14
 ]
 
 
@@ -2659,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "edit_near_dup": q_edit_near_dup,
         "simhash_signatures": q_simhash_signatures,
@@ -4445,6 +4461,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_jaccard": _jaccard_oracle(threshold=0.2),
+        # the prefix-filter join's oracle is the EXACT quadratic form
+        # with the integer threshold (2*inter >= union, t = 1/2)
+        "prefix_jaccard_pairs": f"""
+            WITH {_shingle_ctes()},
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+                FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY 1, 2)
+            SELECT i.a, i.b,
+                   ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)
+        """,
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
         "edit_near_dup": _edit_distance_oracle(num_hashes=16, bands=4, threshold=0.9),

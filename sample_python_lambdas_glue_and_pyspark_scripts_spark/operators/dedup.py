@@ -304,6 +304,103 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the PPJoin
+    family: Chaudhuri et al., ICDE 2006 signature scheme; Xiao et al.,
+    WWW 2008) — the exact-recall alternative to MinHash-LSH: every pair
+    with Jaccard ≥ t is returned, no banding recall loss, no verify of
+    false candidates beyond the prefix survivors.
+
+    Completeness theorem: under ANY global total order on shingles, two
+    docs with J(A,B) ≥ t must share an element within their first
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles. Ordering by ascending document
+    frequency (ties → shingle text) makes each prefix the doc's RAREST
+    shingles, so candidate buckets stay small — boilerplate-hot shingles
+    never enter a prefix unless a doc is nearly all boilerplate. Plan:
+    one df-count shuffle (shingle-keyed), one doc-keyed sort of each
+    doc's own (df, shingle) structs (per-doc arrays, no global rank
+    window), a prefix-shingle-keyed candidate join (Σ prefix-bucket²,
+    rare-first), and an array_intersect verify on the candidate pairs.
+
+    The threshold is a RATIONAL ``threshold_num/threshold_den`` and
+    every compare is integer (`den·|A∩B| ≥ num·|A∪B|`, prefix length
+    via integer ceil) — no float boundary can disagree between engines,
+    so the output is identical to the exact quadratic
+    :func:`jaccard_pairs` at the same threshold (with an exact rather
+    than 6dp-rounded cut). Output: (a, b, jaccard) with a < b.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("prefix_filter_pairs: need 0 < num <= den")
+    num, den = threshold_num, threshold_den
+    df = ensure_parallelism(df)
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
+    # per-doc ascending (df, shingle) order; prefix p = L - ceil(t*L) + 1
+    ordered = (
+        shx.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sdf"), F.col("s")))
+            ).alias("arr")
+        )
+        .withColumn("L", F.size("arr"))
+        .withColumn(
+            "p",
+            F.col("L")
+            - F.expr(f"CAST(({num} * L + {den} - 1) div {den} AS INT)")
+            + F.lit(1),
+        )
+    )
+    pref = ordered.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice("arr", F.lit(1), F.col("p")), lambda st: st["s"]
+            )
+        ).alias("s"),
+    )
+    l, r = pref.alias("l"), pref.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.s") == F.col("r.s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        cand.join(sha, "a")
+        .join(shb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_ab"),
+        )
+        .withColumn("n_union", F.col("n_ab") - F.col("n_inter"))
+        .filter(F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_union"))
+    )
+    return scored.select(
+        "a", "b", F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard")
+    )
+
+
 def verify_jaccard_on_candidates(
     df: DataFrame,
     candidates: DataFrame,

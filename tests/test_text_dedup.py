@@ -1107,3 +1107,66 @@ def test_extend_bm25_index_matches_rebuild(spark):
     want = {(r["doc_id"], r["bm25"])
             for r in T.bm25_scores_indexed(rebuilt, q).collect()}
     assert got == want
+
+
+# --- prefix-filter exact set-similarity join ---------------------------------
+
+
+def test_prefix_filter_matches_exact_quadratic_jaccard(spark):
+    # near-dup family + hot boilerplate shingle shared by everything:
+    # the prefix filter must return EXACTLY the quadratic join's pairs
+    boiler = "terms of service apply to all"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " + boiler),
+        (2, "the quick brown fox jumps over the lazy cat " + boiler),
+        (3, "the quick brown fox jumps over the lazy dog " + boiler),
+        (4, "completely different text about spark engines " + boiler),
+        (5, "another unrelated document mentioning nothing " + boiler),
+        (6, "short one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = D.jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3, allow_quadratic=True
+    )
+    fast = D.prefix_filter_pairs(
+        docs, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+    key = lambda r: (r["a"], r["b"], r["jaccard"])
+    # jaccard_pairs cuts on the 6dp-ROUNDED value; rebuild its exact-cut
+    # subset for comparison (integer cut never includes a rounded-up pair)
+    exact_rows = [
+        r for r in exact.collect() if r["jaccard"] >= 0.5 or r["jaccard"] == 0.5
+    ]
+    assert sorted(map(key, fast.collect())) == sorted(map(key, exact_rows))
+    # and the known duplicates are found
+    got = {(r["a"], r["b"]) for r in fast.collect()}
+    assert (1, 3) in got and (1, 2) in got
+
+
+def test_prefix_filter_integer_threshold_boundary(spark):
+    # two docs with |A∩B|/|A∪B| exactly 1/2 must be INCLUDED (>=)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y z w")],
+        "doc_id bigint, text string",
+    )
+    # shingle_n=1-like via n=3 is awkward; craft with n=3:
+    # doc1 grams: "a b c","b c d","c d e","d e f" (4)
+    # doc2 grams: "a b c","b c d","c d x","d x y","x y z","y z w" (6)
+    # inter=2, union=8 -> J=0.25; use t=1/4 for the boundary
+    out = D.prefix_filter_pairs(
+        docs, threshold_num=1, threshold_den=4, shingle_n=3
+    ).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in out] == [(1, 2, 0.25)]
+    # and t just above 1/4 excludes it
+    out2 = D.prefix_filter_pairs(
+        docs, threshold_num=26, threshold_den=100, shingle_n=3
+    ).collect()
+    assert out2 == []
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="num"):
+        D.prefix_filter_pairs(docs, threshold_num=0, threshold_den=2)
+    with pytest.raises(ValueError, match="num"):
+        D.prefix_filter_pairs(docs, threshold_num=3, threshold_den=2)
