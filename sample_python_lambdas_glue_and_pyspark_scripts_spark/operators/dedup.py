@@ -364,6 +364,7 @@ def prefix_filter_pairs(
     )
     pref = ordered.select(
         F.col(id_col),
+        F.col("L"),
         F.explode(
             F.transform(
                 F.slice("arr", F.lit(1), F.col("p")), lambda st: st["s"]
@@ -371,11 +372,16 @@ def prefix_filter_pairs(
         ).alias("s"),
     )
     l, r = pref.alias("l"), pref.alias("r")
+    # size filter (PPJoin): J >= t forces t*|A| <= |B| <= |A|/t — an
+    # integer pre-verify cut on candidate volume, pure pruning (the
+    # exact verify below decides membership)
     cand = (
         l.join(
             r,
             (F.col("l.s") == F.col("r.s"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.lit(num) * F.col("l.L") <= F.lit(den) * F.col("r.L"))
+            & (F.lit(num) * F.col("r.L") <= F.lit(den) * F.col("l.L")),
         )
         .select(
             F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
