@@ -2147,6 +2147,43 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup rate — the curation diagnostic behind mixture
+    decisions: docs vs surviving canonicals (longest-member survivorship
+    over the MinHash-LSH dup graph) per source, and the dup rate =
+    1 − canonicals/docs at 6dp. One membership join + two keyed
+    aggregates on top of the dedup_clusters CC."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    canon = clustering.select_canonical(
+        docs, pairs, score=F.length(F.coalesce(F.col("text"), F.lit("")))
+    ).select(F.col("canonical_doc").alias("doc_id"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept = (
+        docs.join(canon, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_canonical"))
+    )
+    return (
+        per_src.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_canonical"), F.lit(0)).alias("n_canonical"),
+            F.round(
+                1.0
+                - F.coalesce(F.col("n_canonical"), F.lit(0))
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: MinHash-LSH pairs → connected components →
     every doc labeled with its duplicate-group id (operators/clustering.py,
@@ -2543,7 +2580,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # prefiltered decontamination (identity oracle)
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
     "ann_truncated_recall", "decontaminated_docs_bloom",
-    "prefix_jaccard_pairs",
+    "prefix_jaccard_pairs", "dedup_rate_report",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2585,13 +2622,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q2", "tpch_q4", "tpch_q7",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q9, tpch_q11,
-    # tpch_q12, tpch_q13, tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q8, tpch_q9,
+    # tpch_q11, tpch_q12, tpch_q13, tpch_q14
 ]
 
 
@@ -2741,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_events": q_group_sample_events,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical_docs": q_dedup_canonical_docs,
+        "dedup_rate_report": q_dedup_rate_report,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
@@ -5509,6 +5547,38 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        # canonical survivors rolled up per source: docs, canonicals,
+        # dup rate (reuses the dedup_canonical_docs CTE chain)
+        "dedup_rate_report": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a, b FROM ({_minhash_lsh_oracle()}) mh),
+            sym AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(id, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM sym) seeds
+                UNION
+                SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+            comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            mem AS (SELECT d.doc_id,
+                           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                           length(COALESCE(d.text, '')) AS sc
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+            canon AS (SELECT canonical_doc FROM (
+                SELECT cluster_id, doc_id AS canonical_doc,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY sc DESC, doc_id ASC) AS rn
+                FROM mem) t WHERE rn = 1)
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN cn.canonical_doc IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+                   ROUND(1.0 - SUM(CASE WHEN cn.canonical_doc IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                               / COUNT(*), 6) AS dup_rate
+            FROM documents d
+            LEFT JOIN canon cn ON cn.canonical_doc = d.doc_id
+            GROUP BY d.source
         """,
         # the dedup_clusters recursive CTE + longest-member survivorship
         "dedup_canonical_docs": f"""

@@ -125,10 +125,35 @@ def quantiles_on(spark, sf_dir):
     )
 
 
+def prefix_jaccard_off(spark, sf_dir):
+    return entrymod.queries()["prefix_jaccard_pairs"](spark, sf_dir)
+
+
+def prefix_jaccard_on(spark, sf_dir):
+    """Lever: exact dedup upstream — the replicated stress layout makes
+    every doc's 16/64 verbatim copies mutual J=1 pairs, so the EXACT
+    join's own output (and its prefix buckets) grow quadratically in
+    the replica factor. Collapsing verbatim copies first (the standard
+    intake order: exact dedup → near-dup join) returns both the
+    candidate buckets and the output to corpus shape."""
+    docs = _docs(spark, sf_dir)
+    groups = DD.exact_dedup_groups(docs)
+    keepers = (
+        docs.select("doc_id", "text", DD.fingerprint("text").alias("fp"))
+        .join(groups.select("fp", "keep_id"), "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    return DD.prefix_filter_pairs(
+        keepers, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+
+
 PAIRS = {
     "dedup_clusters_star": (clusters_star_off, clusters_star_on),
     "bigram_logprob": (bigram_off, bigram_on),
     "price_quantiles": (quantiles_off, quantiles_on),
+    "prefix_jaccard_pairs": (prefix_jaccard_off, prefix_jaccard_on),
 }
 
 
