@@ -1795,6 +1795,26 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_intake_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall incremental intake dedup via the persisted prefix
+    index (the prefix-filter sibling of corpus_admitted_indexed): the
+    corpus (src0-9) is shingled ONCE into (dfreq, prefix, shingles)
+    index tables; the new crawl (src10+) probes them and every true
+    corpus match at Jaccard ≥ 1/2 is rejected — no LSH banding recall
+    loss. OOV shingles take df 0 under the fixed build-time order. The
+    oracle is the exact quadratic batch×corpus Jaccard with the same
+    integer cut."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.substring("source", 4, 10).cast("int") < 10)
+    new = docs.filter(F.substring("source", 4, 10).cast("int") >= 10)
+    index = DD.build_prefix_index(
+        corpus, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+    return DD.prefix_dedup_against_corpus(
+        new, index, threshold_num=1, threshold_den=2, shingle_n=3
+    ).select("doc_id", "source")
+
+
 def q_decontaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — the 100 TB posture of
     decontaminated_docs: the benchmark gram set becomes a literal bit
@@ -2581,6 +2601,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
     "ann_truncated_recall", "decontaminated_docs_bloom",
     "prefix_jaccard_pairs", "dedup_rate_report",
+    "prefix_intake_admitted",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2622,13 +2643,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
-    "tpch_q2", "tpch_q4", "tpch_q7",
+    "tpch_q2", "tpch_q4",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q8, tpch_q9,
-    # tpch_q11, tpch_q12, tpch_q13, tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q7, tpch_q8,
+    # tpch_q9, tpch_q11, tpch_q12, tpch_q13, tpch_q14
 ]
 
 
@@ -2712,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "prefix_intake_admitted": q_prefix_intake_admitted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "edit_near_dup": q_edit_near_dup,
         "simhash_signatures": q_simhash_signatures,
@@ -4499,6 +4521,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_jaccard": _jaccard_oracle(threshold=0.2),
+        # exact-recall prefix-index intake: oracle is the exact
+        # quadratic batch x corpus Jaccard with the integer cut
+        "prefix_intake_admitted": f"""
+            WITH {_shingle_ctes()},
+            newd AS (SELECT doc_id, source FROM documents
+                     WHERE CAST(substr(source, 4, 10) AS INT) >= 10),
+            corp AS (SELECT doc_id FROM documents
+                     WHERE CAST(substr(source, 4, 10) AS INT) < 10),
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+                FROM shx l
+                JOIN newd nd ON nd.doc_id = l.doc_id
+                JOIN shx r ON r.s = l.s
+                JOIN corp cp ON cp.doc_id = r.doc_id
+                GROUP BY 1, 2),
+            matched AS (
+                SELECT DISTINCT i.a FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter))
+            SELECT doc_id, source FROM newd
+            WHERE doc_id NOT IN (SELECT a FROM matched)
+        """,
         # the prefix-filter join's oracle is the EXACT quadratic form
         # with the integer threshold (2*inter >= union, t = 1/2)
         "prefix_jaccard_pairs": f"""

@@ -304,6 +304,45 @@ def jaccard_pairs(
     )
 
 
+def _prefix_rows(
+    sh: DataFrame, dfreq: DataFrame, num: int, den: int, id_col: str
+) -> DataFrame:
+    """Per-doc prefix rows ``(id_col, L, s)`` under the ascending
+    (document-frequency, shingle) total order given by ``dfreq``
+    (shingles absent from dfreq take df 0 — ahead of every seen
+    shingle, the deterministic OOV slot for intake against a FIXED
+    build-time order). Prefix length p = L − ⌈num·L/den⌉ + 1, integer
+    ceil. Each doc sorts only its OWN (df, shingle) structs — no
+    global rank window."""
+    shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    ordered = (
+        shx.join(dfreq, "s", "left")
+        .withColumn("sdf", F.coalesce(F.col("sdf"), F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sdf"), F.col("s")))
+            ).alias("arr")
+        )
+        .withColumn("L", F.size("arr"))
+        .withColumn(
+            "p",
+            F.col("L")
+            - F.expr(f"CAST(({num} * L + {den} - 1) div {den} AS INT)")
+            + F.lit(1),
+        )
+    )
+    return ordered.select(
+        F.col(id_col),
+        F.col("L"),
+        F.explode(
+            F.transform(
+                F.slice("arr", F.lit(1), F.col("p")), lambda st: st["s"]
+            )
+        ).alias("s"),
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -345,32 +384,7 @@ def prefix_filter_pairs(
     )
     shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
-    # per-doc ascending (df, shingle) order; prefix p = L - ceil(t*L) + 1
-    ordered = (
-        shx.join(dfreq, "s")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("sdf"), F.col("s")))
-            ).alias("arr")
-        )
-        .withColumn("L", F.size("arr"))
-        .withColumn(
-            "p",
-            F.col("L")
-            - F.expr(f"CAST(({num} * L + {den} - 1) div {den} AS INT)")
-            + F.lit(1),
-        )
-    )
-    pref = ordered.select(
-        F.col(id_col),
-        F.col("L"),
-        F.explode(
-            F.transform(
-                F.slice("arr", F.lit(1), F.col("p")), lambda st: st["s"]
-            )
-        ).alias("s"),
-    )
+    pref = _prefix_rows(sh, dfreq, num, den, id_col)
     l, r = pref.alias("l"), pref.alias("r")
     # size filter (PPJoin): J >= t forces t*|A| <= |B| <= |A|/t — an
     # integer pre-verify cut on candidate volume, pure pruning (the
@@ -405,6 +419,128 @@ def prefix_filter_pairs(
     return scored.select(
         "a", "b", F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard")
     )
+
+
+def build_prefix_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the EXACT-recall intake-dedup index (the prefix-filter
+    sibling of :func:`build_corpus_index`): ``(dfreq, corpus_prefix,
+    corpus_shingles)`` — the corpus is shingled ONCE; dfreq fixes the
+    global (document-frequency, shingle) order, corpus_prefix holds each
+    corpus doc's rarest-first prefix rows ``(id, L, s)``, and
+    corpus_shingles keeps the full distinct-shingle arrays for the
+    verify. Persist corpus_prefix bucketed on ``s``; later intake
+    batches probe it via :func:`prefix_dedup_against_corpus` without
+    re-shingling the corpus, and :func:`extend_prefix_index` appends
+    admitted docs delta-sized."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("build_prefix_index: need 0 < num <= den")
+    corpus = ensure_parallelism(corpus)
+    sh = corpus.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
+    pref = _prefix_rows(sh, dfreq, threshold_num, threshold_den, id_col)
+    return dfreq, pref, sh
+
+
+def extend_prefix_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    admitted: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incrementally maintain the prefix index: shingle only the newly-
+    ADMITTED docs and compute their prefixes under the FIXED build-time
+    dfreq order (the IVF-centroid convention — the order is an artifact,
+    not refreshed per batch; completeness holds under ANY fixed total
+    order, so exact recall is unaffected — only prefix-bucket-size
+    OPTIMALITY drifts as true frequencies shift, at which point a
+    rebuild is a deliberate act). Delta-sized, map-side + one delta
+    sort-per-doc; dfreq unchanged."""
+    dfreq, corpus_prefix, corpus_sh = index
+    new_sh = ensure_parallelism(admitted).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    new_pref = _prefix_rows(new_sh, dfreq, threshold_num, threshold_den, id_col)
+    return (
+        dfreq,
+        corpus_prefix.unionByName(new_pref),
+        corpus_sh.unionByName(new_sh),
+    )
+
+
+def prefix_dedup_against_corpus(
+    new_df: DataFrame,
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-recall incremental intake dedup: admit only the new docs
+    with NO corpus match at Jaccard ≥ num/den — every true match is
+    found (no LSH banding recall loss). Completeness: batch prefixes
+    are computed under the index's FIXED dfreq order (OOV shingles →
+    df 0, ahead of every seen shingle — deterministic and shared), and
+    under a shared total order any cross-pair with J ≥ t intersects
+    within both prefixes. Candidates = batch-prefix ⋈ corpus-prefix on
+    the shingle (+ the integer PPJoin size filter); the verify is the
+    integer-exact den·|A∩B| ≥ num·|A∪B| on the stored shingle arrays.
+    The corpus is never re-shingled at intake — only its index tables
+    are probed (delta × prefix-bucket cost)."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("prefix_dedup_against_corpus: need 0 < num <= den")
+    num, den = threshold_num, threshold_den
+    dfreq, corpus_prefix, corpus_sh = index
+    new_sh = ensure_parallelism(new_df).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    new_pref = _prefix_rows(new_sh, dfreq, num, den, id_col)
+    n, c = new_pref.alias("n"), corpus_prefix.alias("c")
+    cand = (
+        n.join(
+            c,
+            (F.col("n.s") == F.col("c.s"))
+            & (F.lit(num) * F.col("n.L") <= F.lit(den) * F.col("c.L"))
+            & (F.lit(num) * F.col("c.L") <= F.lit(den) * F.col("n.L")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("a"), F.col(f"c.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    sha = new_sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    shb = corpus_sh.select(
+        F.col(id_col).alias("b"), F.col("shingles").alias("sh_b")
+    )
+    matched = (
+        cand.join(sha, "a")
+        .join(shb, "b")
+        .select(
+            "a",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_ab"),
+        )
+        .filter(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (F.col("n_ab") - F.col("n_inter"))
+        )
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
 
 
 def verify_jaccard_on_candidates(

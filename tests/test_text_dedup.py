@@ -1170,3 +1170,61 @@ def test_prefix_filter_rejects_bad_threshold(spark):
         D.prefix_filter_pairs(docs, threshold_num=0, threshold_den=2)
     with pytest.raises(ValueError, match="num"):
         D.prefix_filter_pairs(docs, threshold_num=3, threshold_den=2)
+
+
+def test_prefix_intake_exact_recall_with_oov_shingles(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus text about engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-verbatim of corpus doc 1 -> must be rejected
+            (10, "the quick brown fox jumps over the lazy cat"),
+            # entirely OOV text (df 0 shingles) -> admitted
+            (11, "zeta omega theta words never seen before anywhere"),
+            # verbatim copy of corpus doc 2 (J = 1) -> rejected
+            (12, "completely different corpus text about engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = D.build_prefix_index(corpus, threshold_num=1, threshold_den=2)
+    out = D.prefix_dedup_against_corpus(
+        batch, idx, threshold_num=1, threshold_den=2
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+
+def test_extend_prefix_index_keeps_exact_recall(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "totally novel first batch document text here")],
+        "doc_id bigint, text string",
+    )
+    idx = D.build_prefix_index(corpus, threshold_num=1, threshold_den=2)
+    admitted1 = D.prefix_dedup_against_corpus(
+        b1, idx, threshold_num=1, threshold_den=2
+    )
+    assert [r["doc_id"] for r in admitted1.collect()] == [10]
+    idx = D.extend_prefix_index(
+        idx, admitted1, threshold_num=1, threshold_den=2
+    )
+    # batch 2: a near-copy of the batch-1 doc (OOV vs the ORIGINAL
+    # corpus, so its shingles ride the fixed df-0 slot) must be caught
+    b2 = spark.createDataFrame(
+        [
+            (20, "totally novel first batch document text here friend"),
+            (21, "yet another brand new unrelated document entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    admitted2 = D.prefix_dedup_against_corpus(
+        b2, idx, threshold_num=1, threshold_den=2
+    )
+    assert sorted(r["doc_id"] for r in admitted2.collect()) == [21]
