@@ -1,0 +1,152 @@
+"""Index retraction — right-to-be-forgotten over the persisted serving
+artifacts.
+
+Training-data pipelines accumulate derived artifacts per document (IVF
+cells, PQ codes, BM25 postings and lengths, prefix-index rows); a
+takedown or consent withdrawal must remove a document from ALL of them,
+not just the corpus table. Each function here retracts a set of ids
+from one index family and returns tables that serve IDENTICALLY to an
+index built over the remaining corpus:
+
+- per-doc rows (cells, codes, doclen, postings, prefix, shingles) are
+  per-row deterministic given the FIXED fit artifacts (centroids,
+  codebooks, dfreq), so an anti-join equals re-assign/re-encode of the
+  remaining docs — the extend_* equivalence, run backwards.
+- corpus-level aggregates that serving reads (BM25 ``stats``) are
+  RECOMPUTED from the surviving per-doc tables (index-sized, never a
+  corpus scan), which restores exact rebuild parity — BM25 scores after
+  retraction are bit-identical to a fresh build on the remaining docs
+  (pinned by test).
+
+What retraction deliberately does NOT touch:
+
+- IVF centroids / PQ codebooks / quantizer params / prefix dfreq: these
+  are FIT artifacts (aggregates over many docs), kept fixed across
+  extends by convention. Exception: IVF centroids are stored corpus
+  VECTORS (first-k by id) — if a retracted id IS a centroid, its raw
+  embedding would survive inside the index, so :func:`retract_from_ivf_index`
+  REFUSES and directs a rebuild (compliance over convenience).
+- the LSH corpus index's ``corpus_fp`` table: it is a distinct-md5 set
+  with no doc ids, so id-keyed retraction cannot know whether a
+  fingerprint is still held by a surviving duplicate — exact fp
+  retraction needs a refcounted fp table; the band table (id-keyed) IS
+  retracted. Documented caveat, not silent behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ids_df(retract_ids: DataFrame, id_col: str) -> DataFrame:
+    cols = retract_ids.columns
+    if id_col in cols:
+        return retract_ids.select(id_col)
+    if len(cols) == 1:
+        return retract_ids.select(F.col(cols[0]).alias(id_col))
+    raise ValueError(
+        f"retraction: retract_ids must have an {id_col!r} column or be "
+        f"single-column, got {cols}"
+    )
+
+
+def retract_from_ivf_index(
+    index: tuple[DataFrame, DataFrame],
+    retract_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Remove ids from an IVF index ``(centroids, corpus_cells)``.
+    Refuses if a retracted id is one of the stored centroid vectors —
+    the raw embedding would otherwise survive inside the index; rebuild
+    with fresh centroids instead."""
+    centroids, corpus_cells = index
+    ids = _ids_df(retract_ids, id_col)
+    hit = centroids.join(ids, id_col, "left_semi").limit(1).collect()
+    if hit:
+        raise ValueError(
+            f"retract_from_ivf_index: id {hit[0][id_col]} is a stored "
+            "centroid vector — retraction would leave its embedding in "
+            "the index; rebuild the index without the retracted docs"
+        )
+    return centroids, corpus_cells.join(ids, id_col, "left_anti")
+
+
+def retract_from_ivf_pq_index(
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    retract_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Remove ids from an IVF-PQ index ``(centroids, corpus_cells,
+    codebooks, codes)`` (flat or residual). Codebooks stay fixed (fit
+    artifact — k-means means over many vectors, not per-doc data); the
+    centroid-identity refusal of :func:`retract_from_ivf_index`
+    applies."""
+    centroids, corpus_cells, books, codes = index
+    centroids, cells = retract_from_ivf_index(
+        (centroids, corpus_cells), retract_ids, id_col
+    )
+    ids = _ids_df(retract_ids, id_col)
+    return centroids, cells, books, codes.join(ids, id_col, "left_anti")
+
+
+def retract_from_bm25_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Remove ids from a BM25 index ``(stats, doclen, postings)``.
+    ``stats`` (n_docs, total_dl) is recomputed from the surviving
+    doclen rows — index-sized, no corpus scan — so serving from the
+    retracted index is BIT-IDENTICAL to a fresh build over the
+    remaining docs (doc lengths are integral doubles; their sum is
+    order-independent). Per-term df needs no fixup: the indexed serve
+    derives it from postings."""
+    _, doclen, postings = index
+    ids = _ids_df(retract_ids, id_col)
+    doclen2 = doclen.join(ids, id_col, "left_anti")
+    postings2 = postings.join(ids, id_col, "left_anti")
+    stats2 = doclen2.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    return stats2, doclen2, postings2
+
+
+def retract_from_prefix_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Remove ids from a prefix intake index ``(dfreq, corpus_prefix,
+    corpus_shingles)``. dfreq stays fixed (it is the ORDER artifact;
+    completeness of the prefix filter holds under any fixed total
+    order, so intake admission against the retracted index returns
+    exactly what an index over the remaining docs returns — candidates
+    may differ, the integer-exact verify makes results equal; pinned by
+    test)."""
+    dfreq, corpus_prefix, corpus_sh = index
+    ids = _ids_df(retract_ids, id_col)
+    return (
+        dfreq,
+        corpus_prefix.join(ids, id_col, "left_anti"),
+        corpus_sh.join(ids, id_col, "left_anti"),
+    )
+
+
+def retract_from_lsh_corpus_index(
+    index: tuple[DataFrame, DataFrame],
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Remove ids from the LSH intake index ``(corpus_fp,
+    corpus_bands)``. Only the id-keyed band table is retracted;
+    ``corpus_fp`` is a distinct-md5 SET without ids, so an id cannot
+    tell whether its fingerprint is still held by a surviving verbatim
+    duplicate — it is left intact (conservative: at worst a future
+    verbatim copy of a forgotten doc is still rejected as an exact dup;
+    exact fp retraction requires a refcounted fp table, a deliberate
+    rebuild)."""
+    corpus_fp, corpus_bands = index
+    ids = _ids_df(retract_ids, id_col)
+    return corpus_fp, corpus_bands.join(ids, id_col, "left_anti")

@@ -1,0 +1,117 @@
+"""Index retraction (operators/retraction.py): rebuild parity per
+family, centroid-identity refusal, fixed fit artifacts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    retraction as R,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    similarity as S,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    text as T,
+)
+
+
+def _ids(spark, vals, col="doc_id"):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} bigint")
+
+
+def test_retract_bm25_serves_identically_to_rebuild(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gone = _ids(spark, [2, 5, 8])
+    remaining = docs.join(gone, "doc_id", "left_anti")
+    retracted = R.retract_from_bm25_index(
+        T.build_bm25_index(docs), gone
+    )
+    rebuilt = T.build_bm25_index(remaining)
+    q = ["table", "scan", "hash", "window"]
+    a = T.bm25_scores_indexed(retracted, q, top_k=10)
+    b = T.bm25_scores_indexed(rebuilt, q, top_k=10)
+    key = lambda r: tuple(r)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_retract_ivf_pq_equals_reassign_of_remaining(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cells = S.build_ivf_index(emb, ncells=4)
+    books = S.pq_fit(emb, m_sub=4, k_codes=4, n_iter=2)
+    codes = S.pq_encode(emb, books)
+    gone = _ids(spark, [7, 9, 30], col="vec_id")
+    _, cells2, _, codes2 = R.retract_from_ivf_pq_index(
+        (cents, cells, books, codes), gone
+    )
+    remaining = emb.join(gone, "vec_id", "left_anti")
+    ref_cells = S.assign_cells(remaining, cents, nprobe=1)
+    ref_codes = S.pq_encode(remaining, books)
+    assert sorted(
+        (r["vec_id"], r["cell"]) for r in cells2.collect()
+    ) == sorted((r["vec_id"], r["cell"]) for r in ref_cells.collect())
+    assert sorted(
+        (r["vec_id"], r["sub"], r["code"]) for r in codes2.collect()
+    ) == sorted(
+        (r["vec_id"], r["sub"], r["code"]) for r in ref_codes.collect()
+    )
+
+
+def test_retract_refuses_centroid_ids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = S.build_ivf_index(emb, ncells=4)
+    # centroids are the first 4 vec_ids — retracting id 1 must refuse
+    with pytest.raises(ValueError, match="centroid"):
+        R.retract_from_ivf_index(index, _ids(spark, [1], col="vec_id"))
+
+
+def test_retract_prefix_index_admission_equals_rebuild(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different corpus text about spark engines"),
+            (3, "a third unrelated doc on parquet row group compression"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of RETRACTED doc 2 -> must be ADMITTED post-retract
+            (10, "completely different corpus text about spark planes"),
+            # near-copy of surviving doc 1 -> still rejected
+            (11, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    gone = _ids(spark, [2])
+    retracted = R.retract_from_prefix_index(
+        D.build_prefix_index(corpus), gone
+    )
+    rebuilt = D.build_prefix_index(corpus.join(gone, "doc_id", "left_anti"))
+    a = sorted(
+        r["doc_id"]
+        for r in D.prefix_dedup_against_corpus(batch, retracted).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in D.prefix_dedup_against_corpus(batch, rebuilt).collect()
+    )
+    assert a == b == [10]
+
+
+def test_retract_lsh_bands_and_ids_df_validation(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    fp, bands = D.build_corpus_index(corpus)
+    fp2, bands2 = R.retract_from_lsh_corpus_index((fp, bands), _ids(spark, [1]))
+    assert bands2.filter(F.col("doc_id") == 1).count() == 0
+    assert bands2.filter(F.col("doc_id") == 2).count() > 0
+    assert fp2.count() == fp.count()  # fp set intact (documented caveat)
+    with pytest.raises(ValueError, match="retract_ids"):
+        R._ids_df(
+            spark.createDataFrame([(1, 2)], "x bigint, y bigint"), "doc_id"
+        )
