@@ -1910,6 +1910,15 @@ def ivf_pq_residual_topk(
     their k_codes × m_sub capacity on within-cell variation instead of
     re-describing the coarse structure IVF already captured.
 
+    MEASURED guidance (tools/residual_recall_probe.py, BASELINE.md):
+    the upgrade holds only over genuinely CLUSTERED corpora (probe:
+    0.225 vs 0.205 recall@10 with true clusters as centroids); on
+    near-isotropic data with raw-vector first-k coarse centroids,
+    residuals v − c INFLATE variance and recall drops well below flat
+    (0.065 vs 0.300). Use trained (k-means) coarse centroids and run
+    the probe before switching a serve path — the
+    quantization_error_report gate philosophy.
+
     Serving differs from flat IVF-PQ in one place: the ADC lookup table
     is per (query, probed cell) — the query's residual against THAT
     cell's centroid scored against every codeword — because candidates
