@@ -3765,6 +3765,17 @@ def _bm25_batch_oracle(
     """
 
 
+# hash60-interned shingles over _shingle_ctes' sh(doc_id, shingles):
+# mirrors dedup._hashed_shingles (md5-substring → BIGINT, the MinHash
+# parity idiom). Requires _shingle_ctes() earlier in the WITH chain.
+_HASHED_SHINGLE_CTES = """
+        hsh AS (SELECT doc_id, list_distinct(list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+                FROM sh),
+        hx AS (SELECT doc_id, unnest(hs) AS s FROM hsh),
+        hsizes AS (SELECT doc_id, len(hs) AS n_sh FROM hsh),"""
+
+
 def _jaccard_oracle(threshold: float = 0.2) -> str:
     return f"""
         WITH {_shingle_ctes()},
@@ -4525,38 +4536,42 @@ def oracle_sql() -> dict[str, str]:
         # quadratic batch x corpus Jaccard with the integer cut
         "prefix_intake_admitted": f"""
             WITH {_shingle_ctes()},
+            {_HASHED_SHINGLE_CTES}
             newd AS (SELECT doc_id, source FROM documents
                      WHERE CAST(substr(source, 4, 10) AS INT) >= 10),
             corp AS (SELECT doc_id FROM documents
                      WHERE CAST(substr(source, 4, 10) AS INT) < 10),
             inter AS (
                 SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
-                FROM shx l
+                FROM hx l
                 JOIN newd nd ON nd.doc_id = l.doc_id
-                JOIN shx r ON r.s = l.s
+                JOIN hx r ON r.s = l.s
                 JOIN corp cp ON cp.doc_id = r.doc_id
                 GROUP BY 1, 2),
             matched AS (
                 SELECT DISTINCT i.a FROM inter i
-                JOIN sizes sa ON sa.doc_id = i.a
-                JOIN sizes sb ON sb.doc_id = i.b
+                JOIN hsizes sa ON sa.doc_id = i.a
+                JOIN hsizes sb ON sb.doc_id = i.b
                 WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter))
             SELECT doc_id, source FROM newd
             WHERE doc_id NOT IN (SELECT a FROM matched)
         """,
         # the prefix-filter join's oracle is the EXACT quadratic form
-        # with the integer threshold (2*inter >= union, t = 1/2)
+        # with the integer threshold (2*inter >= union, t = 1/2) over
+        # hash60-interned shingles (mirrors _hashed_shingles — the
+        # MinHash md5 idiom, so even a hash collision matches engines)
         "prefix_jaccard_pairs": f"""
             WITH {_shingle_ctes()},
+            {_HASHED_SHINGLE_CTES}
             inter AS (
                 SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
-                FROM shx l JOIN shx r ON l.s = r.s AND l.doc_id < r.doc_id
+                FROM hx l JOIN hx r ON l.s = r.s AND l.doc_id < r.doc_id
                 GROUP BY 1, 2)
             SELECT i.a, i.b,
                    ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
             FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.a
-            JOIN sizes sb ON sb.doc_id = i.b
+            JOIN hsizes sa ON sa.doc_id = i.a
+            JOIN hsizes sb ON sb.doc_id = i.b
             WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)
         """,
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),

@@ -304,6 +304,20 @@ def jaccard_pairs(
     )
 
 
+def _hashed_shingles(text_col: str, shingle_n: int) -> Column:
+    """Word n-gram shingles interned as hash60 BIGINTs: the prefix
+    family's joins and array_intersect verifies then run on fixed-width
+    longs instead of re-hashing shingle STRINGS per comparison (the
+    verify stage measured ~2× on 310k candidate pairs). The oracle
+    mirrors the same md5-derived hash (the MinHash parity idiom), so
+    results stay identical across engines even in the measure-zero
+    collision case — a collision merges the same two shingles on both
+    sides."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, shingle_n), lambda s: hash60(s))
+    )
+
+
 def _prefix_rows(
     sh: DataFrame, dfreq: DataFrame, num: int, den: int, id_col: str
 ) -> DataFrame:
@@ -380,11 +394,15 @@ def prefix_filter_pairs(
     num, den = threshold_num, threshold_den
     df = ensure_parallelism(df)
     sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    )
+        F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
+    ).localCheckpoint(eager=False)  # consumed by dfreq, prefix, and
+    # BOTH verify sides — without this the tokenize+dfreq+sort chain
+    # re-evaluates per consumer (the lsh_admit materialize lesson)
     shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
-    pref = _prefix_rows(sh, dfreq, num, den, id_col)
+    pref = _prefix_rows(sh, dfreq, num, den, id_col).localCheckpoint(
+        eager=False
+    )  # self-joined: two consumers of the sort-agg subtree
     l, r = pref.alias("l"), pref.alias("r")
     # size filter (PPJoin): J >= t forces t*|A| <= |B| <= |A|/t — an
     # integer pre-verify cut on candidate volume, pure pruning (the
@@ -443,7 +461,7 @@ def build_prefix_index(
         raise ValueError("build_prefix_index: need 0 < num <= den")
     corpus = ensure_parallelism(corpus)
     sh = corpus.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
     )
     shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
@@ -470,7 +488,7 @@ def extend_prefix_index(
     sort-per-doc; dfreq unchanged."""
     dfreq, corpus_prefix, corpus_sh = index
     new_sh = ensure_parallelism(admitted).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
     )
     new_pref = _prefix_rows(new_sh, dfreq, threshold_num, threshold_den, id_col)
     return (
@@ -505,8 +523,8 @@ def prefix_dedup_against_corpus(
     num, den = threshold_num, threshold_den
     dfreq, corpus_prefix, corpus_sh = index
     new_sh = ensure_parallelism(new_df).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    )
+        F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
+    ).localCheckpoint(eager=False)  # consumed by prefix AND verify
     new_pref = _prefix_rows(new_sh, dfreq, num, den, id_col)
     n, c = new_pref.alias("n"), corpus_prefix.alias("c")
     cand = (

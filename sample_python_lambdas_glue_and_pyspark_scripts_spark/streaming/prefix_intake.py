@@ -47,13 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import _prefix_rows, word_shingles
+from ..operators.dedup import _hashed_shingles, _prefix_rows
 from ..operators.util import ensure_parallelism
 from .incremental import run_incremental
 
-_DFREQ_SCHEMA = "s STRING, sdf BIGINT"
-_PREFIX_SCHEMA = "doc_id BIGINT, L INT, s STRING, batch_id STRING"
-_SHINGLE_SCHEMA = "doc_id BIGINT, shingles ARRAY<STRING>, batch_id STRING"
+_DFREQ_SCHEMA = "s BIGINT, sdf BIGINT"
+_PREFIX_SCHEMA = "doc_id BIGINT, L INT, s BIGINT, batch_id STRING"
+_SHINGLE_SCHEMA = "doc_id BIGINT, shingles ARRAY<BIGINT>, batch_id STRING"
 
 
 def init_prefix_intake(
@@ -70,7 +70,7 @@ def init_prefix_intake(
     if seed_corpus is None:
         return
     sh = ensure_parallelism(seed_corpus).select(
-        word_shingles(text_col, shingle_n).alias("shingles")
+        _hashed_shingles(text_col, shingle_n).alias("shingles")
     )
     (
         sh.select(F.explode("shingles").alias("s"))
@@ -143,7 +143,7 @@ def prefix_admit(
     if not (0 < num <= den):
         raise ValueError("prefix_admit: need 0 < num <= den")
     sh = ensure_parallelism(docs).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
     )
     if materialize:
         sh = sh.localCheckpoint(eager=False)

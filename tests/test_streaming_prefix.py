@@ -53,7 +53,7 @@ def test_prefix_admit_verifies_instead_of_bucket_dropping(spark):
         spark,
         [(1, BASE), (2, NEAR_DUP), (3, ONE_SHARED_RUN), (4, DISTINCT)],
     )
-    dfreq = spark.createDataFrame([], "s STRING, sdf BIGINT")
+    dfreq = spark.createDataFrame([], "s BIGINT, sdf BIGINT")
     kept, new_pref, new_sh = prefix_admit(docs, dfreq, claimed=None)
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     # 2 is a true near-dup of 1 (J >= 1/2) -> dropped, min id wins;
