@@ -964,7 +964,9 @@ def bloom_decontaminate(
         benchmark.select(
             F.explode(word_shingles(text_col, shingle_n)).alias("g")
         ).distinct()
-    )
+    ).localCheckpoint(eager=False)  # consumed twice: the Bloom build's
+    # collect AND the exact-verify broadcast — without this the bench
+    # shingle job runs twice
     corpus_grams = ensure_parallelism(corpus).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("g")
     )
