@@ -321,13 +321,19 @@ def _hashed_shingles(text_col: str, shingle_n: int) -> Column:
 def _prefix_rows(
     sh: DataFrame, dfreq: DataFrame, num: int, den: int, id_col: str
 ) -> DataFrame:
-    """Per-doc prefix rows ``(id_col, L, s)`` under the ascending
+    """Per-doc prefix rows ``(id_col, L, pos, s)`` under the ascending
     (document-frequency, shingle) total order given by ``dfreq``
     (shingles absent from dfreq take df 0 — ahead of every seen
     shingle, the deterministic OOV slot for intake against a FIXED
     build-time order). Prefix length p = L − ⌈num·L/den⌉ + 1, integer
     ceil. Each doc sorts only its OWN (df, shingle) structs — no
-    global rank window."""
+    global rank window. ``pos`` is the element's 1-based position in
+    the doc's FULL sorted list — the PPJoin positional-filter input: a
+    match at positions (i, j) bounds the pair's overlap by
+    ``1 + min(La − i, Lb − j)``, and for a TRUE pair its smallest
+    shared element (which the prefix theorem guarantees sits in both
+    prefixes) always satisfies the bound — per-match pruning on it is
+    lossless at the pair level."""
     shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     ordered = (
         shx.join(dfreq, "s", "left")
@@ -349,12 +355,31 @@ def _prefix_rows(
     return ordered.select(
         F.col(id_col),
         F.col("L"),
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice("arr", F.lit(1), F.col("p")), lambda st: st["s"]
             )
-        ).alias("s"),
+        ).alias("pos0", "s"),
+    ).select(
+        F.col(id_col),
+        F.col("L"),
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("s"),
     )
+
+
+def _positional_bound(num: int, den: int, left: str, right: str):
+    """PPJoin positional filter as a join Column: required overlap
+    α = ⌈num·(La+Lb)/(num+den)⌉ (from J ≥ num/den ⇔ inter ≥
+    t/(1+t)·(La+Lb)), possible overlap from a match at (i, j) is
+    1 + min(La−i, Lb−j). Integer arithmetic throughout (L values are
+    doc shingle counts, far below any float-precision edge)."""
+    la, lb = F.col(f"{left}.L"), F.col(f"{right}.L")
+    i, j = F.col(f"{left}.pos"), F.col(f"{right}.pos")
+    alpha = F.floor(
+        (F.lit(num) * (la + lb) + F.lit(num + den - 1)) / F.lit(num + den)
+    )
+    return (F.lit(1) + F.least(la - i, lb - j)) >= alpha
 
 
 def prefix_filter_pairs(
@@ -404,8 +429,9 @@ def prefix_filter_pairs(
         eager=False
     )  # self-joined: two consumers of the sort-agg subtree
     l, r = pref.alias("l"), pref.alias("r")
-    # size filter (PPJoin): J >= t forces t*|A| <= |B| <= |A|/t — an
-    # integer pre-verify cut on candidate volume, pure pruning (the
+    # size filter (PPJoin): J >= t forces t*|A| <= |B| <= |A|/t, and the
+    # positional filter bounds possible overlap per match — both integer
+    # pre-verify cuts on candidate volume, pure lossless pruning (the
     # exact verify below decides membership)
     cand = (
         l.join(
@@ -413,7 +439,8 @@ def prefix_filter_pairs(
             (F.col("l.s") == F.col("r.s"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             & (F.lit(num) * F.col("l.L") <= F.lit(den) * F.col("r.L"))
-            & (F.lit(num) * F.col("r.L") <= F.lit(den) * F.col("l.L")),
+            & (F.lit(num) * F.col("r.L") <= F.lit(den) * F.col("l.L"))
+            & _positional_bound(num, den, "l", "r"),
         )
         .select(
             F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
@@ -532,7 +559,8 @@ def prefix_dedup_against_corpus(
             c,
             (F.col("n.s") == F.col("c.s"))
             & (F.lit(num) * F.col("n.L") <= F.lit(den) * F.col("c.L"))
-            & (F.lit(num) * F.col("c.L") <= F.lit(den) * F.col("n.L")),
+            & (F.lit(num) * F.col("c.L") <= F.lit(den) * F.col("n.L"))
+            & _positional_bound(num, den, "n", "c"),
         )
         .select(
             F.col(f"n.{id_col}").alias("a"), F.col(f"c.{id_col}").alias("b")

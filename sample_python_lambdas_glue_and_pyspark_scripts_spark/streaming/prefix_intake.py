@@ -47,12 +47,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import _hashed_shingles, _prefix_rows
+from ..operators.dedup import (
+    _hashed_shingles,
+    _positional_bound,
+    _prefix_rows,
+)
 from ..operators.util import ensure_parallelism
 from .incremental import run_incremental
 
 _DFREQ_SCHEMA = "s BIGINT, sdf BIGINT"
-_PREFIX_SCHEMA = "doc_id BIGINT, L INT, s BIGINT, batch_id STRING"
+_PREFIX_SCHEMA = "doc_id BIGINT, L INT, pos INT, s BIGINT, batch_id STRING"
 _SHINGLE_SCHEMA = "doc_id BIGINT, shingles ARRAY<BIGINT>, batch_id STRING"
 
 
@@ -106,7 +110,7 @@ def _read_state(
         spark.read.schema(_PREFIX_SCHEMA)
         .parquet(f"{work_dir}/prefix")
         .filter(F.col("batch_id").cast("bigint") < before_batch)
-        .select("doc_id", "L", "s")
+        .select("doc_id", "L", "pos", "s")
     )
     sh = (
         spark.read.schema(_SHINGLE_SCHEMA)
@@ -188,7 +192,8 @@ def prefix_admit(
                 c,
                 (F.col("n.s") == F.col("c.s"))
                 & (F.lit(num) * F.col("n.L") <= F.lit(den) * F.col("c.L"))
-                & (F.lit(num) * F.col("c.L") <= F.lit(den) * F.col("n.L")),
+                & (F.lit(num) * F.col("c.L") <= F.lit(den) * F.col("n.L"))
+                & _positional_bound(num, den, "n", "c"),
             )
             .select(
                 F.col(f"n.{id_col}").alias("a"),
@@ -213,7 +218,8 @@ def prefix_admit(
             (F.col("l.s") == F.col("r.s"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             & (F.lit(num) * F.col("l.L") <= F.lit(den) * F.col("r.L"))
-            & (F.lit(num) * F.col("r.L") <= F.lit(den) * F.col("l.L")),
+            & (F.lit(num) * F.col("r.L") <= F.lit(den) * F.col("l.L"))
+            & _positional_bound(num, den, "l", "r"),
         )
         .select(
             F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
