@@ -1490,6 +1490,35 @@ def q_hll_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_bottomk_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch (Cohen & Kaplan, PODC 2007) — the SAMPLE member
+    of the sketch family: the 32 distinct event users with the smallest
+    md5-derived hashes, a mergeable uniform without-replacement sample
+    whose members are inspectable (Bloom/HLL cannot return members).
+    The whole (h, key) table is value-checked."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.bottomk_sketch(ev, "user_id", k=32)
+
+
+def q_bottomk_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k distinct estimate next to the exact answer: unlike HLL
+    (engine-tuned bias constants band-checked), the order-statistic
+    estimator (k-1)·2^60/h_k is CLOSED-FORM — the oracle reproduces the
+    estimate itself, not a tolerance."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = SK.bottomk_estimate(SK.bottomk_sketch(ev, "user_id", k=32), k=32)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
 BLOOM_M_BITS = 120
 BLOOM_K = 2
 
@@ -2601,7 +2630,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivfpq_residual_topk", "dedup_canonical_docs",
     "ann_truncated_recall", "decontaminated_docs_bloom",
     "prefix_jaccard_pairs", "dedup_rate_report",
-    "prefix_intake_admitted",
+    "prefix_intake_admitted", "bottomk_user_sample",
+    "bottomk_cardinality_report",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2643,13 +2673,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
-    "tpch_q2", "tpch_q4",
     # rotated out for the round-7 second batch (all driver-proven in
     # the r1-r6 window union): merge_upsert_orders, approx_aggregates,
     # window_distribution, window_first_last, cube_revenue,
     # training_prep_rollup, tpch_q15, tpch_q16, tpch_q17, tpch_q19,
-    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q7, tpch_q8,
-    # tpch_q9, tpch_q11, tpch_q12, tpch_q13, tpch_q14
+    # tpch_q20, tpch_q21, tpch_q22; third batch: tpch_q2, tpch_q4,
+    # tpch_q7, tpch_q8, tpch_q9, tpch_q11, tpch_q12, tpch_q13, tpch_q14
 ]
 
 
@@ -2755,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_sketch": q_cms_token_sketch,
         "hll_user_sketch": q_hll_user_sketch,
         "hll_cardinality_report": q_hll_cardinality_report,
+        "bottomk_user_sample": q_bottomk_user_sample,
+        "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
@@ -5237,6 +5268,37 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 52 - length(bin(hv // 256)) + 1 END)
                         AS INTEGER) AS rho
             FROM h GROUP BY bucket
+        """,
+        "bottomk_user_sample": """
+            WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+                       FROM events WHERE user_id IS NOT NULL),
+            hs AS (SELECT ('0x' || substr(md5('bk|' || key), 1, 15))::BIGINT
+                              AS h, key
+                   FROM u)
+            SELECT h, key FROM hs ORDER BY h LIMIT 32
+        """,
+        # the order-statistic estimate (k-1)*2^60/h_k is closed-form:
+        # the oracle reproduces the VALUE, not a tolerance band
+        "bottomk_cardinality_report": """
+            WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+                       FROM events WHERE user_id IS NOT NULL),
+            hs AS (SELECT ('0x' || substr(md5('bk|' || key), 1, 15))::BIGINT
+                              AS h
+                   FROM u),
+            bk AS (SELECT h FROM hs ORDER BY h LIMIT 32),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                           MAX(h) AS h_k
+                    FROM bk),
+            ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                              AS exact_distinct
+                   FROM events)
+            SELECT a.k_used, a.h_k,
+                   ROUND(CASE WHEN a.k_used < 32
+                              THEN CAST(a.k_used AS DOUBLE)
+                              ELSE 31.0 * 1152921504606846976.0 / a.h_k
+                         END, 6) AS estimate,
+                   ex.exact_distinct
+            FROM agg a CROSS JOIN ex
         """,
         "hll_cardinality_report": """
             WITH h AS (

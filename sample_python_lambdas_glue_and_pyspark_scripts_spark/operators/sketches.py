@@ -492,3 +492,78 @@ def bloom_prefilter(
         f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
     )
     return staged.filter(hit).drop("_bf_pos", "_bf_words")
+
+
+# --- bottom-k sketch ----------------------------------------------------------
+#
+# The fourth member of the sketch family (Cohen & Kaplan, "Summarizing
+# data using bottom-k sketches", PODC 2007): membership -> Bloom,
+# frequency -> CMS, cardinality -> HLL, SAMPLE -> bottom-k. The k
+# distinct keys with the smallest md5-derived hashes form a uniform
+# without-replacement sample of the distinct-key set that is (a)
+# MERGEABLE (re-take-k of a union of sketches == the sketch of the
+# union — the law tests pin), (b) a cardinality estimator with a
+# CLOSED-FORM value ((k-1) * 2^60 / h_k — fully oracle-reproducible,
+# unlike HLL's engine-tuned bias tables), and (c) the carrier of the
+# sampled KEYS themselves, so downstream joins can inspect the actual
+# sampled members (a Bloom/HLL cannot return members).
+
+_BK_SPACE = float(1 << 60)
+
+
+def bottomk_sketch(df: DataFrame, key_col: str, k: int = 32) -> DataFrame:
+    """Build the sketch: the ``k`` distinct keys with the smallest
+    ``hash60('bk|' || key)`` values, as ``(h, key)`` rows (ascending by
+    construction; ties impossible up to md5 collisions, which both
+    engines share). One distinct + one TakeOrdered — no full sort.
+    NULL keys are ignored (the family convention)."""
+    if k < 1:
+        raise ValueError("bottomk_sketch: k must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bk|"), F.col("key"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .select(h.alias("h"), "key")
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+
+
+def bottomk_merge(*sketches: DataFrame, k: int = 32) -> DataFrame:
+    """Merge sketches built with the same hash: union (+ distinct — the
+    same key may appear in several sketches) and re-take the k smallest.
+    Equals a direct build over the unioned key sets exactly (pinned by
+    test): bottom-k of a union is the bottom-k of the per-set bottoms."""
+    if not sketches:
+        raise ValueError("bottomk_merge: no sketches")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy(F.col("h").asc()).limit(k)
+
+
+def bottomk_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """Distinct-count estimate from the sketch: if the sketch holds
+    fewer than ``k`` keys the count is EXACT (every distinct key is in
+    it); otherwise ``n_hat = (k - 1) * 2^60 / h_k`` with ``h_k`` the
+    largest retained hash (the order statistic estimator — unbiased for
+    uniform hashes). One row ``(k_used, h_k, estimate)``, 6dp."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k")
+    )
+    return agg.select(
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.col("h_k").cast("bigint").alias("h_k"),
+        F.round(
+            F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(_BK_SPACE) / F.col("h_k")
+            ),
+            6,
+        ).alias("estimate"),
+    )

@@ -260,3 +260,62 @@ def read_bloom_state(spark: SparkSession, work_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+# --- bottom-k sample state -----------------------------------------------------
+
+_BK_SCHEMA = "h bigint, key string"
+
+
+def make_bottomk_batch_fn(work_dir: str, key_col: str, k: int = 32):
+    from ..operators.sketches import bottomk_sketch
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        bottomk_sketch(batch_df, key_col, k).write.mode("overwrite").parquet(
+            f"{work_dir}/bottomk/batch_id={batch_id}"
+        )
+
+    return batch_fn
+
+
+def streaming_bottomk(
+    stream_df: DataFrame,
+    work_dir: str,
+    key_col: str,
+    k: int = 32,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live bottom-k distinct-key sample over a stream: per
+    epoch one ``bottomk_sketch`` over the batch (≤ k rows written —
+    state size independent of stream length). Replay-safe BOTH ways
+    (the HLL double-safety): a replayed epoch overwrites its own dir,
+    AND re-taking the k smallest over duplicated dirs is idempotent
+    (min-take of a multiset ignores multiplicity after the distinct)."""
+    return run_incremental(
+        stream_df,
+        make_bottomk_batch_fn(work_dir, key_col, k),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_bottomk_state(
+    spark: SparkSession, work_dir: str, k: int = 32
+) -> DataFrame:
+    """The merged sample across every committed epoch (re-take-k — the
+    ``bottomk_merge`` law, so the read EQUALS a batch sketch over
+    everything the stream has seen). Empty-but-valid before the first
+    commit."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/bottomk")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _BK_SCHEMA)
+    return (
+        spark.read.schema(_BK_SCHEMA)
+        .parquet(f"{work_dir}/bottomk")
+        .select("h", "key")
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )

@@ -202,3 +202,68 @@ def test_read_bloom_state_empty_is_valid(spark, workdir):
     df = read_bloom_state(spark, workdir)
     assert df.count() == 0
     assert df.columns == ["word_idx", "bits"]
+
+
+def test_bottomk_merge_law_estimate_and_small_exact(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bottomk_estimate,
+        bottomk_merge,
+        bottomk_sketch,
+    )
+
+    a = _events(spark, 0, 500, 10**9)
+    b = _events(spark, 300, 900, 10**9)
+    k = 16
+    direct = bottomk_sketch(a.unionByName(b), "user_id", k)
+    merged = bottomk_merge(
+        bottomk_sketch(a, "user_id", k),
+        bottomk_sketch(b, "user_id", k),
+        k=k,
+    )
+    key = lambda r: (r["h"], r["key"])
+    assert sorted(map(key, direct.collect())) == sorted(
+        map(key, merged.collect())
+    )
+    # estimator: 900 distinct users, k=16 -> within a loose 3-sigma-ish
+    # band (sigma ~ n/sqrt(k) ~ 225)
+    est = bottomk_estimate(direct, k=k).collect()[0]
+    assert est["k_used"] == k
+    assert 200 <= est["estimate"] <= 2500
+    # fewer distinct keys than k -> exact count
+    tiny = bottomk_sketch(_events(spark, 0, 5, 10**9), "user_id", k)
+    est2 = bottomk_estimate(tiny, k=k).collect()[0]
+    assert est2["k_used"] == 5 and est2["estimate"] == 5.0
+
+
+def test_streaming_bottomk_matches_batch_and_replay(spark, workdir, tmp_path):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bottomk_sketch,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_bottomk_batch_fn,
+        read_bottomk_state,
+        streaming_bottomk,
+    )
+
+    src = str(tmp_path / "bksrc")
+    b0 = _events(spark, 0, 400, 10**9)
+    b1 = _events(spark, 200, 700, 10**9)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_bottomk(stream, workdir, "user_id", k=16).awaitTermination(180)
+
+    key = lambda r: (r["h"], r["key"])
+    batch = sorted(
+        map(key, bottomk_sketch(b0.unionByName(b1), "user_id", 16).collect())
+    )
+    streamed = sorted(map(key, read_bottomk_state(spark, workdir, 16).collect()))
+    assert streamed == batch
+    # replay idempotence: both via own-dir overwrite AND the re-take-k law
+    make_bottomk_batch_fn(workdir, "user_id", 16)(b0, 0)
+    again = sorted(map(key, read_bottomk_state(spark, workdir, 16).collect()))
+    assert again == batch
