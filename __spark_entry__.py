@@ -1490,6 +1490,64 @@ def q_hll_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def _user_value_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total value, 6dp-rounded (the deterministic-weight
+    contract priority sampling requires)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.round(F.sum("value"), 6).alias("w"))
+    )
+
+
+def q_priority_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    weighted companion of the bottom-k sketch: top-24 users by priority
+    w/u with adj_weight = max(w, tau); summing adj_weight over ANY user
+    subset unbiasedly estimates that subset's total value from the
+    24-row summary. Every value (priorities, tau, estimates) is
+    closed-form — the oracle reproduces them, no tolerance bands."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    wts = _user_value_weights(spark, sf_dir)
+    sk = SK.priority_sample(wts, "key", "w", k=24)
+    return SK.priority_estimates(sk, k=24)
+
+
+def q_priority_subset_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator in use: estimate the EVEN users' total value from
+    the 24-key priority sample vs the exact subset sum — sampled
+    members, estimate, exact, and the relative error, all
+    oracle-reproduced values."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    wts = _user_value_weights(spark, sf_dir)
+    est = SK.priority_estimates(
+        SK.priority_sample(wts, "key", "w", k=24), k=24
+    )
+    even = F.col("key").cast("bigint") % 2 == 0
+    est_agg = est.filter(even).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_members"),
+        F.round(F.sum("adj_weight"), 6).alias("est_subset_total"),
+    )
+    exact_agg = wts.filter(even).agg(
+        F.round(F.sum("w"), 6).alias("exact_subset_total")
+    )
+    return est_agg.crossJoin(F.broadcast(exact_agg)).select(
+        "n_sampled_members",
+        "est_subset_total",
+        "exact_subset_total",
+        F.round(
+            F.col("est_subset_total") / F.col("exact_subset_total") - 1.0, 6
+        ).alias("rel_err"),
+    )
+
+
 def q_bottomk_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch (Cohen & Kaplan, PODC 2007) — the SAMPLE member
     of the sketch family: the 32 distinct event users with the smallest
@@ -2631,7 +2689,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_truncated_recall", "decontaminated_docs_bloom",
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
-    "bottomk_cardinality_report",
+    "bottomk_cardinality_report", "priority_user_sample",
+    "priority_subset_estimate",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2669,7 +2728,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # estimate-vs-exact calibration report
     "corpus_admitted_indexed", "containment_pairs",
     "minhash_estimate_report", "skyline_parts", "skyline_brand_fronts",
-    "nation_pagerank", "event_anomaly",
+    # rotated out for the round-7 fourth batch (driver-proven in the
+    # r4/r6 windows): nation_pagerank, event_anomaly
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
@@ -2786,6 +2846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality_report": q_hll_cardinality_report,
         "bottomk_user_sample": q_bottomk_user_sample,
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
+        "priority_user_sample": q_priority_user_sample,
+        "priority_subset_estimate": q_priority_subset_estimate,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
@@ -5268,6 +5330,62 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 52 - length(bin(hv // 256)) + 1 END)
                         AS INTEGER) AS rho
             FROM h GROUP BY bucket
+        """,
+        # priority sampling: every number (priority, tau, estimates) is
+        # closed-form; q = w * 2^60 / (h+1) is one multiply + one divide
+        # in fixed order so doubles are IEEE-identical across engines
+        "priority_user_sample": """
+            WITH wts AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                                ROUND(SUM(value), 6) AS w
+                         FROM events
+                         WHERE user_id IS NOT NULL AND value IS NOT NULL
+                         GROUP BY 1
+                         HAVING ROUND(SUM(value), 6) > 0),
+            pr AS (SELECT (w * 1152921504606846976.0)
+                              / (('0x' || substr(md5('ps|' || key), 1, 15))
+                                     ::BIGINT + 1) AS q,
+                          key, w
+                   FROM wts),
+            top AS (SELECT q, key, w,
+                           ROW_NUMBER() OVER (ORDER BY q DESC, key ASC) AS rn
+                    FROM pr),
+            tau AS (SELECT COALESCE(MAX(CASE WHEN rn = 25 THEN q END), 0.0)
+                               AS t
+                    FROM top WHERE rn <= 25)
+            SELECT key, w, ROUND(greatest(w, tau.t), 6) AS adj_weight
+            FROM top CROSS JOIN tau
+            WHERE rn <= 24
+        """,
+        "priority_subset_estimate": """
+            WITH wts AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                                ROUND(SUM(value), 6) AS w
+                         FROM events
+                         WHERE user_id IS NOT NULL AND value IS NOT NULL
+                         GROUP BY 1
+                         HAVING ROUND(SUM(value), 6) > 0),
+            pr AS (SELECT (w * 1152921504606846976.0)
+                              / (('0x' || substr(md5('ps|' || key), 1, 15))
+                                     ::BIGINT + 1) AS q,
+                          key, w
+                   FROM wts),
+            top AS (SELECT q, key, w,
+                           ROW_NUMBER() OVER (ORDER BY q DESC, key ASC) AS rn
+                    FROM pr),
+            tau AS (SELECT COALESCE(MAX(CASE WHEN rn = 25 THEN q END), 0.0)
+                               AS t
+                    FROM top WHERE rn <= 25),
+            est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_members,
+                           ROUND(SUM(ROUND(greatest(w, tau.t), 6)), 6)
+                               AS est_subset_total
+                    FROM top CROSS JOIN tau
+                    WHERE rn <= 24 AND CAST(key AS BIGINT) % 2 = 0),
+            ex AS (SELECT ROUND(SUM(w), 6) AS exact_subset_total
+                   FROM wts WHERE CAST(key AS BIGINT) % 2 = 0)
+            SELECT e.n_sampled_members, e.est_subset_total,
+                   x.exact_subset_total,
+                   ROUND(e.est_subset_total / x.exact_subset_total - 1.0, 6)
+                       AS rel_err
+            FROM est e CROSS JOIN ex x
         """,
         "bottomk_user_sample": """
             WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key

@@ -18,7 +18,7 @@ DuckDB SQL; the contract query hashes the full grid.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -566,4 +566,104 @@ def bottomk_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
             ),
             6,
         ).alias("estimate"),
+    )
+
+
+# --- priority sampling ---------------------------------------------------------
+#
+# The WEIGHTED companion of the bottom-k sketch (Duffield, Lund &
+# Thorup, "Priority sampling for estimation of arbitrary subset sums",
+# JACM 2007): priority q = w / u with u a hash-derived uniform in
+# (0, 1]; keep the k+1 largest priorities. The top k are the sample,
+# the (k+1)-th priority is the threshold tau, and SUM(max(w, tau)) over
+# the sampled members of ANY key subset is an unbiased estimate of that
+# subset's total weight — per-key aggregates answerable from a k-row
+# summary. Mergeable exactly like bottom-k: the k+1 largest priorities
+# of a union live in the union of each side's k+1 largest.
+#
+# Determinism contract: weights must arrive deterministic (round float
+# aggregates to 6dp first — the parity kit); u = (h+1)/2^60 from the
+# md5 hash60 of the key, and q = w * 2^60 / (h+1) is one multiply and
+# one divide in fixed order, so the whole sketch and every estimate
+# are IEEE-identical across engines (no tolerance bands).
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int = 32
+) -> DataFrame:
+    """Build the sketch: the ``k + 1`` rows with the largest priorities
+    as ``(q, key, w)``, descending (ties → key). Input must hold ONE
+    row per key (it samples keys, not rows — pre-aggregate first) with
+    deterministic non-negative weights. One TakeOrdered, no full
+    sort."""
+    if k < 1:
+        raise ValueError("priority_sample: k must be >= 1")
+    base = df.where(
+        F.col(key_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ps|"), F.col("key"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    q = (F.col("w") * F.lit(_BK_SPACE)) / (h + F.lit(1)).cast("double")
+    return (
+        base.select(q.alias("q"), "key", "w")
+        .orderBy(F.col("q").desc(), F.col("key").asc())
+        .limit(k + 1)
+    )
+
+
+def priority_merge(*sketches: DataFrame, k: int = 32) -> DataFrame:
+    """Merge sketches built with the same hash and k: union (+ distinct
+    — a key may appear in several sketches with the same (q, w)) and
+    re-take the k+1 largest. Equals a direct build over the unioned key
+    sets (pinned by test). Do NOT merge sketches whose shared keys
+    carry DIFFERENT weights — a key's weight must be global before
+    sketching (the one-row-per-key contract)."""
+    if not sketches:
+        raise ValueError("priority_merge: no sketches")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.distinct()
+        .orderBy(F.col("q").desc(), F.col("key").asc())
+        .limit(k + 1)
+    )
+
+
+def priority_estimates(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """Per-key unbiased weight estimates from the sketch: the top-k
+    rows with ``adj_weight = max(w, tau)``, tau = the (k+1)-th priority
+    (0 when the sketch holds ≤ k keys — then every key is present and
+    the estimate is EXACT). Summing ``adj_weight`` over any key subset
+    estimates that subset's total weight (Duffield et al. Thm 1)."""
+    w = Window.orderBy(F.col("q").desc(), F.col("key").asc())
+    ranked = sketch.withColumn("__rn", F.row_number().over(w))
+    tau = (
+        ranked.filter(F.col("__rn") == k + 1)
+        .select(F.col("q").alias("__tau"))
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(
+            F.broadcast(
+                tau.unionByName(
+                    tau.sparkSession.createDataFrame(
+                        [(0.0,)], "__tau double"
+                    )
+                ).orderBy(F.col("__tau").desc()).limit(1)
+            )
+        )
+        .select(
+            "key",
+            "w",
+            F.round(F.greatest(F.col("w"), F.col("__tau")), 6).alias(
+                "adj_weight"
+            ),
+        )
     )

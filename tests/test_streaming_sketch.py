@@ -267,3 +267,53 @@ def test_streaming_bottomk_matches_batch_and_replay(spark, workdir, tmp_path):
     make_bottomk_batch_fn(workdir, "user_id", 16)(b0, 0)
     again = sorted(map(key, read_bottomk_state(spark, workdir, 16).collect()))
     assert again == batch
+
+
+def test_priority_sample_merge_law_and_exact_below_k(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        priority_estimates,
+        priority_merge,
+        priority_sample,
+    )
+
+    wts = spark.range(0, 300).selectExpr(
+        "CAST(id AS STRING) AS key", "CAST(1 + id % 7 AS DOUBLE) AS w"
+    )
+    k = 12
+    direct = priority_sample(wts, "key", "w", k)
+    merged = priority_merge(
+        priority_sample(wts.filter("id < 180"), "key", "w", k),
+        priority_sample(wts.filter("id >= 180"), "key", "w", k),
+        k=k,
+    )
+    rk = lambda r: (r["q"], r["key"], r["w"])
+    assert sorted(map(rk, direct.collect())) == sorted(
+        map(rk, merged.collect())
+    )
+    # estimator sanity: total-weight estimate within a loose band
+    est = priority_estimates(direct, k)
+    total_hat = sum(r["adj_weight"] for r in est.collect())
+    total = 300 * 4.0  # mean weight (1+..+7)/7 = 4
+    assert 0.3 * total <= total_hat <= 3.0 * total
+    # fewer keys than k: tau = 0, estimates are the exact weights
+    tiny = priority_sample(wts.filter("id < 5"), "key", "w", k)
+    ests = {r["key"]: r["adj_weight"]
+            for r in priority_estimates(tiny, k).collect()}
+    assert ests == {str(i): float(1 + i % 7) for i in range(5)}
+
+
+def test_priority_sample_guards_and_filters(spark):
+    import pytest as _pytest
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        priority_sample,
+    )
+
+    wts = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.0), (None, 5.0), ("c", -1.0)],
+        "key string, w double",
+    )
+    kept = {r["key"] for r in priority_sample(wts, "key", "w", 8).collect()}
+    assert kept == {"a"}  # zero/negative weights and NULL keys dropped
+    with _pytest.raises(ValueError, match="k must be"):
+        priority_sample(wts, "key", "w", 0)
