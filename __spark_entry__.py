@@ -1548,6 +1548,55 @@ def q_priority_subset_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-synopsis cardinality estimate (Acharya et al., SIGMOD 1999
+    lineage): COORDINATED key sampling — the same md5 bucket rule on
+    BOTH sides' join keys keeps matching keys together, so
+    |A ⋈ B| = Σ_k a_k·b_k is estimated unbiasedly by 20 × the sampled
+    keys' contribution (1-in-20 key sample, integer-exact scaling).
+    Estimates a fact-fact join's size from two key-sampled scans —
+    the planner-style decision input at 100 TB (broadcast? bucket?
+    salt?) without running the join."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    od = _t(spark, sf_dir, "orders")
+    bucket = lambda c: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cs|"), c.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    e_cnt = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("ec")
+    )
+    o_cnt = od.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    per_key = e_cnt.join(o_cnt, "k").select(
+        "k", (F.col("ec") * F.col("oc")).alias("m"), bucket(F.col("k")).alias("b")
+    )
+    agg = per_key.agg(
+        F.sum("m").cast("bigint").alias("exact_join_size"),
+        F.count(F.when(F.col("b") == 0, 1)).cast("bigint").alias(
+            "n_sampled_keys"
+        ),
+        (F.lit(20) * F.sum(F.when(F.col("b") == 0, F.col("m")).otherwise(0)))
+        .cast("bigint")
+        .alias("est_join_size"),
+    )
+    return agg.select(
+        "n_sampled_keys",
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.col("est_join_size") / F.col("exact_join_size") - 1.0, 6
+        ).alias("rel_err"),
+    )
+
+
 def q_bottomk_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch (Cohen & Kaplan, PODC 2007) — the SAMPLE member
     of the sketch family: the 32 distinct event users with the smallest
@@ -2690,7 +2739,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
-    "priority_subset_estimate",
+    "priority_subset_estimate", "join_size_estimate",
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -2727,9 +2776,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # containment-verified asymmetric near-dup, and the MinHash
     # estimate-vs-exact calibration report
     "corpus_admitted_indexed", "containment_pairs",
-    "minhash_estimate_report", "skyline_parts", "skyline_brand_fronts",
+    "minhash_estimate_report", "skyline_parts",
     # rotated out for the round-7 fourth batch (driver-proven in the
-    # r4/r6 windows): nation_pagerank, event_anomaly
+    # r4/r6 windows): nation_pagerank, event_anomaly,
+    # skyline_brand_fronts
     # never-driver-checked through round 3 (29): the tpch_ext balance,
     # the window/cube family, merge upsert, samplers, centroid ops,
     # multimodal fake-mode decode, and the star-contraction CC variant.
@@ -2848,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "priority_user_sample": q_priority_user_sample,
         "priority_subset_estimate": q_priority_subset_estimate,
+        "join_size_estimate": q_join_size_estimate,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
@@ -5330,6 +5381,30 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 52 - length(bin(hv // 256)) + 1 END)
                         AS INTEGER) AS rho
             FROM h GROUP BY bucket
+        """,
+        # coordinated 1-in-20 key sample on both join sides; integer-
+        # exact scaling, so estimate/exact/error are all reproduced
+        "join_size_estimate": """
+            WITH e_cnt AS (SELECT user_id AS k, COUNT(*) AS ec
+                           FROM events WHERE user_id IS NOT NULL
+                           GROUP BY 1),
+            o_cnt AS (SELECT o_custkey AS k, COUNT(*) AS oc
+                      FROM orders GROUP BY 1),
+            pk AS (SELECT e.k, e.ec * o.oc AS m,
+                          (('0x' || substr(md5('cs|' ||
+                               CAST(e.k AS VARCHAR)), 1, 15))::BIGINT % 20)
+                              AS b
+                   FROM e_cnt e JOIN o_cnt o ON o.k = e.k),
+            agg AS (SELECT CAST(SUM(m) AS BIGINT) AS exact_join_size,
+                           CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_sampled_keys,
+                           CAST(20 * SUM(CASE WHEN b = 0 THEN m ELSE 0 END)
+                                AS BIGINT) AS est_join_size
+                    FROM pk)
+            SELECT n_sampled_keys, est_join_size, exact_join_size,
+                   ROUND(CAST(est_join_size AS DOUBLE)
+                         / exact_join_size - 1.0, 6) AS rel_err
+            FROM agg
         """,
         # priority sampling: every number (priority, tau, estimates) is
         # closed-form; q = w * 2^60 / (h+1) is one multiply + one divide
