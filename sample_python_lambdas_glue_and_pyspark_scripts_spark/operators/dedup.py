@@ -251,7 +251,9 @@ def jaccard_pairs(
     shingle contributes one match row; groupBy pair counts the
     intersection) — the exact baseline, guarded: hot shingles make it
     quadratic, so inputs over ``util.QUADRATIC_GUARD_ROWS`` raise unless
-    ``allow_quadratic=True`` (the scale path is LSH candidates). With
+    ``allow_quadratic=True``. Scale paths: :func:`prefix_filter_pairs`
+    for the SAME exact output (rare-prefix candidate buckets, never
+    all-pairs), or LSH candidates for approximate recall. With
     ``candidates`` (e.g. from LSH): delegates to
     ``verify_jaccard_on_candidates`` so only the candidate pairs are
     evaluated (a post-join filter would still run the full quadratic
