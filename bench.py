@@ -28,7 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import get_spark
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+    resolve_sf_dir,
+)
+
+# SPARK_GRAFT_SF_DIR canonical, legacy SF_DIR honored with a warning —
+# the SAME resolver tools/check_correctness.py uses (no more split).
+SF_DIR = resolve_sf_dir(default="/root/testdata/sf0.1")
 
 # benchmark set: scan-heavy, shuffle-heavy, join-heavy, window-heavy
 BENCH_QUERIES = [

@@ -1499,8 +1499,10 @@ def winnow_fingerprints(
 
     Per doc: hash every word k-gram (``hash60`` — the corpus-wide 60-bit
     md5 family), slide a window of ``w`` consecutive gram hashes, and
-    keep each window's minimum (RIGHTMOST minimum on ties — robust
-    winnowing, which minimizes fingerprint count), deduplicated. The
+    keep each window's minimum (RIGHTMOST minimum on ties — standard
+    winnowing's tie rule; deterministic and position-stable. NOT the
+    "robust winnowing" variant, whose tie rule prefers re-selecting
+    the previously selected hash), deduplicated. The
     guarantee (Schleimer §2): any shared run of at least ``w + k - 1``
     words between two documents shares at least one fingerprint, while
     only ~``2/(w+1)`` of grams are retained — a LOCAL fingerprinting

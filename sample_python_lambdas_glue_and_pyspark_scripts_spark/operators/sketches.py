@@ -467,25 +467,51 @@ def bloom_prefilter(
     k_hashes: int = 3,
 ) -> DataFrame:
     """The map-side half of :func:`bloom_semi_join`, reusable on its
-    own: build a Bloom filter over ``keys[keys_col]``, collect its
-    ≤ ``ceil(m_bits/60)`` words into a LITERAL array, and drop every
-    ``df`` row whose ``key_col`` is definitely absent — per-row,
-    map-side, before any shuffle. No false negatives, so the result is
-    a SUPERSET of the exact match; follow with an exact join/verify to
-    kill the false positives (decontamination, blocklists, dimension
-    prefilters)."""
-    bloom_rows = bloom_filter(keys, keys_col, m_bits, k_hashes).collect()
+    own: build a Bloom filter over ``keys[keys_col]``, fold its
+    ≤ ``ceil(m_bits/60)`` words into a ONE-ROW array that BROADCASTS
+    into the plan, and drop every ``df`` row whose ``key_col`` is
+    definitely absent — per-row, map-side, before any shuffle. No
+    false negatives, so the result is a SUPERSET of the exact match;
+    follow with an exact join/verify to kill the false positives
+    (decontamination, blocklists, dimension prefilters).
+
+    LAZY like every other operator builder: the filter build is a
+    subtree of the returned plan (a word-indexed map aggregated to one
+    row, zero-filled to ``n_words``, broadcast-cross-joined), so merely
+    CONSTRUCTING the plan runs no Spark job — the build executes with
+    the query (formerly an eager ``collect()`` at construction time,
+    which made plan_report / schema checks pay a full keys-side scan)."""
     n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
-    words = [0] * n_words
-    for r in bloom_rows:
-        words[int(r["word_idx"])] = int(r["bits"])
-    words_lit = F.array(*[F.lit(w).cast("bigint") for w in words])
+    words_df = (
+        bloom_filter(keys, keys_col, m_bits, k_hashes)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("word_idx").cast("int").alias("k"),
+                        F.col("bits").alias("v"),
+                    )
+                )
+            ).alias("_m")
+        )
+        .select(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.try_element_at("_m", F.lit(i)),
+                        F.lit(0).cast("bigint"),
+                    )
+                    for i in range(n_words)
+                ]
+            ).alias("_bf_words")
+        )
+    )
     key = F.col(key_col).cast("string")
     # positions materialized in their own projection (nested-HOF CSE rule)
     staged = df.withColumn(
         "_bf_pos",
         F.array(*[_bloom_pos(key, j, m_bits) for j in range(k_hashes)]),
-    ).withColumn("_bf_words", words_lit)
+    ).crossJoin(F.broadcast(words_df))
     hit = F.expr(
         f"forall(_bf_pos, p -> (shiftright(element_at(_bf_words, "
         f"CAST(p div {BLOOM_WORD_BITS} AS INT) + 1), "

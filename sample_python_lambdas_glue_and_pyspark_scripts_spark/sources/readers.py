@@ -44,6 +44,35 @@ def read_pipe_csv(spark: SparkSession, path: str, schema: StructType) -> DataFra
     return read_csv_staged(spark, path, schema, sep="|")
 
 
+def resolve_sf_dir(default: str) -> str:
+    """One data-dir variable for BOTH gates: ``SPARK_GRAFT_SF_DIR`` is
+    canonical; the legacy ``SF_DIR`` (which only check_correctness used
+    to honor — the CLAUDE.md silently-wrong-sweep footgun) still works
+    with a warning. If both are set and disagree, the canonical one
+    wins. Always prints the resolved dir so a sweep can't silently run
+    against the wrong SF again."""
+    import os
+    import sys
+
+    canonical = os.environ.get("SPARK_GRAFT_SF_DIR")
+    legacy = os.environ.get("SF_DIR")
+    if canonical and legacy and canonical != legacy:
+        print(
+            f"[sf_dir] WARNING: SPARK_GRAFT_SF_DIR={canonical!r} overrides "
+            f"legacy SF_DIR={legacy!r}",
+            file=sys.stderr,
+        )
+    if not canonical and legacy:
+        print(
+            "[sf_dir] WARNING: SF_DIR is the legacy alias; prefer "
+            "SPARK_GRAFT_SF_DIR",
+            file=sys.stderr,
+        )
+    resolved = canonical or legacy or default
+    print(f"[sf_dir] resolved data dir: {resolved}", file=sys.stderr)
+    return resolved
+
+
 # the synthetic-table inventory (TESTDATA.md) — single definition shared
 # by bench warmup, the oracle harness, and tests
 TESTDATA_TABLES = (

@@ -100,11 +100,22 @@ def _read_state(
     """Claimed (prefix, shingles) from batches strictly before
     ``before_batch``; None only when no state exists yet. A broken
     state table propagates — treating it as empty would re-admit
-    duplicates (the minhash_dedup _read_claimed contract)."""
+    duplicates (the minhash_dedup _read_claimed contract).
+
+    Existence is keyed on BOTH state dirs: make_batch_fn writes
+    ``prefix/`` before ``shingles/``, so a crash in that window on the
+    FIRST micro-batch leaves ``prefix/`` present and ``shingles/``
+    absent. That half-written first epoch must read as "no state yet"
+    (the replay's own overwrite heals it) — keying on ``prefix/`` alone
+    made every replay fail on the missing shingles parquet instead.
+    For any LATER batch both dirs already exist from the prior epoch,
+    so a torn write there still propagates as a read error (correct:
+    its claimed rows are genuinely required)."""
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/prefix")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    pref_path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/prefix")
+    sh_path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/shingles")
+    fs = pref_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not (fs.exists(pref_path) and fs.exists(sh_path)):
         return None
     pref = (
         spark.read.schema(_PREFIX_SCHEMA)
@@ -283,9 +294,15 @@ def streaming_prefix_dedup(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Continuous exact-recall near-dup intake: admit each arriving doc
-    iff it has NO verified Jaccard ≥ num/den match among everything
-    admitted before it (across batches and, smaller-id-first, within
-    its own batch)."""
+    iff it has NO verified Jaccard ≥ num/den match with (a) any doc
+    admitted in an earlier batch, or (b) any SMALLER-ID doc of its own
+    batch that survived the history check — whether or not that smaller
+    doc is itself admitted. This is the one-pass greedy within-batch
+    rule (see :func:`prefix_admit`): on a chain A~B, B~C, A!~C arriving
+    together, C drops even though a strictly sequential intake would
+    admit it after B dropped. Exactness (no false drops below the
+    threshold, no missed true matches) holds; the bias is only in which
+    member of a within-batch near-dup chain survives."""
     batch_fn = make_batch_fn(
         work_dir, text_col, id_col, threshold_num, threshold_den, shingle_n
     )

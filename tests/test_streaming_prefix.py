@@ -126,3 +126,31 @@ def test_streaming_prefix_cross_batch_and_replay(spark, workdir):
         r["doc_id"] for r in spark.read.parquet(f"{workdir}/kept").collect()
     )
     assert kept_after == kept_ids
+
+
+def test_half_written_first_epoch_reads_as_no_state(spark, workdir):
+    """Crash between the prefix/ and shingles/ writes of the FIRST
+    micro-batch: prefix/ exists, shingles/ doesn't. _read_state must
+    report "no state yet" (None) so the replay's own overwrite heals
+    the torn epoch, instead of failing on the missing shingles path."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.prefix_intake import (
+        make_batch_fn,
+    )
+
+    docs = _docs(spark, [(1, BASE), (4, DISTINCT)])
+    dfreq = spark.createDataFrame([], "s BIGINT, sdf BIGINT")
+    _, new_pref, _ = prefix_admit(docs, dfreq, claimed=None)
+    # simulate the torn first epoch: prefix/ written, shingles/ absent
+    new_pref.withColumn("batch_id", F.lit("0")).write.mode(
+        "overwrite"
+    ).parquet(f"{workdir}/prefix/batch_id=0")
+    assert _read_state(spark, workdir, 1) is None
+    # the replay heals: run the batch callback for epoch 0 again, then
+    # state reads work and admission over it behaves normally
+    make_batch_fn(workdir)(docs, 0)
+    pref, sh = _read_state(spark, workdir, 1)
+    assert sorted(r["doc_id"] for r in sh.select("doc_id").distinct().collect()) == [1, 4]
+    kept2, _, _ = prefix_admit(
+        _docs(spark, [(10, NEAR_DUP)]), dfreq, (pref, sh)
+    )
+    assert kept2.count() == 0

@@ -1,9 +1,12 @@
 """Local stand-in for the driver's correctness gate.
 
-Runs every __spark_entry__.queries() entry at sf0.01 (or $SF_DIR) and
-compares with oracle_sql() via DuckDB: row count, column-name set, and an
-order-insensitive value comparison (columns sorted by name, rows sorted,
-values normalized). Prints one line per query + a summary.
+Runs every __spark_entry__.queries() entry at sf0.01 (or
+$SPARK_GRAFT_SF_DIR — the SAME variable bench.py honors; the legacy
+$SF_DIR alias still works with a warning) and compares with
+oracle_sql() via DuckDB: row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows
+sorted, values normalized). Prints the resolved data dir up front and
+one line per query + a summary.
 """
 
 from __future__ import annotations
@@ -20,10 +23,14 @@ import duckdb
 import __spark_entry__ as entrymod
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.session import get_spark
 
-SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
     TESTDATA_TABLES as TABLES,
 )
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.readers import (
+    resolve_sf_dir,
+)
+
+SF_DIR = resolve_sf_dir(default="/root/testdata/sf0.01")
 
 
 def norm(v):
