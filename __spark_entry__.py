@@ -39,6 +39,9 @@ from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     retrieval as RT,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    web as WB,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
     ledger as ldg,
 )
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
@@ -1994,6 +1997,100 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.span_dedup(docs, span_words=3)
 
 
+def q_exactsubstr_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr (Lee et al. 2022) removal extents: maximal token
+    intervals duplicating content first seen at an earlier (doc, pos)
+    site — the first occurrence of every duplicated >=20-token window is
+    carved out, so one copy survives corpus-wide. Stride-1 L-gram
+    anchors + ONE partial-aggregatable keyed count (no suffix array, no
+    pair explosion), per-doc interval union via running-max windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exactsubstr_removals(docs, min_tokens=20).select(
+        "doc_id",
+        F.col("start").alias("span_start"),
+        F.col("end").alias("span_end"),
+    )
+
+
+def q_exactsubstr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr rewrite: every doc with its duplicated >=20-token
+    ranges removed (kept tokens rejoined with single spaces); fully-
+    duplicate docs return with empty text, untouched docs unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exactsubstr_rewrite(docs, min_tokens=20)
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URL per document (the testdata has no URL
+    column): subdomain / public-suffix / port / query all vary by doc_id
+    residues so the extraction is genuinely exercised — multi-label
+    suffixes (.co.uk, .github.io), ports to strip, www/cdn subdomains.
+    Derived IDENTICALLY in the DuckDB oracles (_DOMAIN_CTES)."""
+    did = F.col("doc_id")
+    sub = (
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit(""))
+        .otherwise(F.lit("cdn.a."))
+    )
+    tld = (
+        F.when(did % 4 == 0, F.lit(".co.uk"))
+        .when(did % 4 == 1, F.lit(".com"))
+        .when(did % 4 == 2, F.lit(".github.io"))
+        .otherwise(F.lit(".org"))
+    )
+    port = F.when(did % 7 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"),
+            (did % 5).cast("string"), tld, port,
+            F.lit("/docs/"), did.cast("string"),
+            F.lit("?ref=r"), (did % 2).cast("string"),
+        ),
+    )
+
+
+# domains on the blocklist contract query (3 present in the derived
+# corpus + 1 absent — the absent entry exercises the Bloom
+# definitely-absent fast path)
+_BLOCKED_DOMAINS = ("src00.co.uk", "src133.com", "src72.org",
+                    "absent.example.net")
+
+
+def q_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-registrable-domain census over the synthetic URLs:
+    (domain, n_docs, total_weight=sum n_chars). PSL-style extraction
+    (multi-label suffix aware), one partial-aggregatable keyed count."""
+    docs = _doc_urls(_t(spark, sf_dir, "documents"))
+    return WB.domain_report(docs, "url", weight_col="n_chars")
+
+
+def q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style domain blocklist: drop every doc whose
+    registrable domain is blocked. Corpus side never shuffles —
+    distinct domains probe a Bloom of the blocklist, maybe-hits verify
+    exactly, verified blocked domains broadcast back as a left_anti
+    (no false negatives ⇒ identical to the plain NOT IN — the oracle)."""
+    docs = _doc_urls(_t(spark, sf_dir, "documents"))
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain STRING"
+    )
+    out = WB.domain_blocklist_filter(docs, "url", blocklist)
+    return out.select("doc_id", "domain", "source")
+
+
+def q_domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain document cap: keep at most 3 docs per
+    registrable domain under the deterministic (n_chars DESC NULLS
+    LAST, doc_id ASC) order — cap_per_group keyed on the extracted
+    domain."""
+    docs = _doc_urls(_t(spark, sf_dir, "documents"))
+    out = WB.domain_capped_docs(
+        docs, "url", n_per_domain=3, order_col="n_chars"
+    )
+    return out.select("doc_id", "domain", "n_chars")
+
+
 def q_quantile_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-quantile curation cut: keep docs at/above the P50 of a
     numeric signal (exact interpolated percentile, broadcast threshold;
@@ -2729,6 +2826,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 8: ExactSubstr suffix-overlap dedup (Lee et al. 2022
+    # — stride-1 L-gram anchors, interval-union removal extents, doc
+    # rewrite) and the URL/domain curation shelf (PSL-style registrable
+    # domain census, Bloom-prefiltered blocklist with identity oracle,
+    # per-domain C4 cap)
+    "exactsubstr_rewrite", "exactsubstr_removals", "domain_report",
+    "domain_blocklist_docs", "domain_capped_docs",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2770,13 +2874,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_profile", "orders_numeric_profile", "price_histogram",
     "scd2_orders", "events_resampled", "user_value_trend",
     "price_depth_histogram",
-    "scd2_orders_snapshot",
-    # round 4: indexed incremental cross-corpus intake (the 100 TB
-    # posture of corpus_admitted — shares its oracle SQL verbatim),
-    # containment-verified asymmetric near-dup, and the MinHash
-    # estimate-vs-exact calibration report
-    "corpus_admitted_indexed", "containment_pairs",
-    "minhash_estimate_report", "skyline_parts",
+    # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
+    # minhash_estimate_report, skyline_parts, scd2_orders_snapshot moved
+    # out (driver-proven in the r4/r5/r7 windows)
     # rotated out for the round-7 fourth batch (driver-proven in the
     # r4/r6 windows): nation_pagerank, event_anomaly,
     # skyline_brand_fronts
@@ -2923,6 +3023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
+        "exactsubstr_removals": q_exactsubstr_removals,
+        "exactsubstr_rewrite": q_exactsubstr_rewrite,
+        "domain_report": q_domain_report,
+        "domain_blocklist_docs": q_domain_blocklist_docs,
+        "domain_capped_docs": q_domain_capped_docs,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -3626,6 +3731,100 @@ _WINNOW_CTES = f"""toksw AS (
                      ON gr.doc_id = wn.doc_id
                     AND gr.pos BETWEEN wn.wj AND wn.wj + 3),
         wfp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1)"""
+
+
+def _interval_merge_ctes(src: str, pfx: str, L: int, where: str = "") -> str:
+    """Union fixed-length-L windows (``src`` has doc_id, pos) into
+    disjoint maximal intervals ``{pfx}int(doc_id, s, e)`` — running-max
+    new-interval marking, the exact mirror of dedup._merge_intervals."""
+    return f"""{pfx}m1 AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(MAX(pos + {L}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM {src} {where}),
+        {pfx}m2 AS (
+            SELECT doc_id, pos, SUM(is_new) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM {pfx}m1),
+        {pfx}int AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} AS e
+                     FROM {pfx}m2 GROUP BY doc_id, grp)"""
+
+
+# ExactSubstr oracle body (mirrors dedup.exactsubstr_removals, L=20):
+# stride-1 L-gram anchors under hash60('es|' || gram), ROW_NUMBER first
+# site per anchor, interval-merged removal minus protection at the
+# position level, re-merged to maximal extents.
+_ES_L = 20
+_EXACTSUBSTR_CTES = f"""estoks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
+            FROM documents),
+        esbase AS (SELECT doc_id, w, len(w) AS n FROM estoks),
+        esgpos AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, n - {_ES_L})) AS INTEGER) AS pos,
+                   w
+            FROM esbase WHERE n >= {_ES_L}),
+        essites AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5('es|' || array_to_string(
+                        w[pos + 1 : pos + {_ES_L}], ' ')), 1, 15))::BIGINT AS g
+            FROM esgpos),
+        esranked AS (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY doc_id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS c
+            FROM essites),
+        esdup AS (SELECT doc_id, pos, rn = 1 AS is_first
+                  FROM esranked WHERE c >= 2),
+        {_interval_merge_ctes('esdup', 'esrem', _ES_L, 'WHERE NOT is_first')},
+        {_interval_merge_ctes('esdup', 'esprot', _ES_L, 'WHERE is_first')},
+        esrempos AS (SELECT doc_id,
+                            CAST(unnest(generate_series(s, e - 1)) AS INTEGER) AS pos
+                     FROM esremint),
+        esprotpos AS (SELECT doc_id,
+                             CAST(unnest(generate_series(s, e - 1)) AS INTEGER) AS pos
+                      FROM esprotint),
+        esremoved AS (SELECT doc_id, pos FROM esrempos
+                      ANTI JOIN esprotpos USING (doc_id, pos)),
+        {_interval_merge_ctes('esremoved', 'esfin', 1)}"""
+
+
+# domain-curation oracle body: the deterministic synthetic URL (mirrors
+# _doc_urls), authority-host extraction, and PSL-style registrable
+# domain (mirrors web.registrable_domain with the built-in multi-label
+# suffix set).
+_MULTI_SUFFIX_SQL = ", ".join(
+    f"'{s}'" for s in WB.MULTI_LABEL_SUFFIXES
+)
+_DOMAIN_CTES = f"""du AS (
+            SELECT *, 'https://' ||
+                (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN ''
+                      ELSE 'cdn.a.' END) ||
+                source || CAST(doc_id % 5 AS VARCHAR) ||
+                (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                      WHEN 2 THEN '.github.io' ELSE '.org' END) ||
+                (CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END) ||
+                '/docs/' || doc_id || '?ref=r' ||
+                CAST(doc_id % 2 AS VARCHAR) AS url
+            FROM documents),
+        duh AS (SELECT *, string_split(lower(regexp_extract(
+                    coalesce(url, ''),
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                    1)), '.') AS p
+                FROM du),
+        dudom AS (SELECT *, CASE
+                WHEN len(p) <= 1 THEN array_to_string(p, '.')
+                WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1])
+                     IN ({_MULTI_SUFFIX_SQL})
+                    THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                ELSE p[-2] || '.' || p[-1] END AS domain
+            FROM duh)"""
 
 
 def _pq_ctes(
@@ -5668,6 +5867,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept
             FROM firsts WHERE rn = 1
             GROUP BY doc_id
+        """,
+        "exactsubstr_removals": f"""
+            WITH {_EXACTSUBSTR_CTES}
+            SELECT doc_id, CAST(s AS INTEGER) AS span_start,
+                   CAST(e AS INTEGER) AS span_end
+            FROM esfinint
+        """,
+        "exactsubstr_rewrite": f"""
+            WITH {_EXACTSUBSTR_CTES},
+            estokpos AS (
+                SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.v AS tok
+                FROM (SELECT doc_id,
+                             unnest(list_transform(w,
+                                    (x, i) -> {{'v': x, 'i': i}})) AS u
+                      FROM esbase)),
+            eskept AS (SELECT estokpos.doc_id, pos, tok FROM estokpos
+                       ANTI JOIN esremoved
+                       ON (estokpos.doc_id = esremoved.doc_id
+                           AND estokpos.pos = esremoved.pos)),
+            esrebuilt AS (SELECT doc_id,
+                                 string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+                          FROM eskept GROUP BY doc_id),
+            esnrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                       FROM esremoved GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   coalesce(nr.n_removed, 0) AS n_removed
+            FROM esbase b
+            LEFT JOIN esrebuilt r USING (doc_id)
+            LEFT JOIN esnrem nr USING (doc_id)
+        """,
+        "domain_report": f"""
+            WITH {_DOMAIN_CTES}
+            SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_weight
+            FROM dudom GROUP BY domain
+        """,
+        "domain_blocklist_docs": f"""
+            WITH {_DOMAIN_CTES}
+            SELECT doc_id, domain, source FROM dudom
+            WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+        """,
+        "domain_capped_docs": f"""
+            WITH {_DOMAIN_CTES},
+            dcr AS (SELECT doc_id, domain, n_chars,
+                           ROW_NUMBER() OVER (PARTITION BY domain
+                               ORDER BY n_chars DESC NULLS LAST,
+                                        doc_id ASC) AS rn
+                    FROM dudom)
+            SELECT doc_id, domain, n_chars FROM dcr WHERE rn <= 3
         """,
         "quantile_filtered_docs": """
             WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -1645,3 +1645,251 @@ def winnow_matches(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
+
+
+# --- ExactSubstr suffix-overlap dedup (Lee et al. 2022) -----------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# ACL 2022) removes every duplicated substring of length >= L from all but
+# one of its occurrences. The published implementation builds a monolithic
+# suffix array; the Spark-first shape here is sorted L-gram anchors with
+# coverage marking — no suffix array, no candidate-pair explosion:
+#
+# 1. every L-token window (stride 1 — EXACT recall at the threshold) hashes
+#    to a 60-bit anchor, map-side;
+# 2. ONE keyed aggregate per anchor computes (occurrence count, first site)
+#    — partial-aggregatable, so the hot anchors this operator exists to
+#    kill collapse map-side instead of flooding a reducer;
+# 3. occurrences join back to the >=2-count anchors only (each site row
+#    matches exactly one stats row — linear join, no pairs);
+# 4. a duplicated maximal span of length M >= L is exactly the union of
+#    its M-L+1 duplicated windows, so per-doc interval-merging the window
+#    ranges (sort + running-max — the classic union, one per-doc window
+#    pass) recovers MAXIMAL extents with no bidirectional-extension loop;
+# 5. the FIRST occurrence of each window (min (doc_id, pos) site) is
+#    protected, every other occurrence's range is removed; final removed
+#    positions = merged removal coverage minus merged protection — each
+#    duplicated window's content survives at exactly its first site.
+#
+# Granularity: lowercased WORD_REGEX tokens rejoined with single spaces
+# (the span_dedup convention), not raw bytes — the reference unit of this
+# repo's whole text shelf. Fully SQL-expressible, so the DuckDB oracle
+# checks it end-to-end. At 100 TB the anchor table is corpus-sized x1
+# (the same order as the published suffix array) and everything after the
+# count>=2 filter is sized by the duplicated volume only.
+#
+# Reference scope note: the reference engine has no sub-document operator
+# (its unit is the CSV row — SURVEY.md §1.1); this completes the published
+# dedup family on the training-data extension surface: span_dedup (fixed
+# non-overlapping spans), winnowing (shared runs >= w+k-1, sampled),
+# ExactSubstr (ALL maximal verbatim overlaps >= L, exact, with removal).
+
+
+def _merge_intervals(
+    sites: DataFrame, id_col: str, min_tokens: int
+) -> DataFrame:
+    """Union the fixed-length windows ``[pos, pos + L)`` per doc into
+    disjoint maximal intervals ``(id_col, start, end)`` (end exclusive):
+    sort by pos within the doc, a window starts a new interval iff its
+    pos exceeds the running max end of everything before it."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(min_tokens)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        sites.select(id_col, "pos")
+        .withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(min_tokens)).alias("end"),
+        )
+        .select(id_col, "start", "end")
+    )
+
+
+def _exactsubstr_tokens(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, tok, n_tokens) — 0-based positions; NULL text = empty
+    (posexplode_outer + explicit isNotNull, the span_dedup CSE/pushdown
+    discipline)."""
+    staged = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
+        ).alias("_es_toks"),
+    )
+    return (
+        staged.select(
+            id_col,
+            F.size("_es_toks").alias("n_tokens"),
+            F.posexplode_outer("_es_toks"),
+        )
+        .filter(F.col("col").isNotNull())
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("col").alias("tok"),
+        )
+    )
+
+
+def _exactsubstr_sites(
+    df: DataFrame, text_col: str, id_col: str, min_tokens: int
+) -> DataFrame:
+    """Every L-token window as (id, pos, g): g = hash60 of the
+    space-joined window, anchored at 0-based token position pos. Docs
+    shorter than L tokens contribute nothing (they cannot contain an
+    L-gram). The token array and the gram array each materialize in
+    their own projection (Catalyst does not CSE across nested
+    higher-order functions)."""
+    L = int(min_tokens)
+    staged = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
+        ).alias("_es_toks"),
+    )
+    toks = F.col("_es_toks")
+    staged = staged.withColumn(
+        "_es_grams",
+        F.when(
+            F.size(toks) >= L,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - L),
+                lambda i: hash60(
+                    F.concat_ws(" ", F.slice(toks, i + 1, L)), seed="es|"
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    return (
+        staged.select(F.col(id_col), F.posexplode_outer("_es_grams"))
+        .filter(F.col("col").isNotNull())
+        .select(
+            id_col,
+            F.col("pos").cast("int").alias("pos"),
+            F.col("col").alias("g"),
+        )
+    )
+
+
+def exactsubstr_removals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Maximal removal extents: ``(id_col, start, end)`` token intervals
+    (0-based, end exclusive) whose content duplicates, token-for-token,
+    content first seen at an earlier (doc_id, pos) site — with the first
+    occurrence of every duplicated window carved OUT of the extents, so
+    exactly one copy of each duplicated span survives corpus-wide.
+
+    Cites Lee et al. 2022 §4 (ExactSubstr); granularity and conventions
+    in the section header above."""
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("exactsubstr: min_tokens must be >= 1")
+    sites = ensure_parallelism(
+        _exactsubstr_sites(df, text_col, id_col, L)
+    ).localCheckpoint(eager=False)
+    stats = (
+        sites.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(id_col, "pos")).alias("first_site"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("g", "first_site")
+    )
+    dup = sites.join(stats, "g")
+    is_first = (F.col(id_col) == F.col(f"first_site.{id_col}")) & (
+        F.col("pos") == F.col("first_site.pos")
+    )
+    removal = _merge_intervals(dup.filter(~is_first), id_col, L)
+    protect = _merge_intervals(dup.filter(is_first), id_col, L)
+    # positions-level subtraction: merged intervals are disjoint, so the
+    # explodes are linear in covered/protected token volume
+    rem_pos = removal.select(
+        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("p")
+    )
+    prot_pos = protect.select(
+        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("p")
+    )
+    removed = rem_pos.join(prot_pos, [id_col, "p"], "left_anti")
+    # re-merge the subtracted positions into maximal extents
+    return _merge_intervals(
+        removed.select(id_col, F.col("p").alias("pos")), id_col, 1
+    )
+
+
+def exactsubstr_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """The Lee et al. 2022 rewrite: every doc with its duplicated byte
+    ranges (here: token ranges, see section header) removed. Returns
+    ALL input docs as ``(id_col, text_dedup, n_tokens, n_removed)`` —
+    fully-duplicate docs come back with ``text_dedup = ''`` (the
+    published semantics removes the range, it does not drop the doc),
+    short/empty docs come back unchanged with ``n_removed = 0``."""
+    L = int(min_tokens)
+    toks = _exactsubstr_tokens(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    removed_pos = (
+        exactsubstr_removals(df, text_col, id_col, L)
+        .select(
+            id_col,
+            F.explode(F.sequence("start", F.col("end") - 1)).alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = toks.join(removed_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_rem = removed_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(WORD_REGEX),
+                0,
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(rebuilt.select(id_col, "text_dedup"), id_col, "left")
+        .join(n_rem, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -1,0 +1,155 @@
+"""ExactSubstr suffix-overlap dedup (operators/dedup.py, Lee et al.
+2022) and URL/domain curation (operators/web.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    web as W,
+)
+
+S = " ".join(f"w{i}" for i in range(30))  # a 30-token span
+T = " ".join(f"t{i}" for i in range(30))  # another, unique to doc 5
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta " + S + " gamma"),       # first occurrence
+            (2, "intro unique tokens here " + S + " outro words"),
+            (3, S),                                    # fully duplicate
+            (4, "totally different content " + " ".join(f"z{i}" for i in range(30))),
+            (5, T + " " + T),                          # self-repeat only
+            (6, None),
+            (7, "short doc"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+
+
+def test_exactsubstr_rewrite_semantics(spark):
+    out = {
+        r["doc_id"]: r
+        for r in D.exactsubstr_rewrite(_docs(spark), min_tokens=20).collect()
+    }
+    assert len(out) == 7  # ALL docs come back (published semantics)
+    # first occurrence fully protected
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_dedup"].startswith("alpha beta w0")
+    # later cross-doc occurrence: exactly the 30 shared tokens removed
+    assert out[2]["n_removed"] == 30
+    assert out[2]["text_dedup"] == "intro unique tokens here outro words"
+    # fully-duplicate doc -> empty text, not dropped
+    assert out[3]["n_removed"] == 30 and out[3]["text_dedup"] == ""
+    # unique doc untouched
+    assert out[4]["n_removed"] == 0
+    # self-repeat with no earlier occurrence: ONE copy survives
+    assert out[5]["n_removed"] == 30
+    assert out[5]["text_dedup"] == T
+    # null text and sub-threshold docs unchanged
+    assert out[6]["n_tokens"] == 0 and out[6]["n_removed"] == 0
+    assert out[7]["text_dedup"] == "short doc" and out[7]["n_removed"] == 0
+
+
+def test_exactsubstr_removals_are_maximal_disjoint(spark):
+    spans = D.exactsubstr_removals(_docs(spark), min_tokens=20).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    # doc 2: S occupies token positions 4..34 (after the 4-token intro)
+    assert by_doc[2] == [(4, 34)]
+    # doc 3 fully covered, doc 5 keeps its first T copy
+    assert by_doc[3] == [(0, 30)]
+    assert by_doc[5] == [(30, 60)]
+    # intervals are disjoint and non-adjacent per doc
+    for doc_spans in by_doc.values():
+        ordered = sorted(doc_spans)
+        assert all(a[1] < b[0] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_exactsubstr_threshold_is_exact(spark):
+    # a 19-token shared run at min_tokens=20 must NOT be removed
+    R = " ".join(f"r{i}" for i in range(19))
+    docs = spark.createDataFrame(
+        [(1, "x " + R + " y"), (2, "p q " + R + " z")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = D.exactsubstr_rewrite(docs, min_tokens=20).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    # ...and at min_tokens=19 it IS removed from the later doc only
+    out19 = {
+        r["doc_id"]: r
+        for r in D.exactsubstr_rewrite(docs, min_tokens=19).collect()
+    }
+    assert out19[1]["n_removed"] == 0 and out19[2]["n_removed"] == 19
+
+
+def test_domain_extraction_edges(spark):
+    rows = [
+        (1, "https://www.example.co.uk/path?q=1", "example.co.uk"),
+        (2, "http://user:pw@Sub.Example.COM:8080/x", "example.com"),
+        (3, "https://a.b.github.io/page", "b.github.io"),
+        (4, "https://localhost/x", "localhost"),
+        (5, "not a url", ""),
+        (6, None, ""),
+        (7, "ftp://cdn7.media.org.au:21/f", "media.org.au"),
+        (8, "https://deep.sub.tree.example.com/y", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "doc_id BIGINT, url STRING"
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in W.with_domain(df, "url").collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_domain_blocklist_identity_and_cap(spark):
+    df = spark.createDataFrame(
+        [
+            (i, f"https://{'www.' if i % 2 else ''}site{i % 3}."
+                f"{'co.uk' if i % 4 == 0 else 'com'}/p/{i}", 100 - i)
+            for i in range(24)
+        ],
+        "doc_id BIGINT, url STRING, score INT",
+    )
+    blocklist = spark.createDataFrame(
+        [("site0.co.uk",), ("site2.com",), ("absent.net",)], "domain STRING"
+    )
+    out = W.domain_blocklist_filter(df, "url", blocklist)
+    # identity vs the plain anti-join
+    plain = (
+        W.with_domain(df, "url")
+        .join(blocklist, "domain", "left_anti")
+        .select("doc_id")
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )
+    assert 0 < out.count() < df.count()
+    # per-domain cap: <= 2 rows per domain, highest score first
+    capped = W.domain_capped_docs(df, "url", 2, "score")
+    sizes = (
+        capped.groupBy("domain").count().select("count").collect()
+    )
+    assert all(r["count"] <= 2 for r in sizes)
+    dom0 = [
+        r["doc_id"]
+        for r in capped.filter(F.col("domain") == "site0.co.uk")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    # domain site0.co.uk = doc_ids 0,4,8,12,16,20 (i%3==0 and i%4==0
+    # -> i%12==0 for site0 + co.uk; plus i%3==0,i%4!=0 are site0.com);
+    # top-2 by score desc = the two smallest ids
+    assert dom0 == [0, 12]
+
+
+def test_exactsubstr_rejects_bad_threshold(spark):
+    with pytest.raises(ValueError):
+        D.exactsubstr_removals(_docs(spark), min_tokens=0)
