@@ -1915,9 +1915,12 @@ def ivf_pq_residual_topk(
     0.225 vs 0.205 recall@10 with true clusters as centroids); on
     near-isotropic data with raw-vector first-k coarse centroids,
     residuals v − c INFLATE variance and recall drops well below flat
-    (0.065 vs 0.300). Use trained (k-means) coarse centroids and run
-    the probe before switching a serve path — the
-    quantization_error_report gate philosophy.
+    (0.065 vs 0.300). Use trained (k-means) coarse centroids, and gate
+    the switch on :func:`choose_ivf_pq_encoding` — the fit-time
+    measured-recall acceptance check that builds both encodings over a
+    query sample and returns the WINNING serve index, so no serve path
+    defaults to residual unmeasured (the quantization_error_report
+    gate philosophy).
 
     Serving differs from flat IVF-PQ in one place: the ADC lookup table
     is per (query, probed cell) — the query's residual against THAT
@@ -2098,3 +2101,153 @@ def ivf_pq_topk(
     return pq_adc_topk(
         codes, books, queries, k, id_col, vec_col, candidates=cand
     )
+
+
+def _ivf_exact_l2_topk(
+    corpus_cells: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k restricted to the SAME nprobe candidate set the
+    IVF-PQ serve scores — the reference that isolates CODEBOOK quality
+    from cell-probe misses and metric mismatch (the
+    residual_recall_probe methodology, now fit-time callable)."""
+    query_cells = assign_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    cand = (
+        query_cells.join(
+            corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def choose_ivf_pq_encoding(
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit-time flat-vs-residual acceptance gate for IVF-PQ — the
+    measured-recall pattern of ``ann_quantized_recall``, wired into the
+    build so a serve path can never default to residual encoding on
+    data where it measurably loses (BASELINE.md: residuals against
+    raw-vector coarse centroids on near-isotropic data drop recall@k
+    0.300 → 0.065; the upgrade holds only on genuinely clustered
+    corpora — Jégou et al., TPAMI 2011 §III).
+
+    Builds the IVF coarse index ONCE, fits BOTH codebook families on a
+    shared geometry (flat: raw vectors; residual: per-cell residuals),
+    serves ``sample_queries`` through both, and scores each against the
+    exact L2 top-k over the SAME probed candidate set. Returns
+    ``(choice, report, index)``:
+
+    - ``choice``: ``"flat"`` or ``"residual"`` — residual only when it
+      STRICTLY wins mean recall (ties go to flat: same recall, simpler
+      serve — no per-(query, cell) LUTs).
+    - ``report``: driver-side dict with both mean recalls (rounded 6dp)
+      and the query count — bounded by the sample size, never
+      corpus-sized.
+    - ``index``: the chosen ``(centroids, corpus_cells, codebooks,
+      codes)`` tuple, ready for :func:`ivf_pq_topk` /
+      :func:`ivf_pq_residual_topk`'s ``index=`` serve path — the gate's
+      build cost is the serve index, not a throwaway probe.
+
+    The query sample should be small (tens) — recall aggregation
+    collects one scalar per query."""
+    centroids, corpus_cells = build_ivf_index(corpus, id_col, vec_col, ncells)
+    centroids = centroids.localCheckpoint(eager=True)
+    corpus_cells = corpus_cells.localCheckpoint(eager=True)
+    books_f = pq_fit(corpus, m_sub, k_codes, 2, id_col, vec_col)
+    codes_f = pq_encode(corpus, books_f, id_col, vec_col)
+    res = residualize(corpus_cells, centroids, id_col, vec_col)
+    books_r = pq_fit(res, m_sub, k_codes, 2, id_col, vec_col)
+    codes_r = pq_encode(res, books_r, id_col, vec_col)
+    exact = _ivf_exact_l2_topk(
+        corpus_cells, corpus, sample_queries, centroids, k, nprobe,
+        id_col, vec_col,
+    ).localCheckpoint(eager=True)
+
+    def _mean_recall(top: DataFrame) -> float:
+        hits = (
+            exact.join(top.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        per_q = exact.select("query_id").distinct().join(
+            hits, "query_id", "left"
+        )
+        row = per_q.agg(
+            F.round(
+                F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k))), 6
+            ).alias("r")
+        ).collect()[0]
+        return float(row["r"]) if row["r"] is not None else 0.0
+
+    flat_top = ivf_pq_topk(
+        corpus, sample_queries, k, ncells, nprobe, m_sub, k_codes,
+        id_col, vec_col, index=(centroids, corpus_cells, books_f, codes_f),
+    )
+    res_top = ivf_pq_residual_topk(
+        corpus, sample_queries, k, ncells, nprobe, m_sub, k_codes,
+        id_col, vec_col, index=(centroids, corpus_cells, books_r, codes_r),
+    )
+    flat_recall = _mean_recall(flat_top)
+    res_recall = _mean_recall(res_top)
+    n_q = sample_queries.count()
+    choice = "residual" if res_recall > flat_recall else "flat"
+    report = {
+        "flat_recall": flat_recall,
+        "residual_recall": res_recall,
+        "k": int(k),
+        "n_queries": int(n_q),
+        "choice": choice,
+    }
+    if choice == "residual":
+        return choice, report, (centroids, corpus_cells, books_r, codes_r)
+    return choice, report, (centroids, corpus_cells, books_f, codes_f)

@@ -1,0 +1,213 @@
+"""Retraction over STREAMING intake state — right-to-be-forgotten for
+the per-epoch state dirs (the batch serving artifacts live in
+``operators/retraction.py``).
+
+Three state families, three retraction stories:
+
+- **prefix-intake state** (``streaming/prefix_intake.py``: ``prefix/``,
+  ``shingles/``, ``kept/``) is ID-KEYED — every state row carries the
+  doc_id it derives from — so retraction is an EXACT per-epoch
+  anti-join: the rewritten state is bit-identical to the state a
+  history without the retracted docs would have written (pinned by
+  test).
+- **MinHash claimed buckets** (``streaming/minhash_dedup.py``:
+  ``claimed/`` is ``(band_id, band_hash)`` with NO doc id) cannot be
+  anti-joined; they are REBUILT per epoch from that epoch's surviving
+  ``kept/`` docs with the same (num_hashes, bands) — the band keys are
+  per-row deterministic given the hash family, so the rebuild equals
+  the state of a history over the surviving docs (the extend-≡-rebuild
+  convention, run backwards).
+- **HLL / CMS / Bloom registers** (``streaming/sketch_state.py``) are
+  MATHEMATICALLY IRREVERSIBLE: a register cell is a lossy fold (max /
+  sum / or) of every input, so no operator can subtract one key — the
+  only compliant retraction is an EPOCH REBUILD from surviving source
+  rows, which the per-epoch layout makes cheap:
+  :func:`rebuild_sketch_epoch` overwrites one epoch's registers from a
+  caller-supplied surviving slice (the existing ``make_*_batch_fn``
+  idempotent-overwrite contract, invoked as maintenance).
+
+Retraction does NOT re-adjudicate history: a doc that was dropped
+because it collided with a now-retracted doc stays dropped (its content
+was never admitted and holds no retained data). What retraction
+guarantees is (a) no state row derives from a retracted doc, and (b) a
+FUTURE doc identical to a retracted one is admitted as if the retracted
+doc had never existed (pinned by test).
+
+Operational contract (shared with ``compact_claimed``): run while the
+stream is STOPPED. Every directory replacement uses the checked-rename
+promote protocol (``sources/promote.py``) with dot-prefixed tmp/backup
+names so a crash mid-swap never loses an epoch and never leaves a
+directory Spark's partition discovery would misread; orphaned backups
+recover at entry on the next call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import band_keys, minhash_signature
+from ..sources.promote import hadoop_fs, promote_swap, recover_backup
+
+_BAK_PREFIX = ".retract_bak_"
+_TMP_PREFIX = ".retract_tmp_"
+
+
+def _ids_df(retract_ids: DataFrame, id_col: str) -> DataFrame:
+    cols = retract_ids.columns
+    if id_col in cols:
+        return retract_ids.select(id_col)
+    if len(cols) == 1:
+        return retract_ids.select(F.col(cols[0]).alias(id_col))
+    raise ValueError(
+        f"state_retraction: retract_ids must have an {id_col!r} column "
+        f"or be single-column, got {cols}"
+    )
+
+
+def list_state_epochs(spark: SparkSession, table_dir: str) -> list[int]:
+    """Epoch numbers present under ``table_dir`` (``batch_id=N`` dirs),
+    after recovering any orphaned mid-retraction backups (a leftover
+    ``.retract_bak_N`` with no live ``batch_id=N`` IS that epoch —
+    restore it before anything reads the table)."""
+    fs, hpath = hadoop_fs(spark, table_dir)
+    if not fs.exists(hpath(table_dir)):
+        return []
+    epochs = []
+    for st in fs.listStatus(hpath(table_dir)):
+        name = st.getPath().getName()
+        if name.startswith(_BAK_PREFIX):
+            recover_backup(
+                spark,
+                f"{table_dir}/batch_id={name[len(_BAK_PREFIX):]}",
+                f"{table_dir}/{name}",
+            )
+            name = f"batch_id={name[len(_BAK_PREFIX):]}"
+        if name.startswith("batch_id="):
+            try:
+                epochs.append(int(name[len("batch_id="):]))
+            except ValueError:
+                continue
+    return sorted(set(epochs))
+
+
+def _rewrite_epoch(
+    spark: SparkSession, table_dir: str, epoch: int, new_df: DataFrame
+) -> None:
+    """Replace ``table_dir/batch_id=epoch`` with ``new_df`` under the
+    checked-rename promote (dot-prefixed tmp/backup: partition
+    discovery must never see a half-state name like
+    ``batch_id=5__new``)."""
+    target = f"{table_dir}/batch_id={epoch}"
+
+    def _write(tmp_path: str) -> None:
+        new_df.write.mode("overwrite").parquet(tmp_path)
+
+    promote_swap(
+        spark,
+        target,
+        _write,
+        tmp=f"{table_dir}/{_TMP_PREFIX}{epoch}",
+        backup=f"{table_dir}/{_BAK_PREFIX}{epoch}",
+    )
+
+
+def retract_from_prefix_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Exact retraction from the prefix-intake state: anti-join every
+    epoch of the id-keyed ``prefix/``, ``shingles/`` and ``kept/``
+    tables. Stream must be stopped. Returns per-table removed-row
+    counts. The rewritten state equals the state a history without the
+    retracted docs would have written (the tables are per-row
+    deterministic in doc_id under the FIXED dfreq order, which is a fit
+    artifact and is not touched)."""
+    ids = _ids_df(retract_ids, id_col).localCheckpoint(eager=True)
+    removed: dict[str, int] = {}
+    for table in ("prefix", "shingles", "kept"):
+        table_dir = f"{work_dir}/{table}"
+        n_removed = 0
+        for epoch in list_state_epochs(spark, table_dir):
+            cur = spark.read.parquet(f"{table_dir}/batch_id={epoch}")
+            hit = cur.join(ids, id_col, "left_semi").count()
+            if hit == 0:
+                continue
+            n_removed += hit
+            _rewrite_epoch(
+                spark, table_dir, epoch, cur.join(ids, id_col, "left_anti")
+            )
+        removed[table] = n_removed
+    return removed
+
+
+def retract_from_minhash_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> dict[str, int]:
+    """Epoch-rebuild retraction from the MinHash intake state: the
+    ``kept/`` docs are id-keyed (exact anti-join); the ``claimed/``
+    buckets are not, so every epoch that lost a doc gets its bucket
+    set RECOMPUTED from the epoch's surviving kept docs with the same
+    hash family — deterministic, so the result equals the buckets a
+    history over the surviving docs would have claimed (pinned by
+    test). Epochs with no retracted doc are untouched. Must use the
+    SAME (num_hashes, bands) the stream ran with; compacted epochs
+    (``compact_claimed``) rebuild correctly too because the kept table
+    keeps per-epoch membership. Stream must be stopped."""
+    ids = _ids_df(retract_ids, id_col).localCheckpoint(eager=True)
+    kept_dir, claimed_dir = f"{work_dir}/kept", f"{work_dir}/claimed"
+    removed = {"kept": 0, "claimed_rebuilt_epochs": 0}
+    claimed_epochs = set(list_state_epochs(spark, claimed_dir))
+    for epoch in list_state_epochs(spark, kept_dir):
+        cur = spark.read.parquet(f"{kept_dir}/batch_id={epoch}")
+        hit = cur.join(ids, id_col, "left_semi").count()
+        if hit == 0:
+            continue
+        removed["kept"] += hit
+        surviving = cur.join(ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        _rewrite_epoch(spark, kept_dir, epoch, surviving)
+        # rebuild this epoch's claimed buckets from the survivors; a
+        # compaction may have folded the epoch's buckets into an
+        # earlier dir — those rebuild when their own kept epoch hits
+        if epoch in claimed_epochs:
+            sigs = minhash_signature(surviving, text_col, id_col, num_hashes)
+            buckets = (
+                band_keys(sigs, id_col, bands, num_hashes // bands)
+                .select("band_id", "band_hash")
+                .distinct()
+            )
+            _rewrite_epoch(spark, claimed_dir, epoch, buckets)
+            removed["claimed_rebuilt_epochs"] += 1
+    return removed
+
+
+def rebuild_sketch_epoch(
+    spark: SparkSession,
+    batch_fn,
+    surviving_df: DataFrame,
+    epoch: int,
+) -> None:
+    """Epoch-rebuild retraction for the IRREVERSIBLE register states
+    (HLL max-fold, CMS sum-fold, Bloom or-fold): no operator can
+    subtract a key from a register, so the caller supplies the epoch's
+    SURVIVING source rows and the state's own idempotent per-epoch
+    callback (``make_hll_batch_fn`` / ``make_cms_batch_fn`` /
+    ``make_bloom_batch_fn``) overwrites that epoch's dir — exactly the
+    replay path, invoked as maintenance. Stream must be stopped.
+
+    This is deliberately thin: the register layout already makes a
+    replayed epoch overwrite only its own dir, so retraction IS a
+    replay with the retracted rows filtered out. What this function
+    adds is the documented contract — there is no cheaper compliant
+    path for lossy-fold sketches."""
+    batch_fn(surviving_df, epoch)

@@ -484,3 +484,34 @@ def test_extend_ivf_pq_index_matches_reencode_against_fixed_artifacts(
             ref_cells.select("vec_id", "cell")
         )
         assert dk(xcodes) == dk(ref_codes)
+
+
+def test_ivfpq_encoding_gate_picks_flat_on_isotropic_data(spark, sf_dir):
+    """The fit-time flat-vs-residual acceptance gate (VERDICT r7 item:
+    residual encoding against raw-vector coarse centroids HURTS recall
+    on near-isotropic data — the gate must measure that and pick flat,
+    never default to residual)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as SM,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    choice, report, index = SM.choose_ivf_pq_encoding(
+        emb, qs, k=10, ncells=16, nprobe=4, m_sub=8, k_codes=16
+    )
+    assert choice == "flat"
+    assert report["flat_recall"] >= report["residual_recall"]
+    assert report["n_queries"] == 5 and report["k"] == 10
+    # the gate's build IS the serve index: flat serve from it matches a
+    # fresh flat build exactly
+    served = SM.ivf_pq_topk(
+        emb, qs, k=10, ncells=16, nprobe=4, m_sub=8, k_codes=16,
+        index=index,
+    )
+    fresh = SM.ivf_pq_topk(
+        emb, qs, k=10, ncells=16, nprobe=4, m_sub=8, k_codes=16
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

@@ -1,0 +1,189 @@
+"""Streaming-state retraction (streaming/state_retraction.py):
+exact anti-join for the id-keyed prefix state, epoch rebuild for the
+non-id-keyed MinHash claimed buckets, replay-as-maintenance for the
+irreversible sketch registers — each proven against a rebuilt history."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming import (
+    state_retraction as SR,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+    make_batch_fn as mh_batch_fn,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.prefix_intake import (
+    make_batch_fn as pf_batch_fn,
+)
+
+DOC_SCHEMA = "doc_id BIGINT, text STRING"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+OTHER = (
+    "completely different content about spark structured streaming state "
+    "stores watermarks and exactly once sinks with idempotent batch writes"
+)
+THIRD = (
+    "a third unrelated document listing parquet row groups column chunks "
+    "dictionary pages bloom filters and predicate pushdown machinery here"
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="stateretract-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _read_all(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_prefix_state_retraction_equals_rebuilt_history(spark, workdir):
+    fn = pf_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    fn(_docs(spark, [(3, THIRD)]), 1)
+    # retract doc 1 from every epoch table
+    removed = SR.retract_from_prefix_state(
+        spark, workdir, spark.createDataFrame([(1,)], "doc_id BIGINT")
+    )
+    assert removed["kept"] == 1 and removed["shingles"] == 1
+    assert removed["prefix"] > 0
+    # the rewritten state equals the state of a history WITHOUT doc 1
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = pf_batch_fn(ref)
+        fn2(_docs(spark, [(2, OTHER)]), 0)
+        fn2(_docs(spark, [(3, THIRD)]), 1)
+        for table in ("prefix", "shingles", "kept"):
+            got = sorted(
+                map(tuple, _read_all(spark, f"{workdir}/{table}").drop(
+                    "batch_id").collect())
+            )
+            want = sorted(
+                map(tuple, _read_all(spark, f"{ref}/{table}").drop(
+                    "batch_id").collect())
+            )
+            assert got == want, table
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+    # a future doc identical to the retracted one is admitted again
+    fn(_docs(spark, [(10, BASE)]), 2)
+    kept2 = _read_all(spark, f"{workdir}/kept").filter(
+        F.col("batch_id") == "2"
+    )
+    assert [r["doc_id"] for r in kept2.collect()] == [10]
+
+
+def test_minhash_state_retraction_rebuilds_claimed_epochs(spark, workdir):
+    fn = mh_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    fn(_docs(spark, [(3, THIRD)]), 1)
+    removed = SR.retract_from_minhash_state(
+        spark, workdir, spark.createDataFrame([(1,)], "doc_id BIGINT")
+    )
+    assert removed["kept"] == 1
+    assert removed["claimed_rebuilt_epochs"] == 1  # only epoch 0 hit
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = mh_batch_fn(ref)
+        fn2(_docs(spark, [(2, OTHER)]), 0)
+        fn2(_docs(spark, [(3, THIRD)]), 1)
+        for table in ("claimed", "kept"):
+            got = sorted(
+                map(tuple, _read_all(spark, f"{workdir}/{table}").drop(
+                    "batch_id").collect())
+            )
+            want = sorted(
+                map(tuple, _read_all(spark, f"{ref}/{table}").drop(
+                    "batch_id").collect())
+            )
+            assert got == want, table
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+    # the retracted doc's buckets are forgotten: an identical future doc
+    # is admitted as if doc 1 never existed
+    fn(_docs(spark, [(10, BASE)]), 2)
+    kept2 = _read_all(spark, f"{workdir}/kept").filter(
+        F.col("batch_id") == "2"
+    )
+    assert [r["doc_id"] for r in kept2.collect()] == [10]
+
+
+def test_untouched_epochs_are_not_rewritten(spark, workdir):
+    fn = pf_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE)]), 0)
+    fn(_docs(spark, [(2, OTHER)]), 1)
+    import os
+
+    def mtimes(table):
+        base = f"{workdir}/{table}"
+        return {
+            d: os.path.getmtime(f"{base}/{d}")
+            for d in os.listdir(base)
+            if d.startswith("batch_id=")
+        }
+
+    before = mtimes("kept")
+    SR.retract_from_prefix_state(
+        spark, workdir, spark.createDataFrame([(1,)], "doc_id BIGINT")
+    )
+    after = mtimes("kept")
+    # epoch 1 (no retracted doc) keeps its directory untouched
+    assert after["batch_id=1"] == before["batch_id=1"]
+    assert after["batch_id=0"] != before["batch_id=0"]
+
+
+def test_orphaned_backup_recovers_at_entry(spark, workdir):
+    import os
+
+    fn = pf_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE)]), 0)
+    kept = f"{workdir}/kept"
+    # simulate a crash between the two promote renames: the epoch dir
+    # was moved aside and the new content never landed
+    os.rename(f"{kept}/batch_id=0", f"{kept}/.retract_bak_0")
+    epochs = SR.list_state_epochs(spark, kept)
+    assert epochs == [0]
+    assert os.path.isdir(f"{kept}/batch_id=0")
+    rows = _read_all(spark, kept).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_sketch_epoch_rebuild_is_replay_with_survivors(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        hll_estimate,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_hll_batch_fn,
+        read_hll_state,
+    )
+
+    fn = make_hll_batch_fn(workdir, "k", p=8)
+    full = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100)], "k STRING"
+    )
+    fn(full, 0)
+    # registers are a lossy max-fold: retraction = replay the epoch
+    # with the surviving rows
+    surviving = full.filter(F.col("k") != "u7")
+    SR.rebuild_sketch_epoch(spark, fn, surviving, 0)
+    got = hll_estimate(read_hll_state(spark, workdir), p=8).collect()[0]
+    ref_dir = f"{workdir}-ref"
+    try:
+        make_hll_batch_fn(ref_dir, "k", p=8)(surviving, 0)
+        want = hll_estimate(read_hll_state(spark, ref_dir), p=8).collect()[0]
+        assert got["estimate"] == want["estimate"]
+    finally:
+        shutil.rmtree(ref_dir, ignore_errors=True)
