@@ -134,6 +134,37 @@ BENCH_QUERIES = [
     "weekly_retention",
     "events_throttle",
     "stats_unpivot",
+    # round-8 tier refresh (VERDICT r7 item 4): round-7 representatives
+    # — one per new family, heaviest first — so the curated tier
+    # represents the whole engine again. Totals are NOT comparable to
+    # the frozen r6 83-entry tier (BASELINE.md records both).
+    "prefix_intake_admitted",
+    "prefix_jaccard_pairs",
+    "dedup_rate_report",
+    "dedup_canonical_docs",
+    "pca_top2_sampled",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_quantized_topk",
+    "hybrid_rrf_search",
+    "bm25_batch_topk",
+    "winnow_fingerprints",
+    "winnow_matches",
+    "orders_bloom_semi",
+    "bottomk_user_sample",
+    "priority_user_sample",
+    "join_size_estimate",
+    "orders_profile_hll",
+    "bigram_logprob_pruned",
+    "drift_report",
+    "decontaminated_docs_bloom",
+    # round-8 additions: ExactSubstr dedup + URL/domain curation
+    "exactsubstr_rewrite",
+    "exactsubstr_removals",
+    "domain_report",
+    "domain_blocklist_docs",
+    "domain_capped_docs",
 ]
 
 
@@ -190,8 +221,9 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (83 entries after the round-6
-    # additions; the recorded 62-query r3 totals are not comparable).
+    # restores the curated headline tier (109 entries after the round-8
+    # refresh added r7/r8 representatives; the 83-entry r6 tier and the
+    # 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         names += sorted(n for n in qs if n not in names)
 

@@ -149,11 +149,55 @@ def prefix_jaccard_on(spark, sf_dir):
     )
 
 
+def prefix_intake_off(spark, sf_dir):
+    return entrymod.queries()["prefix_intake_admitted"](spark, sf_dir)
+
+
+def prefix_intake_on(spark, sf_dir):
+    """Lever: exact dedup upstream of BOTH intake sides. On the
+    replicated stress layout every batch doc has 64 verbatim copies and
+    so does every corpus doc, so the batch×corpus candidate buckets
+    (and any true match's verify fan-out) grow as replicas² by
+    construction. Collapsing verbatim copies first (standard intake
+    order) probes the index with corpus-shaped sides; admission then
+    EXPANDS back through the exact groups — J(copy, x) = J(keeper, x),
+    so a copy is admitted iff its keeper is (exactness-preserving,
+    pinned at 1x)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.substring("source", 4, 10).cast("int") < 10)
+    new = docs.filter(F.substring("source", 4, 10).cast("int") >= 10)
+
+    def _keepers(side, groups):
+        return (
+            side.select("doc_id", "text", DD.fingerprint("text").alias("fp"))
+            .join(groups.select("fp", "keep_id"), "fp")
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .select("doc_id", "text")
+        )
+
+    cg = DD.exact_dedup_groups(corpus)
+    ng = DD.exact_dedup_groups(new)
+    index = DD.build_prefix_index(
+        _keepers(corpus, cg), threshold_num=1, threshold_den=2, shingle_n=3
+    )
+    adm_keepers = DD.prefix_dedup_against_corpus(
+        _keepers(new, ng), index, threshold_num=1, threshold_den=2,
+        shingle_n=3,
+    ).select(F.col("doc_id").alias("keep_id"))
+    return (
+        new.select("doc_id", "source", DD.fingerprint("text").alias("fp"))
+        .join(ng.select("fp", "keep_id"), "fp")
+        .join(adm_keepers, "keep_id", "left_semi")
+        .select("doc_id", "source")
+    )
+
+
 PAIRS = {
     "dedup_clusters_star": (clusters_star_off, clusters_star_on),
     "bigram_logprob": (bigram_off, bigram_on),
     "price_quantiles": (quantiles_off, quantiles_on),
     "prefix_jaccard_pairs": (prefix_jaccard_off, prefix_jaccard_on),
+    "prefix_intake_admitted": (prefix_intake_off, prefix_intake_on),
 }
 
 
@@ -177,9 +221,9 @@ def main() -> None:
         off, on = PAIRS[name]
         row: dict = {}
         try:
-            if name == "dedup_clusters_star":
-                # this lever is exactness-preserving (keeper = group min
-                # id, near-dup edges replicate with the text): pin it
+            if name in ("dedup_clusters_star", "prefix_intake_admitted"):
+                # these levers are exactness-preserving (keeper = group
+                # min id; J(copy, x) = J(keeper, x)): pin it
                 a = {tuple(r) for r in off(spark, ss.BASE_SF).collect()}
                 b = {tuple(r) for r in on(spark, ss.BASE_SF).collect()}
                 row["equal_at_1x"] = a == b
