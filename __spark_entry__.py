@@ -2079,6 +2079,61 @@ def q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "domain", "source")
 
 
+def _doc_urls_messy(docs: DataFrame) -> DataFrame:
+    """Deterministic MESSY URL per document for the canonicalization
+    queries: uppercase scheme/host, userinfo, default and non-default
+    ports, trailing slashes, fragments, tracking params, and unsorted
+    param order — with host/id keys on moduli coprime to the case
+    selector (4, 7, 3) so case-0 and case-1 docs genuinely collide
+    after canonicalization (mirrored by _MESSY_URL_SQL)."""
+    did = F.col("doc_id")
+    h = (did % 7).cast("string")
+    i = (did % 3).cast("string")
+    return docs.withColumn(
+        "url",
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("HTTPS://u:p@SITE"), h,
+                     F.lit(".COM:443/a/b/?utm_source=x&z=1&id="), i,
+                     F.lit("#frag")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("https://site"), h, F.lit(".com/a/b?id="), i,
+                     F.lit("&z=1")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("https://site"), h, F.lit(".com:8080/a/b?z=1&id="),
+                     i, F.lit("&utm_campaign=y")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), h, F.lit(".org:80/path/"),
+                     did.cast("string"), F.lit("?gclid=z")),
+        ),
+    )
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the messy synthetic URLs: lowercase
+    scheme/host, drop userinfo/fragment/default ports/tracking params,
+    strip trailing slashes, sort surviving params — every rule
+    exercised by some case arm and mirrored exactly in SQL."""
+    docs = _doc_urls_messy(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", WB.canonical_url("url").alias("canonical_url")
+    )
+
+
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL-level dedup (the cascade stage BEFORE any
+    content dedup): keep the smallest doc_id per canonical URL — case-0
+    and case-1 messy forms collide after canonicalization, so this is
+    non-vacuous. One keyed shuffle with a MIN combiner."""
+    docs = _doc_urls_messy(_t(spark, sf_dir, "documents"))
+    return WB.url_dedup(docs, "url").select("doc_id", "canonical_url")
+
+
 def q_domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain document cap: keep at most 3 docs per
     registrable domain under the deterministic (n_chars DESC NULLS
@@ -2833,6 +2888,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # per-domain C4 cap)
     "exactsubstr_rewrite", "exactsubstr_removals", "domain_report",
     "domain_blocklist_docs", "domain_capped_docs",
+    # round-8 second batch: URL canonicalization + URL-level dedup (the
+    # RefinedWeb pre-content cascade stage)
+    "canonical_urls", "url_dedup_docs",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2870,8 +2928,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # (levenshtein) near-dup on LSH candidates
     "pca_project_heldout", "bm25_search", "edit_near_dup",
     # round 5: the data-profiling layer (per-column quality counts,
-    # numeric drift summary, equi-width histogram) + SCD2 historized merge
-    "orders_profile", "orders_numeric_profile", "price_histogram",
+    # numeric drift summary, equi-width histogram) + SCD2 historized
+    # merge. (orders_profile, orders_numeric_profile rotated out for the
+    # round-8 second batch — driver-proven in the r5/r7 windows.)
+    "price_histogram",
     "scd2_orders", "events_resampled", "user_value_trend",
     "price_depth_histogram",
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
@@ -3028,6 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_report": q_domain_report,
         "domain_blocklist_docs": q_domain_blocklist_docs,
         "domain_capped_docs": q_domain_capped_docs,
+        "canonical_urls": q_canonical_urls,
+        "url_dedup_docs": q_url_dedup_docs,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -3802,6 +3864,61 @@ _EXACTSUBSTR_CTES = f"""estoks AS (
 _MULTI_SUFFIX_SQL = ", ".join(
     f"'{s}'" for s in WB.MULTI_LABEL_SUFFIXES
 )
+# messy-URL canonicalization oracle body: mirrors _doc_urls_messy +
+# web.canonical_url rule for rule (scheme/host lowering, userinfo drop,
+# default-port drop, trailing-slash strip, fragment drop, tracking-param
+# strip, lexicographic param sort).
+_MESSY_URL_SQL = """mu AS (
+            SELECT doc_id,
+                CASE doc_id % 4
+                WHEN 0 THEN 'HTTPS://u:p@SITE' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.COM:443/a/b/?utm_source=x&z=1&id='
+                     || CAST(doc_id % 3 AS VARCHAR) || '#frag'
+                WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com/a/b?id=' || CAST(doc_id % 3 AS VARCHAR)
+                     || '&z=1'
+                WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com:8080/a/b?z=1&id='
+                     || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y'
+                ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.org:80/path/' || doc_id || '?gclid=z'
+                END AS url
+            FROM documents),
+        muparts AS (
+            SELECT doc_id, url,
+                lower(regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                    1)) AS host,
+                regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)',
+                    1) AS port,
+                regexp_replace(regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                    '/+$', '') AS path,
+                list_sort(list_filter(
+                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)=')
+                )) AS kept
+            FROM mu),
+        mucanon AS (
+            SELECT doc_id,
+                CASE WHEN scheme = '' THEN '' ELSE
+                    scheme || '://' || host ||
+                    (CASE WHEN port = ''
+                          OR (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443')
+                          THEN '' ELSE ':' || port END) ||
+                    path ||
+                    (CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END)
+                END AS canonical_url
+            FROM muparts)"""
+
+
 _DOMAIN_CTES = f"""du AS (
             SELECT *, 'https://' ||
                 (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN ''
@@ -5908,6 +6025,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOMAIN_CTES}
             SELECT doc_id, domain, source FROM dudom
             WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+        """,
+        "canonical_urls": f"""
+            WITH {_MESSY_URL_SQL}
+            SELECT doc_id, canonical_url FROM mucanon
+        """,
+        "url_dedup_docs": f"""
+            WITH {_MESSY_URL_SQL},
+            mur AS (SELECT doc_id, canonical_url,
+                           ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                              ORDER BY doc_id) AS rn
+                    FROM mucanon)
+            SELECT doc_id, canonical_url FROM mur WHERE rn = 1
         """,
         "domain_capped_docs": f"""
             WITH {_DOMAIN_CTES},

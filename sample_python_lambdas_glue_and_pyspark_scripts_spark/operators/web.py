@@ -157,3 +157,88 @@ def domain_capped_docs(
     return cap_per_group(
         d, "domain", n_per_domain, order_col, id_col, descending
     )
+
+
+# tracking query parameters stripped by canonical_url (prefix match on
+# the key, before '='): the common cross-site analytics/click ids
+TRACKING_PARAM_REGEX = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)="
+
+_SCHEME_REGEX = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_PORT_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\d+)"
+_PATH_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_REGEX = r"\?([^#]*)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Deterministic URL canonical form — the RefinedWeb §3.2 URL-dedup
+    key. Rules (each mirrored exactly by the DuckDB oracle):
+
+    - scheme and host lowercase; userinfo dropped;
+    - default ports dropped (80 for http, 443 for https), others kept;
+    - trailing slashes stripped from the path (root path == empty);
+    - fragment dropped;
+    - tracking params (:data:`TRACKING_PARAM_REGEX`) and empty params
+      dropped; surviving params SORTED lexicographically (binary, both
+      engines' default collation) so param order never splits a key;
+    - unparseable URLs (no scheme://) canonicalize to '' — group them
+      out before dedup.
+
+    Pure native expressions (regexp + array ops), map-side only.
+    """
+    c = F.coalesce(
+        F.col(url) if isinstance(url, str) else url, F.lit("")
+    )
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_REGEX, 1))
+    host = host_from_url(c)
+    port = F.regexp_extract(c, _PORT_REGEX, 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(c, _PATH_REGEX, 1), r"/+$", ""
+    )
+    raw_q = F.regexp_extract(c, _QUERY_REGEX, 1)
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(raw_q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+        )
+    )
+    q_part = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.concat_ws("&", kept_params)),
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL-level exact dedup — the cheapest stage of the published
+    curation cascade (RefinedWeb runs it BEFORE any content dedup:
+    re-crawls of the same page collapse on the canonical URL without
+    touching the text). Keeps the smallest ``id_col`` per canonical
+    form; unparseable URLs (canonical '') are NOT merged with each
+    other — each keeps its own row (grouped by id instead).
+
+    ONE keyed shuffle with a MIN combiner (the exact_dedup shape); at
+    100 TB the canonical form is computed map-side and hot URLs
+    collapse in the partial aggregate."""
+    d = df.withColumn(out_col, canonical_url(url_col))
+    key = F.when(F.col(out_col) == "", F.concat(F.lit("\x00id:"),
+                 F.col(id_col).cast("string"))).otherwise(F.col(out_col))
+    keep = (
+        d.withColumn("_uk", key)
+        .groupBy("_uk")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return d.join(keep, id_col, "left_semi")

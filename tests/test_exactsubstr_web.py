@@ -153,3 +153,47 @@ def test_domain_blocklist_identity_and_cap(spark):
 def test_exactsubstr_rejects_bad_threshold(spark):
     with pytest.raises(ValueError):
         D.exactsubstr_removals(_docs(spark), min_tokens=0)
+
+
+def test_canonical_url_rules(spark):
+    rows = [
+        # (url, expected canonical)
+        ("HTTPS://u:p@WWW.Ex.COM:443/a/b/?utm_source=x&z=1&id=2#f",
+         "https://www.ex.com/a/b?id=2&z=1"),
+        ("https://www.ex.com/a/b?id=2&z=1",
+         "https://www.ex.com/a/b?id=2&z=1"),
+        ("http://ex.org:80/path/", "http://ex.org/path"),
+        ("http://ex.org:8080/p?gclid=x&fbclid=y", "http://ex.org:8080/p"),
+        ("https://ex.com/", "https://ex.com"),
+        ("not a url", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(rows)],
+        "doc_id BIGINT, url STRING",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", W.canonical_url("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(rows):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_keeps_min_id_and_isolates_unparseable(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://ex.com/a?z=1&id=2"),
+            (3, "HTTPS://EX.COM:443/a/?id=2&z=1#frag"),  # same canonical
+            (7, "junk one"),   # unparseable: NOT merged with each other
+            (8, "junk two"),
+            (9, "https://other.com/b"),
+        ],
+        "doc_id BIGINT, url STRING",
+    )
+    kept = sorted(
+        r["doc_id"] for r in W.url_dedup(df, "url").collect()
+    )
+    assert kept == [3, 7, 8, 9]
