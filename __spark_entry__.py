@@ -2134,6 +2134,16 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.url_dedup(docs, "url").select("doc_id", "canonical_url")
 
 
+def q_doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals per doc (bits/char over
+    whitespace-stripped lowercased chars, bits/word over WORD_REGEX
+    tokens): the entropy members of the quality-filter stack, map-side
+    only — one sort + run-length fold per doc (O(L log L), never
+    count-distinct-via-filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.entropy_stats(docs)
+
+
 def q_domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain document cap: keep at most 3 docs per
     registrable domain under the deterministic (n_chars DESC NULLS
@@ -2889,8 +2899,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "exactsubstr_rewrite", "exactsubstr_removals", "domain_report",
     "domain_blocklist_docs", "domain_capped_docs",
     # round-8 second batch: URL canonicalization + URL-level dedup (the
-    # RefinedWeb pre-content cascade stage)
-    "canonical_urls", "url_dedup_docs",
+    # RefinedWeb pre-content cascade stage) + Shannon-entropy quality
+    # signals
+    "canonical_urls", "url_dedup_docs", "doc_entropy_report",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2929,9 +2940,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "pca_project_heldout", "bm25_search", "edit_near_dup",
     # round 5: the data-profiling layer (per-column quality counts,
     # numeric drift summary, equi-width histogram) + SCD2 historized
-    # merge. (orders_profile, orders_numeric_profile rotated out for the
-    # round-8 second batch — driver-proven in the r5/r7 windows.)
-    "price_histogram",
+    # merge. (orders_profile, orders_numeric_profile, price_histogram
+    # rotated out for the round-8 second batch — driver-proven in the
+    # r5/r7 windows.)
     "scd2_orders", "events_resampled", "user_value_trend",
     "price_depth_histogram",
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
@@ -3090,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_capped_docs": q_domain_capped_docs,
         "canonical_urls": q_canonical_urls,
         "url_dedup_docs": q_url_dedup_docs,
+        "doc_entropy_report": q_doc_entropy_report,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -6025,6 +6037,40 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOMAIN_CTES}
             SELECT doc_id, domain, source FROM dudom
             WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+        """,
+        "doc_entropy_report": rf"""
+            WITH eb AS (
+                SELECT doc_id,
+                       list_filter(string_split(regexp_replace(
+                           lower(coalesce(text, '')), '\s', '', 'g'), ''),
+                           x -> x <> '') AS cs,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                           '{_WORD_SQL}') AS ws
+                FROM documents),
+            cg AS (SELECT doc_id, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(cs) AS e FROM eb)
+                   GROUP BY doc_id, e),
+            cstat AS (SELECT doc_id, SUM(c * ln(c)) AS s,
+                             CAST(SUM(c) AS DOUBLE) AS n
+                      FROM cg GROUP BY doc_id),
+            wg AS (SELECT doc_id, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(ws) AS e FROM eb)
+                   GROUP BY doc_id, e),
+            wstat AS (SELECT doc_id, SUM(c * ln(c)) AS s,
+                             CAST(SUM(c) AS DOUBLE) AS n
+                      FROM wg GROUP BY doc_id)
+            SELECT eb.doc_id,
+                   CAST(len(cs) AS BIGINT) AS n_chars_nospace,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   ROUND(CASE WHEN coalesce(cstat.n, 0) > 0
+                         THEN (ln(cstat.n) - cstat.s / cstat.n) / ln(2)
+                         ELSE 0.0 END, 6) AS char_entropy,
+                   ROUND(CASE WHEN coalesce(wstat.n, 0) > 0
+                         THEN (ln(wstat.n) - wstat.s / wstat.n) / ln(2)
+                         ELSE 0.0 END, 6) AS word_entropy
+            FROM eb
+            LEFT JOIN cstat USING (doc_id)
+            LEFT JOIN wstat USING (doc_id)
         """,
         "canonical_urls": f"""
             WITH {_MESSY_URL_SQL}

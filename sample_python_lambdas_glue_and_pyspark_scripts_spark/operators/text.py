@@ -1189,3 +1189,93 @@ def repeated_passages(
         )
         .limit(k)
     )
+
+
+def _runlen_sum_clogc(sorted_g: Column) -> Column:
+    """Σ c·ln(c) over the run lengths of a SORTED list (0.0 for empty)
+    — the sufficient statistic for Shannon entropy, in the same single
+    O(L) run-length ``aggregate`` shape as :func:`_max_run_count`
+    (sort + scan, never count-distinct-via-filter: that is O(L²) per
+    document and melts on long docs)."""
+    step = lambda acc, x: F.struct(  # noqa: E731 — struct-state fold
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        (
+            acc["s"]
+            + F.when(
+                acc["prev"].isNotNull() & ~x.eqNullSafe(acc["prev"]),
+                acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("s"),
+    )
+    return F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        step,
+        lambda acc: acc["s"]
+        + F.when(
+            acc["prev"].isNotNull(),
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _entropy_bits(sorted_g: Column) -> Column:
+    """Shannon entropy in BITS of a SORTED element list:
+    H = (ln n − Σ c·ln c / n) / ln 2, 6dp-rounded (the float-parity
+    contract: both engines round the FINAL value; sums of a few hundred
+    doubles agree far below 1e-6). Empty and single-element lists are
+    0.0 by the same formula."""
+    n = F.size(sorted_g).cast("double")
+    s = _runlen_sum_clogc(sorted_g)
+    return F.round(
+        F.when(
+            n > 0, (F.log(n) - s / n) / F.lit(float(__import__("math").log(2)))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def entropy_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy quality signals: ``char_entropy``
+    (bits/char over the lowercased, whitespace-stripped characters) and
+    ``word_entropy`` (bits/word over WORD_REGEX tokens), plus the
+    element counts. Low character entropy marks symbol-looped or
+    single-character boilerplate; low word entropy marks repeated-word
+    spam — the entropy members of the quality-filter stack next to
+    repetition_stats' n-gram fractions and gopher_rules' thresholds.
+
+    Map-side only (0 shuffles): per doc, sort the element list once and
+    fold run lengths in one O(L log L) pass; NULL text behaves as empty
+    (both entropies 0.0, matching the SQL oracle)."""
+    chars = F.filter(
+        F.split(
+            F.regexp_replace(
+                F.lower(F.coalesce(_c(text_col), F.lit(""))), r"\s", ""
+            ),
+            "",
+        ),
+        lambda x: x != "",
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.array_sort(chars).alias("__cs"),
+        F.array_sort(words(F.coalesce(_c(text_col), F.lit("")))).alias(
+            "__ws"
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__cs").cast("bigint").alias("n_chars_nospace"),
+        F.size("__ws").cast("bigint").alias("n_words"),
+        _entropy_bits(F.col("__cs")).alias("char_entropy"),
+        _entropy_bits(F.col("__ws")).alias("word_entropy"),
+    )

@@ -1228,3 +1228,30 @@ def test_extend_prefix_index_keeps_exact_recall(spark):
         b2, idx, threshold_num=1, threshold_den=2
     )
     assert sorted(r["doc_id"] for r in admitted2.collect()) == [21]
+
+
+def test_entropy_stats_hand_computed(spark):
+    import math
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        entropy_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb"),        # chars: a,a,b,b -> H=1 bit; words: aa,bb -> 1 bit
+            (2, "aaaa"),         # single distinct char -> 0
+            (3, None),           # null -> 0/0
+            (4, "ab ab ab ab"),  # words all 'ab' -> word H 0; chars 4a4b -> 1
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in entropy_stats(docs).collect()}
+    assert out[1]["char_entropy"] == 1.0 and out[1]["word_entropy"] == 1.0
+    assert out[2]["char_entropy"] == 0.0 and out[2]["n_words"] == 1
+    assert out[3]["char_entropy"] == 0.0 and out[3]["n_chars_nospace"] == 0
+    assert out[4]["word_entropy"] == 0.0 and out[4]["char_entropy"] == 1.0
+    # a 3-way uneven split: 2x'a', 1x'b', 1x'c' -> H = 1.5 bits
+    d5 = spark.createDataFrame([(5, "a a b c")], "doc_id BIGINT, text STRING")
+    r5 = entropy_stats(d5).collect()[0]
+    assert abs(r5["word_entropy"] - 1.5) < 1e-9
