@@ -2134,6 +2134,22 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.url_dedup(docs, "url").select("doc_id", "canonical_url")
 
 
+def q_domain_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split keyed on the REGISTRABLE DOMAIN
+    (80/10/10): near-identical pages from one site hash to one split,
+    so same-domain content can never straddle train/test (the published
+    leakage concern URL-level dedup alone doesn't close). Map-side
+    only: domain extraction + the split_assign integer-bucket hash."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = WB.with_domain(_doc_urls(_t(spark, sf_dir, "documents")), "url")
+    return SA.split_assign(
+        docs, "domain", fractions=(0.8, 0.1, 0.1)
+    ).select("doc_id", "domain", "split")
+
+
 def q_doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon-entropy quality signals per doc (bits/char over
     whitespace-stripped lowercased chars, bits/word over WORD_REGEX
@@ -2902,6 +2918,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # RefinedWeb pre-content cascade stage) + Shannon-entropy quality
     # signals
     "canonical_urls", "url_dedup_docs", "doc_entropy_report",
+    "domain_split_assign",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2943,7 +2960,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # merge. (orders_profile, orders_numeric_profile, price_histogram
     # rotated out for the round-8 second batch — driver-proven in the
     # r5/r7 windows.)
-    "scd2_orders", "events_resampled", "user_value_trend",
+    # (events_resampled rotated out for the round-8 second batch —
+    # driver-proven in the r5 window.)
+    "scd2_orders", "user_value_trend",
     "price_depth_histogram",
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
     # minhash_estimate_report, skyline_parts, scd2_orders_snapshot moved
@@ -3102,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dedup_docs": q_url_dedup_docs,
         "doc_entropy_report": q_doc_entropy_report,
+        "domain_split_assign": q_domain_split_assign,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -6075,6 +6095,17 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             WITH {_MESSY_URL_SQL}
             SELECT doc_id, canonical_url FROM mucanon
+        """,
+        "domain_split_assign": f"""
+            WITH {_DOMAIN_CTES}
+            SELECT doc_id, domain,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, domain,
+                         ('0x' || substr(md5('split|' || domain),
+                                         1, 15))::BIGINT % 1000000 AS b
+                  FROM dudom)
         """,
         "url_dedup_docs": f"""
             WITH {_MESSY_URL_SQL},
