@@ -476,12 +476,16 @@ def bloom_prefilter(
     (decontamination, blocklists, dimension prefilters).
 
     LAZY like every other operator builder: the filter build is a
-    subtree of the returned plan (a word-indexed map aggregated to one
-    row, zero-filled to ``n_words``, broadcast-cross-joined), so merely
-    CONSTRUCTING the plan runs no Spark job — the build executes with
-    the query (formerly an eager ``collect()`` at construction time,
-    which made plan_report / schema checks pay a full keys-side scan)."""
-    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    subtree of the returned plan (the word table aggregated to a
+    ONE-ROW ``map<word_idx, bits>``, broadcast-cross-joined; absent
+    words read as 0 through ``try_element_at`` + ``coalesce``), so
+    merely CONSTRUCTING the plan runs no Spark job — the build executes
+    with the query (formerly an eager ``collect()`` at construction
+    time, which made plan_report / schema checks pay a full keys-side
+    scan). A map, NOT a zero-filled array: the array form needs
+    ``n_words`` per-slot expressions (~1100 at the decontamination
+    default m=65536 — real analyzer/codegen cost per plan), the map is
+    one expression at any ``m_bits``."""
     words_df = (
         bloom_filter(keys, keys_col, m_bits, k_hashes)
         .agg(
@@ -492,17 +496,6 @@ def bloom_prefilter(
                         F.col("bits").alias("v"),
                     )
                 )
-            ).alias("_m")
-        )
-        .select(
-            F.array(
-                *[
-                    F.coalesce(
-                        F.try_element_at("_m", F.lit(i)),
-                        F.lit(0).cast("bigint"),
-                    )
-                    for i in range(n_words)
-                ]
             ).alias("_bf_words")
         )
     )
@@ -513,8 +506,9 @@ def bloom_prefilter(
         F.array(*[_bloom_pos(key, j, m_bits) for j in range(k_hashes)]),
     ).crossJoin(F.broadcast(words_df))
     hit = F.expr(
-        f"forall(_bf_pos, p -> (shiftright(element_at(_bf_words, "
-        f"CAST(p div {BLOOM_WORD_BITS} AS INT) + 1), "
+        f"forall(_bf_pos, p -> (shiftright(coalesce(try_element_at("
+        f"_bf_words, CAST(p div {BLOOM_WORD_BITS} AS INT)), "
+        f"CAST(0 AS BIGINT)), "
         f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
     )
     return staged.filter(hit).drop("_bf_pos", "_bf_words")
