@@ -1347,6 +1347,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data operators: multimodal --------------------------------------
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serve from TRAINED coarse centroids (fixed-2-iteration Lloyd
+    fit, k=16 — deterministic seeds + 6dp means, so the trained build
+    unrolls into the SQL oracle): the production-recall IVF form the
+    residual-encoding guidance calls for. Same cosine assignment and
+    (sim DESC, id) cut as ann_ivf_topk; only the centroids differ."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = SM.build_ivf_index_trained(emb, ncells=16, n_iter=2)
+    return SM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, index=index
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns through Arrow-batched mapInPandas (fake
     deterministic decode; real kernels are gated stubs)."""
@@ -2918,7 +2931,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # RefinedWeb pre-content cascade stage) + Shannon-entropy quality
     # signals
     "canonical_urls", "url_dedup_docs", "doc_entropy_report",
-    "domain_split_assign",
+    "domain_split_assign", "ann_ivf_trained_topk",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2960,9 +2973,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # merge. (orders_profile, orders_numeric_profile, price_histogram
     # rotated out for the round-8 second batch — driver-proven in the
     # r5/r7 windows.)
-    # (events_resampled rotated out for the round-8 second batch —
-    # driver-proven in the r5 window.)
-    "scd2_orders", "user_value_trend",
+    # (events_resampled, user_value_trend rotated out for the round-8
+    # second batch — driver-proven in the r5 window.)
+    "scd2_orders",
     "price_depth_histogram",
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
     # minhash_estimate_report, skyline_parts, scd2_orders_snapshot moved
@@ -3071,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
@@ -5197,6 +5211,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY sim DESC, neighbor_id) AS rn
                 FROM scored) t
+            WHERE rn <= 5
+        """,
+        "ann_ivf_trained_topk": f"""
+            WITH {_kmeans_ctes(k=16)},
+            a1 AS (SELECT vec_id, label FROM (
+                       SELECT vec_id, label,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2, label) AS rn
+                       FROM d2_1) t WHERE rn = 1),
+            cent2 AS (SELECT a.label, d.dim, ROUND(AVG(d.x), 6) AS c
+                      FROM a1 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+            tcent AS (SELECT CAST(label AS BIGINT) AS cid,
+                             list(c ORDER BY dim) AS cv
+                      FROM cent2 GROUP BY label),
+            tca AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(
+                                   e.v, c.cv), 6) DESC, c.cid) AS rn
+                    FROM e CROSS JOIN tcent c) t
+                WHERE rn = 1),
+            tq AS (SELECT * FROM e WHERE vec_id < 5),
+            tqa AS (
+                SELECT vec_id, cid FROM (
+                    SELECT q.vec_id, c.cid,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(
+                                   q.v, c.cv), 6) DESC, c.cid) AS rn
+                    FROM tq q CROSS JOIN tcent c) t
+                WHERE rn <= 4),
+            tscored AS (
+                SELECT DISTINCT tqa.vec_id AS query_id,
+                       tca.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+                FROM tqa JOIN tca ON tqa.cid = tca.cid
+                JOIN e qe ON qe.vec_id = tqa.vec_id
+                JOIN e ce ON ce.vec_id = tca.vec_id
+                WHERE tca.vec_id <> tqa.vec_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM tscored) t
             WHERE rn <= 5
         """,
         "multimodal_decode": """

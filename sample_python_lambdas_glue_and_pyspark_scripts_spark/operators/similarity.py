@@ -2251,3 +2251,38 @@ def choose_ivf_pq_encoding(
     if choice == "residual":
         return choice, report, (centroids, corpus_cells, books_r, codes_r)
     return choice, report, (centroids, corpus_cells, books_f, codes_f)
+
+
+def build_ivf_index_trained(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 16,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`build_ivf_index` with TRAINED coarse centroids — the
+    production-recall form its docstring (and the residual-encoding
+    guidance) calls for: a fixed-``n_iter`` Lloyd fit
+    (:func:`kmeans_fit` — deterministic seeds, 6dp-rounded means, so
+    the whole build unrolls into a SQL oracle) replaces the first-k
+    raw-vector stand-in, then every corpus vector is assigned to its
+    nearest trained centroid by the same cosine rule.
+
+    Returned centroid ids are the surviving k-means labels (clusters
+    that lose every member drop out — the standard Lloyd hazard, so
+    the effective cell count may be < ``ncells``). The result tuple
+    serves through the same ``index=`` paths as the untrained build
+    (``ivf_topk``/``ivf_pq_topk``/``extend_ivf_index``), and because a
+    trained centroid is a MEAN — not a stored corpus vector — the
+    retract_from_ivf_index centroid-id refusal can never fire on it.
+    """
+    _, cents_long = kmeans_fit(
+        corpus, k=ncells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    centroids = _centroid_arrays(cents_long).select(
+        F.col("label").cast("bigint").alias(id_col),
+        F.col("centv").alias(vec_col),
+    )
+    centroids = centroids.localCheckpoint(eager=False)
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    return centroids, corpus_cells
