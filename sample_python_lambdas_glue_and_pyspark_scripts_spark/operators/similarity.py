@@ -2171,6 +2171,7 @@ def choose_ivf_pq_encoding(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained_centroids: bool = False,
 ):
     """Fit-time flat-vs-residual acceptance gate for IVF-PQ — the
     measured-recall pattern of ``ann_quantized_recall``, wired into the
@@ -2198,8 +2199,11 @@ def choose_ivf_pq_encoding(
       build cost is the serve index, not a throwaway probe.
 
     The query sample should be small (tens) — recall aggregation
-    collects one scalar per query."""
-    centroids, corpus_cells = build_ivf_index(corpus, id_col, vec_col, ncells)
+    collects one scalar per query. ``trained_centroids=True`` builds
+    the coarse index with :func:`build_ivf_index_trained` (the regime
+    where residual encoding can actually win — Jégou et al. §III)."""
+    build = build_ivf_index_trained if trained_centroids else build_ivf_index
+    centroids, corpus_cells = build(corpus, id_col, vec_col, ncells)
     centroids = centroids.localCheckpoint(eager=True)
     corpus_cells = corpus_cells.localCheckpoint(eager=True)
     books_f = pq_fit(corpus, m_sub, k_codes, 2, id_col, vec_col)
