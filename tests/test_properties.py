@@ -333,3 +333,73 @@ def test_cms_grid_matches_python_reference(spark, keys):
     got = {(r["row"], r["slot"]): r["cnt"]
            for r in SK.count_min_sketch(df, "k", width=64, depth=3).collect()}
     assert got == _py_cms_grid(keys, width=64, depth=3)
+
+
+# --- round-8 operators: URL canonicalization + ExactSubstr --------------------
+
+url_strategy = st.one_of(
+    st.from_regex(
+        r"(https?|ftp)://([a-z0-9]{1,6}(\.[a-z0-9]{1,6}){0,3})(:[0-9]{1,5})?"
+        r"(/[a-z0-9./]{0,12})?(\?[a-z0-9=&_]{0,20})?(#[a-z0-9]{0,6})?",
+        fullmatch=True,
+    ),
+    st.from_regex(r"[ a-z0-9:/?#.]{0,20}", fullmatch=True),  # junk
+    st.none(),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(url_strategy, min_size=1, max_size=12))
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form must
+    be a fixed point (re-crawling a canonicalized URL can't produce a
+    different dedup key)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        web as W,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id BIGINT, url STRING"
+    )
+    once = df.select(
+        "doc_id", W.canonical_url("url").alias("c1")
+    )
+    twice = once.select(
+        "doc_id", "c1", W.canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+token_strategy = st.from_regex(r"[a-z]{1,4}", fullmatch=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(token_strategy, min_size=0, max_size=40), min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_exactsubstr_conservation_and_subsequence(spark, docs, L):
+    """Invariants on random corpora: kept + removed == total tokens per
+    doc; the rewritten text is a SUBSEQUENCE of the original tokens;
+    and every document whose tokens are corpus-unique is untouched."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.exactsubstr_rewrite(df, min_tokens=L).collect()
+    }
+    assert len(out) == len(docs)
+    for i, toks in enumerate(docs):
+        r = out[i]
+        kept = r["text_dedup"].split() if r["text_dedup"] else []
+        assert r["n_tokens"] == len(toks)
+        assert len(kept) + r["n_removed"] == len(toks)
+        # subsequence check
+        it = iter(toks)
+        assert all(any(k == t for t in it) for k in kept), (toks, kept)
