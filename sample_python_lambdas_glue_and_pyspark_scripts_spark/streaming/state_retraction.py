@@ -154,40 +154,67 @@ def retract_from_minhash_state(
 ) -> dict[str, int]:
     """Epoch-rebuild retraction from the MinHash intake state: the
     ``kept/`` docs are id-keyed (exact anti-join); the ``claimed/``
-    buckets are not, so every epoch that lost a doc gets its bucket
-    set RECOMPUTED from the epoch's surviving kept docs with the same
-    hash family — deterministic, so the result equals the buckets a
-    history over the surviving docs would have claimed (pinned by
-    test). Epochs with no retracted doc are untouched. Must use the
-    SAME (num_hashes, bands) the stream ran with; compacted epochs
-    (``compact_claimed``) rebuild correctly too because the kept table
-    keeps per-epoch membership. Stream must be stopped."""
+    buckets are not, so every claimed epoch COVERING a kept epoch that
+    lost a doc gets its bucket set RECOMPUTED from the covered range's
+    surviving kept docs with the same hash family — deterministic, so
+    the result equals the buckets a history over the surviving docs
+    would have claimed (pinned by test). Untouched epochs are never
+    rewritten. Must use the SAME (num_hashes, bands) the stream ran
+    with. Stream must be stopped.
+
+    Coverage rule: ``compact_claimed`` merges ``claimed/batch_id<M``
+    dirs into ONE partition named ``batch_id=M-1``, so after any number
+    of compactions each claimed epoch M holds the buckets of the kept
+    epochs in ``(previous claimed epoch, M]`` — exactly the ranges this
+    walks. (Rebuilding only the hit kept-epoch's own claimed dir would
+    silently leave a retracted doc's buckets inside a merged
+    partition.)"""
     ids = _ids_df(retract_ids, id_col).localCheckpoint(eager=True)
     kept_dir, claimed_dir = f"{work_dir}/kept", f"{work_dir}/claimed"
     removed = {"kept": 0, "claimed_rebuilt_epochs": 0}
-    claimed_epochs = set(list_state_epochs(spark, claimed_dir))
-    for epoch in list_state_epochs(spark, kept_dir):
+    claimed_epochs = sorted(list_state_epochs(spark, claimed_dir))
+    kept_epochs = sorted(list_state_epochs(spark, kept_dir))
+
+    hit_epochs: set[int] = set()
+    survivors: dict[int, DataFrame] = {}
+    for epoch in kept_epochs:
         cur = spark.read.parquet(f"{kept_dir}/batch_id={epoch}")
         hit = cur.join(ids, id_col, "left_semi").count()
         if hit == 0:
             continue
         removed["kept"] += hit
+        hit_epochs.add(epoch)
         surviving = cur.join(ids, id_col, "left_anti").localCheckpoint(
             eager=True
         )
+        survivors[epoch] = surviving
         _rewrite_epoch(spark, kept_dir, epoch, surviving)
-        # rebuild this epoch's claimed buckets from the survivors; a
-        # compaction may have folded the epoch's buckets into an
-        # earlier dir — those rebuild when their own kept epoch hits
-        if epoch in claimed_epochs:
-            sigs = minhash_signature(surviving, text_col, id_col, num_hashes)
-            buckets = (
-                band_keys(sigs, id_col, bands, num_hashes // bands)
-                .select("band_id", "band_hash")
-                .distinct()
+
+    prev = None
+    for cl_epoch in claimed_epochs:
+        covered = [
+            e for e in kept_epochs
+            if (prev is None or e > prev) and e <= cl_epoch
+        ]
+        prev = cl_epoch
+        if not any(e in hit_epochs for e in covered):
+            continue
+        union = None
+        for e in covered:
+            part = survivors.get(e) or spark.read.parquet(
+                f"{kept_dir}/batch_id={e}"
             )
-            _rewrite_epoch(spark, claimed_dir, epoch, buckets)
-            removed["claimed_rebuilt_epochs"] += 1
+            union = part if union is None else union.unionByName(
+                part, allowMissingColumns=True
+            )
+        sigs = minhash_signature(union, text_col, id_col, num_hashes)
+        buckets = (
+            band_keys(sigs, id_col, bands, num_hashes // bands)
+            .select("band_id", "band_hash")
+            .distinct()
+        )
+        _rewrite_epoch(spark, claimed_dir, cl_epoch, buckets)
+        removed["claimed_rebuilt_epochs"] += 1
     return removed
 
 

@@ -187,3 +187,48 @@ def test_sketch_epoch_rebuild_is_replay_with_survivors(spark, workdir):
         assert got["estimate"] == want["estimate"]
     finally:
         shutil.rmtree(ref_dir, ignore_errors=True)
+
+
+def test_minhash_retraction_after_compaction(spark, workdir):
+    """compact_claimed merges claimed epochs into one partition; a
+    retraction hitting a merged-away kept epoch must rebuild the
+    MERGED claimed dir from the covered range's survivors (rebuilding
+    only the hit epoch's own dir would leave the retracted doc's
+    buckets inside the merged partition)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.minhash_dedup import (
+        compact_claimed,
+    )
+
+    fn = mh_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE)]), 0)
+    fn(_docs(spark, [(2, OTHER)]), 1)
+    fn(_docs(spark, [(3, THIRD)]), 2)
+    compact_claimed(spark, workdir, upto_batch=3)  # merges 0,1,2 -> batch_id=2
+    removed = SR.retract_from_minhash_state(
+        spark, workdir, spark.createDataFrame([(1,)], "doc_id BIGINT")
+    )
+    assert removed["kept"] == 1
+    assert removed["claimed_rebuilt_epochs"] == 1  # the merged partition
+    # claimed state equals a compacted history that never saw doc 1
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = mh_batch_fn(ref)
+        fn2(_docs(spark, [(2, OTHER)]), 1)
+        fn2(_docs(spark, [(3, THIRD)]), 2)
+        want = sorted(
+            map(tuple, _read_all(spark, f"{ref}/claimed").drop(
+                "batch_id").distinct().collect())
+        )
+        got = sorted(
+            map(tuple, _read_all(spark, f"{workdir}/claimed").drop(
+                "batch_id").distinct().collect())
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+    # the forgotten doc's content is admissible again
+    fn(_docs(spark, [(10, BASE)]), 3)
+    kept3 = _read_all(spark, f"{workdir}/kept").filter(
+        F.col("batch_id") == "3"
+    )
+    assert [r["doc_id"] for r in kept3.collect()] == [10]
