@@ -3944,7 +3944,7 @@ _MESSY_URL_SQL = """mu AS (
                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                     '/+$', '') AS path,
                 list_sort(list_filter(
-                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    string_split(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'),
                     p -> p <> '' AND NOT regexp_matches(p,
                         '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)=')
                 )) AS kept

@@ -166,7 +166,9 @@ TRACKING_PARAM_REGEX = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)="
 _SCHEME_REGEX = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _PORT_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\d+)"
 _PATH_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_REGEX = r"\?([^#]*)"
+# anchored walk over everything BEFORE any fragment: a bare
+# `\?([^#]*)` would match a "?" living INSIDE the fragment (#x?y)
+_QUERY_REGEX = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url: Column | str) -> Column:

@@ -197,3 +197,19 @@ def test_url_dedup_keeps_min_id_and_isolates_unparseable(spark):
         r["doc_id"] for r in W.url_dedup(df, "url").collect()
     )
     assert kept == [3, 7, 8, 9]
+
+
+def test_canonical_url_fragment_question_mark(spark):
+    """A '?' inside the fragment is NOT a query string."""
+    df = spark.createDataFrame(
+        [(1, "https://ex.com/p#x?y=1"), (2, "https://ex.com/p?a=1#x?y=2")],
+        "doc_id BIGINT, url STRING",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", W.canonical_url("url").alias("c")
+        ).collect()
+    }
+    assert got[1] == "https://ex.com/p"
+    assert got[2] == "https://ex.com/p?a=1"
