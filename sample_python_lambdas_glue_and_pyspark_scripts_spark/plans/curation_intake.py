@@ -3,7 +3,8 @@ team runs against a continuously-arriving document crawl, composed
 entirely from this engine's parts —
 
     file stream → Gopher/C4 quality rules → benchmark decontamination
-    → cross-batch LSH near-dup admission → kept-doc sink
+    → cross-batch LSH near-dup admission → (optional) cross-batch
+    ExactSubstr range rewriting → kept-doc sink
     + live HLL distinct-fingerprint state
 
 Per micro-batch work (everything already individually oracle-checked /
@@ -32,6 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.dedup import decontaminate
 from ..operators.sketches import hll_sketch
 from ..operators.text import fingerprint, gopher_rules
+from ..streaming.exactsubstr_intake import _read_anchors, exactsubstr_admit
 from ..streaming.incremental import run_incremental
 from ..streaming.minhash_dedup import _read_claimed, lsh_admit
 
@@ -44,6 +46,7 @@ def make_intake_batch_fn(
     min_words: int = 5,
     hll_p: int = 12,
     shingle_n: int = 13,
+    exactsubstr_min_tokens: int | None = None,
 ):
     """Per-micro-batch callback, standalone so tests and probes drive
     the exact production path. ``benchmark`` is a STATIC frame (eval
@@ -52,7 +55,14 @@ def make_intake_batch_fn(
     ``shingle_n`` follows the standard decontamination convention (13-gram
     overlap, matching ``dedup.decontaminate``'s default): a production
     intake must not drop every document sharing a single trigram with the
-    benchmark. Tests shrink it to 3 to exercise hits on short fixtures."""
+    benchmark. Tests shrink it to 3 to exercise hits on short fixtures.
+
+    ``exactsubstr_min_tokens`` (optional) adds the Lee-et-al range
+    rewriting stage AFTER admission: every admitted doc lands with
+    ranges duplicating previously-SEEN admitted content removed
+    (``streaming/exactsubstr_intake.exactsubstr_admit`` against the
+    ``anchors/`` state; LSH-dropped docs never feed anchors). The kept
+    sink then carries (text rewritten in place, n_tokens, n_removed)."""
     claimed_dir = f"{work_dir}/claimed"
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,6 +80,26 @@ def make_intake_batch_fn(
         new_buckets.write.mode("overwrite").parquet(
             f"{claimed_dir}/batch_id={batch_id}"
         )
+        if exactsubstr_min_tokens:
+            hist = _read_anchors(spark, work_dir, batch_id)
+            rewritten, new_anchors = exactsubstr_admit(
+                kept, hist, text_col, id_col, exactsubstr_min_tokens
+            )
+            new_anchors.write.mode("overwrite").parquet(
+                f"{work_dir}/anchors/batch_id={batch_id}"
+            )
+            kept = (
+                kept.drop(text_col)
+                .join(
+                    rewritten.select(
+                        id_col,
+                        F.col("text_dedup").alias(text_col),
+                        "n_tokens",
+                        "n_removed",
+                    ),
+                    id_col,
+                )
+            )
         kept.write.mode("overwrite").parquet(
             f"{work_dir}/kept/batch_id={batch_id}"
         )
@@ -91,6 +121,7 @@ def run_curation_intake(
     hll_p: int = 12,
     shingle_n: int = 13,
     available_now: bool = True,
+    exactsubstr_min_tokens: int | None = None,
 ) -> StreamingQuery:
     """Wire the intake callback into the incremental runner (availableNow
     drains the backlog exactly once; continuous mode just flips the
@@ -99,7 +130,7 @@ def run_curation_intake(
         stream_df,
         make_intake_batch_fn(
             work_dir, benchmark, text_col, id_col, min_words, hll_p,
-            shingle_n,
+            shingle_n, exactsubstr_min_tokens,
         ),
         f"{work_dir}/ckpt",
         available_now=available_now,

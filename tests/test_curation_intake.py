@@ -91,3 +91,39 @@ def test_intake_batch_fn_replay_idempotent(spark, workdir):
     assert kept_after == kept_before
     est = hll_state_estimate(spark, workdir, p=12).collect()[0]
     assert abs(est["estimate"] - 2) < 1
+
+
+def test_intake_with_exactsubstr_rewriting(spark, workdir):
+    """The optional ExactSubstr stage: an admitted batch-2 doc embedding
+    a 20+-token span first seen in batch 1 lands REWRITTEN (the span
+    removed, the fresh tail kept); anchors state accrues per epoch; a
+    replayed epoch is a no-op. Doc 10 shares only ~25 of its ~75 tokens
+    with doc 1, so the LSH stage ADMITS it (no bucket collision at that
+    Jaccard) and the range rewriting is what catches the verbatim
+    inclusion — exactly the two stages' division of labor."""
+    S = " ".join(GOOD_A.split()[:25])  # realistic 25-token span
+    TAIL = (
+        GOOD_B + " moreover it writes every result into a versioned "
+        "table and it keeps the old copy until the new swap has landed "
+        "so a failure can always be rolled back to the last good state"
+    )
+    bench = spark.createDataFrame([(900, LEAKED)], DOC_SCHEMA)
+    fn = make_intake_batch_fn(
+        workdir, bench, min_words=5, shingle_n=3,
+        exactsubstr_min_tokens=20,
+    )
+    fn(spark.createDataFrame([(1, "intro words " + S)], DOC_SCHEMA), 0)
+    fn(spark.createDataFrame([(10, S + " " + TAIL)], DOC_SCHEMA), 1)
+    kept = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{workdir}/kept").collect()
+    }
+    assert 1 in kept and 10 in kept, sorted(kept)
+    assert kept[1]["n_removed"] == 0
+    assert kept[10]["n_removed"] == 25
+    assert kept[10]["text"] == " ".join(TAIL.lower().split())
+    # replay epoch 1: same state, same sink
+    before = sorted(map(tuple, spark.read.parquet(f"{workdir}/kept").collect()))
+    fn(spark.createDataFrame([(10, S + " " + TAIL)], DOC_SCHEMA), 1)
+    after = sorted(map(tuple, spark.read.parquet(f"{workdir}/kept").collect()))
+    assert before == after
