@@ -2147,6 +2147,17 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.url_dedup(docs, "url").select("doc_id", "canonical_url")
 
 
+def q_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-SURGICAL decontamination: remove exactly the token ranges
+    overlapping any benchmark 13-gram window (interval union of
+    matching windows, no protection — benchmark members in the corpus
+    rewrite to empty) instead of dropping whole docs. Benchmark = the
+    decontaminated_docs convention (doc_id % 20 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return DD.decontaminate_spans(docs, bench, min_tokens=13)
+
+
 def q_domain_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe dataset split keyed on the REGISTRABLE DOMAIN
     (80/10/10): near-identical pages from one site hash to one split,
@@ -2931,7 +2942,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # RefinedWeb pre-content cascade stage) + Shannon-entropy quality
     # signals
     "canonical_urls", "url_dedup_docs", "doc_entropy_report",
-    "domain_split_assign", "ann_ivf_trained_topk",
+    "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2973,9 +2984,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # merge. (orders_profile, orders_numeric_profile, price_histogram
     # rotated out for the round-8 second batch — driver-proven in the
     # r5/r7 windows.)
-    # (events_resampled, user_value_trend rotated out for the round-8
-    # second batch — driver-proven in the r5 window.)
-    "scd2_orders",
+    # (events_resampled, user_value_trend, scd2_orders rotated out for
+    # the round-8 second batch — driver-proven in the r5 window.)
     "price_depth_histogram",
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
     # minhash_estimate_report, skyline_parts, scd2_orders_snapshot moved
@@ -3136,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "doc_entropy_report": q_doc_entropy_report,
         "domain_split_assign": q_domain_split_assign,
+        "decontaminated_spans": q_decontaminated_spans,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -6152,6 +6163,56 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             WITH {_MESSY_URL_SQL}
             SELECT doc_id, canonical_url FROM mucanon
+        """,
+        "decontaminated_spans": f"""
+            WITH dstoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '{_WORD_SQL}') AS w
+                FROM documents),
+            dsbase AS (SELECT doc_id, w, len(w) AS n FROM dstoks),
+            dsgpos AS (
+                SELECT doc_id,
+                       CAST(unnest(generate_series(0, n - 13)) AS INTEGER)
+                           AS pos,
+                       w
+                FROM dsbase WHERE n >= 13),
+            dssites AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5('es|' || array_to_string(
+                            w[pos + 1 : pos + 13], ' ')), 1, 15))::BIGINT AS g
+                FROM dsgpos),
+            dsbench AS (SELECT DISTINCT g FROM dssites
+                        WHERE doc_id % 20 = 0),
+            dshit AS (SELECT doc_id, pos FROM dssites
+                      JOIN dsbench USING (g)),
+            {_interval_merge_ctes('dshit', 'dsrem', 13)},
+            dsremoved AS (SELECT doc_id,
+                                 CAST(unnest(generate_series(s, e - 1))
+                                      AS INTEGER) AS pos
+                          FROM dsremint),
+            dstokpos AS (
+                SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.v AS tok
+                FROM (SELECT doc_id,
+                             unnest(list_transform(w,
+                                    (x, i) -> {{'v': x, 'i': i}})) AS u
+                      FROM dsbase)),
+            dskept AS (SELECT dstokpos.doc_id, pos, tok FROM dstokpos
+                       ANTI JOIN dsremoved
+                       ON (dstokpos.doc_id = dsremoved.doc_id
+                           AND dstokpos.pos = dsremoved.pos)),
+            dsrebuilt AS (SELECT doc_id,
+                                 string_agg(tok, ' ' ORDER BY pos)
+                                     AS text_dedup
+                          FROM dskept GROUP BY doc_id),
+            dsnrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                       FROM dsremoved GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   coalesce(nr.n_removed, 0) AS n_removed
+            FROM dsbase b
+            LEFT JOIN dsrebuilt r USING (doc_id)
+            LEFT JOIN dsnrem nr USING (doc_id)
         """,
         "domain_split_assign": f"""
             WITH {_DOMAIN_CTES}

@@ -1846,17 +1846,29 @@ def exactsubstr_rewrite(
     published semantics removes the range, it does not drop the doc),
     short/empty docs come back unchanged with ``n_removed = 0``."""
     L = int(min_tokens)
-    toks = _exactsubstr_tokens(df, text_col, id_col).localCheckpoint(
-        eager=False
-    )
-    removed_pos = (
-        exactsubstr_removals(df, text_col, id_col, L)
-        .select(
-            id_col,
-            F.explode(F.sequence("start", F.col("end") - 1)).alias("pos"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    removals = exactsubstr_removals(df, text_col, id_col, L)
+    return rewrite_without_ranges(df, removals, text_col, id_col)
+
+
+def rewrite_without_ranges(
+    df: DataFrame,
+    removals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstruct every doc with the given token intervals removed —
+    the shared rewrite tail of :func:`exactsubstr_rewrite` and
+    :func:`decontaminate_spans`. ``removals`` is ``(id_col, start,
+    end)`` with end exclusive, intervals DISJOINT per doc (the
+    _merge_intervals contract — overlapping inputs would double-count
+    ``n_removed``). Returns ALL input docs as ``(id_col, text_dedup,
+    n_tokens, n_removed)``; docs with no removals come back unchanged
+    (modulo the WORD_REGEX lowercased single-space token convention)."""
+    removed_pos = removals.select(
+        F.col(id_col),
+        F.explode(F.sequence("start", F.col("end") - 1)).alias("pos"),
+    ).localCheckpoint(eager=False)
+    toks = _exactsubstr_tokens(df, text_col, id_col)
     kept = toks.join(removed_pos, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -1893,3 +1905,44 @@ def exactsubstr_rewrite(
             ),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 13,
+) -> DataFrame:
+    """Span-SURGICAL decontamination: instead of dropping every document
+    that overlaps the benchmark (:func:`decontaminate` — the blunt
+    published default), REMOVE exactly the offending token ranges and
+    keep the rest of the document (the ExactSubstr machinery pointed at
+    an external anchor set). Completes the decontamination family:
+    drop-doc (`decontaminate`), Bloom-prefiltered drop-doc
+    (`bloom_decontaminate`), and now range surgery.
+
+    Removed = the interval UNION of every corpus ``min_tokens``-window
+    whose content appears as a window of some benchmark doc — no
+    protection pass (ALL benchmark-overlapping content goes, including
+    from the first doc that carries it; benchmark members present in
+    the corpus rewrite to empty text). ``min_tokens`` defaults to 13 —
+    the standard eval-overlap convention shared with
+    :func:`decontaminate`.
+
+    Scale shape: benchmark anchors are one distinct gram set (a few
+    rows per eval doc); corpus windows join it keyed on the 60-bit
+    anchor — no pair explosion, corpus never content-shuffled; the
+    rewrite is the shared linear reconstruction."""
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("decontaminate_spans: min_tokens must be >= 1")
+    bench_anchors = (
+        _exactsubstr_sites(benchmark, text_col, id_col, L)
+        .select("g")
+        .distinct()
+    )
+    sites = _exactsubstr_sites(corpus, text_col, id_col, L)
+    hit = sites.join(bench_anchors, "g").select(id_col, "pos")
+    removals = _merge_intervals(hit, id_col, L)
+    return rewrite_without_ranges(corpus, removals, text_col, id_col)

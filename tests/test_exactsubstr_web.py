@@ -213,3 +213,38 @@ def test_canonical_url_fragment_question_mark(spark):
     }
     assert got[1] == "https://ex.com/p"
     assert got[2] == "https://ex.com/p?a=1"
+
+
+def test_decontaminate_spans_surgery(spark):
+    """Range-surgical decontamination: only benchmark-overlapping
+    ranges go; the rest of the doc survives; benchmark members rewrite
+    to empty; no protection for first occurrences."""
+    B = " ".join(f"b{i}" for i in range(25))   # benchmark content
+    bench = spark.createDataFrame([(100, B)], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean head words " + B + " clean tail words"),
+            (2, B),                            # pure benchmark copy
+            (3, "totally unrelated document content here"),
+            (100, B),                          # the benchmark member itself
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.decontaminate_spans(
+            corpus, bench, min_tokens=20
+        ).collect()
+    }
+    assert out[1]["n_removed"] == 25
+    assert out[1]["text_dedup"] == "clean head words clean tail words"
+    assert out[2]["text_dedup"] == "" and out[2]["n_removed"] == 25
+    assert out[3]["n_removed"] == 0
+    assert out[100]["text_dedup"] == ""  # no first-occurrence protection
+    # a sub-threshold overlap is NOT removed
+    small = spark.createDataFrame(
+        [(4, "x " + " ".join(f"b{i}" for i in range(10)) + " y")],
+        "doc_id BIGINT, text STRING",
+    )
+    out4 = D.decontaminate_spans(small, bench, min_tokens=20).collect()[0]
+    assert out4["n_removed"] == 0
