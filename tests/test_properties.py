@@ -403,3 +403,52 @@ def test_exactsubstr_conservation_and_subsequence(spark, docs, L):
         # subsequence check
         it = iter(toks)
         assert all(any(k == t for t in it) for k in kept), (toks, kept)
+
+
+def py_exactsubstr_rewrite(docs, L):
+    """Pure-Python reference of dedup.exactsubstr_rewrite: stride-1
+    L-gram first-site protection + coverage removal."""
+    toks = {i: t for i, t in docs}
+    sites = {}  # gram -> list[(doc, pos)]
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - L + 1):
+            sites.setdefault(tuple(t[p:p + L]), []).append((i, p))
+    removal, protect = {}, {}
+    for occ in sites.values():
+        if len(occ) < 2:
+            continue
+        first = min(occ)
+        for (d, p) in occ:
+            target = protect if (d, p) == first else removal
+            target.setdefault(d, set()).update(range(p, p + L))
+    out = {}
+    for i in sorted(toks):
+        rem = removal.get(i, set()) - protect.get(i, set())
+        kept = [w for p, w in enumerate(toks[i]) if p not in rem]
+        out[i] = (" ".join(kept), len(toks[i]), len(rem))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0,
+                 max_size=30),
+        min_size=1, max_size=5,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_exactsubstr_matches_python_reference(spark, docs, L):
+    """Exact output equality with the pure-Python reference on random
+    small-alphabet corpora (small alphabet forces dense duplication —
+    overlapping spans, self-repeats, protection collisions)."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_removed"])
+        for r in D.exactsubstr_rewrite(df, min_tokens=L).collect()
+    }
+    want = py_exactsubstr_rewrite(list(enumerate(docs)), L)
+    assert got == want
