@@ -2147,6 +2147,22 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.url_dedup(docs, "url").select("doc_id", "canonical_url")
 
 
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (α=3/10, event_id order) in integer FIXED POINT (2-decimal scale,
+    half-up integer division — bit-exact on both engines with no float
+    rounding contract): the recency-weighted level next to the OLS
+    trend and z-score screens. One keyed shuffle + a map-side O(n)
+    fold per key."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        timeseries as TS,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    return TS.ewma_last(e, "user_id", "event_id", "value",
+                        alpha_num=3, alpha_den=10, scale=2)
+
+
 def q_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-SURGICAL decontamination: remove exactly the token ranges
     overlapping any benchmark 13-gram window (interval union of
@@ -2943,6 +2959,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # signals
     "canonical_urls", "url_dedup_docs", "doc_entropy_report",
     "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
+    "user_value_ewma",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2986,7 +3003,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # r5/r7 windows.)
     # (events_resampled, user_value_trend, scd2_orders rotated out for
     # the round-8 second batch — driver-proven in the r5 window.)
-    "price_depth_histogram",
+    # (price_depth_histogram rotated out for the round-8 third batch —
+    # driver-proven in the r5 window.)
     # round-8 rotation note: corpus_admitted_indexed, containment_pairs,
     # minhash_estimate_report, skyline_parts, scd2_orders_snapshot moved
     # out (driver-proven in the r4/r5/r7 windows)
@@ -3147,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy_report": q_doc_entropy_report,
         "domain_split_assign": q_domain_split_assign,
         "decontaminated_spans": q_decontaminated_spans,
+        "user_value_ewma": q_user_value_ewma,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -6163,6 +6182,22 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             WITH {_MESSY_URL_SQL}
             SELECT doc_id, canonical_url FROM mucanon
+        """,
+        "user_value_ewma": """
+            WITH ewl AS (
+                SELECT user_id,
+                       list(CAST(ROUND(CAST(value AS DOUBLE) * 100, 0)
+                                 AS BIGINT) ORDER BY event_id) AS xs,
+                       COUNT(*) AS c
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                      AND value >= 0
+                GROUP BY user_id)
+            SELECT user_id, CAST(c AS BIGINT) AS n_points,
+                   ROUND(CAST(list_reduce(xs,
+                       (a, b) -> (2 * (3 * b + 7 * a) + 10) // 20)
+                       AS DOUBLE) / 100.0, 6) AS ewma
+            FROM ewl
         """,
         "decontaminated_spans": f"""
             WITH dstoks AS (

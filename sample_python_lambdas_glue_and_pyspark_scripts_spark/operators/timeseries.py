@@ -90,3 +90,71 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key, in FIXED
+    POINT: values scale to integers at ``scale`` decimals and the
+    recursion runs entirely in BIGINT arithmetic with half-up division —
+    ``s_0 = x_0``, ``s_t = (2·(num·x_t + (den−num)·s_{t−1}) + den) div
+    (2·den)`` — so both engines reproduce it bit-for-bit with NO float
+    rounding contract at all. (A float recursion with per-step
+    ROUND(α·x + (1−α)·prev, 6) measurably diverges one ulp between
+    engines: 2-decimal inputs with α=0.3 land the true step value
+    EXACTLY on the 7th-digit .5 boundary whenever the previous state's
+    6th digit is odd — Spark's BigDecimal HALF_UP and DuckDB's binary
+    round then disagree. Integer state has no boundary.)
+
+    α = ``alpha_num/alpha_den`` (the rational-threshold convention).
+    NULL values are skipped; the domain is NON-NEGATIVE values (the
+    half-up `div` identity assumes it — filter or shift first
+    otherwise). Returns ``(key_col, n_points, ewma)`` with ``ewma``
+    the descaled double rounded to 6dp.
+
+    Scale shape: ONE keyed shuffle; the fold is a map-side O(n) array
+    pass per key (the run-length-fold convention — per-key history must
+    fit a row; for unbounded keys window the input first). State stays
+    ≤ max_scaled_value, so the 2·den·state intermediate is exact far
+    below 2^53."""
+    num, den = int(alpha_num), int(alpha_den)
+    if not (0 < num <= den):
+        raise ValueError("ewma_last: need 0 < alpha_num <= alpha_den")
+    mult = 10 ** int(scale)
+    xi = F.round(F.col(value_col).cast("double") * mult, 0).cast("bigint")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    xi.alias("x")))
+        ),
+        lambda st: st["x"],
+    )
+    two_den = 2 * den
+
+    def _step(acc, x):
+        n = 2 * (num * x + (den - num) * acc) + den
+        # exact integer div: (n - n % two_den) / two_den — n is far
+        # below 2^53 so the final double division is exact
+        return F.when(acc == -1, x).otherwise(
+            ((n - (n % two_den)) / two_den).cast("bigint")
+        )
+
+    fold = F.aggregate(F.filter(vals, lambda v: v.isNotNull()),
+                       F.lit(-1).cast("bigint"), _step)
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(fold.cast("double") / F.lit(float(mult)), 6).alias(
+                "ewma"
+            ),
+        )
+    )

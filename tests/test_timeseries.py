@@ -47,3 +47,30 @@ def test_resample_guard_on_stray_epoch(spark):
     assert n == 400_001
     with pytest.raises(ValueError):
         resample_ffill(df, "k", ts, "value", interval_sec=0)
+
+
+def test_ewma_fixed_point_hand_computed(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    # alpha=3/10, scale=2: s0=100 (1.00); s1=(2*(3*200+7*100)+10)//20=130
+    # (1.30); s2=(2*(3*50+7*130)+10)//20=106 (1.06)
+    df = spark.createDataFrame(
+        [(1, 0, 1.00), (1, 1, 2.00), (1, 2, 0.50), (2, 0, 4.25)],
+        "k BIGINT, o BIGINT, v DOUBLE",
+    )
+    out = {r["k"]: r for r in ewma_last(df, "k", "o", "v").collect()}
+    assert out[1]["n_points"] == 3 and out[1]["ewma"] == 1.06
+    assert out[2]["ewma"] == 4.25  # single point = itself
+    # order matters: reversing the order column changes the result
+    df_rev = spark.createDataFrame(
+        [(1, 2, 1.00), (1, 1, 2.00), (1, 0, 0.50)],
+        "k BIGINT, o BIGINT, v DOUBLE",
+    )
+    r = ewma_last(df_rev, "k", "o", "v").collect()[0]
+    assert r["ewma"] != 1.06
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ewma_last(df, "k", "o", "v", alpha_num=11, alpha_den=10)
