@@ -1800,8 +1800,11 @@ def exactsubstr_removals(
     L = int(min_tokens)
     if L < 1:
         raise ValueError("exactsubstr: min_tokens must be >= 1")
-    sites = ensure_parallelism(
-        _exactsubstr_sites(df, text_col, id_col, L)
+    # parallelism wrap goes on the INPUT: the gram projection is the
+    # heavy stage and must run on the repartitioned rows, not before
+    # the exchange
+    sites = _exactsubstr_sites(
+        ensure_parallelism(df), text_col, id_col, L
     ).localCheckpoint(eager=False)
     stats = (
         sites.groupBy("g")
@@ -1942,7 +1945,9 @@ def decontaminate_spans(
         .select("g")
         .distinct()
     )
-    sites = _exactsubstr_sites(corpus, text_col, id_col, L)
+    sites = _exactsubstr_sites(
+        ensure_parallelism(corpus), text_col, id_col, L
+    )
     hit = sites.join(bench_anchors, "g").select(id_col, "pos")
     removals = _merge_intervals(hit, id_col, L)
     return rewrite_without_ranges(corpus, removals, text_col, id_col)

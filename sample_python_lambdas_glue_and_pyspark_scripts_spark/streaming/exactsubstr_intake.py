@@ -92,8 +92,8 @@ def exactsubstr_admit(
     L = int(min_tokens)
     if L < 1:
         raise ValueError("exactsubstr_admit: min_tokens must be >= 1")
-    sites = ensure_parallelism(
-        _exactsubstr_sites(docs, text_col, id_col, L)
+    sites = _exactsubstr_sites(
+        ensure_parallelism(docs), text_col, id_col, L
     ).localCheckpoint(eager=False)
 
     stats = (
