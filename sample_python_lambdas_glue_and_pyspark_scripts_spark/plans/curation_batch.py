@@ -1,0 +1,118 @@
+"""End-to-end BATCH corpus curation: the published training-data
+cascade composed from this engine's individually-oracle-proven stages,
+in the standard cost order (cheapest key first, content surgery last):
+
+    1. URL-level dedup            (web.url_dedup — canonical-form keys)
+    2. exact text dedup           (dedup.exact_dedup — fingerprint keys)
+    3. ExactSubstr range rewrite  (dedup.exactsubstr_rewrite — remove
+                                   duplicated >= L-token ranges, keep
+                                   first occurrences)
+    4. quality filter             (text.quality_score cut, post-rewrite
+                                   — surgery can empty a doc)
+    5. per-domain cap             (web.domain_capped_docs — C4 recipe)
+    6. token-budget selection     (sampling.select_token_budget —
+                                   best-quality-first under a budget)
+
+Every stage is optional (None/0 skips it); each consumes the previous
+stage's survivors only, so the expensive content stages never see rows
+a cheaper key already killed — the RefinedWeb/C4 ordering argument.
+Stage boundaries are lazily localCheckpointed so the per-stage census
+(`report`) never re-runs upstream stages.
+
+Returns ``(kept_docs, report)``: the surviving documents (text
+REWRITTEN in place when stage 3 ran, plus ``n_removed``) and a small
+``(stage, n_docs)`` census frame — the number left AFTER each enabled
+stage, in order, for pipeline observability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, exactsubstr_rewrite
+from ..operators.sampling import select_token_budget
+from ..operators.text import quality_score
+from ..operators.web import domain_capped_docs, url_dedup
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    exactsubstr_min_tokens: int | None = 20,
+    min_quality: float | None = None,
+    n_per_domain: int | None = None,
+    token_budget: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the cascade (see module docstring). ``url_col`` enables
+    stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
+    ``quality_score >= min_quality``); ``token_budget`` enables stage 6.
+    Equivalent to applying the stages sequentially by hand (pinned by
+    test) — this wrapper adds the ordering, the survivor plumbing, and
+    the census."""
+    stages: list[tuple[str, DataFrame]] = []
+    cur = docs
+
+    def _mark(name: str, df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=False)
+        stages.append((name, out))
+        return out
+
+    if url_col is not None:
+        cur = _mark("url_dedup", url_dedup(cur, url_col, id_col))
+    cur = _mark(
+        "exact_dedup",
+        cur.join(
+            exact_dedup(cur, text_col, id_col).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+    )
+    if exactsubstr_min_tokens:
+        rewritten = exactsubstr_rewrite(
+            cur, text_col, id_col, exactsubstr_min_tokens
+        )
+        cur = _mark(
+            "exactsubstr_rewrite",
+            cur.drop(text_col).join(
+                rewritten.select(
+                    id_col,
+                    F.col("text_dedup").alias(text_col),
+                    "n_removed",
+                ),
+                id_col,
+            ),
+        )
+    if min_quality is not None:
+        scored = quality_score(cur.select(id_col, text_col), text_col)
+        keep_ids = scored.filter(
+            F.col("quality_score") >= float(min_quality)
+        ).select(id_col)
+        cur = _mark("quality_filter", cur.join(keep_ids, id_col, "left_semi"))
+    if n_per_domain and url_col is not None:
+        capped = domain_capped_docs(
+            cur, url_col, n_per_domain, order_col=id_col, id_col=id_col,
+            descending=False,
+        )
+        cur = _mark("domain_cap", capped.drop("domain"))
+    if token_budget:
+        scored = quality_score(cur.select(id_col, text_col), text_col)
+        chosen = select_token_budget(
+            scored, token_budget,
+            score_col="quality_score", token_col="stat_n_words",
+            id_col=id_col,
+        ).select(id_col)
+        cur = _mark("token_budget", cur.join(chosen, id_col, "left_semi"))
+
+    spark = docs.sparkSession
+    report = None
+    for name, df in stages:
+        row = df.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).select(F.lit(name).alias("stage"), "n_docs")
+        report = row if report is None else report.unionByName(row)
+    if report is None:
+        report = spark.createDataFrame([], "stage STRING, n_docs BIGINT")
+    return cur, report

@@ -1,0 +1,112 @@
+"""Batch curation cascade (plans/curation_batch.py): wrapper ≡ the
+stages applied sequentially by hand, census correctness, stage
+optionality."""
+
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    web as W,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.curation_batch import (
+    curate_corpus,
+)
+
+S = " ".join(
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away into the deep green forest to find some food".split()
+)
+
+
+def _docs(spark):
+    rows = [
+        # URL dups: 1 and 2 share a canonical URL (2 dropped at stage 1)
+        (1, "the first document is about spark plans and it is long enough "
+            "to pass the quality cut with several common stopwords in it.",
+         "https://a.com/x?id=1"),
+        (2, "same url different text entirely here with many more words and "
+            "the usual stopwords to pass quality checks in this fixture.",
+         "HTTPS://A.COM:443/x/?id=1#frag"),
+        # exact text dups: 3 and 4 (4 dropped at stage 2)
+        (3, "the second distinct document body is about catalyst and codegen "
+            "and it also has enough length and stopwords to be kept now.",
+         "https://b.com/y"),
+        (4, "the second distinct document body is about catalyst and codegen "
+            "and it also has enough length and stopwords to be kept now.",
+         "https://c.com/z"),
+        # 5 and 6 share the 24-token span S; the FIRST occurrence is
+        # doc 5 (min (doc_id, pos) wins) -> doc 6 gets it removed
+        (6, "intro words " + S + " and a closing remark to finish the text "
+            "which is itself long enough to survive the quality filter.",
+         "https://d.com/p"),
+        (5, S + " but this tail is fresh and long enough that the document "
+            "still survives the quality filter after the span is removed ok.",
+         "https://e.com/q"),
+        # low quality (too short) -> dropped at stage 4
+        (7, "tiny doc", "https://f.com/r"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, url STRING")
+
+
+def test_cascade_equals_sequential_stages(spark):
+    docs = _docs(spark)
+    kept, report = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=20, min_quality=0.66,
+    )
+    got = {r["doc_id"]: r for r in kept.collect()}
+    census = {r["stage"]: r["n_docs"] for r in report.collect()}
+    # hand-applied stages
+    s1 = W.url_dedup(docs, "url")                       # drops 2
+    s2 = s1.join(D.exact_dedup(s1).select("doc_id"), "doc_id", "left_semi")
+    assert census["url_dedup"] == s1.count() == 6
+    assert census["exact_dedup"] == s2.count() == 5
+    # rewriting: doc 5 holds the FIRST occurrence of the 24-token span
+    # (min (doc_id, pos)); doc 6's copy is removed
+    assert got[5]["n_removed"] == 0
+    assert got[6]["n_removed"] == 24
+    assert got[6]["text"].startswith("intro words and a closing remark")
+    assert S.lower() not in got[6]["text"]
+    assert S.lower() in got[5]["text"]
+    # quality: doc 7 out
+    assert 7 not in got and census["quality_filter"] == len(got)
+    assert set(got) == {1, 3, 5, 6}
+    # census order matches the cascade order
+    assert [r["stage"] for r in report.collect()] == [
+        "url_dedup", "exact_dedup", "exactsubstr_rewrite", "quality_filter",
+    ]
+
+
+def test_cascade_optional_stages(spark):
+    docs = _docs(spark).drop("url")
+    kept, report = curate_corpus(
+        docs, exactsubstr_min_tokens=None, min_quality=None,
+    )
+    # only exact dedup ran: doc 4 (verbatim copy of 3) dropped
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3, 5, 6, 7]
+    assert [r["stage"] for r in report.collect()] == ["exact_dedup"]
+    assert "n_removed" not in kept.columns
+
+
+def test_cascade_domain_cap_and_budget(spark):
+    docs = spark.createDataFrame(
+        [
+            (i,
+             "the document number %d has plenty of common stopwords and a "
+             "reasonable length so it passes every quality heuristic." % i,
+             f"https://site{i % 2}.com/p/{i}")
+            for i in range(8)
+        ],
+        "doc_id BIGINT, text STRING, url STRING",
+    )
+    kept, report = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=None,
+        min_quality=None, n_per_domain=2, token_budget=40,
+    )
+    census = {r["stage"]: r["n_docs"] for r in report.collect()}
+    # cap: 2 sites x 2 kept = 4 (lowest doc_id first, ascending order)
+    assert census["domain_cap"] == 4
+    assert sorted(r["doc_id"] for r in kept.collect())[:2] == [0, 1]
+    # budget: each doc ~19 words -> 2 fit in 40 tokens
+    assert census["token_budget"] == 2
