@@ -92,6 +92,30 @@ def resample_ffill(
     )
 
 
+def ewma_fold(vals: Column, init: Column, alpha_num: int,
+              alpha_den: int) -> Column:
+    """Fold a scaled-integer value array onto an integer EWMA state
+    (``-1`` = no state yet): the exact fixed-point recursion shared by
+    the batch operator (:func:`ewma_last`) and the streaming state
+    (``streaming/ewma_state.py``). Resuming from a prior state is the
+    SAME computation as folding the concatenation — the streaming ≡
+    batch parity contract rests on this one expression."""
+    num, den = int(alpha_num), int(alpha_den)
+    two_den = 2 * den
+
+    def _step(acc, x):
+        n = 2 * (num * x + (den - num) * acc) + den
+        # exact integer div: (n - n % two_den) / two_den — n is far
+        # below 2^53 so the final double division is exact
+        return F.when(acc == -1, x).otherwise(
+            ((n - (n % two_den)) / two_den).cast("bigint")
+        )
+
+    return F.aggregate(
+        F.filter(vals, lambda v: v.isNotNull()), init, _step
+    )
+
+
 def ewma_last(
     df: DataFrame,
     key_col: str,
@@ -136,18 +160,7 @@ def ewma_last(
         ),
         lambda st: st["x"],
     )
-    two_den = 2 * den
-
-    def _step(acc, x):
-        n = 2 * (num * x + (den - num) * acc) + den
-        # exact integer div: (n - n % two_den) / two_den — n is far
-        # below 2^53 so the final double division is exact
-        return F.when(acc == -1, x).otherwise(
-            ((n - (n % two_den)) / two_den).cast("bigint")
-        )
-
-    fold = F.aggregate(F.filter(vals, lambda v: v.isNotNull()),
-                       F.lit(-1).cast("bigint"), _step)
+    fold = ewma_fold(vals, F.lit(-1).cast("bigint"), num, den)
     return (
         df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(key_col)
