@@ -39,10 +39,17 @@ from .incremental import run_incremental
 
 
 def _read_latest_state(
-    spark: SparkSession, work_dir: str, before_batch: int, key_col: str
+    spark: SparkSession,
+    work_dir: str,
+    before_batch: int,
+    key_col: str,
+    only_keys: DataFrame | None = None,
 ) -> DataFrame | None:
     """Latest ``(key, s, n_points)`` per key from epochs strictly before
-    ``before_batch``; None when no state exists yet."""
+    ``before_batch``; None when no state exists yet. ``only_keys``
+    (the batch's distinct keys) filters the state rows BEFORE the
+    latest-wins aggregate, so the per-batch cost is sized by the
+    touched keys' history, never the whole key universe."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/ewma")
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -52,6 +59,8 @@ def _read_latest_state(
         spark.read.parquet(f"{work_dir}/ewma")
         .filter(F.col("batch_id").cast("bigint") < before_batch)
     )
+    if only_keys is not None:
+        raw = raw.join(only_keys.select(key_col), key_col, "left_semi")
     return raw.groupBy(key_col).agg(
         F.max_by(
             F.struct("s", "n_points"), F.col("batch_id").cast("bigint")
@@ -130,7 +139,12 @@ def make_ewma_batch_fn(
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = _read_latest_state(spark, work_dir, batch_id, key_col)
+        batch_keys = batch_df.filter(
+            F.col(key_col).isNotNull()
+        ).select(key_col).distinct().localCheckpoint(eager=False)
+        prior = _read_latest_state(
+            spark, work_dir, batch_id, key_col, only_keys=batch_keys
+        )
         updated = ewma_update(
             batch_df, prior, key_col, order_col, value_col,
             alpha_num, alpha_den, scale,
