@@ -2174,6 +2174,15 @@ def q_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate_spans(docs, bench, min_tokens=13)
 
 
+def q_exactsubstr_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-duplication saturation per doc (the FineWeb duplicate-
+    line-fraction analog at 20-token windows): fraction of a doc's
+    windows that occur at >= 2 corpus sites — rank by it to pick
+    rewrite-vs-drop candidates. One anchor count + one join back."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exactsubstr_dup_stats(docs, min_tokens=20)
+
+
 def q_domain_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe dataset split keyed on the REGISTRABLE DOMAIN
     (80/10/10): near-identical pages from one site hash to one split,
@@ -2959,7 +2968,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # signals
     "canonical_urls", "url_dedup_docs", "doc_entropy_report",
     "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
-    "user_value_ewma",
+    "user_value_ewma", "exactsubstr_dup_stats",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
@@ -2995,7 +3004,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # fit split, score the held-out tenth), BM25 ranked retrieval — the
     # lexical sibling of the ANN serving path — and character-level
     # (levenshtein) near-dup on LSH candidates
-    "pca_project_heldout", "bm25_search", "edit_near_dup",
+    # (pca_project_heldout rotated out for the round-8 third batch —
+    # driver-proven in the r5 window.)
+    "bm25_search", "edit_near_dup",
     # round 5: the data-profiling layer (per-column quality counts,
     # numeric drift summary, equi-width histogram) + SCD2 historized
     # merge. (orders_profile, orders_numeric_profile, price_histogram
@@ -3166,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split_assign": q_domain_split_assign,
         "decontaminated_spans": q_decontaminated_spans,
         "user_value_ewma": q_user_value_ewma,
+        "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
@@ -6182,6 +6194,35 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             WITH {_MESSY_URL_SQL}
             SELECT doc_id, canonical_url FROM mucanon
+        """,
+        "exactsubstr_dup_stats": f"""
+            WITH ddtoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '{_WORD_SQL}') AS w
+                FROM documents),
+            ddbase AS (SELECT doc_id, w, len(w) AS n FROM ddtoks),
+            ddgpos AS (
+                SELECT doc_id,
+                       CAST(unnest(generate_series(0, n - 20)) AS INTEGER)
+                           AS pos,
+                       w
+                FROM ddbase WHERE n >= 20),
+            ddsites AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5('es|' || array_to_string(
+                            w[pos + 1 : pos + 20], ' ')), 1, 15))::BIGINT AS g
+                FROM ddgpos),
+            dddup AS (SELECT g FROM ddsites GROUP BY g HAVING COUNT(*) >= 2),
+            ddc AS (SELECT doc_id, COUNT(*) AS n_dup
+                    FROM ddsites JOIN dddup USING (g) GROUP BY doc_id),
+            ddt AS (SELECT doc_id, COUNT(*) AS n_windows
+                    FROM ddsites GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   ROUND(coalesce(c.n_dup, 0) / t.n_windows, 6)
+                       AS dup_window_frac
+            FROM ddt t LEFT JOIN ddc c USING (doc_id)
         """,
         "user_value_ewma": """
             WITH ewl AS (

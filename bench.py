@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained_topk",
     "decontaminated_spans",
     "user_value_ewma",
+    "exactsubstr_dup_stats",
 ]
 
 
@@ -228,7 +229,7 @@ def main() -> None:
     # after the curated headline ordering above so Python-worker and IO
     # warmth is identical run-to-run). >2x regressions are detectable on
     # the whole surface, not just the headline set. BENCH_HEADLINE_ONLY=1
-    # restores the curated headline tier (116 entries after the round-8
+    # restores the curated headline tier (117 entries after the round-8
     # refresh added r7/r8 representatives; the 83-entry r6 tier and the
     # 62-query r3 totals are not comparable).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):

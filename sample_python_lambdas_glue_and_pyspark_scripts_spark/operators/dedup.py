@@ -1951,3 +1951,55 @@ def decontaminate_spans(
     hit = sites.join(bench_anchors, "g").select(id_col, "pos")
     removals = _merge_intervals(hit, id_col, L)
     return rewrite_without_ranges(corpus, removals, text_col, id_col)
+
+
+def exactsubstr_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Duplication-saturation report — the observability face of the
+    ExactSubstr machinery (the window-level analog of FineWeb's
+    duplicate-line fraction): per doc, how many of its ``min_tokens``-
+    token windows are corpus-duplicated (occur at ≥ 2 sites anywhere,
+    self-repeats included) and what fraction of the doc that is.
+    Returns ``(id_col, n_windows, n_dup_windows, dup_window_frac)`` for
+    every doc with at least one window; ``dup_window_frac`` rounded to
+    6dp. Rank by it to find boilerplate-saturated documents BEFORE
+    deciding rewrite-vs-drop.
+
+    Same cost shape as :func:`exactsubstr_removals` minus the interval
+    work: one anchor count + one join back, no pair explosion."""
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("exactsubstr_dup_stats: min_tokens must be >= 1")
+    sites = _exactsubstr_sites(
+        ensure_parallelism(df), text_col, id_col, L
+    ).localCheckpoint(eager=False)
+    dup_anchors = (
+        sites.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    dup_counts = (
+        sites.join(dup_anchors, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = sites.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    return totals.join(dup_counts, id_col, "left").select(
+        id_col,
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias(
+            "n_dup_windows"
+        ),
+        F.round(
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            / F.col("n_windows"),
+            6,
+        ).alias("dup_window_frac"),
+    )
