@@ -452,3 +452,70 @@ def test_exactsubstr_matches_python_reference(spark, docs, L):
     }
     want = py_exactsubstr_rewrite(list(enumerate(docs)), L)
     assert got == want
+
+
+def py_ewma_fixed(vals, num=3, den=10, scale=2):
+    s = None
+    for v in vals:
+        xi = int(round(v * (10 ** scale)))  # inputs chosen off .5 boundaries
+        if s is None:
+            s = xi
+        else:
+            s = (2 * (num * xi + (den - num) * s) + den) // (2 * den)
+    return None if s is None else round(s / (10 ** scale), 6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.integers(min_value=0, max_value=99999).map(lambda c: c / 100.0),
+    min_size=1, max_size=25,
+))
+def test_ewma_matches_python_reference(spark, vals):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k BIGINT, o BIGint, v DOUBLE"
+    )
+    r = ewma_last(df, "k", "o", "v").collect()[0]
+    assert r["n_points"] == len(vals)
+    assert r["ewma"] == py_ewma_fixed(vals)
+
+
+def py_registrable_domain(host, multi):
+    parts = host.split(".")
+    if len(parts) <= 1:
+        return host
+    last2 = ".".join(parts[-2:])
+    if len(parts) >= 3 and last2 in multi:
+        return ".".join(parts[-3:])
+    return last2
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.from_regex(r"[a-z0-9]{1,5}(\.[a-z0-9]{1,5}){0,4}", fullmatch=True)
+    | st.sampled_from(["a.co.uk", "x.y.github.io", "co.uk", "localhost"]),
+    min_size=1, max_size=15,
+))
+def test_registrable_domain_matches_python_reference(spark, hosts):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        web as W,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id BIGINT, h STRING"
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", W.registrable_domain("h").alias("d")
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == py_registrable_domain(
+            h, set(W.MULTI_LABEL_SUFFIXES)
+        ), (h, got[i])
