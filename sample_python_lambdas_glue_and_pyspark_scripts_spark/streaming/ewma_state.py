@@ -197,3 +197,77 @@ def streaming_ewma(
     return run_incremental(
         stream_df, batch_fn, f"{work_dir}/ckpt", available_now=available_now
     )
+
+
+def compact_ewma_state(
+    spark: SparkSession, work_dir: str, key_col: str, upto_batch: int
+) -> tuple[int, int]:
+    """Offline maintenance: fold every ``ewma/batch_id < upto_batch``
+    delta snapshot into ONE latest-per-key partition named
+    ``batch_id=<upto_batch - 1>`` (so later batches' ``batch_id < N``
+    reads still cover it — the compact_claimed naming rule). MUST run
+    while the stream is stopped, with ``upto_batch`` = last committed
+    batch + 1 (a replayed batch overwrites its own dir; compacting an
+    unsealed epoch would let the replay wipe merged history).
+
+    Latest-wins is preserved exactly: the merged partition carries each
+    key's max-epoch row, and any LATER epoch still out-ranks it in the
+    read's max_by. Uses the checked-rename promote with dot-prefixed
+    names (orphan recovery at entry via ``recover_backup``). Returns
+    ``(rows_before, rows_after)``."""
+    from ..sources.promote import hadoop_fs, promote_swap, recover_backup
+
+    state_dir = f"{work_dir}/ewma"
+    fs, hpath = hadoop_fs(spark, state_dir)
+    if not fs.exists(hpath(state_dir)):
+        return 0, 0
+    target_epoch = upto_batch - 1
+    target = f"{state_dir}/batch_id={target_epoch}"
+    recover_backup(
+        spark, target, f"{state_dir}/.compact_bak_{target_epoch}"
+    )
+    epochs = []
+    for st in fs.listStatus(hpath(state_dir)):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                e = int(name[len("batch_id="):])
+            except ValueError:
+                continue
+            if e < upto_batch:
+                epochs.append(e)
+    if not epochs:
+        return 0, 0
+    # batch_id is a partition column only when read through the parent
+    # dir; explicit per-dir reads drop it, so re-attach epoch via a
+    # union with literals to keep max_by exact
+    parts = None
+    for e in sorted(epochs):
+        p = spark.read.parquet(f"{state_dir}/batch_id={e}").withColumn(
+            "_e", F.lit(e)
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    rows_before = parts.count()
+    merged = (
+        parts.groupBy(key_col)
+        .agg(F.max_by(F.struct("s", "n_points"), F.col("_e")).alias("_st"))
+        .select(key_col, F.col("_st.s").alias("s"),
+                F.col("_st.n_points").alias("n_points"))
+        .localCheckpoint(eager=True)
+    )
+    rows_after = merged.count()
+
+    def _write(tmp_path: str) -> None:
+        merged.write.mode("overwrite").parquet(tmp_path)
+
+    promote_swap(
+        spark,
+        target,
+        _write,
+        tmp=f"{state_dir}/.compact_tmp_{target_epoch}",
+        backup=f"{state_dir}/.compact_bak_{target_epoch}",
+    )
+    for e in sorted(epochs):
+        if e != target_epoch:
+            fs.delete(hpath(f"{state_dir}/batch_id={e}"), True)
+    return rows_before, rows_after

@@ -92,3 +92,38 @@ def test_streaming_end_to_end(spark, workdir):
         )
     )
     assert got == want
+
+
+def test_compact_ewma_state_preserves_reads(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.ewma_state import (
+        compact_ewma_state,
+    )
+
+    fn = make_ewma_batch_fn(workdir, "k", "o", "v")
+    for i, b in enumerate((B1, B2, B3)):
+        fn(spark.createDataFrame(b, SCHEMA), i)
+    before = sorted(map(tuple, read_ewma(spark, workdir, "k").collect()))
+    n_before, n_after = compact_ewma_state(spark, workdir, "k", upto_batch=3)
+    assert n_before >= n_after  # key 1 had 3 delta rows -> 1
+    after = sorted(map(tuple, read_ewma(spark, workdir, "k").collect()))
+    assert before == after
+    import os
+
+    dirs = [d for d in os.listdir(f"{workdir}/ewma")
+            if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=2"]
+    # a later batch still folds onto the compacted state correctly
+    fn(spark.createDataFrame([(1, 9, 3.33)], SCHEMA), 3)
+    got = sorted(map(tuple, read_ewma(spark, workdir, "k").collect()))
+    want = sorted(
+        map(
+            tuple,
+            ewma_last(
+                spark.createDataFrame(
+                    B1 + B2 + B3 + [(1, 9, 3.33)], SCHEMA
+                ),
+                "k", "o", "v",
+            ).select("k", "n_points", "ewma").collect(),
+        )
+    )
+    assert got == want
