@@ -3854,7 +3854,9 @@ _QUANT_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 
 
 # winnowing oracle body (mirrors dedup.winnow_fingerprints, k=4 w=4):
-# 1-based gram positions, hash60 as ('0x' || md5[:15])::BIGINT, per-
+# 1-based gram positions, 120-bit hash as the 30-char md5 hex prefix
+# (lexicographic order on lowercase hex = numeric order, so the
+# rightmost-min tie rule mirrors with plain string ORDER BY), per-
 # window rightmost-min via ROW_NUMBER ordered (h ASC, pos DESC), short
 # docs (< k words) hash their full text, empty docs drop out. Slices
 # match: Spark slice(toks, i, 4) = DuckDB t[i : i + 3], both truncate.
@@ -3868,8 +3870,8 @@ _WINNOW_CTES = f"""toksw AS (
                         CAST(unnest(generate_series(1, ng)) AS INTEGER) AS pos
                  FROM lens),
         grams AS (SELECT doc_id, pos,
-                         ('0x' || substr(md5(array_to_string(
-                              t[pos : pos + 3], ' ')), 1, 15))::BIGINT AS h
+                         substr(md5(array_to_string(
+                              t[pos : pos + 3], ' ')), 1, 30) AS h
                   FROM gpos),
         wins AS (SELECT doc_id,
                         unnest(generate_series(1, greatest(ng - 3, 1))) AS wj
@@ -3905,9 +3907,13 @@ def _interval_merge_ctes(src: str, pfx: str, L: int, where: str = "") -> str:
 
 
 # ExactSubstr oracle body (mirrors dedup.exactsubstr_removals, L=20):
-# stride-1 L-gram anchors under hash60('es|' || gram), ROW_NUMBER first
-# site per anchor, interval-merged removal minus protection at the
-# position level, re-merged to maximal extents.
+# stride-1 L-gram anchors under the 120-bit md5 key — the oracle groups
+# on substr(md5('es|' || gram), 1, 30), which bijects onto the Spark
+# side's (h1, h2) struct (hex chars 1-15 / 16-30 → two bigints) —
+# ROW_NUMBER first site per anchor, interval-merged removal minus
+# protection at the position level, re-merged to maximal extents (the
+# Spark side computes the same difference by endpoint sweep; extents
+# are identical).
 _ES_L = 20
 _EXACTSUBSTR_CTES = f"""estoks AS (
             SELECT doc_id,
@@ -3921,8 +3927,8 @@ _EXACTSUBSTR_CTES = f"""estoks AS (
             FROM esbase WHERE n >= {_ES_L}),
         essites AS (
             SELECT doc_id, pos,
-                   ('0x' || substr(md5('es|' || array_to_string(
-                        w[pos + 1 : pos + {_ES_L}], ' ')), 1, 15))::BIGINT AS g
+                   substr(md5('es|' || array_to_string(
+                        w[pos + 1 : pos + {_ES_L}], ' ')), 1, 30) AS g
             FROM esgpos),
         esranked AS (
             SELECT doc_id, pos,
@@ -6210,8 +6216,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM ddbase WHERE n >= 20),
             ddsites AS (
                 SELECT doc_id, pos,
-                       ('0x' || substr(md5('es|' || array_to_string(
-                            w[pos + 1 : pos + 20], ' ')), 1, 15))::BIGINT AS g
+                       substr(md5('es|' || array_to_string(
+                            w[pos + 1 : pos + 20], ' ')), 1, 30) AS g
                 FROM ddgpos),
             dddup AS (SELECT g FROM ddsites GROUP BY g HAVING COUNT(*) >= 2),
             ddc AS (SELECT doc_id, COUNT(*) AS n_dup
@@ -6255,8 +6261,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM dsbase WHERE n >= 13),
             dssites AS (
                 SELECT doc_id, pos,
-                       ('0x' || substr(md5('es|' || array_to_string(
-                            w[pos + 1 : pos + 13], ' ')), 1, 15))::BIGINT AS g
+                       substr(md5('es|' || array_to_string(
+                            w[pos + 1 : pos + 13], ' ')), 1, 30) AS g
                 FROM dsgpos),
             dsbench AS (SELECT DISTINCT g FROM dssites
                         WHERE doc_id % 20 = 0),

@@ -34,6 +34,21 @@ def hash60(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+# 120-bit struct key from ONE md5 (hex chars 1-15 and 16-30 → two
+# bigints): the anchor key for operators whose groupBy-count treats a
+# key collision as a duplicate with NO downstream verify (ExactSubstr,
+# span surgery). 60 bits is too narrow at 100 TB (~2e13 stride-1
+# anchors → birthday ≈ 1e8 colliding pairs → silent false removals);
+# at 120 bits the same corpus gives ≈ 1.5e-10 expected colliding pairs.
+# DuckDB mirror: group/join on substr(md5(s), 1, 30) — the hex chunks
+# biject onto (h1, h2), so the string key groups identically.
+def _hash120_from_hex(md5_hex: Column) -> Column:
+    return F.struct(
+        F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md5_hex, 16, 15), 16, 10).cast("bigint").alias("h2"),
+    )
+
+
 # 2^30 range base hash for the MinHash family: md5 runs ONCE per shingle;
 # the k hash functions are affine transforms (a*h+b mod p). 30-bit inputs
 # and 30-bit coefficients keep a*h+b < 2^61 — no int64 overflow in Spark
@@ -1497,8 +1512,12 @@ def winnow_fingerprints(
     ``(id_col, pos, fp)`` — the selected k-gram hashes with their
     1-based gram positions.
 
-    Per doc: hash every word k-gram (``hash60`` — the corpus-wide 60-bit
-    md5 family), slide a window of ``w`` consecutive gram hashes, and
+    Per doc: hash every word k-gram (120-bit md5 prefix — 30 lowercase
+    hex chars, whose LEXICOGRAPHIC order equals the numeric order of
+    the 120-bit value, so window minima are well-defined and DuckDB
+    mirrors them with plain string comparison; 60 bits was too narrow
+    for collision-free fingerprinting at 100 TB gram counts), slide a
+    window of ``w`` consecutive gram hashes, and
     keep each window's minimum (RIGHTMOST minimum on ties — standard
     winnowing's tie rule; deterministic and position-stable. NOT the
     "robust winnowing" variant, whose tie rule prefers re-selecting
@@ -1539,18 +1558,20 @@ def winnow_fingerprints(
             F.size(toks) > 0,
             F.transform(
                 F.sequence(F.lit(1), n_grams),
-                lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, kk))),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, kk))), 1, 30
+                ),
             ),
         )
-        .otherwise(F.array().cast("array<bigint>"))
+        .otherwise(F.array().cast("array<string>"))
         .alias("_wn_gh"),
     )
     gh = F.col("_wn_gh")
     n_wins = F.greatest(F.size(gh) - (ww - 1), F.lit(1))
     # fold keeps <= so ties resolve to the RIGHTMOST minimal gram; the
-    # zero element (2^62, -1) is above every 60-bit hash
+    # zero element '~' sorts above every lowercase-hex hash (0x7e > 'f')
     zero = F.struct(
-        F.lit(2**62).cast("bigint").alias("h"), F.lit(-1).cast("int").alias("p")
+        F.lit("~").alias("h"), F.lit(-1).cast("int").alias("p")
     )
 
     def _win_min(j):
@@ -1571,7 +1592,7 @@ def winnow_fingerprints(
             F.size(gh) > 0,
             F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), _win_min)),
         )
-        .otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+        .otherwise(F.array().cast("array<struct<h:string,p:int>>"))
         .alias("_wn_sel"),
     )
     ex = selected.select(F.col(id_col), F.explode_outer("_wn_sel").alias("s"))
@@ -1711,6 +1732,81 @@ def _merge_intervals(
     )
 
 
+def _subtract_intervals(
+    removal: DataFrame, protect: DataFrame, id_col: str
+) -> DataFrame:
+    """Interval-algebra set difference removal ∖ protect, both sides
+    ``(id_col, start, end)`` with end exclusive and intervals DISJOINT
+    per doc (the ``_merge_intervals`` contract). Returns the maximal
+    extents of positions covered by a removal interval and by no
+    protection interval.
+
+    Endpoint sweep, NOT per-position explode: each interval contributes
+    exactly two boundary events (+1 at start, −1 at end) to its side's
+    coverage counter; running sums over the per-doc position-ordered
+    event stream give the (rem, prot) state between consecutive
+    boundaries, and segments with state (1, 0) are emitted directly.
+    The intermediate is interval-sized — on dup-heavy crawls the old
+    position-level subtraction exploded ~corpus-volume rows. Output
+    segments are already maximal: every boundary changes some counter,
+    and disjoint-merged inputs cannot produce a no-op boundary between
+    two adjacent (1, 0) segments."""
+    rem_ev = removal.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start").alias("p"),
+                    F.lit(1).alias("dr"),
+                    F.lit(0).alias("dp"),
+                ),
+                F.struct(
+                    F.col("end").alias("p"),
+                    F.lit(-1).alias("dr"),
+                    F.lit(0).alias("dp"),
+                ),
+            )
+        ).alias("e"),
+    )
+    prot_ev = protect.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start").alias("p"),
+                    F.lit(0).alias("dr"),
+                    F.lit(1).alias("dp"),
+                ),
+                F.struct(
+                    F.col("end").alias("p"),
+                    F.lit(0).alias("dr"),
+                    F.lit(-1).alias("dp"),
+                ),
+            )
+        ).alias("e"),
+    )
+    ev = (
+        rem_ev.unionByName(prot_ev)
+        .select(id_col, F.col("e.p").alias("p"), "e.dr", "e.dp")
+        .groupBy(id_col, "p")
+        .agg(F.sum("dr").alias("dr"), F.sum("dp").alias("dp"))
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = ev.select(
+        F.col(id_col),
+        F.col("p").alias("start"),
+        F.lead("p").over(w).alias("end"),
+        F.sum("dr").over(run).alias("rem_cov"),
+        F.sum("dp").over(run).alias("prot_cov"),
+    )
+    return seg.filter(
+        (F.col("rem_cov") >= 1)
+        & (F.col("prot_cov") == 0)
+        & F.col("end").isNotNull()
+    ).select(id_col, "start", "end")
+
+
 def _exactsubstr_tokens(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -1744,12 +1840,14 @@ def _exactsubstr_tokens(
 def _exactsubstr_sites(
     df: DataFrame, text_col: str, id_col: str, min_tokens: int
 ) -> DataFrame:
-    """Every L-token window as (id, pos, g): g = hash60 of the
-    space-joined window, anchored at 0-based token position pos. Docs
-    shorter than L tokens contribute nothing (they cannot contain an
-    L-gram). The token array and the gram array each materialize in
-    their own projection (Catalyst does not CSE across nested
-    higher-order functions)."""
+    """Every L-token window as (id, pos, g): g = 120-bit md5 struct key
+    (``_hash120_from_hex``, seed ``es|``) of the space-joined window,
+    anchored at 0-based token position pos. Docs shorter than L tokens
+    contribute nothing (they cannot contain an L-gram). The token array
+    and the gram md5 array each materialize in their own projection
+    (Catalyst does not CSE across nested higher-order functions); the
+    hex→struct split runs per-row AFTER the explode so the md5 is
+    computed once per window inside the lambda."""
     L = int(min_tokens)
     staged = df.select(
         F.col(id_col),
@@ -1766,11 +1864,13 @@ def _exactsubstr_sites(
             F.size(toks) >= L,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - L),
-                lambda i: hash60(
-                    F.concat_ws(" ", F.slice(toks, i + 1, L)), seed="es|"
+                lambda i: F.md5(
+                    F.concat(
+                        F.lit("es|"), F.concat_ws(" ", F.slice(toks, i + 1, L))
+                    )
                 ),
             ),
-        ).otherwise(F.array().cast("array<bigint>")),
+        ).otherwise(F.array().cast("array<string>")),
     )
     return (
         staged.select(F.col(id_col), F.posexplode_outer("_es_grams"))
@@ -1778,7 +1878,7 @@ def _exactsubstr_sites(
         .select(
             id_col,
             F.col("pos").cast("int").alias("pos"),
-            F.col("col").alias("g"),
+            _hash120_from_hex(F.col("col")).alias("g"),
         )
     )
 
@@ -1788,12 +1888,22 @@ def exactsubstr_removals(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 20,
+    _sites_fn=None,
 ) -> DataFrame:
     """Maximal removal extents: ``(id_col, start, end)`` token intervals
     (0-based, end exclusive) whose content duplicates, token-for-token,
     content first seen at an earlier (doc_id, pos) site — with the first
     occurrence of every duplicated window carved OUT of the extents, so
     exactly one copy of each duplicated span survives corpus-wide.
+
+    The groupBy-count treats an anchor-key collision as a duplicate with
+    NO downstream verify, so the key must be collision-free at corpus
+    scale — the 120-bit md5 struct key (``_hash120_from_hex``) keeps the
+    expected number of colliding window pairs ≈ 1.5e-10 even at ~2e13
+    stride-1 anchors (100 TB). ``_sites_fn`` is a TEST-ONLY hook that
+    substitutes the site builder, used by the collision-injection test
+    to prove a deliberately-narrowed key produces false removals that
+    the production key does not.
 
     Cites Lee et al. 2022 §4 (ExactSubstr); granularity and conventions
     in the section header above."""
@@ -1803,7 +1913,7 @@ def exactsubstr_removals(
     # parallelism wrap goes on the INPUT: the gram projection is the
     # heavy stage and must run on the repartitioned rows, not before
     # the exchange
-    sites = _exactsubstr_sites(
+    sites = (_sites_fn or _exactsubstr_sites)(
         ensure_parallelism(df), text_col, id_col, L
     ).localCheckpoint(eager=False)
     stats = (
@@ -1821,19 +1931,11 @@ def exactsubstr_removals(
     )
     removal = _merge_intervals(dup.filter(~is_first), id_col, L)
     protect = _merge_intervals(dup.filter(is_first), id_col, L)
-    # positions-level subtraction: merged intervals are disjoint, so the
-    # explodes are linear in covered/protected token volume
-    rem_pos = removal.select(
-        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("p")
-    )
-    prot_pos = protect.select(
-        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("p")
-    )
-    removed = rem_pos.join(prot_pos, [id_col, "p"], "left_anti")
-    # re-merge the subtracted positions into maximal extents
-    return _merge_intervals(
-        removed.select(id_col, F.col("p").alias("pos")), id_col, 1
-    )
+    # interval-algebra subtraction (endpoint sweep): the intermediate is
+    # interval-sized — the old position-level explode/anti-join was
+    # linear in COVERED token volume, which ≈ corpus volume on dup-heavy
+    # crawls
+    return _subtract_intervals(removal, protect, id_col)
 
 
 def exactsubstr_rewrite(

@@ -5,7 +5,8 @@ earlier micro-batch, or earlier within its own batch (the Lee et al.
 
 The batch operator (``operators/dedup.exactsubstr_rewrite``) dedups a
 static corpus; the streaming form needs only ONE state table: the
-distinct 60-bit L-gram anchors of everything seen so far
+distinct 120-bit L-gram anchor keys (md5 struct, ``dedup.
+_hash120_from_hex``) of everything seen so far
 (``anchors/batch_id=N/``). A batch window matching a historical anchor
 is removed outright — history, by construction, holds the first
 occurrence, so no positional history state is needed (contrast the
@@ -45,12 +46,13 @@ from ..operators.dedup import (
     _exactsubstr_sites,
     _exactsubstr_tokens,
     _merge_intervals,
+    _subtract_intervals,
 )
 from ..operators.text import WORD_REGEX
 from ..operators.util import ensure_parallelism
 from .incremental import run_incremental
 
-_ANCHOR_SCHEMA = "g BIGINT, batch_id STRING"
+_ANCHOR_SCHEMA = "g STRUCT<h1: BIGINT, h2: BIGINT>, batch_id STRING"
 
 
 def _read_anchors(
@@ -121,15 +123,17 @@ def exactsubstr_admit(
 
     removal = _merge_intervals(removal_sites.distinct(), id_col, L)
     protect = _merge_intervals(protect_sites, id_col, L)
-    rem_pos = removal.select(
-        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("pos")
+    # interval-algebra subtraction (endpoint sweep — interval-sized
+    # intermediate); only the final removed extents explode to
+    # positions, for the token-level anti-join of the rewrite
+    removed_pos = (
+        _subtract_intervals(removal, protect, id_col)
+        .select(
+            id_col,
+            F.explode(F.sequence("start", F.col("end") - 1)).alias("pos"),
+        )
+        .localCheckpoint(eager=False)
     )
-    prot_pos = protect.select(
-        id_col, F.explode(F.sequence("start", F.col("end") - 1)).alias("pos")
-    )
-    removed_pos = rem_pos.join(
-        prot_pos, [id_col, "pos"], "left_anti"
-    ).localCheckpoint(eager=False)
 
     toks = _exactsubstr_tokens(docs, text_col, id_col)
     kept = toks.join(removed_pos, [id_col, "pos"], "left_anti")

@@ -248,3 +248,69 @@ def test_decontaminate_spans_surgery(spark):
     )
     out4 = D.decontaminate_spans(small, bench, min_tokens=20).collect()[0]
     assert out4["n_removed"] == 0
+
+
+# --- anchor-key width (the 100 TB collision story) ----------------------------
+
+
+def test_hash120_struct_key_matches_python_md5(spark):
+    """The 120-bit anchor key is exactly (md5hex[:15], md5hex[15:30])
+    as two base-16 bigints — pinned against hashlib so the DuckDB
+    mirror (substr(md5(s), 1, 30)) provably groups identically."""
+    import hashlib
+
+    s = "es|" + " ".join(f"w{i}" for i in range(20))
+    row = (
+        spark.range(1)
+        .select(D._hash120_from_hex(F.md5(F.lit(s))).alias("g"))
+        .collect()[0]["g"]
+    )
+    hx = hashlib.md5(s.encode()).hexdigest()
+    assert row["h1"] == int(hx[:15], 16)
+    assert row["h2"] == int(hx[15:30], 16)
+
+
+def test_exactsubstr_collision_injection(spark):
+    """A narrow anchor key makes the groupBy-count treat colliding
+    distinct windows as duplicates → silent FALSE removals; the
+    production 120-bit key removes nothing from an all-distinct corpus.
+    (Real md5-120 collisions cannot be engineered, so the injection
+    narrows the key via the test-only _sites_fn hook.)"""
+    # 12 docs, every 20-token window globally unique
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}x{j}" for j in range(25)))
+            for i in range(12)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+
+    def narrow_sites(df, text_col, id_col, L):
+        # 2-bit key: distinct windows collide almost surely
+        return D._exactsubstr_sites(df, text_col, id_col, L).select(
+            id_col, "pos", (F.col("g.h1") % 4).alias("g")
+        )
+
+    false_removals = D.exactsubstr_removals(
+        docs, min_tokens=20, _sites_fn=narrow_sites
+    ).count()
+    assert false_removals > 0  # the collision failure mode is real
+    assert D.exactsubstr_removals(docs, min_tokens=20).count() == 0
+
+
+def test_subtract_intervals_endpoint_sweep(spark):
+    """Interval-algebra subtraction: extents equal the per-position
+    set difference, outputs are maximal and disjoint."""
+    rem = spark.createDataFrame(
+        [(1, 0, 10), (1, 15, 20), (2, 5, 8)],
+        "doc_id BIGINT, start INT, end INT",
+    )
+    prot = spark.createDataFrame(
+        [(1, 3, 5), (1, 9, 16), (2, 5, 8), (3, 0, 4)],
+        "doc_id BIGINT, start INT, end INT",
+    )
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in D._subtract_intervals(rem, prot, "doc_id").collect()
+    )
+    assert got == [(1, 0, 3), (1, 5, 9), (1, 16, 20)]

@@ -189,15 +189,15 @@ def _py_winnow(text, k=4, w=4):
     if not toks:
         return set()
     n_grams = max(len(toks) - (k - 1), 1)
+    # 120-bit fingerprints: 30-char md5 hex prefix; lexicographic order
+    # on lowercase hex equals numeric order, mirroring the operator
     ghs = [
-        int(
-            hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16
-        )
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:30]
         for i in range(n_grams)
     ]
     sel = set()
     for j in range(max(n_grams - (w - 1), 1)):
-        best_p, best_h = -1, 1 << 62
+        best_p, best_h = -1, "~"
         for off, h in enumerate(ghs[j:j + w]):
             if h <= best_h:
                 best_h, best_p = h, j + off
