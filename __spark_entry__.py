@@ -6310,8 +6310,12 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": f"""
             WITH {_MESSY_URL_SQL},
             mur AS (SELECT doc_id, canonical_url,
-                           ROW_NUMBER() OVER (PARTITION BY canonical_url
-                                              ORDER BY doc_id) AS rn
+                           ROW_NUMBER() OVER (PARTITION BY
+                               CASE WHEN canonical_url = ''
+                                    THEN chr(0) || 'id:'
+                                         || CAST(doc_id AS VARCHAR)
+                                    ELSE canonical_url END
+                               ORDER BY doc_id) AS rn
                     FROM mucanon)
             SELECT doc_id, canonical_url FROM mur WHERE rn = 1
         """,

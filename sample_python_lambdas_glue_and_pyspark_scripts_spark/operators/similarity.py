@@ -2190,8 +2190,10 @@ def choose_ivf_pq_encoding(
     - ``choice``: ``"flat"`` or ``"residual"`` — residual only when it
       STRICTLY wins mean recall (ties go to flat: same recall, simpler
       serve — no per-(query, cell) LUTs).
-    - ``report``: driver-side dict with both mean recalls (rounded 6dp)
-      and the query count — bounded by the sample size, never
+    - ``report``: driver-side dict with both mean recalls (rounded 6dp,
+      each query normalized by min(k, its probed-candidate count) so a
+      sparse cell cannot bias the number low), the query count, and the
+      scored / zero-candidate split — bounded by the sample size, never
       corpus-sized.
     - ``index``: the chosen ``(centroids, corpus_cells, codebooks,
       codes)`` tuple, ready for :func:`ivf_pq_topk` /
@@ -2216,6 +2218,25 @@ def choose_ivf_pq_encoding(
         id_col, vec_col,
     ).localCheckpoint(eager=True)
 
+    # per-query attainable ceiling: a query whose probed-cell candidate
+    # set holds fewer than k vectors can never return k hits, so recall
+    # normalizes by min(k, exact-candidate count) — dividing by k biased
+    # both arms low (identically, so the flat-vs-residual CHOICE was
+    # unaffected, but the REPORTED recalls were wrong). Queries with
+    # ZERO probed candidates are unscoreable; they are excluded from the
+    # mean and surfaced in the report as n_zero_candidate instead of
+    # silently dropped.
+    exact_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    base = (
+        sample_queries.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .join(exact_n, "query_id", "left")
+        .localCheckpoint(eager=True)
+    )
+    n_zero = base.filter(F.col("n_exact").isNull()).count()
+
     def _mean_recall(top: DataFrame) -> float:
         hits = (
             exact.join(top.select("query_id", "neighbor_id"),
@@ -2223,12 +2244,17 @@ def choose_ivf_pq_encoding(
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("h"))
         )
-        per_q = exact.select("query_id").distinct().join(
+        per_q = base.filter(F.col("n_exact").isNotNull()).join(
             hits, "query_id", "left"
         )
         row = per_q.agg(
             F.round(
-                F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k))), 6
+                F.avg(
+                    F.coalesce(F.col("h"), F.lit(0))
+                    / F.least(F.lit(float(k)),
+                              F.col("n_exact").cast("double"))
+                ),
+                6,
             ).alias("r")
         ).collect()[0]
         return float(row["r"]) if row["r"] is not None else 0.0
@@ -2250,6 +2276,8 @@ def choose_ivf_pq_encoding(
         "residual_recall": res_recall,
         "k": int(k),
         "n_queries": int(n_q),
+        "n_scored": int(n_q) - int(n_zero),
+        "n_zero_candidate": int(n_zero),
         "choice": choice,
     }
     if choice == "residual":

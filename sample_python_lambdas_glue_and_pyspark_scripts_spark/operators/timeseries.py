@@ -92,10 +92,38 @@ def resample_ffill(
     )
 
 
+def ewma_scaled_value(value_col: str, mult: int) -> Column:
+    """Scale a value column to fixed-point BIGINT, RAISING on negative
+    inputs: the EWMA fold's domain is non-negative scaled values — a
+    negative value breaks engine exactness (Spark's ``(n - n%d)/d``
+    truncates toward zero for negative ``n`` while DuckDB ``//``
+    floors), and a state of exactly ``-1`` (scaled −1/mult) would
+    collide with the no-state sentinel and silently reset the key's
+    history mid-fold. Shared by :func:`ewma_last` and
+    ``streaming/ewma_state.ewma_update`` so neither path can admit a
+    negative value unguarded."""
+    xi = F.round(F.col(value_col).cast("double") * mult, 0).cast("bigint")
+    return F.when(xi >= 0, xi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ewma: negative value in the fixed-point fold domain "
+                    "(got scaled "
+                ),
+                xi.cast("string"),
+                F.lit("); filter or shift the input first"),
+            )
+        ).cast("bigint")
+    )
+
+
 def ewma_fold(vals: Column, init: Column, alpha_num: int,
               alpha_den: int) -> Column:
     """Fold a scaled-integer value array onto an integer EWMA state
-    (``-1`` = no state yet): the exact fixed-point recursion shared by
+    (``-1`` = no state yet — safe because the value domain is
+    non-negative, enforced upstream by :func:`ewma_scaled_value`, so no
+    legitimate state can equal the sentinel): the exact fixed-point
+    recursion shared by
     the batch operator (:func:`ewma_last`) and the streaming state
     (``streaming/ewma_state.py``). Resuming from a prior state is the
     SAME computation as folding the concatenation — the streaming ≡
@@ -138,9 +166,10 @@ def ewma_last(
     round then disagree. Integer state has no boundary.)
 
     α = ``alpha_num/alpha_den`` (the rational-threshold convention).
-    NULL values are skipped; the domain is NON-NEGATIVE values (the
-    half-up `div` identity assumes it — filter or shift first
-    otherwise). Returns ``(key_col, n_points, ewma)`` with ``ewma``
+    NULL values are skipped; the domain is NON-NEGATIVE values,
+    ENFORCED — a negative value raises at fold time
+    (:func:`ewma_scaled_value`; filter or shift the input first).
+    Returns ``(key_col, n_points, ewma)`` with ``ewma``
     the descaled double rounded to 6dp.
 
     Scale shape: ONE keyed shuffle; the fold is a map-side O(n) array
@@ -152,7 +181,7 @@ def ewma_last(
     if not (0 < num <= den):
         raise ValueError("ewma_last: need 0 < alpha_num <= alpha_den")
     mult = 10 ** int(scale)
-    xi = F.round(F.col(value_col).cast("double") * mult, 0).cast("bigint")
+    xi = ewma_scaled_value(value_col, mult)
     vals = F.transform(
         F.array_sort(
             F.collect_list(F.struct(F.col(order_col).alias("o"),

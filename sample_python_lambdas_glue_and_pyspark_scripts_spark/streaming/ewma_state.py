@@ -26,6 +26,12 @@ broadcast-sized join against the latest state of THOSE keys only
 (state is read filtered by the batch's key set — the corpus-index
 probe discipline); compaction of old epochs = keep the latest row per
 key (maintenance, same promote pattern as compact_claimed).
+
+Domain caveat (same as ``ewma_last``): values must be NON-NEGATIVE —
+the half-up integer division identity assumes it, and a stored state
+of exactly -1 would collide with the no-state sentinel. Enforced: a
+negative value raises at fold time (``timeseries.ewma_scaled_value``);
+filter or shift the input before the stream.
 """
 
 from __future__ import annotations
@@ -34,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.timeseries import ewma_fold
+from ..operators.timeseries import ewma_fold, ewma_scaled_value
 from .incremental import run_incremental
 
 
@@ -83,7 +89,7 @@ def ewma_update(
     order) onto the prior integer state. Returns the UPDATED
     ``(key, s, n_points)`` rows for keys seen in this batch only."""
     mult = 10 ** int(scale)
-    xi = F.round(F.col(value_col).cast("double") * mult, 0).cast("bigint")
+    xi = ewma_scaled_value(value_col, mult)
     grouped = (
         batch.filter(
             F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
@@ -157,15 +163,19 @@ def make_ewma_batch_fn(
 
 
 def read_ewma(
-    spark: SparkSession, work_dir: str, key_col: str, scale: int = 2
+    spark: SparkSession, work_dir: str, key_col: str, scale: int = 2,
+    key_type: str = "BIGINT",
 ) -> DataFrame:
     """The live per-key level: latest state descaled —
     ``(key, n_points, ewma)`` with ``ewma`` rounded to 6dp. Empty-but-
-    valid before the first commit."""
+    valid before the first commit; ``key_type`` sets the key dtype of
+    that empty frame (DDL type name, e.g. ``STRING``) so a stream keyed
+    on a non-BIGINT column returns the SAME schema before and after the
+    first commit — downstream unions/joins see one dtype."""
     latest = _read_latest_state(spark, work_dir, 2**62, key_col)
     if latest is None:
         return spark.createDataFrame(
-            [], f"{key_col} BIGINT, n_points BIGINT, ewma DOUBLE"
+            [], f"{key_col} {key_type}, n_points BIGINT, ewma DOUBLE"
         )
     mult = 10 ** int(scale)
     return latest.select(

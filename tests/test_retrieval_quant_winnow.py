@@ -503,6 +503,10 @@ def test_ivfpq_encoding_gate_picks_flat_on_isotropic_data(spark, sf_dir):
     assert choice == "flat"
     assert report["flat_recall"] >= report["residual_recall"]
     assert report["n_queries"] == 5 and report["k"] == 10
+    # recall normalizes by min(k, per-query candidate count), so it is
+    # a true fraction; every sampled query lands in a probed cell here
+    assert report["n_scored"] + report["n_zero_candidate"] == 5
+    assert 0.0 <= report["flat_recall"] <= 1.0
     # the gate's build IS the serve index: flat serve from it matches a
     # fresh flat build exactly
     served = SM.ivf_pq_topk(

@@ -127,3 +127,15 @@ def test_compact_ewma_state_preserves_reads(spark, workdir):
         )
     )
     assert got == want
+
+
+def test_read_ewma_empty_state_key_type(spark, workdir):
+    """Before the first commit the empty frame's key dtype must match
+    the stream's key column type — a STRING-keyed stream must not get
+    a BIGINT key (downstream unions/joins would fail or silently
+    cast)."""
+    out = read_ewma(spark, workdir, "k", key_type="STRING")
+    assert out.count() == 0
+    assert dict(out.dtypes)["k"] == "string"
+    # default stays BIGINT for the established bigint-keyed streams
+    assert dict(read_ewma(spark, workdir, "k").dtypes)["k"] == "bigint"

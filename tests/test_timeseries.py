@@ -74,3 +74,25 @@ def test_ewma_fixed_point_hand_computed(spark):
 
     with _pt.raises(ValueError):
         ewma_last(df, "k", "o", "v", alpha_num=11, alpha_den=10)
+
+
+def test_ewma_negative_value_raises(spark):
+    """The fixed-point fold's domain is non-negative values: a negative
+    input must RAISE (Spark truncate-toward-zero vs DuckDB floor
+    diverge there, and scaled -1 would collide with the no-state
+    sentinel), never silently fold."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.00), (1, 1, -0.01)], "k BIGINT, o BIGINT, v DOUBLE"
+    )
+    with pytest.raises(
+        (Py4JJavaError, PythonException, SparkRuntimeException),
+        match="negative value",
+    ):
+        ewma_last(df, "k", "o", "v").collect()
