@@ -2,7 +2,7 @@
 the per-epoch state dirs (the batch serving artifacts live in
 ``operators/retraction.py``).
 
-Three state families, three retraction stories:
+Five state families, three retraction stories:
 
 - **prefix-intake state** (``streaming/prefix_intake.py``: ``prefix/``,
   ``shingles/``, ``kept/``) is ID-KEYED — every state row carries the
@@ -25,6 +25,19 @@ Three state families, three retraction stories:
   :func:`rebuild_sketch_epoch` overwrites one epoch's registers from a
   caller-supplied surviving slice (the existing ``make_*_batch_fn``
   idempotent-overwrite contract, invoked as maintenance).
+- **EWMA per-key state** (``streaming/ewma_state.py``: ``ewma/`` delta
+  snapshots of ``(key, s, n_points)``) is KEY-KEYED — retraction is the
+  prefix story at key granularity: anti-join every epoch, so the key's
+  whole history is forgotten and a future batch for that key folds
+  from scratch (:func:`retract_from_ewma_state`).
+- **ExactSubstr anchors** (``streaming/exactsubstr_intake.py``:
+  ``anchors/`` distinct gram keys with NO doc ids — history holds the
+  first occurrence by construction) follow the sketch story:
+  ``kept/`` is id-keyed (exact anti-join); each HIT epoch's anchor set
+  is REBUILT from that epoch's surviving ORIGINAL source docs, which
+  the caller supplies from the source-of-record (the state stores
+  rewritten text only, and anchors accumulate grams of the original
+  text of everything SEEN — :func:`retract_from_exactsubstr_state`).
 
 Retraction does NOT re-adjudicate history: a doc that was dropped
 because it collided with a now-retracted doc stays dropped (its content
@@ -215,6 +228,110 @@ def retract_from_minhash_state(
         )
         _rewrite_epoch(spark, claimed_dir, cl_epoch, buckets)
         removed["claimed_rebuilt_epochs"] += 1
+    return removed
+
+
+def retract_from_ewma_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_keys: DataFrame,
+    key_col: str,
+) -> dict[str, int]:
+    """Exact key-level retraction from the streaming EWMA state: every
+    ``ewma/batch_id=N`` delta snapshot is anti-joined on ``key_col``,
+    forgetting the key's whole folded history (the per-key state rows
+    are independent across keys, so the rewritten state is bit-equal to
+    the state a history without that key's rows would have written —
+    pinned by test). A future batch carrying the key finds no prior and
+    folds from scratch. Works identically on compacted state
+    (``compact_ewma_state`` partitions are just bigger epochs). Stream
+    must be stopped. Returns the removed-row count."""
+    ids = _ids_df(retract_keys, key_col).localCheckpoint(eager=True)
+    table_dir = f"{work_dir}/ewma"
+    n_removed = 0
+    for epoch in list_state_epochs(spark, table_dir):
+        cur = spark.read.parquet(f"{table_dir}/batch_id={epoch}")
+        hit = cur.join(ids, key_col, "left_semi").count()
+        if hit == 0:
+            continue
+        n_removed += hit
+        _rewrite_epoch(
+            spark, table_dir, epoch, cur.join(ids, key_col, "left_anti")
+        )
+    return {"ewma": n_removed}
+
+
+def retract_from_exactsubstr_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_ids: DataFrame,
+    epoch_sources,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> dict[str, int]:
+    """Retraction from the streaming ExactSubstr intake state:
+    ``kept/`` is id-keyed (exact per-epoch anti-join); ``anchors/`` is
+    a distinct gram-key SET with no doc ids, so each epoch whose
+    ``kept/`` lost a doc gets its anchor set REBUILT from that epoch's
+    surviving ORIGINAL source docs — anchors are per-epoch
+    deterministic in the batch's original text, so the rebuilt set
+    equals what a history without the retracted docs would have written
+    (pinned by test), and a future doc identical to a retracted one is
+    admitted unrewritten.
+
+    ``epoch_sources`` supplies the ORIGINAL docs of each epoch (the
+    state stores rewritten text only): a ``dict[int, DataFrame]`` or a
+    ``callable(epoch) -> DataFrame`` backed by the caller's
+    source-of-record; retracted ids are filtered here. Must use the
+    SAME ``min_tokens`` the stream ran with. Stream must be stopped.
+
+    Non-re-adjudication (module contract): other docs' kept rows keep
+    their rewritten text — ranges removed because of a now-retracted
+    first occurrence STAY removed, which retains none of the retracted
+    doc's content (the ranges are absent, not present)."""
+    from ..operators.dedup import _exactsubstr_sites
+    from ..operators.util import ensure_parallelism
+
+    ids = _ids_df(retract_ids, id_col).localCheckpoint(eager=True)
+    kept_dir = f"{work_dir}/kept"
+    anchors_dir = f"{work_dir}/anchors"
+    removed = {"kept": 0, "anchor_rebuilt_epochs": 0}
+    hit_epochs: set[int] = set()
+    for epoch in list_state_epochs(spark, kept_dir):
+        cur = spark.read.parquet(f"{kept_dir}/batch_id={epoch}")
+        hit = cur.join(ids, id_col, "left_semi").count()
+        if hit == 0:
+            continue
+        removed["kept"] += hit
+        hit_epochs.add(epoch)
+        _rewrite_epoch(
+            spark, kept_dir, epoch, cur.join(ids, id_col, "left_anti")
+        )
+    source_of = (
+        epoch_sources if callable(epoch_sources) else epoch_sources.get
+    )
+    for epoch in list_state_epochs(spark, anchors_dir):
+        if epoch not in hit_epochs:
+            continue
+        src = source_of(epoch)
+        if src is None:
+            raise ValueError(
+                f"retract_from_exactsubstr_state: epoch {epoch} lost a "
+                f"doc but epoch_sources has no original docs for it — "
+                f"the anchor set cannot be rebuilt compliantly"
+            )
+        surviving = src.join(ids, id_col, "left_anti")
+        anchors = (
+            _exactsubstr_sites(
+                ensure_parallelism(surviving), text_col, id_col,
+                int(min_tokens),
+            )
+            .select("g")
+            .distinct()
+        )
+        _rewrite_epoch(spark, anchors_dir, epoch, anchors)
+        removed["anchor_rebuilt_epochs"] += 1
     return removed
 
 

@@ -232,3 +232,98 @@ def test_minhash_retraction_after_compaction(spark, workdir):
         F.col("batch_id") == "3"
     )
     assert [r["doc_id"] for r in kept3.collect()] == [10]
+
+
+# --- r9: the two round-8 state families ---------------------------------------
+
+
+def test_ewma_state_retraction_equals_rebuilt_history(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.ewma_state import (
+        make_ewma_batch_fn,
+        read_ewma,
+    )
+
+    fn = make_ewma_batch_fn(workdir, "k", "o", "v")
+    rows0 = [(1, 0, 1.00), (1, 1, 2.00), (2, 0, 4.25)]
+    rows1 = [(1, 2, 0.50), (3, 0, 7.00)]
+    sch = "k BIGINT, o BIGINT, v DOUBLE"
+    fn(spark.createDataFrame(rows0, sch), 0)
+    fn(spark.createDataFrame(rows1, sch), 1)
+    removed = SR.retract_from_ewma_state(
+        spark, workdir, spark.createDataFrame([(1,)], "k BIGINT"), "k"
+    )
+    assert removed["ewma"] == 2  # key 1 touched both epochs
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = make_ewma_batch_fn(ref, "k", "o", "v")
+        fn2(spark.createDataFrame(
+            [r for r in rows0 if r[0] != 1], sch), 0)
+        fn2(spark.createDataFrame(
+            [r for r in rows1 if r[0] != 1], sch), 1)
+        got = sorted(map(tuple, read_ewma(spark, workdir, "k").collect()))
+        want = sorted(map(tuple, read_ewma(spark, ref, "k").collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+    # a future batch for the retracted key folds from scratch
+    fn(spark.createDataFrame([(1, 3, 9.00)], sch), 2)
+    out = {r["k"]: r for r in read_ewma(spark, workdir, "k").collect()}
+    assert out[1]["n_points"] == 1 and out[1]["ewma"] == 9.0
+
+
+def test_exactsubstr_state_retraction_rebuilds_anchor_epochs(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.exactsubstr_intake import (
+        make_batch_fn as es_batch_fn,
+    )
+
+    fn = es_batch_fn(workdir)
+    b0 = [(1, BASE), (2, OTHER)]
+    b1 = [(3, THIRD)]
+    fn(_docs(spark, b0), 0)
+    fn(_docs(spark, b1), 1)
+    sources = {0: _docs(spark, b0), 1: _docs(spark, b1)}
+    removed = SR.retract_from_exactsubstr_state(
+        spark, workdir, spark.createDataFrame([(1,)], "doc_id BIGINT"),
+        sources,
+    )
+    assert removed["kept"] == 1
+    assert removed["anchor_rebuilt_epochs"] == 1  # only epoch 0 hit
+    # state equals a rebuilt history without doc 1 (both tables)
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = es_batch_fn(ref)
+        fn2(_docs(spark, [(2, OTHER)]), 0)
+        fn2(_docs(spark, b1), 1)
+        for table in ("anchors", "kept"):
+            got = sorted(
+                map(repr, _read_all(spark, f"{workdir}/{table}").drop(
+                    "batch_id").collect())
+            )
+            want = sorted(
+                map(repr, _read_all(spark, f"{ref}/{table}").drop(
+                    "batch_id").collect())
+            )
+            assert got == want, table
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+    # a future doc identical to the retracted one is admitted UNREWRITTEN
+    fn(_docs(spark, [(10, BASE)]), 2)
+    kept2 = _read_all(spark, f"{workdir}/kept").filter(
+        F.col("batch_id") == "2"
+    ).collect()
+    assert len(kept2) == 1 and kept2[0]["doc_id"] == 10
+    assert kept2[0]["n_removed"] == 0
+
+
+def test_exactsubstr_retraction_requires_epoch_sources(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.exactsubstr_intake import (
+        make_batch_fn as es_batch_fn,
+    )
+
+    fn = es_batch_fn(workdir)
+    fn(_docs(spark, [(1, BASE)]), 0)
+    with pytest.raises(ValueError, match="epoch_sources"):
+        SR.retract_from_exactsubstr_state(
+            spark, workdir,
+            spark.createDataFrame([(1,)], "doc_id BIGINT"), {},
+        )
