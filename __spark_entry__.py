@@ -2163,6 +2163,30 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                         alpha_num=3, alpha_den=10, scale=2)
 
 
+def q_curation_cascade_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation-cascade census
+    (``plans/curation_batch.curate_corpus``): messy synthetic URLs →
+    URL dedup → exact text dedup → ExactSubstr L=20 range rewrite →
+    quality ≥ 0.5 filter (on the REWRITTEN text) → per-domain cap
+    (10, doc_id asc) → 15k-word best-quality-first budget. Returns the
+    ``(stage, n_docs)`` census — every stage is individually
+    oracle-proven; this contract pins the COMPOSITION end-to-end."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import (
+        curation_batch as CB,
+    )
+
+    docs = _doc_urls_messy(_t(spark, sf_dir, "documents"))
+    _, report = CB.curate_corpus(
+        docs,
+        url_col="url",
+        exactsubstr_min_tokens=20,
+        min_quality=0.5,
+        n_per_domain=10,
+        token_budget=15000,
+    )
+    return report
+
+
 def q_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-SURGICAL decontamination: remove exactly the token ranges
     overlapping any benchmark 13-gram window (interval union of
@@ -2956,6 +2980,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 9: the cascade-level census (stage oracles composed
+    # end-to-end over survivors)
+    "curation_cascade_census",
     # new in round 8: ExactSubstr suffix-overlap dedup (Lee et al. 2022
     # — stride-1 L-gram anchors, interval-union removal extents, doc
     # rewrite) and the URL/domain curation shelf (PSL-style registrable
@@ -3177,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split_assign": q_domain_split_assign,
         "decontaminated_spans": q_decontaminated_spans,
         "user_value_ewma": q_user_value_ewma,
+        "curation_cascade_census": q_curation_cascade_census,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -3913,42 +3941,76 @@ def _interval_merge_ctes(src: str, pfx: str, L: int, where: str = "") -> str:
 # ROW_NUMBER first site per anchor, interval-merged removal minus
 # protection at the position level, re-merged to maximal extents (the
 # Spark side computes the same difference by endpoint sweep; extents
-# are identical).
+# are identical). Parameterized on the source CTE/table and a name
+# prefix so composed oracles (the curation-cascade census) can run the
+# same chain over a survivor set.
 _ES_L = 20
-_EXACTSUBSTR_CTES = f"""estoks AS (
+
+
+def _exactsubstr_ctes(
+    src: str = "documents", p: str = "es", L: int = _ES_L
+) -> str:
+    return f"""{p}toks AS (
             SELECT doc_id,
                    regexp_extract_all(lower(coalesce(text, '')), '{_WORD_SQL}') AS w
-            FROM documents),
-        esbase AS (SELECT doc_id, w, len(w) AS n FROM estoks),
-        esgpos AS (
+            FROM {src}),
+        {p}base AS (SELECT doc_id, w, len(w) AS n FROM {p}toks),
+        {p}gpos AS (
             SELECT doc_id,
-                   CAST(unnest(generate_series(0, n - {_ES_L})) AS INTEGER) AS pos,
+                   CAST(unnest(generate_series(0, n - {L})) AS INTEGER) AS pos,
                    w
-            FROM esbase WHERE n >= {_ES_L}),
-        essites AS (
+            FROM {p}base WHERE n >= {L}),
+        {p}sites AS (
             SELECT doc_id, pos,
                    substr(md5('es|' || array_to_string(
-                        w[pos + 1 : pos + {_ES_L}], ' ')), 1, 30) AS g
-            FROM esgpos),
-        esranked AS (
+                        w[pos + 1 : pos + {L}], ' ')), 1, 30) AS g
+            FROM {p}gpos),
+        {p}ranked AS (
             SELECT doc_id, pos,
                    ROW_NUMBER() OVER (PARTITION BY g
                                       ORDER BY doc_id, pos) AS rn,
                    COUNT(*) OVER (PARTITION BY g) AS c
-            FROM essites),
-        esdup AS (SELECT doc_id, pos, rn = 1 AS is_first
-                  FROM esranked WHERE c >= 2),
-        {_interval_merge_ctes('esdup', 'esrem', _ES_L, 'WHERE NOT is_first')},
-        {_interval_merge_ctes('esdup', 'esprot', _ES_L, 'WHERE is_first')},
-        esrempos AS (SELECT doc_id,
+            FROM {p}sites),
+        {p}dup AS (SELECT doc_id, pos, rn = 1 AS is_first
+                  FROM {p}ranked WHERE c >= 2),
+        {_interval_merge_ctes(f'{p}dup', f'{p}rem', L, 'WHERE NOT is_first')},
+        {_interval_merge_ctes(f'{p}dup', f'{p}prot', L, 'WHERE is_first')},
+        {p}rempos AS (SELECT doc_id,
                             CAST(unnest(generate_series(s, e - 1)) AS INTEGER) AS pos
-                     FROM esremint),
-        esprotpos AS (SELECT doc_id,
+                     FROM {p}remint),
+        {p}protpos AS (SELECT doc_id,
                              CAST(unnest(generate_series(s, e - 1)) AS INTEGER) AS pos
-                      FROM esprotint),
-        esremoved AS (SELECT doc_id, pos FROM esrempos
-                      ANTI JOIN esprotpos USING (doc_id, pos)),
-        {_interval_merge_ctes('esremoved', 'esfin', 1)}"""
+                      FROM {p}protint),
+        {p}removed AS (SELECT doc_id, pos FROM {p}rempos
+                      ANTI JOIN {p}protpos USING (doc_id, pos)),
+        {_interval_merge_ctes(f'{p}removed', f'{p}fin', 1)}"""
+
+
+_EXACTSUBSTR_CTES = _exactsubstr_ctes()
+
+
+def _quality_ctes(src: str, p: str) -> str:
+    """Quality-score CTE pair over ``src(doc_id, text)`` — the exact
+    quality_score oracle expression, reusable inside composed oracles:
+    ``{p}q(doc_id, text, n_words, quality_score)``."""
+    return rf"""{p}s AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS n_words,
+                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|is|in|it|a)\b')) AS n_stop
+            FROM {src}),
+        {p}q AS (SELECT doc_id, text, n_words,
+                   ROUND((
+                       (CASE WHEN n_chars BETWEEN 50 AND 100000
+                             THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(n_stop / greatest(n_words, 1), 6)
+                                  >= 0.01 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN ROUND(n_punct / greatest(n_chars, 1), 6)
+                                  <= 0.2 THEN 1.0 ELSE 0.0 END)
+                   ) / 3.0, 6) AS quality_score
+                 FROM {p}s)"""
 
 
 # domain-curation oracle body: the deterministic synthetic URL (mirrors
@@ -6151,6 +6213,79 @@ def oracle_sql() -> dict[str, str]:
             FROM esbase b
             LEFT JOIN esrebuilt r USING (doc_id)
             LEFT JOIN esnrem nr USING (doc_id)
+        """,
+        # the curation-cascade census: every stage oracle composed over
+        # the previous stage's survivors (url dedup → exact dedup →
+        # exactsubstr L=20 rewrite → quality ≥ 0.5 on the REWRITTEN
+        # text → per-domain cap 10 by doc_id asc → 15k-word budget).
+        # domain = muparts.host directly: the messy synthetic hosts are
+        # always two labels (site{{k}}.com/.org), so registrable domain
+        # == host by the n<=2 rule.
+        "curation_cascade_census": rf"""
+            WITH {_MESSY_URL_SQL},
+            u1 AS (SELECT doc_id FROM (
+                     SELECT doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY
+                                CASE WHEN canonical_url = ''
+                                     THEN chr(0) || 'id:'
+                                          || CAST(doc_id AS VARCHAR)
+                                     ELSE canonical_url END
+                                ORDER BY doc_id) AS rn
+                     FROM mucanon) t WHERE rn = 1),
+            cc1 AS (SELECT d.doc_id, d.text
+                    FROM documents d JOIN u1 USING (doc_id)),
+            ccf AS (SELECT doc_id,
+                           md5(regexp_replace(trim(lower(text)),
+                                              '\s+', ' ', 'g')) AS fp
+                    FROM cc1),
+            cck AS (SELECT MIN(doc_id) AS doc_id FROM ccf GROUP BY fp),
+            cc2 AS (SELECT cc1.* FROM cc1 JOIN cck USING (doc_id)),
+            {_exactsubstr_ctes('cc2', 'cs', 20)},
+            cstokpos AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+                                u.v AS tok
+                         FROM (SELECT doc_id, unnest(list_transform(w,
+                                  (x, i) -> {{'v': x, 'i': i}})) AS u
+                               FROM csbase)),
+            cskept AS (SELECT cstokpos.doc_id, pos, tok FROM cstokpos
+                       ANTI JOIN csremoved
+                       ON (cstokpos.doc_id = csremoved.doc_id
+                           AND cstokpos.pos = csremoved.pos)),
+            cc3 AS (SELECT b.doc_id, coalesce(r.text_dedup, '') AS text
+                    FROM csbase b
+                    LEFT JOIN (SELECT doc_id,
+                                      string_agg(tok, ' ' ORDER BY pos)
+                                          AS text_dedup
+                               FROM cskept GROUP BY doc_id) r
+                        USING (doc_id)),
+            {_quality_ctes('cc3', 'q4')},
+            cc4 AS (SELECT doc_id, text FROM q4q
+                    WHERE quality_score >= 0.5),
+            cc5 AS (SELECT doc_id, text FROM (
+                      SELECT cc4.doc_id, cc4.text,
+                             ROW_NUMBER() OVER (PARTITION BY p.host
+                                 ORDER BY cc4.doc_id ASC) AS rn
+                      FROM cc4 JOIN muparts p USING (doc_id)) t
+                    WHERE rn <= 10),
+            {_quality_ctes('cc5', 'q6')},
+            cc6 AS (SELECT doc_id FROM (
+                      SELECT doc_id,
+                             SUM(n_words) OVER (
+                                 ORDER BY quality_score DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+                      FROM q6q) t WHERE cum <= 15000)
+            SELECT 'url_dedup' AS stage,
+                   CAST((SELECT COUNT(*) FROM cc1) AS BIGINT) AS n_docs
+            UNION ALL SELECT 'exact_dedup',
+                   CAST((SELECT COUNT(*) FROM cc2) AS BIGINT)
+            UNION ALL SELECT 'exactsubstr_rewrite',
+                   CAST((SELECT COUNT(*) FROM cc3) AS BIGINT)
+            UNION ALL SELECT 'quality_filter',
+                   CAST((SELECT COUNT(*) FROM cc4) AS BIGINT)
+            UNION ALL SELECT 'domain_cap',
+                   CAST((SELECT COUNT(*) FROM cc5) AS BIGINT)
+            UNION ALL SELECT 'token_budget',
+                   CAST((SELECT COUNT(*) FROM cc6) AS BIGINT)
         """,
         "domain_report": f"""
             WITH {_DOMAIN_CTES}
