@@ -2236,11 +2236,16 @@ def q_doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain document cap: keep at most 3 docs per
     registrable domain under the deterministic (n_chars DESC NULLS
-    LAST, doc_id ASC) order — cap_per_group keyed on the extracted
-    domain."""
+    LAST, doc_id ASC) order — via the hot-ROUTED cap (count prefilter:
+    domains over hot_min_rows take the salted two-phase top-n, the
+    rest the plain window — the hot-domain 100 TB posture, no single
+    reducer ever sorts a whole domain). hot_min_rows=20 makes the
+    synthetic corpus exercise BOTH branches; the oracle is the same
+    plain-window SQL (identical kept set)."""
     docs = _doc_urls(_t(spark, sf_dir, "documents"))
     out = WB.domain_capped_docs(
-        docs, "url", n_per_domain=3, order_col="n_chars"
+        docs, "url", n_per_domain=3, order_col="n_chars", n_salts=8,
+        hot_min_rows=20,
     )
     return out.select("doc_id", "domain", "n_chars")
 

@@ -420,6 +420,129 @@ def cap_per_group(
     )
 
 
+def cap_per_group_salted(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof :func:`cap_per_group`: the exact same kept set
+    (pinned by test and by the domain_capped_docs oracle), computed as
+    a salted two-phase top-n so no single reducer ever sorts a whole
+    hot group.
+
+    Phase 1 ranks within ``(group, salt)`` — a 50%-of-the-corpus hot
+    domain spreads over ``n_salts`` reducers — and keeps each bucket's
+    top-n; phase 2 re-ranks the survivors within the group, now at most
+    ``n_salts × n`` rows per group, so the second window's worst
+    reducer is bounded by a constant regardless of group size. Exact
+    for any n: every row of the true global top-n is inside its own
+    bucket's top-n (fewer than n rows precede it globally, hence in its
+    bucket), under the same total order (``order_col``, ``id_col``
+    NULLS-LAST discipline). Salt assignment does not affect the result,
+    only the spread.
+
+    This is the documented 100 TB posture for hot-group caps
+    (``web.domain_capped_docs(..., n_salts=...)``); the plain window is
+    fine when group sizes are bounded. Measured
+    (``tools/hot_domain_probe.py``, BASELINE.md): 1.48× over the plain
+    window at 48M rows with 94% in one domain (string order key);
+    break-even-to-slightly-behind when no group dominates — the
+    per-bucket top-n only truncates buckets holding > n rows, so a fat
+    tail of ~n·n_salts-row groups re-pays the second shuffle for
+    nothing. Use it for KNOWN hot-key caps, keep the plain window as
+    the default."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from .skew import with_salt
+
+    ordc = (
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
+    )
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        ordc, F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(group_col).orderBy(ordc, F.col(id_col).asc())
+    return (
+        with_salt(df, int(n_salts))
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .drop("__salt", "__rn1", "__rn")
+    )
+
+
+def cap_per_group_hot_routed(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_salts: int = 16,
+    hot_min_rows: int | None = None,
+) -> DataFrame:
+    """Count-prefiltered :func:`cap_per_group`: route only HOT groups
+    through the salted two-phase top-n, everything else through the
+    plain window. Same kept set as both (pinned by test and by the
+    domain_capped_docs contract oracle).
+
+    The rationale: phase 1 of the all-salted plan only truncates a
+    bucket holding MORE than n rows, so a long tail of smallish
+    over-cap groups (~n·n_salts rows each) passes phase 1 intact and
+    pays the second shuffle for nothing. One map-side-combined count
+    pass finds the groups where the straggler risk actually lives
+    (``hot_min_rows`` — default ``4·n·n_salts``, the size where
+    phase-1 truncation provably bites), BROADCASTS that short list
+    (hot groups are few by definition; size the threshold so the list
+    fits the broadcast budget), and splits the input with map-side
+    semi/anti joins.
+
+    MEASURED caveat (``tools/hot_domain_probe.py``, BASELINE.md): the
+    routing itself costs ~two extra passes over the input (count pass
+    + the semi/anti split re-scan), which at 48M rows exactly ate the
+    straggler win — plain 17.0 s, all-salted 11.5 s, routed 17.4 s at
+    94%-hot. Prefer :func:`cap_per_group_salted` for a known-hot-key
+    cap on a cold (uncached) input; this routed form pays off only
+    when the input is already materialized/cached so the extra passes
+    are cheap, or when a fat mid-size tail makes all-salting's
+    phase-2 shuffle the dominant cost."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    s = int(n_salts)
+    thresh = int(hot_min_rows) if hot_min_rows is not None else 4 * n * s
+    hot_groups = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .filter(F.col("__gc") >= thresh)
+        .select(group_col)
+        .localCheckpoint(eager=True)
+    )
+    # the keyed semi/anti joins move the join key to the front — restore
+    # the input column order so both branches union (and match the plain
+    # window's schema) positionally
+    cols = df.columns
+    hot = df.join(F.broadcast(hot_groups), group_col, "left_semi").select(
+        *cols
+    )
+    cold = df.join(F.broadcast(hot_groups), group_col, "left_anti").select(
+        *cols
+    )
+    return cap_per_group(
+        cold, group_col, n, order_col, id_col, descending
+    ).unionByName(
+        cap_per_group_salted(
+            hot, group_col, n, order_col, id_col, descending, s
+        )
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -146,14 +146,41 @@ def domain_capped_docs(
     order_col: str,
     id_col: str = "doc_id",
     descending: bool = True,
+    n_salts: int | None = None,
+    hot_min_rows: int | None = None,
 ) -> DataFrame:
     """C4-style per-domain cap: keep at most ``n_per_domain`` docs per
     registrable domain under a deterministic (order_col, id_col) total
     order — :func:`..sampling.cap_per_group` keyed on the extracted
-    domain. Result keeps ``df``'s columns plus ``domain``."""
-    from .sampling import cap_per_group
+    domain. Result keeps ``df``'s columns plus ``domain``.
+
+    ``n_salts`` switches to the salted two-phase top-n
+    (:func:`..sampling.cap_per_group_salted`) — the measured
+    hot-domain lever (1.48× at 94%-hot, ``tools/hot_domain_probe.py``)
+    for when one domain can hold a large fraction of the crawl (a hot
+    domain otherwise sorts in ONE reducer). ``hot_min_rows``
+    additionally enables the count-prefiltered ROUTED form
+    (:func:`..sampling.cap_per_group_hot_routed` — see its measured
+    caveat: the routing re-pays ~2 input scans, prefer plain salting
+    on cold inputs). Same kept set on every path, pinned by the
+    contract oracle."""
+    from .sampling import (
+        cap_per_group,
+        cap_per_group_hot_routed,
+        cap_per_group_salted,
+    )
 
     d = with_domain(df, url_col)
+    if hot_min_rows is not None:
+        return cap_per_group_hot_routed(
+            d, "domain", n_per_domain, order_col, id_col, descending,
+            n_salts if n_salts is not None else 16, hot_min_rows,
+        )
+    if n_salts is not None:
+        return cap_per_group_salted(
+            d, "domain", n_per_domain, order_col, id_col, descending,
+            n_salts,
+        )
     return cap_per_group(
         d, "domain", n_per_domain, order_col, id_col, descending
     )

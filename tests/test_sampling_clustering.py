@@ -478,3 +478,44 @@ def test_select_canonical_null_text_scores_like_empty(spark):
         docs, pairs, score=F.length(F.coalesce(F.col("text"), F.lit("")))
     ).collect()
     assert [(r["canonical_doc"], r["n_members"]) for r in rows] == [(2, 2)]
+
+
+def test_cap_per_group_salted_equals_plain(spark):
+    """The salted two-phase top-n keeps EXACTLY the plain window's set
+    (any n, both directions, hot group, ties, NULL order values)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sampling import (
+        cap_per_group,
+        cap_per_group_hot_routed,
+        cap_per_group_salted,
+    )
+
+    rows = []
+    # hot group: 200 rows, many order ties; cold groups: under and over cap
+    for i in range(200):
+        rows.append((i, "hot", float(i % 7)))
+    for i in range(200, 203):
+        rows.append((i, "cold_small", float(i)))
+    for i in range(203, 220):
+        rows.append((i, "cold_big", None if i % 5 == 0 else float(i)))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, g STRING, v DOUBLE")
+    for n in (1, 5, 50):
+        for desc in (True, False):
+            plain = sorted(
+                map(tuple, cap_per_group(
+                    df, "g", n, "v", descending=desc).collect())
+            )
+            for n_salts in (1, 4, 16):
+                salted = sorted(
+                    map(tuple, cap_per_group_salted(
+                        df, "g", n, "v", descending=desc,
+                        n_salts=n_salts).collect())
+                )
+                assert salted == plain, (n, desc, n_salts)
+            # routed: threshold 100 puts ONLY the hot group on the
+            # salted path — both branches exercised
+            routed = sorted(
+                map(tuple, cap_per_group_hot_routed(
+                    df, "g", n, "v", descending=desc, n_salts=4,
+                    hot_min_rows=100).collect())
+            )
+            assert routed == plain, (n, desc, "routed")
