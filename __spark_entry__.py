@@ -2187,6 +2187,97 @@ def q_curation_cascade_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration: precision/recall of every Gopher
+    rule (and the conjunction) and of a train-split-fit logistic
+    classifier, measured on the deterministic held-out tenth (label:
+    ``lang == 'en'``; split: the leakage-safe doc_id-hash assignment of
+    ``dataset_splits``) — the ann_quantized_recall acceptance-gate
+    pattern applied to the quality stack. One row per classifier with
+    the counts AND the ratios, so threshold tuning reads straight off
+    the report; precision/recall are NULL when undefined (no positive
+    predictions / no positive labels)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        classifier as CL,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = SA.split_assign(docs, "doc_id", fractions=(0.8, 0.1, 0.1))
+    test = split.filter(F.col("split") == "test").drop("split")
+    train = split.filter(F.col("split") != "test").drop("split")
+    y = F.coalesce(F.col("lang"), F.lit("")) == "en"
+    w = CL.logreg_fit(
+        train.withColumn("__y", y.cast("double")), "__y",
+        dim=64, n_iter=2, lr=1.0,
+    )
+    lr_long = (
+        CL.logreg_predict(test, w, dim=64)
+        .join(test.select("doc_id", y.alias("__label")), "doc_id")
+        .select(
+            "doc_id",
+            F.lit("logreg_en").alias("classifier"),
+            (F.col("lr_score") >= 0.5).alias("pred"),
+            "__label",
+        )
+    )
+    rules = [
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_alpha_words", "rule_stopwords", "rule_blocklist", "keep",
+    ]
+    g_long = (
+        TX.gopher_rules(test)
+        .select(
+            "doc_id",
+            y.alias("__label"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("classifier"),
+                            F.col(r).alias("pred"),
+                        )
+                        for r in rules
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            "doc_id", F.col("e.classifier").alias("classifier"),
+            F.col("e.pred").alias("pred"), "__label",
+        )
+    )
+    agg = (
+        g_long.unionByName(lr_long)
+        .groupBy("classifier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(F.col("pred").cast("int")).cast("bigint").alias(
+                "n_pred_pos"
+            ),
+            F.sum(F.col("__label").cast("int")).cast("bigint").alias(
+                "n_label_pos"
+            ),
+            F.sum((F.col("pred") & F.col("__label")).cast("int"))
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return agg.select(
+        "classifier", "n_eval", "n_pred_pos", "n_label_pos", "tp",
+        F.when(
+            F.col("n_pred_pos") > 0,
+            F.round(F.col("tp") / F.col("n_pred_pos"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_label_pos") > 0,
+            F.round(F.col("tp") / F.col("n_label_pos"), 6),
+        ).alias("recall"),
+    )
+
+
 def q_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-SURGICAL decontamination: remove exactly the token ranges
     overlapping any benchmark 13-gram window (interval union of
@@ -2986,8 +3077,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 9: the cascade-level census (stage oracles composed
-    # end-to-end over survivors)
-    "curation_cascade_census",
+    # end-to-end over survivors) and the quality-classifier calibration
+    # report (per-rule precision/recall on the held-out split)
+    "curation_cascade_census", "quality_calibration_report",
     # new in round 8: ExactSubstr suffix-overlap dedup (Lee et al. 2022
     # — stride-1 L-gram anchors, interval-union removal extents, doc
     # rewrite) and the URL/domain curation shelf (PSL-style registrable
@@ -3210,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_spans": q_decontaminated_spans,
         "user_value_ewma": q_user_value_ewma,
         "curation_cascade_census": q_curation_cascade_census,
+        "quality_calibration_report": q_quality_calibration_report,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -6291,6 +6384,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM cc5) AS BIGINT)
             UNION ALL SELECT 'token_budget',
                    CAST((SELECT COUNT(*) FROM cc6) AS BIGINT)
+        """,
+        # quality-classifier calibration: gopher rule flags on the
+        # held-out tenth + a 2-iteration GD logreg trained on the other
+        # nine tenths (the langid_classifier_scores unroll restricted to
+        # the train split; test-only buckets take weight 0 via the LEFT
+        # join, mirroring logreg_predict), measured as per-classifier
+        # precision/recall against the lang=='en' label
+        "quality_calibration_report": rf"""
+            WITH qcb AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT % 1000000 AS b
+                FROM documents),
+            qctest AS (SELECT doc_id FROM qcb WHERE b >= 900000),
+            qctrain AS (SELECT doc_id FROM qcb WHERE b < 900000),
+            qclab AS (SELECT doc_id,
+                             CASE WHEN coalesce(lang, '') = 'en'
+                                  THEN 1.0 ELSE 0.0 END AS y
+                      FROM documents),
+            qgt AS (
+                SELECT d.doc_id, coalesce(d.text, '') AS t,
+                       regexp_extract_all(lower(coalesce(d.text, '')),
+                                          '{_WORD_SQL}') AS w
+                FROM documents d JOIN qctest USING (doc_id)),
+            qgs AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       ROUND(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                             / greatest(len(w), 1), 6) AS mwl,
+                       ROUND(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+                             / greatest(len(w), 1), 6) AS swr,
+                       ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                             / greatest(len(w), 1), 6) AS awf,
+                       len(list_filter(['the','and','of','to','is','in','it','a'],
+                                st -> list_contains(w, st))) AS nst,
+                       NOT (contains(lower(t), 'lorem ipsum')
+                            OR contains(lower(t), 'javascript')
+                            OR contains(lower(t), '{{')) AS blk
+                FROM qgt),
+            qgr AS (
+                SELECT doc_id,
+                       n_words BETWEEN 20 AND 100000 AS rule_word_count,
+                       mwl BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+                       swr <= 0.1 AS rule_symbol_ratio,
+                       awf >= 0.8 AS rule_alpha_words,
+                       nst >= 2 AS rule_stopwords,
+                       blk AS rule_blocklist
+                FROM qgs),
+            qctoks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_WORD_SQL}')) AS tok
+                FROM documents),
+            qctf AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('tf|' || tok), 1, 15))::BIGINT % 64
+                           AS bucket,
+                       COUNT(*) AS cnt
+                FROM qctoks GROUP BY doc_id, bucket),
+            qcfeats AS (
+                SELECT * FROM qctf
+                UNION ALL
+                SELECT doc_id, -1 AS bucket, 1 AS cnt FROM documents),
+            qctfeats AS (SELECT f.* FROM qcfeats f JOIN qctrain USING (doc_id)),
+            qcnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qctrain),
+            qcg1 AS (
+                SELECT f.bucket,
+                       ROUND(SUM((0.5 - l.y) * f.cnt) / nn.n, 6) AS g
+                FROM qctfeats f JOIN qclab l USING (doc_id) CROSS JOIN qcnn nn
+                GROUP BY f.bucket, nn.n),
+            qcw1 AS (SELECT bucket, ROUND(0.0 - 1.0 * g, 6) AS w FROM qcg1),
+            qcm2 AS (
+                SELECT f.doc_id, SUM(f.cnt * w1.w) AS m
+                FROM qctfeats f JOIN qcw1 w1 USING (bucket)
+                GROUP BY f.doc_id),
+            qcr2 AS (
+                SELECT m2.doc_id, 1.0 / (1.0 + exp(-m2.m)) - l.y AS r
+                FROM qcm2 m2 JOIN qclab l USING (doc_id)),
+            qcg2 AS (
+                SELECT f.bucket, ROUND(SUM(r2.r * f.cnt) / nn.n, 6) AS g
+                FROM qctfeats f JOIN qcr2 r2 USING (doc_id) CROSS JOIN qcnn nn
+                GROUP BY f.bucket, nn.n),
+            qcw2 AS (
+                SELECT w1.bucket, ROUND(w1.w - 1.0 * qcg2.g, 6) AS w
+                FROM qcw1 w1 JOIN qcg2 USING (bucket)),
+            qcm3 AS (
+                SELECT f.doc_id, SUM(f.cnt * coalesce(w2.w, 0.0)) AS m
+                FROM qcfeats f JOIN qctest USING (doc_id)
+                LEFT JOIN qcw2 w2 USING (bucket)
+                GROUP BY f.doc_id),
+            qclr AS (
+                SELECT doc_id,
+                       ROUND(1.0 / (1.0 + exp(-m)), 6) >= 0.5 AS pred
+                FROM qcm3),
+            qlong AS (
+                SELECT doc_id, 'rule_word_count' AS classifier,
+                       rule_word_count AS pred FROM qgr
+                UNION ALL SELECT doc_id, 'rule_mean_word_len',
+                       rule_mean_word_len FROM qgr
+                UNION ALL SELECT doc_id, 'rule_symbol_ratio',
+                       rule_symbol_ratio FROM qgr
+                UNION ALL SELECT doc_id, 'rule_alpha_words',
+                       rule_alpha_words FROM qgr
+                UNION ALL SELECT doc_id, 'rule_stopwords',
+                       rule_stopwords FROM qgr
+                UNION ALL SELECT doc_id, 'rule_blocklist',
+                       rule_blocklist FROM qgr
+                UNION ALL SELECT doc_id, 'keep',
+                       rule_word_count AND rule_mean_word_len
+                       AND rule_symbol_ratio AND rule_alpha_words
+                       AND rule_stopwords AND rule_blocklist FROM qgr
+                UNION ALL SELECT doc_id, 'logreg_en', pred FROM qclr),
+            qagg AS (
+                SELECT classifier,
+                       COUNT(*) AS n_eval,
+                       SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred_pos,
+                       SUM(CASE WHEN l.y = 1.0 THEN 1 ELSE 0 END)
+                           AS n_label_pos,
+                       SUM(CASE WHEN pred AND l.y = 1.0 THEN 1 ELSE 0 END)
+                           AS tp
+                FROM qlong JOIN qclab l USING (doc_id)
+                GROUP BY classifier)
+            SELECT classifier,
+                   CAST(n_eval AS BIGINT) AS n_eval,
+                   CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+                   CAST(n_label_pos AS BIGINT) AS n_label_pos,
+                   CAST(tp AS BIGINT) AS tp,
+                   CASE WHEN n_pred_pos > 0
+                        THEN ROUND(CAST(tp AS DOUBLE) / n_pred_pos, 6)
+                        END AS precision,
+                   CASE WHEN n_label_pos > 0
+                        THEN ROUND(CAST(tp AS DOUBLE) / n_label_pos, 6)
+                        END AS recall
+            FROM qagg
         """,
         "domain_report": f"""
             WITH {_DOMAIN_CTES}
