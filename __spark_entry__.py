@@ -2187,6 +2187,20 @@ def q_curation_cascade_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED ExactSubstr dedup + span decontamination (L=20 / D=13,
+    benchmark = doc_id % 20 == 0): one corpus tokenize emits both
+    window widths AND the rewrite tokens (plan-pinned single
+    regexp_extract_all), removal = corpus-dup extents (first
+    occurrences protected) ∪ benchmark-hit extents (no protection),
+    computed on the ORIGINAL text."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return DD.exactsubstr_decon_rewrite(
+        docs, bench, min_tokens=20, decon_min_tokens=13
+    )
+
+
 def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier calibration: precision/recall of every Gopher
     rule (and the conjunction) and of a train-split-fit logistic
@@ -3077,9 +3091,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 9: the cascade-level census (stage oracles composed
-    # end-to-end over survivors) and the quality-classifier calibration
-    # report (per-rule precision/recall on the held-out split)
+    # end-to-end over survivors), the quality-classifier calibration
+    # report (per-rule precision/recall on the held-out split), and the
+    # fused one-tokenize ExactSubstr+decontamination rewrite
     "curation_cascade_census", "quality_calibration_report",
+    "exactsubstr_decon_rewrite",
     # new in round 8: ExactSubstr suffix-overlap dedup (Lee et al. 2022
     # — stride-1 L-gram anchors, interval-union removal extents, doc
     # rewrite) and the URL/domain curation shelf (PSL-style registrable
@@ -3303,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma": q_user_value_ewma,
         "curation_cascade_census": q_curation_cascade_census,
         "quality_calibration_report": q_quality_calibration_report,
+        "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -6518,6 +6535,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(CAST(tp AS DOUBLE) / n_label_pos, 6)
                         END AS recall
             FROM qagg
+        """,
+        # fused ExactSubstr + decontamination: removed positions =
+        # (dup-window coverage minus first-occurrence protection, L=20)
+        # UNION (benchmark-hit coverage, D=13, no protection), both on
+        # the ORIGINAL text; UNION dedups overlap, rebuild as usual
+        "exactsubstr_decon_rewrite": f"""
+            WITH {_exactsubstr_ctes('documents', 'fes', 20)},
+            fdcgpos AS (
+                SELECT doc_id,
+                       CAST(unnest(generate_series(0, n - 13)) AS INTEGER)
+                           AS pos,
+                       w
+                FROM fesbase WHERE n >= 13),
+            fdcsites AS (
+                SELECT doc_id, pos,
+                       substr(md5('es|' || array_to_string(
+                            w[pos + 1 : pos + 13], ' ')), 1, 30) AS g
+                FROM fdcgpos),
+            fdcbench AS (SELECT DISTINCT g FROM fdcsites
+                         WHERE doc_id % 20 = 0),
+            fdchit AS (SELECT doc_id, pos FROM fdcsites
+                       JOIN fdcbench USING (g)),
+            {_interval_merge_ctes('fdchit', 'fdcm', 13)},
+            fdcpos AS (SELECT doc_id,
+                              CAST(unnest(generate_series(s, e - 1))
+                                   AS INTEGER) AS pos
+                       FROM fdcmint),
+            fallpos AS (SELECT doc_id, pos FROM fesremoved
+                        UNION
+                        SELECT doc_id, pos FROM fdcpos),
+            ftokpos AS (
+                SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.v AS tok
+                FROM (SELECT doc_id,
+                             unnest(list_transform(w,
+                                    (x, i) -> {{'v': x, 'i': i}})) AS u
+                      FROM fesbase)),
+            fkept AS (SELECT ftokpos.doc_id, pos, tok FROM ftokpos
+                      ANTI JOIN fallpos
+                      ON (ftokpos.doc_id = fallpos.doc_id
+                          AND ftokpos.pos = fallpos.pos)),
+            frebuilt AS (SELECT doc_id,
+                                string_agg(tok, ' ' ORDER BY pos)
+                                    AS text_dedup
+                         FROM fkept GROUP BY doc_id),
+            fnrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                      FROM fallpos GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   coalesce(nr.n_removed, 0) AS n_removed
+            FROM fesbase b
+            LEFT JOIN frebuilt r USING (doc_id)
+            LEFT JOIN fnrem nr USING (doc_id)
         """,
         "domain_report": f"""
             WITH {_DOMAIN_CTES}

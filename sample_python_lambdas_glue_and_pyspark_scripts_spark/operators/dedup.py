@@ -2055,6 +2055,202 @@ def decontaminate_spans(
     return rewrite_without_ranges(corpus, removals, text_col, id_col)
 
 
+def _merge_general_intervals(
+    intervals: DataFrame, id_col: str
+) -> DataFrame:
+    """Union possibly-overlapping ``(id_col, start, end)`` intervals
+    (end exclusive) into disjoint maximal ones — running-max over
+    start order; touching intervals merge (same covered set)."""
+    w = Window.partitionBy(id_col).orderBy("start", "end")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        (F.col("start") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        intervals.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select(id_col, "start", "end")
+    )
+
+
+def _fused_position_entries(
+    corpus: DataFrame, text_col: str, id_col: str, L: int, D: int
+) -> DataFrame:
+    """One tokenize → per-position struct (tok, g_es, g_dc): the token
+    plus the L- and D-gram md5s starting at that position (NULL where
+    the window would overrun). One staged token projection, one staged
+    entry-array projection (nested-HOF CSE discipline), one outer
+    explode — plan-pinned to a single ``regexp_extract_all``. Returns
+    ``(id_col, n_tokens, pos, e)``; empty/NULL docs keep their one
+    outer row (e NULL, n_tokens 0) so the base roster is complete."""
+    staged = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
+        ).alias("_fz_toks"),
+    )
+    toks = F.col("_fz_toks")
+    n = F.size(toks)
+
+    def _win_md5(i, width):
+        return F.when(
+            i <= n - width,
+            F.md5(
+                F.concat(
+                    F.lit("es|"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, width)),
+                )
+            ),
+        )
+
+    staged = staged.withColumn(
+        "_fz_ent",
+        F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("tok"),
+                    _win_md5(i, L).alias("g_es"),
+                    _win_md5(i, D).alias("g_dc"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<tok:string,g_es:string,g_dc:string>>"
+            )
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_fz_ent").cast("bigint").alias("n_tokens"),
+        F.posexplode_outer("_fz_ent"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").alias("e"),
+    )
+
+
+def exactsubstr_decon_rewrite(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    decon_min_tokens: int = 13,
+) -> DataFrame:
+    """FUSED ExactSubstr dedup + span decontamination in ONE corpus
+    tokenize: remove every token range of the ORIGINAL text that is
+    (a) a corpus-duplicated ≥ ``min_tokens``-window occurrence other
+    than its first site (the :func:`exactsubstr_removals` rule, with
+    first-occurrence protection), or (b) covered by a
+    ``decon_min_tokens``-window matching the benchmark (the
+    :func:`decontaminate_spans` rule, NO protection). Returns ALL
+    corpus docs as ``(id_col, text_dedup, n_tokens, n_removed)``.
+
+    Both consumers build window hashes over the same corpus, so
+    running them as separate cascade stages pays two tokenize+scan
+    pipelines (7 ``regexp_extract_all`` projections across the pair);
+    here ONE staged projection emits, per token position, the token
+    plus the 20- and 13-gram md5s, and one explode feeds the
+    duplicate-anchor count, the benchmark probe, AND the rewrite
+    reconstruction — 2 ``regexp_extract_all`` total (corpus once,
+    benchmark once; plan-pinned). Semantics note: this is range
+    removal computed on the original text, not the sequential
+    composition (a sequential decon pass re-tokenizes the REWRITTEN
+    text, where tokens adjacent across a removed range can form new
+    benchmark windows — both are published-shaped; the fused form is
+    the one-pass cascade stage)."""
+    L, D = int(min_tokens), int(decon_min_tokens)
+    if L < 1 or D < 1:
+        raise ValueError("exactsubstr_decon_rewrite: token widths >= 1")
+    # checkpointed ONCE, consumed by the anchor count, the benchmark
+    # probe, and the rewrite tail — the materialization is what makes
+    # "one corpus tokenize" structural, not just a plan-dedup hope
+    exploded = _fused_position_entries(
+        corpus, text_col, id_col, L, D
+    ).localCheckpoint(eager=False)
+    sites_es = exploded.filter(F.col("e.g_es").isNotNull()).select(
+        id_col, "pos", _hash120_from_hex(F.col("e.g_es")).alias("g")
+    )
+    sites_dc = exploded.filter(F.col("e.g_dc").isNotNull()).select(
+        id_col, "pos", _hash120_from_hex(F.col("e.g_dc")).alias("g")
+    )
+    # ExactSubstr arm: duplicate anchors, first-site protection, sweep
+    stats = (
+        sites_es.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(id_col, "pos")).alias("first_site"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("g", "first_site")
+    )
+    dup = sites_es.join(stats, "g")
+    is_first = (F.col(id_col) == F.col(f"first_site.{id_col}")) & (
+        F.col("pos") == F.col("first_site.pos")
+    )
+    es_rem = _subtract_intervals(
+        _merge_intervals(dup.filter(~is_first), id_col, L),
+        _merge_intervals(dup.filter(is_first), id_col, L),
+        id_col,
+    )
+    # decontamination arm: benchmark anchor probe, no protection
+    bench_anchors = (
+        _exactsubstr_sites(benchmark, text_col, id_col, D)
+        .select("g")
+        .distinct()
+    )
+    dc_rem = _merge_intervals(
+        sites_dc.join(bench_anchors, "g").select(id_col, "pos"), id_col, D
+    )
+    removals = _merge_general_intervals(
+        es_rem.unionByName(dc_rem), id_col
+    )
+    removed_pos = removals.select(
+        F.col(id_col),
+        F.explode(F.sequence("start", F.col("end") - 1)).alias("pos"),
+    ).localCheckpoint(eager=False)
+    # shared rewrite tail over the SAME exploded frame (no re-tokenize)
+    kept = exploded.filter(F.col("e").isNotNull()).join(
+        removed_pos, [id_col, "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("e.tok").alias("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_dedup")
+    )
+    n_rem = removed_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    base = exploded.groupBy(id_col).agg(F.min("n_tokens").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(n_rem, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def exactsubstr_dup_stats(
     df: DataFrame,
     text_col: str = "text",

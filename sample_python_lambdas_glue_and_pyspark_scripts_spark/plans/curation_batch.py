@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, exactsubstr_rewrite
+from ..operators.dedup import (
+    decontaminate_spans,
+    exact_dedup,
+    exactsubstr_decon_rewrite,
+    exactsubstr_rewrite,
+)
 from ..operators.sampling import select_token_budget
 from ..operators.text import quality_score
 from ..operators.web import domain_capped_docs, url_dedup
@@ -45,13 +50,19 @@ def curate_corpus(
     min_quality: float | None = None,
     n_per_domain: int | None = None,
     token_budget: int | None = None,
+    benchmark: DataFrame | None = None,
+    decon_min_tokens: int = 13,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
     ``quality_score >= min_quality``); ``token_budget`` enables stage 6.
-    Equivalent to applying the stages sequentially by hand (pinned by
-    test) — this wrapper adds the ordering, the survivor plumbing, and
-    the census."""
+    ``benchmark`` adds span-surgical decontamination at stage 3: with
+    ExactSubstr also enabled the two run FUSED
+    (``dedup.exactsubstr_decon_rewrite`` — one corpus tokenize feeds
+    both window widths, plan-pinned), otherwise
+    ``decontaminate_spans`` runs alone. Equivalent to applying the
+    stages sequentially by hand (pinned by test) — this wrapper adds
+    the ordering, the survivor plumbing, and the census."""
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
@@ -70,12 +81,26 @@ def curate_corpus(
             "left_semi",
         ),
     )
-    if exactsubstr_min_tokens:
+    rewritten, rewrite_stage = None, None
+    if exactsubstr_min_tokens and benchmark is not None:
+        rewritten = exactsubstr_decon_rewrite(
+            cur, benchmark, text_col, id_col, exactsubstr_min_tokens,
+            decon_min_tokens,
+        )
+        rewrite_stage = "exactsubstr_decon_rewrite"
+    elif exactsubstr_min_tokens:
         rewritten = exactsubstr_rewrite(
             cur, text_col, id_col, exactsubstr_min_tokens
         )
+        rewrite_stage = "exactsubstr_rewrite"
+    elif benchmark is not None:
+        rewritten = decontaminate_spans(
+            cur, benchmark, text_col, id_col, decon_min_tokens
+        )
+        rewrite_stage = "decontaminate_spans"
+    if rewritten is not None:
         cur = _mark(
-            "exactsubstr_rewrite",
+            rewrite_stage,
             cur.drop(text_col).join(
                 rewritten.select(
                     id_col,

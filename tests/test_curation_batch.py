@@ -110,3 +110,45 @@ def test_cascade_domain_cap_and_budget(spark):
     assert sorted(r["doc_id"] for r in kept.collect())[:2] == [0, 1]
     # budget: each doc ~19 words -> 2 fit in 40 tokens
     assert census["token_budget"] == 2
+
+
+def test_cascade_fused_decontamination_stage(spark):
+    """benchmark= + ExactSubstr → ONE fused stage
+    (exactsubstr_decon_rewrite), equal to applying the fused operator
+    by hand on the post-exact-dedup survivors."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        exactsubstr_decon_rewrite,
+    )
+
+    S = " ".join(f"w{i}" for i in range(25))
+    B = " ".join(f"b{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + S + " gamma"),
+            (2, "intro words here " + S + " outro"),
+            (3, "head " + B + " tail"),
+            (4, "totally unrelated content right here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame([(9, B)], "doc_id BIGINT, text STRING")
+    kept, report = curate_corpus(
+        docs, exactsubstr_min_tokens=20, benchmark=bench,
+        decon_min_tokens=13,
+    )
+    census = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert "exactsubstr_decon_rewrite" in census
+    want = {
+        r["doc_id"]: r["text_dedup"]
+        for r in exactsubstr_decon_rewrite(
+            docs, bench, min_tokens=20, decon_min_tokens=13
+        ).collect()
+    }
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert got == want
+    # decon-only form (no ExactSubstr) takes the decontaminate_spans path
+    _, rep2 = curate_corpus(
+        docs, exactsubstr_min_tokens=None, benchmark=bench,
+        decon_min_tokens=13,
+    )
+    assert "decontaminate_spans" in {r["stage"] for r in rep2.collect()}

@@ -314,3 +314,63 @@ def test_subtract_intervals_endpoint_sweep(spark):
         for r in D._subtract_intervals(rem, prot, "doc_id").collect()
     )
     assert got == [(1, 0, 3), (1, 5, 9), (1, 16, 20)]
+
+
+# --- fused ExactSubstr + decontamination (one corpus tokenize) -----------------
+
+
+def test_exactsubstr_decon_rewrite_equals_composed(spark):
+    B = " ".join(f"b{i}" for i in range(15))       # benchmark content (>=13)
+    bench = spark.createDataFrame([(100, B)], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta " + S + " gamma"),      # first occurrence of S
+            (2, "intro unique tokens here " + S + " outro words"),
+            (3, "clean head words " + B + " clean tail words"),
+            (4, "totally unrelated content here today friends"),
+            (5, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    fused = {
+        r["doc_id"]: r
+        for r in D.exactsubstr_decon_rewrite(
+            corpus, bench, min_tokens=20, decon_min_tokens=13
+        ).collect()
+    }
+    # composed reference on the ORIGINAL text: es extents U decon extents
+    es = D.exactsubstr_removals(corpus, min_tokens=20)
+    dc_sites = D._exactsubstr_sites(corpus, "text", "doc_id", 13).join(
+        D._exactsubstr_sites(bench, "text", "doc_id", 13)
+        .select("g").distinct(),
+        "g",
+    ).select("doc_id", "pos")
+    dc = D._merge_intervals(dc_sites, "doc_id", 13)
+    combined = D._merge_general_intervals(es.unionByName(dc), "doc_id")
+    want = {
+        r["doc_id"]: r
+        for r in D.rewrite_without_ranges(corpus, combined).collect()
+    }
+    assert set(fused) == set(want) == {1, 2, 3, 4, 5}
+    for k in want:
+        for c in ("text_dedup", "n_tokens", "n_removed"):
+            assert fused[k][c] == want[k][c], (k, c)
+    # semantics spot checks: dup removed from doc 2, benchmark from doc 3
+    assert fused[2]["n_removed"] == 30
+    assert fused[3]["text_dedup"] == "clean head words clean tail words"
+    assert fused[4]["n_removed"] == 0 and fused[5]["n_tokens"] == 0
+
+
+def test_exactsubstr_decon_rewrite_single_corpus_tokenize(spark, sf_dir):
+    """The fusion claim, plan-pinned: the shared position-entry frame
+    tokenizes the corpus EXACTLY once (one regexp_extract_all, not
+    re-inlined into a pushed filter), and the fused operator consumes
+    it through one localCheckpoint — so the anchor count, the
+    benchmark probe, and the rewrite tail all read one materialized
+    tokenize (the sequential stage pair pays 7 tokenize projections
+    and two corpus scan pipelines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entries = D._fused_position_entries(docs, "text", "doc_id", 20, 13)
+    ex = entries._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("regexp_extract_all") == 1
+    assert "EvalPython" not in ex and "InPandas" not in ex
