@@ -34,19 +34,26 @@ def hash60(col: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-# 120-bit struct key from ONE md5 (hex chars 1-15 and 16-30 → two
-# bigints): the anchor key for operators whose groupBy-count treats a
-# key collision as a duplicate with NO downstream verify (ExactSubstr,
-# span surgery). 60 bits is too narrow at 100 TB (~2e13 stride-1
-# anchors → birthday ≈ 1e8 colliding pairs → silent false removals);
-# at 120 bits the same corpus gives ≈ 1.5e-10 expected colliding pairs.
-# DuckDB mirror: group/join on substr(md5(s), 1, 30) — the hex chunks
-# biject onto (h1, h2), so the string key groups identically.
-def _hash120_from_hex(md5_hex: Column) -> Column:
-    return F.struct(
-        F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(md5_hex, 16, 15), 16, 10).cast("bigint").alias("h2"),
-    )
+# 120-bit key from ONE md5 (hex chars 1-15 and 16-30 → two bigints,
+# kept as TWO FLAT COLUMNS g1/g2): the anchor key for operators whose
+# groupBy-count treats a key collision as a duplicate with NO
+# downstream verify (ExactSubstr, span surgery). 60 bits is too narrow
+# at 100 TB (~2e13 stride-1 anchors → birthday ≈ 1e8 colliding pairs →
+# silent false removals); at 120 bits the same corpus gives ≈ 1.5e-10
+# expected colliding pairs. Flat columns, NOT a struct: grouping on a
+# struct key knocks Spark's hash aggregate off the fixed-width
+# fast-hashmap path (measured 1.6× on the 64× exactsubstr sweep);
+# two bigint grouping columns keep it. DuckDB mirror: group/join on
+# substr(md5(s), 1, 30) — the hex chunks biject onto (g1, g2), so the
+# string key groups identically.
+_G_KEY = ["g1", "g2"]
+
+
+def _hash120_cols(md5_hex: Column) -> list[Column]:
+    return [
+        F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("bigint").alias("g1"),
+        F.conv(F.substring(md5_hex, 16, 15), 16, 10).cast("bigint").alias("g2"),
+    ]
 
 
 # 2^30 range base hash for the MinHash family: md5 runs ONCE per shingle;
@@ -1707,13 +1714,24 @@ def winnow_matches(
 
 
 def _merge_intervals(
-    sites: DataFrame, id_col: str, min_tokens: int
+    sites: DataFrame,
+    id_col: str,
+    min_tokens: int,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Union the fixed-length windows ``[pos, pos + L)`` per doc into
     disjoint maximal intervals ``(id_col, start, end)`` (end exclusive):
     sort by pos within the doc, a window starts a new interval iff its
-    pos exceeds the running max end of everything before it."""
-    w = Window.partitionBy(id_col).orderBy("pos")
+    pos exceeds the running max end of everything before it.
+
+    ``extra_keys`` adds partition columns (carried through to the
+    output): merging removal AND protection coverage in ONE window
+    pass over a ``_first``-flagged site frame, instead of two filtered
+    passes whose shared upstream join/aggregate subtrees Catalyst does
+    not reuse across branches (measured 2× the whole removal pipeline
+    at the 64× sweep)."""
+    keys = [id_col, *extra_keys]
+    w = Window.partitionBy(*keys).orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(min_tokens)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -1721,14 +1739,14 @@ def _merge_intervals(
         (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        sites.select(id_col, "pos")
+        sites.select(*keys, "pos")
         .withColumn("_grp", grp)
-        .groupBy(id_col, "_grp")
+        .groupBy(*keys, "_grp")
         .agg(
             F.min("pos").alias("start"),
             (F.max("pos") + F.lit(min_tokens)).alias("end"),
         )
-        .select(id_col, "start", "end")
+        .select(*keys, "start", "end")
     )
 
 
@@ -1840,13 +1858,13 @@ def _exactsubstr_tokens(
 def _exactsubstr_sites(
     df: DataFrame, text_col: str, id_col: str, min_tokens: int
 ) -> DataFrame:
-    """Every L-token window as (id, pos, g): g = 120-bit md5 struct key
-    (``_hash120_from_hex``, seed ``es|``) of the space-joined window,
+    """Every L-token window as (id, pos, g1, g2): the 120-bit md5 key
+    pair (``_hash120_cols``, seed ``es|``) of the space-joined window,
     anchored at 0-based token position pos. Docs shorter than L tokens
     contribute nothing (they cannot contain an L-gram). The token array
     and the gram md5 array each materialize in their own projection
     (Catalyst does not CSE across nested higher-order functions); the
-    hex→struct split runs per-row AFTER the explode so the md5 is
+    hex→bigint split runs per-row AFTER the explode so the md5 is
     computed once per window inside the lambda."""
     L = int(min_tokens)
     staged = df.select(
@@ -1859,7 +1877,7 @@ def _exactsubstr_sites(
     )
     toks = F.col("_es_toks")
     staged = staged.withColumn(
-        "_es_grams",
+        "_es_md5",
         F.when(
             F.size(toks) >= L,
             F.transform(
@@ -1872,13 +1890,26 @@ def _exactsubstr_sites(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+    # hex→bigint split in its OWN array stage (md5 computed once per
+    # window above; the explode then carries 16-byte key structs, and
+    # the downstream groupBy/join key on two bigints — measured faster
+    # than both a 30-char string key and post-explode convs on the 64×
+    # sweep)
+    staged = staged.withColumn(
+        "_es_keys",
+        F.transform(
+            F.col("_es_md5"),
+            lambda h: F.struct(*_hash120_cols(h)),
+        ),
+    )
     return (
-        staged.select(F.col(id_col), F.posexplode_outer("_es_grams"))
+        staged.select(F.col(id_col), F.posexplode_outer("_es_keys"))
         .filter(F.col("col").isNotNull())
         .select(
             id_col,
             F.col("pos").cast("int").alias("pos"),
-            _hash120_from_hex(F.col("col")).alias("g"),
+            F.col("col.g1").alias("g1"),
+            F.col("col.g2").alias("g2"),
         )
     )
 
@@ -1898,7 +1929,7 @@ def exactsubstr_removals(
 
     The groupBy-count treats an anchor-key collision as a duplicate with
     NO downstream verify, so the key must be collision-free at corpus
-    scale — the 120-bit md5 struct key (``_hash120_from_hex``) keeps the
+    scale — the 120-bit md5 key pair (``_hash120_cols``) keeps the
     expected number of colliding window pairs ≈ 1.5e-10 even at ~2e13
     stride-1 anchors (100 TB). ``_sites_fn`` is a TEST-ONLY hook that
     substitutes the site builder, used by the collision-injection test
@@ -1916,21 +1947,39 @@ def exactsubstr_removals(
     sites = (_sites_fn or _exactsubstr_sites)(
         ensure_parallelism(df), text_col, id_col, L
     ).localCheckpoint(eager=False)
+    # anchor stats: map-side-combined groupBy (hot grams collapse in the
+    # combiner — the scale-safe shape; a window over the anchor key
+    # would ship every site of a boilerplate gram to one reducer)
     stats = (
-        sites.groupBy("g")
+        sites.groupBy("g1", "g2")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(F.struct(id_col, "pos")).alias("first_site"),
         )
         .filter(F.col("c") >= 2)
-        .select("g", "first_site")
+        .localCheckpoint(eager=False)
     )
-    dup = sites.join(stats, "g")
-    is_first = (F.col(id_col) == F.col(f"first_site.{id_col}")) & (
-        F.col("pos") == F.col("first_site.pos")
+    # Identity that removes the per-site flag join entirely: with every
+    # first window contained in the protection coverage,
+    #   (all dup windows) ⊖ protection == (non-first dup windows) ⊖
+    #   protection
+    # — a position covered only by first windows is subtracted either
+    # way. So the removal side is just a SEMI join of sites against the
+    # dup-anchor key set (no struct payload, no flag compare), and the
+    # protection side reads the first sites straight off the stats
+    # aggregate with NO join back to sites at all.
+    # no forced broadcast: AQE broadcasts the anchor set when it fits
+    # and skew-splits the shuffled semi join when it does not (join
+    # skew IS AQE-splittable, unlike window skew)
+    dup_sites = sites.join(
+        stats.select("g1", "g2"), ["g1", "g2"], "left_semi"
     )
-    removal = _merge_intervals(dup.filter(~is_first), id_col, L)
-    protect = _merge_intervals(dup.filter(is_first), id_col, L)
+    first_sites = stats.select(
+        F.col(f"first_site.{id_col}").alias(id_col),
+        F.col("first_site.pos").alias("pos"),
+    )
+    removal = _merge_intervals(dup_sites, id_col, L)
+    protect = _merge_intervals(first_sites, id_col, L)
     # interval-algebra subtraction (endpoint sweep): the intermediate is
     # interval-sized — the old position-level explode/anti-join was
     # linear in COVERED token volume, which ≈ corpus volume on dup-heavy
@@ -2044,13 +2093,13 @@ def decontaminate_spans(
         raise ValueError("decontaminate_spans: min_tokens must be >= 1")
     bench_anchors = (
         _exactsubstr_sites(benchmark, text_col, id_col, L)
-        .select("g")
+        .select("g1", "g2")
         .distinct()
     )
     sites = _exactsubstr_sites(
         ensure_parallelism(corpus), text_col, id_col, L
     )
-    hit = sites.join(bench_anchors, "g").select(id_col, "pos")
+    hit = sites.join(bench_anchors, ["g1", "g2"]).select(id_col, "pos")
     removals = _merge_intervals(hit, id_col, L)
     return rewrite_without_ranges(corpus, removals, text_col, id_col)
 
@@ -2178,38 +2227,42 @@ def exactsubstr_decon_rewrite(
         corpus, text_col, id_col, L, D
     ).localCheckpoint(eager=False)
     sites_es = exploded.filter(F.col("e.g_es").isNotNull()).select(
-        id_col, "pos", _hash120_from_hex(F.col("e.g_es")).alias("g")
+        id_col, "pos", *_hash120_cols(F.col("e.g_es"))
     )
     sites_dc = exploded.filter(F.col("e.g_dc").isNotNull()).select(
-        id_col, "pos", _hash120_from_hex(F.col("e.g_dc")).alias("g")
+        id_col, "pos", *_hash120_cols(F.col("e.g_dc"))
     )
-    # ExactSubstr arm: duplicate anchors, first-site protection, sweep
+    # ExactSubstr arm: the no-flag-join identity of
+    # exactsubstr_removals — all dup windows ⊖ first-window protection
     stats = (
-        sites_es.groupBy("g")
+        sites_es.groupBy("g1", "g2")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(F.struct(id_col, "pos")).alias("first_site"),
         )
         .filter(F.col("c") >= 2)
-        .select("g", "first_site")
+        .localCheckpoint(eager=False)
     )
-    dup = sites_es.join(stats, "g")
-    is_first = (F.col(id_col) == F.col(f"first_site.{id_col}")) & (
-        F.col("pos") == F.col("first_site.pos")
+    dup_sites = sites_es.join(
+        stats.select("g1", "g2"), ["g1", "g2"], "left_semi"
+    )
+    first_sites = stats.select(
+        F.col(f"first_site.{id_col}").alias(id_col),
+        F.col("first_site.pos").alias("pos"),
     )
     es_rem = _subtract_intervals(
-        _merge_intervals(dup.filter(~is_first), id_col, L),
-        _merge_intervals(dup.filter(is_first), id_col, L),
+        _merge_intervals(dup_sites, id_col, L),
+        _merge_intervals(first_sites, id_col, L),
         id_col,
     )
     # decontamination arm: benchmark anchor probe, no protection
     bench_anchors = (
         _exactsubstr_sites(benchmark, text_col, id_col, D)
-        .select("g")
+        .select("g1", "g2")
         .distinct()
     )
     dc_rem = _merge_intervals(
-        sites_dc.join(bench_anchors, "g").select(id_col, "pos"), id_col, D
+        sites_dc.join(bench_anchors, ["g1", "g2"]).select(id_col, "pos"), id_col, D
     )
     removals = _merge_general_intervals(
         es_rem.unionByName(dc_rem), id_col
@@ -2276,13 +2329,13 @@ def exactsubstr_dup_stats(
         ensure_parallelism(df), text_col, id_col, L
     ).localCheckpoint(eager=False)
     dup_anchors = (
-        sites.groupBy("g")
+        sites.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
-        .select("g")
+        .select("g1", "g2")
     )
     dup_counts = (
-        sites.join(dup_anchors, "g")
+        sites.join(dup_anchors, ["g1", "g2"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )

@@ -5,8 +5,8 @@ earlier micro-batch, or earlier within its own batch (the Lee et al.
 
 The batch operator (``operators/dedup.exactsubstr_rewrite``) dedups a
 static corpus; the streaming form needs only ONE state table: the
-distinct 120-bit L-gram anchor keys (md5 struct, ``dedup.
-_hash120_from_hex``) of everything seen so far
+distinct 120-bit L-gram anchor key pairs (``dedup._hash120_cols``;
+flat g1/g2 bigints) of everything seen so far
 (``anchors/batch_id=N/``). A batch window matching a historical anchor
 is removed outright — history, by construction, holds the first
 occurrence, so no positional history state is needed (contrast the
@@ -52,7 +52,7 @@ from ..operators.text import WORD_REGEX
 from ..operators.util import ensure_parallelism
 from .incremental import run_incremental
 
-_ANCHOR_SCHEMA = "g STRUCT<h1: BIGINT, h2: BIGINT>, batch_id STRING"
+_ANCHOR_SCHEMA = "g1 BIGINT, g2 BIGINT, batch_id STRING"
 
 
 def _read_anchors(
@@ -69,7 +69,7 @@ def _read_anchors(
         spark.read.schema(_ANCHOR_SCHEMA)
         .parquet(f"{work_dir}/anchors")
         .filter(F.col("batch_id").cast("bigint") < before_batch)
-        .select("g")
+        .select("g1", "g2")
         .distinct()
     )
 
@@ -98,27 +98,40 @@ def exactsubstr_admit(
         ensure_parallelism(docs), text_col, id_col, L
     ).localCheckpoint(eager=False)
 
+    # the batch operator's no-flag-join identity (dedup.
+    # exactsubstr_removals): with every first window contained in the
+    # protection coverage, ALL dup windows ⊖ protection equals
+    # non-first dup windows ⊖ protection — so removal is a semi join of
+    # sites against the (batch-dup ∪ historical) anchor keys, and the
+    # protection side reads the batch first sites straight off the
+    # stats aggregate
     stats = (
-        sites.groupBy("g")
+        sites.groupBy("g1", "g2")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(F.struct(id_col, "pos")).alias("first_site"),
         )
         .filter(F.col("c") >= 2)
-        .select("g", "first_site")
+        .localCheckpoint(eager=False)
     )
-    batch_dup = sites.join(stats, "g")
-    is_first = (F.col(id_col) == F.col(f"first_site.{id_col}")) & (
-        F.col("pos") == F.col("first_site.pos")
+    removal_keys = stats.select("g1", "g2")
+    protect_sites = stats.select(
+        "g1", "g2",
+        F.col(f"first_site.{id_col}").alias(id_col),
+        F.col("first_site.pos").alias("pos"),
     )
-    removal_sites = batch_dup.filter(~is_first).select(id_col, "pos")
-    protect_sites = batch_dup.filter(is_first).select(id_col, "pos", "g")
     if hist_anchors is not None:
-        hist_hit = sites.join(hist_anchors, "g").select(id_col, "pos")
-        removal_sites = removal_sites.unionByName(hist_hit)
+        removal_keys = removal_keys.unionByName(
+            hist_anchors.select("g1", "g2")
+        ).distinct()
         # a batch-first window whose gram is historical is NOT protected
         # (history holds the true first occurrence)
-        protect_sites = protect_sites.join(hist_anchors, "g", "left_anti")
+        protect_sites = protect_sites.join(
+            hist_anchors, ["g1", "g2"], "left_anti"
+        )
+    removal_sites = sites.join(removal_keys, ["g1", "g2"], "left_semi").select(
+        id_col, "pos"
+    )
     protect_sites = protect_sites.select(id_col, "pos")
 
     removal = _merge_intervals(removal_sites.distinct(), id_col, L)
@@ -171,7 +184,7 @@ def exactsubstr_admit(
             ),
         )
     )
-    new_anchors = sites.select("g").distinct()
+    new_anchors = sites.select("g1", "g2").distinct()
     return rewritten, new_anchors
 
 

@@ -31,7 +31,7 @@ Five state families, three retraction stories:
   whole history is forgotten and a future batch for that key folds
   from scratch (:func:`retract_from_ewma_state`).
 - **ExactSubstr anchors** (``streaming/exactsubstr_intake.py``:
-  ``anchors/`` distinct gram keys with NO doc ids — history holds the
+  ``anchors/`` distinct gram key pairs with NO doc ids — history holds the
   first occurrence by construction) follow the sketch story:
   ``kept/`` is id-keyed (exact anti-join); each HIT epoch's anchor set
   is REBUILT from that epoch's surviving ORIGINAL source docs, which
@@ -327,7 +327,7 @@ def retract_from_exactsubstr_state(
                 ensure_parallelism(surviving), text_col, id_col,
                 int(min_tokens),
             )
-            .select("g")
+            .select("g1", "g2")
             .distinct()
         )
         _rewrite_epoch(spark, anchors_dir, epoch, anchors)

@@ -253,7 +253,7 @@ def test_decontaminate_spans_surgery(spark):
 # --- anchor-key width (the 100 TB collision story) ----------------------------
 
 
-def test_hash120_struct_key_matches_python_md5(spark):
+def test_hash120_key_pair_matches_python_md5(spark):
     """The 120-bit anchor key is exactly (md5hex[:15], md5hex[15:30])
     as two base-16 bigints — pinned against hashlib so the DuckDB
     mirror (substr(md5(s), 1, 30)) provably groups identically."""
@@ -262,12 +262,12 @@ def test_hash120_struct_key_matches_python_md5(spark):
     s = "es|" + " ".join(f"w{i}" for i in range(20))
     row = (
         spark.range(1)
-        .select(D._hash120_from_hex(F.md5(F.lit(s))).alias("g"))
-        .collect()[0]["g"]
+        .select(*D._hash120_cols(F.md5(F.lit(s))))
+        .collect()[0]
     )
     hx = hashlib.md5(s.encode()).hexdigest()
-    assert row["h1"] == int(hx[:15], 16)
-    assert row["h2"] == int(hx[15:30], 16)
+    assert row["g1"] == int(hx[:15], 16)
+    assert row["g2"] == int(hx[15:30], 16)
 
 
 def test_exactsubstr_collision_injection(spark):
@@ -288,7 +288,8 @@ def test_exactsubstr_collision_injection(spark):
     def narrow_sites(df, text_col, id_col, L):
         # 2-bit key: distinct windows collide almost surely
         return D._exactsubstr_sites(df, text_col, id_col, L).select(
-            id_col, "pos", (F.col("g.h1") % 4).alias("g")
+            id_col, "pos", (F.col("g1") % 4).alias("g1"),
+            F.lit(0).cast("bigint").alias("g2"),
         )
 
     false_removals = D.exactsubstr_removals(
@@ -342,8 +343,8 @@ def test_exactsubstr_decon_rewrite_equals_composed(spark):
     es = D.exactsubstr_removals(corpus, min_tokens=20)
     dc_sites = D._exactsubstr_sites(corpus, "text", "doc_id", 13).join(
         D._exactsubstr_sites(bench, "text", "doc_id", 13)
-        .select("g").distinct(),
-        "g",
+        .select("g1", "g2").distinct(),
+        ["g1", "g2"],
     ).select("doc_id", "pos")
     dc = D._merge_intervals(dc_sites, "doc_id", 13)
     combined = D._merge_general_intervals(es.unionByName(dc), "doc_id")

@@ -82,7 +82,7 @@ def test_replay_is_noop(spark, workdir):
         map(tuple, spark.read.parquet(f"{workdir}/kept").collect())
     )
     anchors_before = sorted(
-        r["g"]
+        (r["g1"], r["g2"])
         for r in spark.read.parquet(f"{workdir}/anchors").collect()
     )
     # replay batch 1: overwrites its own dirs, reads exclude itself
@@ -91,7 +91,7 @@ def test_replay_is_noop(spark, workdir):
         map(tuple, spark.read.parquet(f"{workdir}/kept").collect())
     )
     anchors_after = sorted(
-        r["g"]
+        (r["g1"], r["g2"])
         for r in spark.read.parquet(f"{workdir}/anchors").collect()
     )
     assert before == after and anchors_before == anchors_after
