@@ -3096,17 +3096,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # fused one-tokenize ExactSubstr+decontamination rewrite
     "curation_cascade_census", "quality_calibration_report",
     "exactsubstr_decon_rewrite",
-    # new in round 8: ExactSubstr suffix-overlap dedup (Lee et al. 2022
-    # — stride-1 L-gram anchors, interval-union removal extents, doc
-    # rewrite) and the URL/domain curation shelf (PSL-style registrable
-    # domain census, Bloom-prefiltered blocklist with identity oracle,
-    # per-domain C4 cap)
-    "exactsubstr_rewrite", "exactsubstr_removals", "domain_report",
-    "domain_blocklist_docs", "domain_capped_docs",
-    # round-8 second batch: URL canonicalization + URL-level dedup (the
-    # RefinedWeb pre-content cascade stage) + Shannon-entropy quality
-    # signals
-    "canonical_urls", "url_dedup_docs", "doc_entropy_report",
+    # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
+    # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
+    # the unchanged r8 siblings domain_report, domain_blocklist_docs,
+    # canonical_urls rotated out (driver-proven in the r8 window)
+    "exactsubstr_rewrite", "exactsubstr_removals",
+    "domain_capped_docs",
+    "url_dedup_docs", "doc_entropy_report",
     "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
     "user_value_ewma", "exactsubstr_dup_stats",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on

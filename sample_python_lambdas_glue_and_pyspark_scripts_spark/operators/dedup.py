@@ -336,7 +336,17 @@ def _hashed_shingles(text_col: str, shingle_n: int) -> Column:
     mirrors the same md5-derived hash (the MinHash parity idiom), so
     results stay identical across engines even in the measure-zero
     collision case — a collision merges the same two shingles on both
-    sides."""
+    sides.
+
+    Width note (vs the 120-bit ExactSubstr anchors): 60 bits IS enough
+    here, because a collision's effect is one shared element in one
+    doc pair's Jaccard — a ±1/|union| perturbation that only matters if
+    that pair also sits exactly on the threshold — not a silent
+    unconditional removal (the ExactSubstr groupBy-count failure mode).
+    At 10^12 corpus shingles the expected number of colliding shingle
+    PAIRS is ~4×10^5 corpus-wide, and the probability that any given
+    candidate doc pair contains one is ~|shingles|²/2^60 ≈ 10^-13 —
+    below the 6dp rounding contract already accepted."""
     return F.array_distinct(
         F.transform(word_shingles(text_col, shingle_n), lambda s: hash60(s))
     )
