@@ -2201,6 +2201,16 @@ def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication leakage census (MinHash-LSH t=0.2
+    pairs rolled up per unordered source pair): two 'independent' mix
+    components sharing near-dups silently up-weight that content — the
+    mix-level analog of benchmark decontamination. Pair-sized source
+    lookups + one tiny groupBy on top of the proven LSH pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.cross_source_dup_report(docs, threshold=0.2)
+
+
 def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier calibration: precision/recall of every Gopher
     rule (and the conjunction) and of a train-split-fit logistic
@@ -3095,14 +3105,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # report (per-rule precision/recall on the held-out split), and the
     # fused one-tokenize ExactSubstr+decontamination rewrite
     "curation_cascade_census", "quality_calibration_report",
-    "exactsubstr_decon_rewrite",
+    "exactsubstr_decon_rewrite", "cross_source_dup_report",
     # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
     # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
     # the unchanged r8 siblings domain_report, domain_blocklist_docs,
     # canonical_urls rotated out (driver-proven in the r8 window)
     "exactsubstr_rewrite", "exactsubstr_removals",
     "domain_capped_docs",
-    "url_dedup_docs", "doc_entropy_report",
+    "url_dedup_docs",
     "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
     "user_value_ewma", "exactsubstr_dup_stats",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
@@ -3316,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_cascade_census": q_curation_cascade_census,
         "quality_calibration_report": q_quality_calibration_report,
         "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
+        "cross_source_dup_report": q_cross_source_dup_report,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -5303,6 +5314,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),
+        # the LSH pair oracle rolled up per unordered source pair; doc
+        # counts follow the lexicographic source normalization
+        "cross_source_dup_report": f"""
+            WITH xpairs AS (
+                SELECT * FROM (
+                    {_minhash_lsh_oracle(num_hashes=16, bands=4,
+                                         threshold=0.2)}
+                ) t),
+            xsrc AS (
+                SELECT p.a, p.b, p.jaccard,
+                       coalesce(da.source, '') AS sa,
+                       coalesce(db.source, '') AS sb
+                FROM xpairs p
+                JOIN documents da ON da.doc_id = p.a
+                JOIN documents db ON db.doc_id = p.b),
+            xnorm AS (
+                SELECT least(sa, sb) AS source_a,
+                       greatest(sa, sb) AS source_b,
+                       CASE WHEN sa <= sb THEN a ELSE b END AS da,
+                       CASE WHEN sa <= sb THEN b ELSE a END AS db,
+                       jaccard
+                FROM xsrc)
+            SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT da) AS BIGINT) AS n_docs_a,
+                   CAST(COUNT(DISTINCT db) AS BIGINT) AS n_docs_b,
+                   ROUND(AVG(jaccard), 6) AS mean_jaccard
+            FROM xnorm GROUP BY 1, 2
+        """,
         "edit_near_dup": _edit_distance_oracle(num_hashes=16, bands=4, threshold=0.9),
         "containment_pairs": _containment_oracle(16, 4, 0.35),
         "minhash_estimate_report": _minhash_estimate_oracle(16, 4),

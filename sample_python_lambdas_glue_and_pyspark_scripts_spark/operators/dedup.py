@@ -796,6 +796,71 @@ def minhash_dedup_pairs(
     )
 
 
+def cross_source_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-source near-duplication leakage census: one row per
+    unordered source pair that shares at least one near-dup pair —
+    ``(source_a, source_b, n_pairs, n_docs_a, n_docs_b,
+    mean_jaccard)`` with sources ordered lexicographically and the doc
+    counts following that normalization (``n_docs_a`` = distinct docs
+    on the smaller-named source). Intra-source rows (``source_a ==
+    source_b``) are the within-mix duplication baseline.
+
+    Why it matters for a training mix: two "independent" sources that
+    share near-duplicate documents silently up-weight that content
+    (and can leak held-out material across mix components) — the
+    mix-level analog of benchmark decontamination. Observability
+    companion to ``dedup_rate_report`` (which is per-source exact-dup
+    only) and ``corpus_diff``.
+
+    Plan shape: rides :func:`minhash_dedup_pairs` end to end (banded
+    candidates, hot-bucket cap, exact verify), then two id-keyed
+    source lookups on the PAIR table (pair-sized, never corpus-sized)
+    and one tiny groupBy on the source pair."""
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, threshold, num_hashes, bands,
+        max_bucket_size,
+    )
+    src = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("")).alias("_src"),
+    )
+    j = (
+        pairs.join(
+            src.select(F.col(id_col).alias("a"), F.col("_src").alias("_sa")),
+            "a",
+        ).join(
+            src.select(F.col(id_col).alias("b"), F.col("_src").alias("_sb")),
+            "b",
+        )
+    )
+    a_first = F.col("_sa") <= F.col("_sb")
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("_da"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("_db"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("_da").cast("bigint").alias("n_docs_a"),
+            F.countDistinct("_db").cast("bigint").alias("n_docs_b"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
+
+
 def verify_containment_on_candidates(
     df: DataFrame,
     candidates: DataFrame,

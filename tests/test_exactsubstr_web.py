@@ -375,3 +375,72 @@ def test_exactsubstr_decon_rewrite_single_corpus_tokenize(spark, sf_dir):
     ex = entries._jdf.queryExecution().executedPlan().toString()
     assert ex.count("regexp_extract_all") == 1
     assert "EvalPython" not in ex and "InPandas" not in ex
+
+
+def test_interval_algebra_randomized_vs_bruteforce(spark):
+    """Seeded randomized sweep of the interval operators against
+    brute-force position sets — 40 cases batched into ONE job each
+    (case_id rides the doc key), covering overlap/touch/containment/
+    empty-side shapes the hand-written cases can miss."""
+    import random
+
+    rng = random.Random(20260815)
+    rem_rows, prot_rows, expect_sub = [], [], {}
+    gen_rows, expect_mrg = [], {}
+    for case in range(40):
+        # disjoint removal intervals (the _merge_intervals contract)
+        def disjoint(rng, n):
+            out, cur = [], 0
+            for _ in range(n):
+                cur += rng.randint(1, 4)
+                ln = rng.randint(1, 6)
+                out.append((cur, cur + ln))
+                cur += ln
+            return out
+
+        rem = disjoint(rng, rng.randint(0, 4))
+        prot = disjoint(rng, rng.randint(0, 4))
+        rem_rows += [(case, s, e) for s, e in rem]
+        prot_rows += [(case, s, e) for s, e in prot]
+        rpos = {p for s, e in rem for p in range(s, e)}
+        ppos = {p for s, e in prot for p in range(s, e)}
+        keep = sorted(rpos - ppos)
+        exp = []
+        for p in keep:  # positions -> maximal extents
+            if exp and exp[-1][1] == p:
+                exp[-1][1] = p + 1
+            else:
+                exp.append([p, p + 1])
+        expect_sub[case] = [tuple(x) for x in exp]
+        # arbitrary possibly-overlapping intervals for the general merge
+        gen = [
+            (s, s + rng.randint(1, 7))
+            for s in (rng.randint(0, 25) for _ in range(rng.randint(0, 6)))
+        ]
+        gen_rows += [(case, s, e) for s, e in gen]
+        gpos = {p for s, e in gen for p in range(s, e)}
+        exp2, last = [], None
+        for p in sorted(gpos):
+            if exp2 and exp2[-1][1] == p:
+                exp2[-1][1] = p + 1
+            else:
+                exp2.append([p, p + 1])
+        # touching intervals merge in _merge_general_intervals, and the
+        # position-set reconstruction above already merges adjacency
+        expect_mrg[case] = [tuple(x) for x in exp2]
+
+    sch = "doc_id BIGINT, start INT, end INT"
+    rem_df = spark.createDataFrame(rem_rows or [(999, 0, 1)], sch)
+    prot_df = spark.createDataFrame(prot_rows or [(998, 0, 1)], sch)
+    got_sub = {}
+    for r in D._subtract_intervals(rem_df, prot_df, "doc_id").collect():
+        got_sub.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    for case, exp in expect_sub.items():
+        assert sorted(got_sub.get(case, [])) == exp, ("sub", case)
+
+    gen_df = spark.createDataFrame(gen_rows or [(999, 0, 1)], sch)
+    got_mrg = {}
+    for r in D._merge_general_intervals(gen_df, "doc_id").collect():
+        got_mrg.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    for case, exp in expect_mrg.items():
+        assert sorted(got_mrg.get(case, [])) == exp, ("merge", case)

@@ -1255,3 +1255,35 @@ def test_entropy_stats_hand_computed(spark):
     d5 = spark.createDataFrame([(5, "a a b c")], "doc_id BIGINT, text STRING")
     r5 = entropy_stats(d5).collect()[0]
     assert abs(r5["word_entropy"] - 1.5) < 1e-9
+
+
+def test_cross_source_dup_report_normalizes_pairs(spark):
+    """(source_a, source_b) is lexicographically normalized and the doc
+    counts follow the normalization; intra-source rows are the
+    within-mix baseline."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        cross_source_dup_report,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds sing in the tall green trees")
+    rows = [
+        (1, base, "zeta"),
+        (2, base + " extra", "alpha"),       # near-dup across sources
+        (3, base + " more", "alpha"),        # near-dup within alpha too
+        (4, "completely different text with nothing shared here at all "
+            "about engines and parquet files and window functions",
+         "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_dup_report(df, threshold=0.3).collect()
+    }
+    assert ("alpha", "zeta") in out          # normalized, never (zeta, alpha)
+    assert ("zeta", "alpha") not in out
+    x = out[("alpha", "zeta")]
+    # alpha is source_a: its docs count under n_docs_a, doc 1 under b
+    assert x["n_docs_a"] >= 1 and x["n_docs_b"] == 1
+    assert ("alpha", "alpha") in out         # intra-source baseline row
+    assert 0.0 < x["mean_jaccard"] <= 1.0
