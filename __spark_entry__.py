@@ -2201,6 +2201,23 @@ def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed training recipe, end to end with its census
+    (plans/mixing.plan_training_mix, Xue et al. 2021 §3.1): weights ∝
+    char-mass^0.3 (Spark HALF_UP 6dp — never Python banker's round),
+    largest exact-proportion subset via integer bucket thresholds, one
+    row per source with available/kept mass and the ACHIEVED share."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import (
+        mixing as MX,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, census = MX.plan_training_mix(
+        docs, alpha=0.3, weight_unit_col="n_chars"
+    )
+    return census
+
+
 def q_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplication leakage census (MinHash-LSH t=0.2
     pairs rolled up per unordered source pair): two 'independent' mix
@@ -3106,6 +3123,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # fused one-tokenize ExactSubstr+decontamination rewrite
     "curation_cascade_census", "quality_calibration_report",
     "exactsubstr_decon_rewrite", "cross_source_dup_report",
+    "training_mix_census",
     # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
     # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
     # the unchanged r8 siblings domain_report, domain_blocklist_docs,
@@ -3113,7 +3131,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "exactsubstr_rewrite", "exactsubstr_removals",
     "domain_capped_docs",
     "url_dedup_docs",
-    "domain_split_assign", "ann_ivf_trained_topk", "decontaminated_spans",
+    "domain_split_assign", "decontaminated_spans",
     "user_value_ewma", "exactsubstr_dup_stats",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
@@ -3327,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration_report": q_quality_calibration_report,
         "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
         "cross_source_dup_report": q_cross_source_dup_report,
+        "training_mix_census": q_training_mix_census,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -6831,6 +6850,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT doc_id, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 15000
+        """,
+        # the temperature-mix plan's census: weights = ROUND(pow(mass,
+        # 0.3), 6) (HALF_UP both engines), the source_mixed_docs
+        # threshold machinery with COMPUTED weights, kept mass + share
+        "training_mix_census": f"""
+            WITH tmw AS (
+                SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS mass
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY source HAVING SUM(n_chars) > 0),
+            tmwr AS (SELECT source, mass,
+                            ROUND(pow(mass, 0.3), 6) AS weight
+                     FROM tmw),
+            tmt AS (SELECT MIN(mass / weight) AS T FROM tmwr),
+            tmfr AS (SELECT source,
+                            CAST(ROUND(ROUND(weight * T / mass, 6)
+                                       * 1000000, 0) AS BIGINT) AS thr
+                     FROM tmwr, tmt),
+            tmkept AS (
+                SELECT d.source,
+                       CAST(SUM(d.n_chars) AS BIGINT) AS kept_mass
+                FROM documents d JOIN tmfr USING (source)
+                WHERE {_sample_bucket_sql('doc_id', seed='mix|')} < thr
+                GROUP BY d.source),
+            tmtot AS (SELECT CAST(SUM(kept_mass) AS DOUBLE) AS tk
+                      FROM tmkept)
+            SELECT w.source,
+                   CAST(w.mass AS BIGINT) AS avail_mass,
+                   w.weight,
+                   CAST(coalesce(k.kept_mass, 0) AS BIGINT) AS kept_mass,
+                   ROUND(coalesce(k.kept_mass, 0) / tmtot.tk, 6)
+                       AS achieved_share
+            FROM tmwr w LEFT JOIN tmkept k USING (source), tmtot
         """,
         "source_mixed_docs": f"""
             WITH avail AS (

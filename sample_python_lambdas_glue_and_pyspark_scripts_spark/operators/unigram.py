@@ -281,10 +281,13 @@ def unigram_encode(
     array<string>, n_pieces)``; characters unseen in training take the
     ``UNK_LOGP`` floor so every document is segmentable. The model is
     a bounded artifact: collected once, broadcast into the Arrow-batch
-    segmenter."""
+    segmenter. The id column keeps its INPUT dtype (the empty-schema
+    lesson of ``ewma_state.read_ewma``: a hardcoded id type would hand
+    string-keyed corpora a silently different schema)."""
     mrows = model.select("piece", "logprob").collect()
     logp = {r["piece"]: float(r["logprob"]) for r in mrows}
     max_len = max((len(p) for p in logp), default=1)
+    id_type = dict(df.dtypes)[id_col]
     spark = df.sparkSession
     b = spark.sparkContext.broadcast((logp, max_len))
 
@@ -311,7 +314,7 @@ def unigram_encode(
         F.coalesce(_c(text_col), F.lit("")).alias("__text"),
     )
     enc = src.mapInPandas(
-        gen, "__id long, __toks array<string>, __n long"
+        gen, f"__id {id_type}, __toks array<string>, __n long"
     )
     return enc.select(
         F.col("__id").alias(id_col),
