@@ -2201,6 +2201,16 @@ def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST winnowing (Schleimer §5): per window keep the min gram
+    hash but re-select the previous selection while it stays minimal
+    in-window — repetitive runs contribute one fingerprint per ~w
+    windows instead of one per window, same w+k−1 VALUE guarantee.
+    Sequential tie rule = one map-side F.aggregate fold per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.robust_winnow_fingerprints(docs, k=4, w=4)
+
+
 def q_training_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed training recipe, end to end with its census
     (plans/mixing.plan_training_mix, Xue et al. 2021 §3.1): weights ∝
@@ -3123,7 +3133,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # fused one-tokenize ExactSubstr+decontamination rewrite
     "curation_cascade_census", "quality_calibration_report",
     "exactsubstr_decon_rewrite", "cross_source_dup_report",
-    "training_mix_census",
+    "training_mix_census", "robust_winnow_fingerprints",
     # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
     # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
     # the unchanged r8 siblings domain_report, domain_blocklist_docs,
@@ -3138,7 +3148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # quality-ranked survivorship (longest member per dup cluster),
     # the Matryoshka prefix-truncation serve recall gate, and Bloom-
     # prefiltered decontamination (identity oracle)
-    "ann_ivfpq_residual_topk", "dedup_canonical_docs",
+    "dedup_canonical_docs",
     "ann_truncated_recall", "decontaminated_docs_bloom",
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
@@ -3346,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
         "cross_source_dup_report": q_cross_source_dup_report,
         "training_mix_census": q_training_mix_census,
+        "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -5016,6 +5027,57 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"""
             WITH {_WINNOW_CTES}
             SELECT doc_id, pos, h AS fp FROM wfp
+        """,
+        # robust winnowing (Schleimer §5): the sequential tie rule is a
+        # list_reduce fold per doc over the gram-hash list. DuckDB 1.0
+        # list_reduce has no initial value (prepend the init struct as
+        # element 0) and LOSES appends to a nested LIST inside a struct
+        # accumulator (verified: {'sel': [..]} resets per step), so the
+        # selections accumulate in a delimited VARCHAR instead and split
+        # back to rows at the end. The window slice expression repeats
+        # because lambdas cannot bind locals.
+        "robust_winnow_fingerprints": f"""
+            WITH {_WINNOW_CTES},
+            rwg AS (SELECT doc_id, list(h ORDER BY pos) AS ghs
+                    FROM grams GROUP BY doc_id),
+            rwf AS (
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(
+                    {{'sel': '', 'prev': -1}},
+                    list_transform(
+                      list_transform(ghs, (x, i) -> CAST(i AS INTEGER))
+                        [1 : greatest(len(ghs) - 3, 1)],
+                      j -> {{'sel': '', 'prev': j}})),
+                  (acc, x) -> CASE
+                    WHEN acc.prev >= x.prev AND acc.prev <= x.prev + 3
+                         AND ghs[acc.prev] = list_min(
+                             ghs[x.prev : least(x.prev + 3, len(ghs))])
+                    THEN acc
+                    ELSE {{'sel': acc.sel || ','
+                             || CAST(x.prev
+                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
+                                  - list_position(
+                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
+                                  AS VARCHAR)
+                             || ':' || list_min(
+                                  ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                          'prev': CAST(x.prev
+                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
+                                  - list_position(
+                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
+                                  AS INTEGER)}}
+                    END).sel AS sel
+              FROM rwg)
+            SELECT DISTINCT doc_id,
+                   CAST(string_split(e, ':')[1] AS INTEGER) AS pos,
+                   string_split(e, ':')[2] AS fp
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split(sel, ','),
+                                            s -> s <> '')) AS e
+                  FROM rwf)
         """,
         "pq_codebooks": f"""
             WITH {_pq_ctes(PQ_M_SUB, 16, PQ_K_CODES)}

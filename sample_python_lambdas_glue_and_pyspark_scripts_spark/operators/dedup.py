@@ -1685,6 +1685,126 @@ def winnow_fingerprints(
     )
 
 
+def robust_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """ROBUST winnowing (Schleimer, Wilkerson & Aiken §5 — the variant
+    :func:`winnow_fingerprints`'s docstring declines): per window,
+    select the minimum gram hash, but break ties by RE-SELECTING the
+    previous window's selection when it is still a minimal hash of this
+    window — so long repetitive runs contribute ONE fingerprint
+    instead of one per window, at the same w+k-1 shared-run guarantee.
+    Falls back to the rightmost minimal hash when the previous
+    selection is not available. Output matches the standard variant:
+    ``(id_col, pos, fp)`` with 1-based gram positions and 30-hex-char
+    (120-bit) md5-prefix fingerprints.
+
+    Plan shape: the same three staged projections as the standard
+    variant, except selection is a SINGLE sequential fold over window
+    indices (``F.aggregate`` carrying (selected list, prev position))
+    — the tie rule is a dependency chain across windows, so per-window
+    independent minima cannot express it. Still entirely map-side, one
+    explode, no Python; O(G·w) per doc with constant w."""
+    kk, ww = int(k), int(w)
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(WORD_REGEX),
+            0,
+        ).alias("_rw_toks"),
+    )
+    toks = F.col("_rw_toks")
+    n_grams = F.greatest(F.size(toks) - (kk - 1), F.lit(1))
+    staged = staged.select(
+        F.col(id_col),
+        F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, kk))), 1, 30
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_rw_gh"),
+    )
+    gh = F.col("_rw_gh")
+    n_wins = F.greatest(F.size(gh) - (ww - 1), F.lit(1))
+    # per-window rightmost minimum, as in the standard variant
+    zero_min = F.struct(
+        F.lit("~").alias("h"), F.lit(-1).cast("int").alias("p")
+    )
+
+    def _win_min(j):
+        return F.aggregate(
+            F.sequence(j, F.least(j + (ww - 1), F.size(gh))),
+            zero_min,
+            lambda acc, p: F.when(
+                F.element_at(gh, p) <= acc["h"],
+                F.struct(
+                    F.element_at(gh, p).alias("h"), p.cast("int").alias("p")
+                ),
+            ).otherwise(acc),
+        )
+
+    sel_zero = F.struct(
+        F.array()
+        .cast("array<struct<p:int,h:string>>")
+        .alias("sel"),
+        F.lit(-1).cast("int").alias("prev"),
+    )
+
+    def _step(acc, j):
+        wmin = _win_min(j)
+        keep_prev = (
+            (acc["prev"] >= j)
+            & (acc["prev"] <= j + (ww - 1))
+            & (F.element_at(gh, acc["prev"]) == wmin["h"])
+        )
+        return F.when(keep_prev, acc).otherwise(
+            F.struct(
+                F.concat(
+                    acc["sel"],
+                    F.array(
+                        F.struct(
+                            wmin["p"].alias("p"), wmin["h"].alias("h")
+                        )
+                    ),
+                ).alias("sel"),
+                wmin["p"].alias("prev"),
+            )
+        )
+
+    selected = staged.select(
+        F.col(id_col),
+        F.when(
+            F.size(gh) > 0,
+            F.array_distinct(
+                F.aggregate(
+                    F.sequence(F.lit(1), n_wins),
+                    sel_zero,
+                    _step,
+                    lambda acc: acc["sel"],
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+        .alias("_rw_sel"),
+    )
+    ex = selected.select(F.col(id_col), F.explode_outer("_rw_sel").alias("s"))
+    return ex.filter(F.col("s").isNotNull()).select(
+        F.col(id_col),
+        F.col("s.p").alias("pos"),
+        F.col("s.h").alias("fp"),
+    )
+
+
 def winnow_matches(
     df: DataFrame,
     text_col: str = "text",

@@ -519,3 +519,82 @@ def test_ivfpq_encoding_gate_picks_flat_on_isotropic_data(spark, sf_dir):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+# --- robust winnowing (Schleimer §5) ------------------------------------------
+
+
+def _py_robust_winnow(text, k=4, w=4):
+    """Independent reference: per window keep the min hash, re-select
+    the previous selection on ties when it is still minimal in-window,
+    else rightmost minimal (0-based internally, 1-based output)."""
+    toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+    if not toks:
+        return set()
+    n_grams = max(len(toks) - (k - 1), 1)
+    ghs = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:30]
+        for i in range(n_grams)
+    ]
+    out, prev = set(), -1
+    for j in range(max(n_grams - (w - 1), 1)):
+        window = ghs[j:j + w]
+        mn = min(window)
+        if j <= prev <= j + w - 1 and ghs[prev] == mn:
+            continue
+        off = max(i for i, h in enumerate(window) if h == mn)
+        prev = j + off
+        out.add((prev + 1, mn))
+    return out
+
+
+def test_robust_winnow_matches_python_reference(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "short one"),
+        (2, "a b a b a b a b a b a b"),   # heavy repetition -> ties
+        (3, None),
+        (4, ""),
+        (5, "one two three four"),
+        (6, "x y " + "ro bust win now " * 12 + "tail words here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {}
+    for r in D.robust_winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _py_robust_winnow(text), doc_id
+
+
+def test_robust_winnow_is_sparser_on_repetitive_text(spark):
+    rep = "spark " * 60  # one gram repeated everywhere -> all ties
+    df = spark.createDataFrame([(0, rep)], "doc_id bigint, text string")
+    rob = D.robust_winnow_fingerprints(df, k=4, w=4)
+    robust = rob.count()
+    standard = D.winnow_fingerprints(df, k=4, w=4).count()
+    # standard re-selects the rightmost min EVERY window (one row per
+    # window); robust keeps the previous selection while it stays in
+    # the window, so it records ~1 per w windows — the §5 density win
+    assert robust < standard
+    assert robust * (4 - 1) <= standard
+    assert rob.select("fp").distinct().count() == 1  # one gram VALUE
+
+
+def test_robust_winnow_value_guarantee_and_plan(spark, sf_dir):
+    # the VALUE-level guarantee survives the tie rule: every window's
+    # minimal hash value lands in the fingerprint set, so a shared
+    # >= w+k-1 run still shares a fingerprint VALUE across docs
+    run = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(0, "xx yy " + run + " zz"), (1, "other start here " + run)],
+        "doc_id bigint, text string",
+    )
+    fps = D.robust_winnow_fingerprints(df, k=4, w=4)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 0).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    assert a & b
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = D.robust_winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert ex.count("regexp_extract_all") == 1
+    assert "EvalPython" not in ex and "InPandas" not in ex
