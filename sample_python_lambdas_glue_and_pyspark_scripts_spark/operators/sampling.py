@@ -175,6 +175,63 @@ def pack_sequences(
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
+def pack_manifest(
+    packed: DataFrame,
+    shard_col: str = "shard",
+    order_col: str = "pos",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataloader-facing manifest of a :func:`pack_sequences` result:
+    one row per ``(shard, pack_id)`` with the ordered member docs and
+    their token OFFSETS inside the packed sequence — exactly what a
+    cross-document attention mask needs (tokens at positions
+    ``[offsets[i], offsets[i] + token_counts[i])`` belong to
+    ``member_ids[i]``; attention must not cross those boundaries).
+
+    Returns ``(shard_col, pack_id, n_docs, total_tokens, member_ids
+    array, token_counts array, offsets array)`` — offsets are the
+    exclusive prefix sums of the member token counts in ``order_col``
+    order (first offset 0).
+
+    One keyed shuffle on (shard, pack_id); the offset prefix sum runs
+    inside the collected per-pack array (packs are budget-bounded, so
+    the array is small by construction), never as a window."""
+    members = packed.groupBy(shard_col, "pack_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(id_col).alias("i"),
+                    F.col(tokens_col).cast("bigint").alias("t"),
+                )
+            )
+        ).alias("_m")
+    )
+    m = F.col("_m")
+    counts = F.transform(m, lambda x: x["t"])
+    # exclusive prefix sum: offsets[i] = sum of counts[0..i-1]
+    offsets = F.transform(
+        F.sequence(F.lit(1), F.size(m)),
+        lambda i: F.aggregate(
+            F.slice(counts, 1, i - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    return members.select(
+        shard_col,
+        "pack_id",
+        F.size(m).cast("bigint").alias("n_docs"),
+        F.aggregate(
+            counts, F.lit(0).cast("bigint"), lambda a, t: a + t
+        ).alias("total_tokens"),
+        F.transform(m, lambda x: x["i"]).alias("member_ids"),
+        counts.alias("token_counts"),
+        offsets.alias("offsets"),
+    )
+
+
 def split_dataset(
     df: DataFrame,
     key_col: str,

@@ -519,3 +519,38 @@ def test_cap_per_group_salted_equals_plain(spark):
                     hot_min_rows=100).collect())
             )
             assert routed == plain, (n, desc, "routed")
+
+
+def test_pack_manifest_offsets_and_boundaries(spark):
+    """Manifest offsets are exclusive prefix sums in pack order; every
+    pack's members and totals agree with the packed rows."""
+    rows = [
+        # shard, pos, doc_id, n_tokens  (budget 10: packs [7,3], [9], [12])
+        (0, 0, 100, 7), (0, 1, 101, 3), (0, 2, 102, 9), (0, 3, 103, 12),
+        (1, 0, 200, 5), (1, 1, 201, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard INT, pos INT, doc_id BIGINT, n_tokens INT"
+    )
+    packed = sampling.pack_sequences(df, budget_tokens=10)
+    man = {
+        (r["shard"], r["pack_id"]): r
+        for r in sampling.pack_manifest(packed).collect()
+    }
+    p00 = man[(0, 0)]
+    assert list(p00["member_ids"]) == [100, 101]
+    assert list(p00["token_counts"]) == [7, 3]
+    assert list(p00["offsets"]) == [0, 7]
+    assert p00["total_tokens"] == 10 and p00["n_docs"] == 2
+    assert list(man[(0, 1)]["member_ids"]) == [102]
+    # an over-budget single doc still gets its own manifest row
+    assert man[(0, 2)]["total_tokens"] == 12
+    p10 = man[(1, 0)]
+    assert list(p10["offsets"]) == [0, 5] and p10["total_tokens"] == 10
+    # global invariant: every offset equals the prefix sum of counts
+    for r in man.values():
+        acc = 0
+        for off, t in zip(r["offsets"], r["token_counts"]):
+            assert off == acc
+            acc += t
+        assert acc == r["total_tokens"]
