@@ -114,24 +114,31 @@ def exactsubstr_admit(
         .filter(F.col("c") >= 2)
         .localCheckpoint(eager=False)
     )
-    removal_keys = stats.select("g1", "g2")
     protect_sites = stats.select(
         "g1", "g2",
         F.col(f"first_site.{id_col}").alias(id_col),
         F.col("first_site.pos").alias("pos"),
     )
+    # removal sites: batch-dup anchors and the historical anchors probe
+    # the sites SEPARATELY (two semi joins, each site-sized output) —
+    # never union+distinct the corpus-sized anchor state into a batch
+    # key set, which would shuffle the whole history per batch; the
+    # hist probe stays a plain keyed join the persisted state can
+    # co-locate by bucketing on (g1, g2)
+    removal_sites = sites.join(
+        stats.select("g1", "g2"), ["g1", "g2"], "left_semi"
+    ).select(id_col, "pos")
     if hist_anchors is not None:
-        removal_keys = removal_keys.unionByName(
-            hist_anchors.select("g1", "g2")
-        ).distinct()
+        removal_sites = removal_sites.unionByName(
+            sites.join(hist_anchors, ["g1", "g2"], "left_semi").select(
+                id_col, "pos"
+            )
+        )
         # a batch-first window whose gram is historical is NOT protected
         # (history holds the true first occurrence)
         protect_sites = protect_sites.join(
             hist_anchors, ["g1", "g2"], "left_anti"
         )
-    removal_sites = sites.join(removal_keys, ["g1", "g2"], "left_semi").select(
-        id_col, "pos"
-    )
     protect_sites = protect_sites.select(id_col, "pos")
 
     removal = _merge_intervals(removal_sites.distinct(), id_col, L)
