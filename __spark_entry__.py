@@ -2201,6 +2201,17 @@ def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 — the regime where the
+    4-byte banding is pigeonhole-EXACT (any pair within hamming 3
+    shares an untouched byte band, so candidate recall is 1.0 and the
+    bit_count(xor) verify makes the result exact, not approximate).
+    Completes the SimHash family's oracle story: signatures were
+    contract-proven since r3, the PAIRS were test-pinned only."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
 def q_robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST winnowing (Schleimer §5): per window keep the min gram
     hash but re-select the previous selection while it stays minimal
@@ -3134,6 +3145,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "curation_cascade_census", "quality_calibration_report",
     "exactsubstr_decon_rewrite", "cross_source_dup_report",
     "training_mix_census", "robust_winnow_fingerprints",
+    "simhash_near_pairs",
     # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
     # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
     # the unchanged r8 siblings domain_report, domain_blocklist_docs,
@@ -3149,7 +3161,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # the Matryoshka prefix-truncation serve recall gate, and Bloom-
     # prefiltered decontamination (identity oracle)
     "dedup_canonical_docs",
-    "ann_truncated_recall", "decontaminated_docs_bloom",
+    "decontaminated_docs_bloom",
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
@@ -3357,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_report": q_cross_source_dup_report,
         "training_mix_census": q_training_mix_census,
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
@@ -5478,6 +5491,25 @@ def oracle_sql() -> dict[str, str]:
               AND ABS(ROUND((e.value - s.mu) / s.sd, 6)) >= 2.5
         """,
         "simhash_signatures": _simhash_oracle(bits=32),
+        # 4-byte banding + exact hamming verify; <= 3 is the pigeonhole-
+        # exact regime (4 bands, 3 flipped bits cannot touch them all)
+        "simhash_near_pairs": f"""
+            WITH shsigs AS (SELECT * FROM ({_simhash_oracle(bits=32)}) z),
+            shb AS (SELECT doc_id, simhash,
+                           unnest(generate_series(0, 3)) AS band_id
+                    FROM shsigs),
+            shbb AS (SELECT doc_id, simhash, band_id,
+                            (simhash >> (8 * band_id)) & 255 AS band_val
+                     FROM shb),
+            shcand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                       l.simhash AS sa, r.simhash AS sb
+                FROM shbb l JOIN shbb r
+                  ON l.band_id = r.band_id AND l.band_val = r.band_val
+                 AND l.doc_id < r.doc_id)
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM shcand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT * FROM e WHERE vec_id < 5),
