@@ -1879,7 +1879,9 @@ def winnow_matches(
 # coverage marking — no suffix array, no candidate-pair explosion:
 #
 # 1. every L-token window (stride 1 — EXACT recall at the threshold) hashes
-#    to a 60-bit anchor, map-side;
+#    to a 120-bit md5 key pair (``_hash120_cols``: two flat bigints from
+#    hex chars 1-15/16-30 of ONE md5), map-side — 60 bits collide at
+#    2x10^13 anchors (silent false removal at 100 TB), 120 bits don't;
 # 2. ONE keyed aggregate per anchor computes (occurrence count, first site)
 #    — partial-aggregatable, so the hot anchors this operator exists to
 #    kill collapse map-side instead of flooding a reducer;
@@ -1912,20 +1914,12 @@ def _merge_intervals(
     sites: DataFrame,
     id_col: str,
     min_tokens: int,
-    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Union the fixed-length windows ``[pos, pos + L)`` per doc into
     disjoint maximal intervals ``(id_col, start, end)`` (end exclusive):
     sort by pos within the doc, a window starts a new interval iff its
-    pos exceeds the running max end of everything before it.
-
-    ``extra_keys`` adds partition columns (carried through to the
-    output): merging removal AND protection coverage in ONE window
-    pass over a ``_first``-flagged site frame, instead of two filtered
-    passes whose shared upstream join/aggregate subtrees Catalyst does
-    not reuse across branches (measured 2× the whole removal pipeline
-    at the 64× sweep)."""
-    keys = [id_col, *extra_keys]
+    pos exceeds the running max end of everything before it."""
+    keys = [id_col]
     w = Window.partitionBy(*keys).orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(min_tokens)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

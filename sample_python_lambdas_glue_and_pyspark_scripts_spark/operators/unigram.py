@@ -194,7 +194,12 @@ def _estep_counts(
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    return {r["piece"]: int(r["cnt"]) for r in agg.collect()}
+    try:
+        return {r["piece"]: int(r["cnt"]) for r in agg.collect()}
+    finally:
+        # one broadcast per EM iteration — release it or repeated
+        # unigram_train rounds accumulate driver/executor state
+        b.unpersist()
 
 
 def _mstep(counts: dict, inventory: list) -> dict:

@@ -65,6 +65,27 @@ def _read_anchors(
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return None
+    # guard against a pre-120-bit state dir (single 'g BIGINT' column):
+    # forcing the new schema onto it would read NULL g1/g2 and the
+    # history semi join would silently match NOTHING — previously-seen
+    # content would be re-admitted unrewritten. Fail loudly instead.
+    found = set(
+        spark.read.parquet(f"{work_dir}/anchors").columns
+    )
+    if "g" in found and "g1" not in found:
+        raise ValueError(
+            "exactsubstr_intake: legacy 60-bit anchor state at "
+            f"{work_dir}/anchors (column 'g'); the 120-bit key pair "
+            "(g1, g2) cannot be derived from it. Rebuild the anchor "
+            "state by replaying the source epochs (the md5 inputs are "
+            "not recoverable from the old hashes)."
+        )
+    if not {"g1", "g2"}.issubset(found):
+        raise ValueError(
+            "exactsubstr_intake: anchor state at "
+            f"{work_dir}/anchors has columns {sorted(found)}; "
+            "expected (g1, g2, batch_id)."
+        )
     return (
         spark.read.schema(_ANCHOR_SCHEMA)
         .parquet(f"{work_dir}/anchors")

@@ -120,3 +120,30 @@ def test_streaming_end_to_end(spark, workdir):
     assert kept[1]["n_removed"] == 0
     assert kept[10]["n_removed"] == 30
     assert kept[10]["text_dedup"] == "fresh tail of unique words"
+
+
+def test_legacy_60bit_anchor_state_fails_loudly(spark, workdir):
+    # a pre-120-bit state dir has a single 'g BIGINT' column; reading
+    # it under the new schema would yield NULL g1/g2 and the history
+    # semi join would silently admit previously-seen content
+    spark.createDataFrame(
+        [(12345, "0")], "g BIGINT, batch_id STRING"
+    ).write.mode("overwrite").parquet(f"{workdir}/anchors")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.exactsubstr_intake import (
+        _read_anchors,
+    )
+
+    with pytest.raises(ValueError, match="legacy 60-bit"):
+        _read_anchors(spark, workdir, 1)
+
+
+def test_unrecognized_anchor_state_fails_loudly(spark, workdir):
+    spark.createDataFrame(
+        [(1, "0")], "weird BIGINT, batch_id STRING"
+    ).write.mode("overwrite").parquet(f"{workdir}/anchors")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.exactsubstr_intake import (
+        _read_anchors,
+    )
+
+    with pytest.raises(ValueError, match="expected"):
+        _read_anchors(spark, workdir, 1)
