@@ -2249,6 +2249,54 @@ def q_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cross_source_dup_report(docs, threshold=0.2)
 
 
+def q_c4_line_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2,
+    ``text.c4_line_filter``): keep lines ending in terminal punctuation
+    with >= 3 words and no 'javascript'; drop docs with < 2 surviving
+    lines, < 50% line retention, 'lorem ipsum', or a curly brace.
+    The corpus has no newlines, so the query synthesizes lines
+    DETERMINISTICALLY on both engines: every ' line' token becomes
+    '.\\n' (terminal punct + line break), then rule-trigger lines are
+    appended by doc_id residue (lorem %17, brace %23, javascript %13).
+    Pure map-side split→filter→re-join; flags cast to int (the
+    gopher_quality_flags boolean precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t2 = F.concat(
+        F.replace(t, F.lit(" line"), F.lit(".\n")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum dolor sit."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("\nvar x = {1};"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nthis javascript aside ends well."),
+        ).otherwise(F.lit("")),
+    )
+    prep = docs.select("doc_id", "source", t2.alias("text"))
+    out = TX.c4_line_filter(
+        prep, min_kept_lines=2, min_kept_frac=0.5
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept_lines").cast("int").alias("n_kept_lines"),
+        "kept_frac",
+        *[
+            F.col(r).cast("int").alias(r)
+            for r in (
+                "rule_min_lines",
+                "rule_kept_frac",
+                "rule_no_blockdoc",
+                "rule_no_brace",
+                "keep",
+            )
+        ],
+        "text_clean",
+    )
+
+
 def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier calibration: precision/recall of every Gopher
     rule (and the conjunction) and of a train-split-fit logistic
@@ -3138,6 +3186,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2)
+    "c4_line_filtered_docs",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3369,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_report": q_cross_source_dup_report,
         "training_mix_census": q_training_mix_census,
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
+        "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -6410,6 +6461,62 @@ def oracle_sql() -> dict[str, str]:
                         AND rule_symbol_ratio = 1 AND rule_alpha_words = 1
                         AND rule_stopwords = 1 AND rule_blocklist = 1
                         AS INTEGER) AS keep
+            FROM r
+        """,
+        "c4_line_filtered_docs": """
+            WITH base AS (
+                SELECT doc_id, source, coalesce(text, '') AS t
+                FROM documents),
+            prep AS (
+                SELECT doc_id, source,
+                       replace(t, ' line', '.' || chr(10))
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 23 = 0
+                               THEN chr(10) || 'var x = {1};'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'this javascript aside ends well.'
+                               ELSE '' END AS t3
+                FROM base),
+            flt AS (
+                SELECT doc_id, source, t3,
+                       string_split(t3, chr(10)) AS ls,
+                       list_filter(string_split(t3, chr(10)),
+                           x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+                                AND len(list_filter(string_split(x, ' '),
+                                        w -> w <> '')) >= 3
+                                AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM prep),
+            s AS (
+                SELECT doc_id, source, t3,
+                       CAST(len(ls) AS INTEGER) AS n_lines,
+                       CAST(len(kept) AS INTEGER) AS n_kept_lines,
+                       ROUND(len(kept) / greatest(len(ls), 1), 6)
+                           AS kept_frac,
+                       -- DuckDB array_to_string is NULL on an empty
+                       -- list; Spark array_join gives '' — align
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS text_clean
+                FROM flt),
+            r AS (
+                SELECT *,
+                       CAST(n_kept_lines >= 2 AS INTEGER) AS rule_min_lines,
+                       CAST(kept_frac >= 0.5 AS INTEGER) AS rule_kept_frac,
+                       CAST(NOT contains(lower(t3), 'lorem ipsum')
+                            AS INTEGER) AS rule_no_blockdoc,
+                       CAST(NOT (contains(t3, '{') OR contains(t3, '}'))
+                            AS INTEGER) AS rule_no_brace
+                FROM s)
+            SELECT doc_id, source, n_lines, n_kept_lines, kept_frac,
+                   rule_min_lines, rule_kept_frac, rule_no_blockdoc,
+                   rule_no_brace,
+                   CAST(rule_min_lines = 1 AND rule_kept_frac = 1
+                        AND rule_no_blockdoc = 1 AND rule_no_brace = 1
+                        AS INTEGER) AS keep,
+                   text_clean
             FROM r
         """,
         "decontaminated_docs": f"""

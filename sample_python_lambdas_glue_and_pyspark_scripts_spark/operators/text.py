@@ -875,6 +875,116 @@ def gopher_rules(
     return out
 
 
+# C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2).
+C4_TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+C4_DOC_BLOCKLIST: tuple[str, ...] = ("lorem ipsum",)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_line_words: int = 3,
+    terminal_punct: tuple[str, ...] = C4_TERMINAL_PUNCT,
+    line_blockwords: tuple[str, ...] = ("javascript",),
+    min_kept_lines: int = 5,
+    min_kept_frac: float = 0.0,
+    doc_blocklist: tuple[str, ...] = C4_DOC_BLOCKLIST,
+    drop_brace_docs: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    first stage of the most-cited published pipeline, absent from the
+    doc-granular ``gopher_rules``. Splits the document on ``line_sep``,
+    keeps a line iff it
+
+    - ends (after right-trim) in one of ``terminal_punct`` (period,
+      exclamation, question mark, end quote — the paper's set),
+    - has at least ``min_line_words`` whitespace-separated words,
+    - contains none of ``line_blockwords`` (paper: the word
+      "javascript"),
+
+    re-joins survivors with ``line_sep`` into ``text_clean``, and emits
+    per-doc verdict columns in the ``gopher_rules`` style (flags, not a
+    filter — rule-level pass rates drive threshold tuning):
+
+    - ``n_lines`` / ``n_kept_lines`` / ``kept_frac`` (6dp-rounded),
+    - ``rule_min_lines``: ``n_kept_lines >= min_kept_lines`` (paper:
+      "discarded any page with fewer than 5 sentences", sentences
+      approximated by kept lines),
+    - ``rule_kept_frac``: ``kept_frac >= min_kept_frac`` (the "lost
+      too much" guard; default 0.0 = off),
+    - ``rule_no_blockdoc``: no ``doc_blocklist`` phrase in the ORIGINAL
+      text (paper: "lorem ipsum"), case-insensitive,
+    - ``rule_no_brace``: no curly bracket in the original text (paper:
+      code marker; ``drop_brace_docs=False`` forces it true),
+    - ``keep``: the conjunction.
+
+    Pure map-side projection (split → higher-order filter → re-join,
+    whole-stage codegen, zero shuffles) so it composes with scan
+    pushdown and runs at 100 TB as a free pass over the corpus. NULL
+    text behaves as empty (one empty line, nothing kept). The kept-frac
+    ratio is rounded to 6dp and compared on the rounded value
+    (CLAUDE.md parity kit) so the kept set is engine-exact.
+
+    Reference scope note: the reference engine is row/CSV-granular
+    (SURVEY.md §1.1) — this belongs to the training-data extension
+    surface next to ``gopher_rules`` / ``span_dedup``.
+    """
+    if int(min_line_words) < 0 or int(min_kept_lines) < 0:
+        raise ValueError("c4_line_filter: thresholds must be >= 0")
+    c = F.coalesce(_c(text_col), F.lit(""))
+    punct = [F.lit(p) for p in terminal_punct]
+
+    def _line_keep(x: Column) -> Column:
+        trimmed = F.rtrim(x)
+        last = trimmed.substr(F.length(trimmed), F.lit(1))
+        n_words = F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+        keep = last.isin(*punct) & (n_words >= int(min_line_words))
+        low = F.lower(x)
+        for word in line_blockwords:
+            keep = keep & ~low.contains(F.lit(word))
+        return keep
+
+    # materialize the split array, then the filtered array, each in its
+    # own projection: Catalyst does not CSE across nested higher-order
+    # functions (CLAUDE.md), and n_kept/text_clean/kept_frac all read
+    # the filtered array.
+    staged = df.withColumn("_c4l", F.split(c, line_sep, -1)).withColumn(
+        "_c4k", F.filter(F.col("_c4l"), _line_keep)
+    )
+    n_lines = F.size(F.col("_c4l"))
+    n_kept = F.size(F.col("_c4k"))
+    kept_frac = F.round(n_kept / F.greatest(n_lines, F.lit(1)), 6)
+    low_doc = F.lower(c)
+    no_blockdoc = F.lit(True)
+    for phrase in doc_blocklist:
+        no_blockdoc = no_blockdoc & ~low_doc.contains(F.lit(phrase))
+    no_brace = (
+        ~c.contains(F.lit("{")) & ~c.contains(F.lit("}"))
+        if drop_brace_docs
+        else F.lit(True)
+    )
+    rules = {
+        "rule_min_lines": n_kept >= int(min_kept_lines),
+        "rule_kept_frac": kept_frac >= float(min_kept_frac),
+        "rule_no_blockdoc": no_blockdoc,
+        "rule_no_brace": no_brace,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return staged.select(
+        *[x for x in df.columns],
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        kept_frac.alias("kept_frac"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+        F.array_join(F.col("_c4k"), line_sep).alias("text_clean"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
