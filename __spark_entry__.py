@@ -2297,6 +2297,50 @@ def q_c4_line_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: dHash (perceptual difference hash) over
+    fake-decoded frames, 8 row-byte LSH bands, bit_count(xor) verify —
+    the simhash_pairs machinery extended to the image/video columns.
+    PIGEONHOLE-EXACT at max_hamming=7 (a pair differing in <= 7 bits
+    leaves >= 1 of the 8 bands intact). Frames: one per image doc
+    (doc_id % 3 = 0, the media_from_documents kind rule); every fifth
+    image also gets a one-pixel-perturbed variant (media_id + 10^6,
+    pixel 3 of row 7 forced to 00) — a genuine near-dup at hamming <= 2
+    since one pixel feeds only its two adjacent comparisons."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(0).alias("frame_idx"),
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")).alias(
+            "frame_hash"
+        ),
+    ).withColumn("_px", MM.fake_pixel_rows("frame_hash"))
+    variants = base.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + F.lit(1000000)).alias("media_id"),
+        "frame_idx",
+        "frame_hash",
+        F.transform(
+            F.col("_px"),
+            lambda x, i: F.when(
+                i == 7,
+                F.concat(
+                    F.substring(x, 1, 6), F.lit("00"), F.substring(x, 9, 10)
+                ),
+            ).otherwise(x),
+        ).alias("_px"),
+    )
+    frames = MM.frame_dhash(
+        base.unionByName(variants), rows_col="_px"
+    )
+    return DD.dhash_near_pairs(frames, max_hamming=7).select(
+        "a_media_id",
+        F.col("a_frame_idx").cast("int").alias("a_frame_idx"),
+        "b_media_id",
+        F.col("b_frame_idx").cast("int").alias("b_frame_idx"),
+        "hamming",
+    )
+
+
 def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier calibration: precision/recall of every Gopher
     rule (and the conjunction) and of a train-split-fit logistic
@@ -3187,7 +3231,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2)
-    "c4_line_filtered_docs",
+    # and dHash multimodal near-dup (pigeonhole-exact hamming<=7)
+    "c4_line_filtered_docs", "frame_near_dup_pairs",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3420,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_census": q_training_mix_census,
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
+        "frame_near_dup_pairs": q_frame_near_dup_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -3612,6 +3658,18 @@ def _kmeans_ctes(k: int = 4) -> str:
 # shared shingling CTE prefix: toks → distinct word-3-gram shingles →
 # exploded shingles + per-doc sizes (single definition for both the exact
 # Jaccard oracle and the MinHash-LSH oracle)
+def _dhash_byte_sql(var: str = "x") -> str:
+    """dHash row byte: bit c set iff pixel c (hex chars 2c+1..2c+2,
+    fixed-width lowercase hex — lexicographic = numeric) beats pixel
+    c+1. Mirrors multimodal.dhash_from_rows exactly."""
+    terms = [
+        f"CASE WHEN substr({var},{2 * c + 1},2) > substr({var},{2 * c + 3},2)"
+        f" THEN {2 ** c} ELSE 0 END"
+        for c in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _shingle_ctes() -> str:
     return f"""
         toks AS (
@@ -6518,6 +6576,61 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS keep,
                    text_clean
             FROM r
+        """,
+        "frame_near_dup_pairs": f"""
+            WITH imgs AS (
+                SELECT doc_id AS media_id, 0 AS frame_idx,
+                       md5(coalesce(text, '')) AS fh
+                FROM documents WHERE doc_id % 3 = 0),
+            px0 AS (
+                SELECT media_id, frame_idx,
+                       [{", ".join(f"substr(md5(fh || '|p{r}'), 1, 18)" for r in range(8))}]
+                           AS px
+                FROM imgs),
+            allpx AS (
+                SELECT media_id, frame_idx, px FROM px0
+                UNION ALL
+                SELECT media_id + 1000000, frame_idx,
+                       list_transform(px, (x, i) ->
+                           CASE WHEN i = 8
+                                THEN substr(x, 1, 6) || '00' || substr(x, 9, 10)
+                                ELSE x END)
+                FROM px0 WHERE media_id % 5 = 0),
+            byt AS (
+                SELECT media_id, frame_idx,
+                       list_transform(px, x -> CAST({_dhash_byte_sql("x")} AS BIGINT))
+                           AS bands
+                FROM allpx),
+            sig AS (
+                SELECT media_id, frame_idx, bands,
+                       bands[1] + bands[2]*256 + bands[3]*65536
+                           + bands[4]*16777216 AS sig_hi,
+                       bands[5] + bands[6]*256 + bands[7]*65536
+                           + bands[8]*16777216 AS sig_lo
+                FROM byt),
+            banded AS (
+                SELECT media_id, frame_idx, sig_hi, sig_lo,
+                       u.band_id AS band_id, u.band_val AS band_val
+                FROM sig, unnest(list_transform(bands,
+                    (b, i) -> {{'band_id': i - 1, 'band_val': b}})) AS t(u)),
+            cand AS (
+                SELECT DISTINCT
+                       l.media_id AS a_media_id, l.frame_idx AS a_frame_idx,
+                       r.media_id AS b_media_id, r.frame_idx AS b_frame_idx,
+                       l.sig_hi AS hi_a, l.sig_lo AS lo_a,
+                       r.sig_hi AS hi_b, r.sig_lo AS lo_b
+                FROM banded l JOIN banded r
+                  ON l.band_id = r.band_id AND l.band_val = r.band_val
+                 AND (l.media_id < r.media_id
+                      OR (l.media_id = r.media_id
+                          AND l.frame_idx < r.frame_idx)))
+            SELECT a_media_id, a_frame_idx, b_media_id, b_frame_idx, hamming
+            FROM (
+                SELECT a_media_id, a_frame_idx, b_media_id, b_frame_idx,
+                       CAST(bit_count(xor(hi_a, hi_b))
+                            + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+                FROM cand)
+            WHERE hamming <= 7
         """,
         "decontaminated_docs": f"""
             WITH {_shingle_ctes()},

@@ -1200,6 +1200,72 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
+def dhash_near_pairs(
+    frames: DataFrame,
+    key_cols: tuple[str, str] = ("media_id", "frame_idx"),
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Multimodal near-dup pairs by dHash hamming distance — the
+    ``simhash_pairs`` machinery applied to the perceptual hash of
+    decoded frames (``multimodal.frame_dhash`` emits the inputs:
+    ``d_bands`` = 8 per-row bytes, ``sig_hi``/``sig_lo`` = the 64-bit
+    signature as two 32-bit halves).
+
+    Candidates: frames sharing any of the 8 row-byte bands (explode +
+    equi-join — never all-pairs). PIGEONHOLE-EXACT regime: a pair at
+    hamming <= 7 differs in at most 7 of the 8 bands, so at least one
+    band matches and recall is 100% for ``max_hamming <= 7`` (the
+    default). A single perturbed pixel flips at most 2 bits (its two
+    adjacent comparisons), so small retouches stay well inside the
+    exact regime. Verify: ``bit_count(xor)`` per half, exact.
+
+    Scale: band join is keyed (AQE-splittable); hot bands (flat images
+    — all-equal rows give byte 0) densify candidates exactly like hot
+    LSH buckets — cap or pre-dedup exact payloads upstream
+    (``media_stats`` content hash) as with text LSH.
+    """
+    ka, kb = key_cols
+    banded = frames.select(
+        ka,
+        kb,
+        "sig_hi",
+        "sig_lo",
+        F.posexplode("d_bands").alias("band_id", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    lt = (F.col(f"l.{ka}") < F.col(f"r.{ka}")) | (
+        (F.col(f"l.{ka}") == F.col(f"r.{ka}"))
+        & (F.col(f"l.{kb}") < F.col(f"r.{kb}"))
+    )
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & lt,
+        )
+        .select(
+            F.col(f"l.{ka}").alias(f"a_{ka}"),
+            F.col(f"l.{kb}").alias(f"a_{kb}"),
+            F.col(f"r.{ka}").alias(f"b_{ka}"),
+            F.col(f"r.{kb}").alias(f"b_{kb}"),
+            F.col("l.sig_hi").alias("hi_a"),
+            F.col("l.sig_lo").alias("lo_a"),
+            F.col("r.sig_hi").alias("hi_b"),
+            F.col("r.sig_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select(f"a_{ka}", f"a_{kb}", f"b_{ka}", f"b_{kb}", "hamming")
+    )
+
+
 # --- span-level (line/paragraph) exact dedup ---------------------------------
 #
 # C4/RefinedWeb-style sub-document dedup: boilerplate (nav bars, license

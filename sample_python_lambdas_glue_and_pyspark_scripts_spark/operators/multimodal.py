@@ -384,6 +384,109 @@ def synthetic_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
+def fake_pixel_rows(hash_col, seed: str = "p"):
+    """Deterministic fake 9x8 grayscale grid for a frame: row r is the
+    first 18 hex chars of md5(frame_hash || '|' || seed || r) — nine
+    2-hex-char pixels (00-ff). Fixed-width lowercase hex compares
+    LEXICOGRAPHICALLY exactly like the byte value, so downstream
+    comparisons never parse numbers (engine-exact by construction).
+    Native column expression — the real-pixel sibling would decode via
+    mapInPandas (PIL/ffmpeg, not in this container) and emit the same
+    array<string> shape."""
+    c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(c, F.lit(f"|{seed}{r}"))), 1, 18
+            )
+            for r in range(8)
+        ]
+    )
+
+
+def dhash_from_rows(rows_col) -> dict[str, Any]:
+    """64-bit difference hash (dHash — the public perceptual-hash
+    scheme: per row, bit c is 1 iff pixel c is brighter than pixel
+    c+1) over an array of eight 18-hex-char pixel rows
+    (``fake_pixel_rows`` shape, 9 pixels per row).
+
+    Returns column expressions keyed ``d_bands`` (array of 8 per-row
+    bytes, ints 0-255 — the LSH band values), ``sig_hi`` / ``sig_lo``
+    (rows 0-3 / 4-7 packed little-endian into two 32-bit halves held in
+    bigints — two halves so no value ever touches the sign bit and
+    xor/bit_count parity across engines is trivial). A one-pixel
+    perturbation changes at most 2 bits (its two adjacent comparisons),
+    which is what makes dHash a NEAR-dup key.
+
+    Callers must materialize ``rows_col`` in its own projection first
+    (the CLAUDE.md nested-HOF CSE rule): every byte reads the array."""
+    rows = F.col(rows_col) if isinstance(rows_col, str) else rows_col
+
+    def row_byte(row):
+        b = F.lit(0).cast("bigint")
+        for c in range(8):
+            px = F.substring(row, 2 * c + 1, 2)
+            nxt = F.substring(row, 2 * c + 3, 2)
+            b = b + F.when(px > nxt, F.lit(2**c).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return b
+
+    # one transform over the materialized rows — the byte expression is
+    # emitted ONCE (loop body), not 8x, keeping generated code well
+    # under the JVM's 64 KB method limit (inlining every byte into
+    # d_bands AND the two signature halves tripled the tree and pushed
+    # the stage out of whole-stage codegen — 19 s on 200 rows)
+    return {"d_bands": F.transform(rows, row_byte)}
+
+
+def _dhash_sigs(bands_col) -> dict[str, Any]:
+    """Pack the 8 materialized row bytes into the two 32-bit signature
+    halves (little-endian; two halves so neither value ever nears the
+    bigint sign bit and xor/bit_count parity is trivial)."""
+    b = F.col(bands_col) if isinstance(bands_col, str) else bands_col
+
+    def half(lo: int):
+        return sum(
+            (
+                F.element_at(b, lo + r + 1) * F.lit(256**r).cast("bigint")
+                for r in range(1, 4)
+            ),
+            F.element_at(b, lo + 1),
+        )
+
+    return {"sig_hi": half(0), "sig_lo": half(4)}
+
+
+def frame_dhash(
+    df: DataFrame,
+    hash_col: str = "frame_hash",
+    rows_col: str | None = None,
+    seed: str = "p",
+) -> DataFrame:
+    """Attach the dHash signature columns (``d_bands``, ``sig_hi``,
+    ``sig_lo``) to a frame table. ``rows_col`` names a precomputed
+    pixel-row array (the perturbation hook for near-dup tests and the
+    seam where a REAL pixel decode would plug in); otherwise fake rows
+    derive from ``hash_col``. Map-side only — zero shuffles."""
+    if rows_col is None:
+        df = df.withColumn("_px", fake_pixel_rows(hash_col, seed))
+        rows_col = "_px"
+    keep = [c for c in df.columns if c != "_px"]
+    # two staged projections: bands from rows, then signatures from the
+    # MATERIALIZED bands — never re-inline the byte expressions
+    banded = df.select(
+        *keep, dhash_from_rows(rows_col)["d_bands"].alias("d_bands")
+    )
+    sigs = _dhash_sigs("d_bands")
+    return banded.select(
+        *keep,
+        "d_bands",
+        sigs["sig_hi"].alias("sig_hi"),
+        sigs["sig_lo"].alias("sig_lo"),
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Frame-sampling stub for video: one output row per sampled frame.
 

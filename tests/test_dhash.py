@@ -1,0 +1,112 @@
+"""dHash multimodal near-dup (multimodal.frame_dhash +
+dedup.dhash_near_pairs): signature determinism, one-pixel perturbation
+bound, pigeonhole recall at hamming <= 7, and plan shape."""
+
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    dedup as D,
+)
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    multimodal as M,
+)
+
+SCHEMA = "media_id BIGINT, frame_idx INT, frame_hash STRING"
+
+
+def _frames(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_dhash_deterministic_and_banded(spark):
+    df = M.frame_dhash(_frames(spark, [(1, 0, "abc"), (2, 0, "abc")]))
+    rows = df.collect()
+    assert rows[0]["sig_hi"] == rows[1]["sig_hi"]
+    assert rows[0]["sig_lo"] == rows[1]["sig_lo"]
+    assert len(rows[0]["d_bands"]) == 8
+    assert all(0 <= b <= 255 for b in rows[0]["d_bands"])
+    # halves stay inside 32 bits — never near the sign bit
+    assert 0 <= rows[0]["sig_hi"] < 2**32
+    assert 0 <= rows[0]["sig_lo"] < 2**32
+
+
+def test_exact_dup_pair_hamming_zero(spark):
+    frames = M.frame_dhash(
+        _frames(spark, [(1, 0, "same"), (2, 0, "same"), (3, 0, "other")])
+    )
+    got = {
+        (r["a_media_id"], r["b_media_id"]): r["hamming"]
+        for r in D.dhash_near_pairs(frames).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in got)
+
+
+def test_one_pixel_perturbation_is_near(spark):
+    base = _frames(spark, [(1, 0, "img"), (2, 0, "img")]).withColumn(
+        "_px", M.fake_pixel_rows("frame_hash")
+    )
+    # media 2: darken pixel 3 of row 7 (hex chars 7-8) — at most the
+    # two comparisons adjacent to that pixel flip
+    perturbed = base.withColumn(
+        "_px",
+        F.when(
+            F.col("media_id") == 2,
+            F.transform(
+                F.col("_px"),
+                lambda x, i: F.when(
+                    i == 7,
+                    F.concat(
+                        F.substring(x, 1, 6),
+                        F.lit("00"),
+                        F.substring(x, 9, 10),
+                    ),
+                ).otherwise(x),
+            ),
+        ).otherwise(F.col("_px")),
+    )
+    frames = M.frame_dhash(perturbed, rows_col="_px")
+    pairs = D.dhash_near_pairs(frames).collect()
+    assert len(pairs) == 1
+    assert 0 < pairs[0]["hamming"] <= 2
+
+
+def test_pigeonhole_recall_seven_band_damage(spark):
+    # flip one bit in each of 7 different rows: hamming exactly 7, only
+    # one band intact — the pair MUST still surface (pigeonhole regime)
+    base = _frames(spark, [(1, 0, "x"), (2, 0, "x")])
+    sigs = M.frame_dhash(base)
+    damaged = sigs.withColumn(
+        "d_bands",
+        F.when(
+            F.col("media_id") == 2,
+            F.transform(
+                F.col("d_bands"),
+                lambda b, i: F.when(
+                    i < 7, b.bitwiseXOR(F.lit(1))
+                ).otherwise(b),
+            ),
+        ).otherwise(F.col("d_bands")),
+    ).withColumn(
+        "sig_hi",
+        F.when(
+            F.col("media_id") == 2,
+            F.col("sig_hi").bitwiseXOR(F.lit(0x01010101)),
+        ).otherwise(F.col("sig_hi")),
+    ).withColumn(
+        "sig_lo",
+        F.when(
+            F.col("media_id") == 2,
+            F.col("sig_lo").bitwiseXOR(F.lit(0x00010101)),
+        ).otherwise(F.col("sig_lo")),
+    )
+    pairs = D.dhash_near_pairs(damaged).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 7
+    # at hamming 8 with all 8 bands touched the pair may drop out —
+    # that is the documented boundary, not asserted here
+
+
+def test_frame_dhash_map_side(spark):
+    df = M.frame_dhash(_frames(spark, [(1, 0, "a")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
