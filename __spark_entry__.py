@@ -2222,6 +2222,25 @@ def q_robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.robust_winnow_fingerprints(docs, k=4, w=4)
 
 
+def q_robust_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match candidates over the ROBUST winnowing selection — same
+    fingerprint-keyed pair census and hot-hash cap as winnow_matches,
+    fed by ~1/w-density fingerprints on repetitive runs at the same
+    w+k-1 guarantee (the match side is where the robust variant's
+    saving shows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.robust_winnow_matches(docs, k=4, w=4)
+
+
+def q_winnow_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-vs-robust winnowing retention census at the same
+    (k, w): selected fingerprints, distinct hashes, corpus grams, and
+    the measured retention ratio (Schleimer's ~2/(w+1) vs ~1/w density
+    claim, measured instead of assumed)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.winnow_retention_report(docs, k=4, w=4)
+
+
 def q_training_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed training recipe, end to end with its census
     (plans/mixing.plan_training_mix, Xue et al. 2021 §3.1): weights ∝
@@ -3230,9 +3249,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
-    # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2)
-    # and dHash multimodal near-dup (pigeonhole-exact hamming<=7)
+    # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
+    # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
+    # robust-winnowing match side + retention census
     "c4_line_filtered_docs", "frame_near_dup_pairs",
+    "robust_winnow_matches", "winnow_retention_report",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3466,6 +3487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
+        "robust_winnow_matches": q_robust_winnow_matches,
+        "winnow_retention_report": q_winnow_retention_report,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -4185,6 +4208,56 @@ _WINNOW_CTES = f"""toksw AS (
                      ON gr.doc_id = wn.doc_id
                     AND gr.pos BETWEEN wn.wj AND wn.wj + 3),
         wfp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1)"""
+
+# robust winnowing (Schleimer §5): the sequential tie rule is a
+# list_reduce fold per doc over the gram-hash list. DuckDB 1.0
+# list_reduce has no initial value (prepend the init struct as element
+# 0) and LOSES appends to a nested LIST inside a struct accumulator
+# (verified: {'sel': [..]} resets per step), so the selections
+# accumulate in a delimited VARCHAR instead and split back to rows at
+# the end. The window slice expression repeats because lambdas cannot
+# bind locals. Extends _WINNOW_CTES; final CTE = rwfp(doc_id, pos, fp).
+_ROBUST_WINNOW_CTES = """rwg AS (SELECT doc_id, list(h ORDER BY pos) AS ghs
+                    FROM grams GROUP BY doc_id),
+            rwf AS (
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(
+                    {'sel': '', 'prev': -1},
+                    list_transform(
+                      list_transform(ghs, (x, i) -> CAST(i AS INTEGER))
+                        [1 : greatest(len(ghs) - 3, 1)],
+                      j -> {'sel': '', 'prev': j})),
+                  (acc, x) -> CASE
+                    WHEN acc.prev >= x.prev AND acc.prev <= x.prev + 3
+                         AND ghs[acc.prev] = list_min(
+                             ghs[x.prev : least(x.prev + 3, len(ghs))])
+                    THEN acc
+                    ELSE {'sel': acc.sel || ','
+                             || CAST(x.prev
+                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
+                                  - list_position(
+                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
+                                  AS VARCHAR)
+                             || ':' || list_min(
+                                  ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                          'prev': CAST(x.prev
+                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
+                                  - list_position(
+                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
+                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
+                                  AS INTEGER)}
+                    END).sel AS sel
+              FROM rwg),
+            rwfp AS (
+              SELECT DISTINCT doc_id,
+                     CAST(string_split(e, ':')[1] AS INTEGER) AS pos,
+                     string_split(e, ':')[2] AS fp
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split(sel, ','),
+                                              s -> s <> '')) AS e
+                    FROM rwf))"""
 
 
 def _interval_merge_ctes(src: str, pfx: str, L: int, where: str = "") -> str:
@@ -5150,56 +5223,43 @@ def oracle_sql() -> dict[str, str]:
             WITH {_WINNOW_CTES}
             SELECT doc_id, pos, h AS fp FROM wfp
         """,
-        # robust winnowing (Schleimer §5): the sequential tie rule is a
-        # list_reduce fold per doc over the gram-hash list. DuckDB 1.0
-        # list_reduce has no initial value (prepend the init struct as
-        # element 0) and LOSES appends to a nested LIST inside a struct
-        # accumulator (verified: {'sel': [..]} resets per step), so the
-        # selections accumulate in a delimited VARCHAR instead and split
-        # back to rows at the end. The window slice expression repeats
-        # because lambdas cannot bind locals.
+        # robust winnowing: see the _ROBUST_WINNOW_CTES comment for the
+        # DuckDB list_reduce constraints the fold works around
         "robust_winnow_fingerprints": f"""
             WITH {_WINNOW_CTES},
-            rwg AS (SELECT doc_id, list(h ORDER BY pos) AS ghs
-                    FROM grams GROUP BY doc_id),
-            rwf AS (
-              SELECT doc_id,
-                list_reduce(
-                  list_prepend(
-                    {{'sel': '', 'prev': -1}},
-                    list_transform(
-                      list_transform(ghs, (x, i) -> CAST(i AS INTEGER))
-                        [1 : greatest(len(ghs) - 3, 1)],
-                      j -> {{'sel': '', 'prev': j}})),
-                  (acc, x) -> CASE
-                    WHEN acc.prev >= x.prev AND acc.prev <= x.prev + 3
-                         AND ghs[acc.prev] = list_min(
-                             ghs[x.prev : least(x.prev + 3, len(ghs))])
-                    THEN acc
-                    ELSE {{'sel': acc.sel || ','
-                             || CAST(x.prev
-                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
-                                  - list_position(
-                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
-                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
-                                  AS VARCHAR)
-                             || ':' || list_min(
-                                  ghs[x.prev : least(x.prev + 3, len(ghs))]),
-                          'prev': CAST(x.prev
-                                  + len(ghs[x.prev : least(x.prev + 3, len(ghs))])
-                                  - list_position(
-                                      list_reverse(ghs[x.prev : least(x.prev + 3, len(ghs))]),
-                                      list_min(ghs[x.prev : least(x.prev + 3, len(ghs))]))
-                                  AS INTEGER)}}
-                    END).sel AS sel
-              FROM rwg)
-            SELECT DISTINCT doc_id,
-                   CAST(string_split(e, ':')[1] AS INTEGER) AS pos,
-                   string_split(e, ':')[2] AS fp
-            FROM (SELECT doc_id,
-                         unnest(list_filter(string_split(sel, ','),
-                                            s -> s <> '')) AS e
-                  FROM rwf)
+            {_ROBUST_WINNOW_CTES}
+            SELECT doc_id, pos, fp FROM rwfp
+        """,
+        "robust_winnow_matches": f"""
+            WITH {_WINNOW_CTES},
+            {_ROBUST_WINNOW_CTES},
+            fp2 AS (SELECT DISTINCT doc_id, fp FROM rwfp),
+            keep AS (SELECT fp FROM fp2 GROUP BY fp HAVING COUNT(*) <= 50),
+            fpk AS (SELECT f2.doc_id, f2.fp FROM fp2 f2 JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_fps
+            FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        """,
+        "winnow_retention_report": f"""
+            WITH {_WINNOW_CTES},
+            {_ROBUST_WINNOW_CTES},
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams),
+            sfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+                           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_fps
+                    FROM wfp),
+            rfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+                           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fps
+                    FROM rwfp)
+            SELECT 'robust' AS variant, g.n_grams, rfp.n_fps,
+                   rfp.n_distinct_fps,
+                   ROUND(rfp.n_fps / greatest(g.n_grams, 1), 6) AS retention
+            FROM rfp, g
+            UNION ALL
+            SELECT 'standard', g.n_grams, sfp.n_fps, sfp.n_distinct_fps,
+                   ROUND(sfp.n_fps / greatest(g.n_grams, 1), 6)
+            FROM sfp, g
         """,
         "pq_codebooks": f"""
             WITH {_pq_ctes(PQ_M_SUB, 16, PQ_K_CODES)}

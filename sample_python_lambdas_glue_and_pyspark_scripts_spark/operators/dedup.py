@@ -1900,6 +1900,15 @@ def winnow_matches(
         .select(F.col(id_col), F.col("fp"))
         .distinct()
     )
+    return _winnow_pairs_from_fps(fps, id_col, min_shared, max_fp_docs)
+
+
+def _winnow_pairs_from_fps(
+    fps: DataFrame, id_col: str, min_shared: int, max_fp_docs: int
+) -> DataFrame:
+    """Shared-fingerprint pair census over a distinct ``(id_col, fp)``
+    frame — the join core of :func:`winnow_matches` /
+    :func:`robust_winnow_matches`."""
     # one hash-keyed aggregation instead of count + semi-join + self-join:
     # each hash's (sorted, capped) doc list emits its pairs map-side — the
     # fingerprint pipeline runs ONCE (the naive self-join re-ran the scan
@@ -1934,6 +1943,88 @@ def winnow_matches(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
+
+
+def robust_winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """:func:`winnow_matches` over the ROBUST selection
+    (:func:`robust_winnow_fingerprints`) — the match side is where the
+    robust variant's point shows: repetitive runs contribute ~1/w as
+    many fingerprints at the SAME w+k-1 shared-run guarantee, so the
+    fingerprint-keyed join moves proportionally fewer rows for the
+    same recall. Same output shape and hot-hash cap as the standard
+    variant (``(doc_a, doc_b, shared_fps)``; hashes in more than
+    ``max_fp_docs`` docs are boilerplate and dropped)."""
+    fps = (
+        robust_winnow_fingerprints(df, text_col, id_col, k, w)
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+    )
+    return _winnow_pairs_from_fps(fps, id_col, min_shared, max_fp_docs)
+
+
+def winnow_retention_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Fingerprint-retention census: standard vs robust winnowing at
+    the same (k, w) — the measured form of Schleimer's density claim
+    (standard selects ~2/(w+1) of grams, robust ~1/w on repetitive
+    runs). One row per variant: total selected fingerprints, distinct
+    hashes corpus-wide, the corpus gram count, and
+    ``retention = n_fps / n_grams`` (6dp). Both selection pipelines are
+    map-side; the report is two tiny aggregates + a scalar cross join
+    (alias-qualified — Spark 4 flags ambiguous lineage otherwise)."""
+    kk = int(k)
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(WORD_REGEX),
+        0,
+    )
+    grams = (
+        df.select(F.size(toks).alias("_nt"))
+        .filter(F.col("_nt") > 0)
+        .agg(
+            F.coalesce(
+                F.sum(F.greatest(F.col("_nt") - (kk - 1), F.lit(1))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_grams")
+        )
+        .alias("tg")
+    )
+
+    def census(fps: DataFrame, name: str) -> DataFrame:
+        agg = fps.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.countDistinct("fp").cast("bigint").alias("n_distinct_fps"),
+        )
+        return agg.crossJoin(F.broadcast(grams)).select(
+            F.lit(name).alias("variant"),
+            F.col("tg.n_grams").alias("n_grams"),
+            "n_fps",
+            "n_distinct_fps",
+            F.round(
+                F.col("n_fps") / F.greatest(F.col("tg.n_grams"), F.lit(1)), 6
+            ).alias("retention"),
+        )
+
+    std = census(winnow_fingerprints(df, text_col, id_col, k, w), "standard")
+    rob = census(
+        robust_winnow_fingerprints(df, text_col, id_col, k, w), "robust"
+    )
+    return std.unionByName(rob).orderBy("variant")
 
 
 # --- ExactSubstr suffix-overlap dedup (Lee et al. 2022) -----------------------

@@ -598,3 +598,44 @@ def test_robust_winnow_value_guarantee_and_plan(spark, sf_dir):
         .executedPlan().toString()
     assert ex.count("regexp_extract_all") == 1
     assert "EvalPython" not in ex and "InPandas" not in ex
+
+
+def test_robust_winnow_matches_shared_run_pair(spark):
+    # the w + k - 1 guarantee holds for ROBUST selection too: a shared
+    # 7-word run must surface as a match pair (min_shared=1)
+    run = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (0, "xx yy " + run + " zz"),
+            (1, "completely different start " + run),
+            (2, "unrelated words entirely here nothing shared at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.robust_winnow_matches(df, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_winnow_retention_report_robust_sparser(spark):
+    # repetitive docs: robust selects strictly fewer fingerprints at the
+    # same guarantee; counts agree with the fingerprint frames
+    df = spark.createDataFrame(
+        [(i, "spam ham " * 30 + f"tail{i} words here") for i in range(6)]
+        + [(99, None)],
+        "doc_id bigint, text string",
+    )
+    rep = {r["variant"]: r.asDict() for r in
+           D.winnow_retention_report(df).collect()}
+    assert rep["robust"]["n_fps"] <= rep["standard"]["n_fps"]
+    assert rep["robust"]["n_grams"] == rep["standard"]["n_grams"] > 0
+    n_std = D.winnow_fingerprints(df).count()
+    n_rob = D.robust_winnow_fingerprints(df).count()
+    assert rep["standard"]["n_fps"] == n_std
+    assert rep["robust"]["n_fps"] == n_rob
+    assert rep["standard"]["retention"] == round(
+        n_std / rep["standard"]["n_grams"], 6
+    )
