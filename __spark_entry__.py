@@ -2241,6 +2241,39 @@ def q_winnow_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_retention_report(docs, k=4, w=4)
 
 
+def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency census over greedy sequence packing
+    (sampling.pack_sequences → packing_efficiency_report): per shard,
+    packs / docs / tokens, mean pack fill, padding-waste fraction at
+    the budget, and the max pack size (oversize single docs exceed the
+    budget by the overflow rule). Shard = doc_id % 4, order = doc_id,
+    n_tokens = word count, budget 150. The DuckDB oracle replays the
+    greedy fold per shard (delimited-VARCHAR list_reduce — the
+    robust_winnow accumulator pattern) so even the applyInPandas
+    packing stage is oracle-checked end to end."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.col("doc_id").alias("pos"),
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit(r"[a-z0-9]+"),
+                0,
+            )
+        ).alias("n_tokens"),
+    )
+    packed = SA.pack_sequences(staged, budget_tokens=150)
+    return SA.packing_efficiency_report(packed, budget_tokens=150).orderBy(
+        "shard"
+    )
+
+
 def q_training_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed training recipe, end to end with its census
     (plans/mixing.plan_training_mix, Xue et al. 2021 §3.1): weights ∝
@@ -3254,6 +3287,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # robust-winnowing match side + retention census
     "c4_line_filtered_docs", "frame_near_dup_pairs",
     "robust_winnow_matches", "winnow_retention_report",
+    "packing_efficiency_report",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3489,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
         "robust_winnow_matches": q_robust_winnow_matches,
         "winnow_retention_report": q_winnow_retention_report,
+        "packing_efficiency_report": q_packing_efficiency_report,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -6636,6 +6671,52 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS keep,
                    text_clean
             FROM r
+        """,
+        # greedy packing replayed as a per-shard list_reduce fold; pack
+        # token sums accumulate in a delimited VARCHAR (the
+        # _ROBUST_WINNOW_CTES accumulator pattern — DuckDB list_reduce
+        # loses nested-list appends) and split back to one row per pack
+        "packing_efficiency_report": f"""
+            WITH base AS (
+                SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id AS pos,
+                       CAST(len(regexp_extract_all(
+                           lower(coalesce(text, '')), '{_WORD_SQL}'))
+                           AS BIGINT) AS t
+                FROM documents),
+            shards AS (
+                SELECT shard, list(t ORDER BY pos) AS ts FROM base
+                GROUP BY shard),
+            folded AS (
+                SELECT shard,
+                    list_reduce(
+                        list_prepend({{'s': '', 'acc': CAST(-1 AS BIGINT)}},
+                            list_transform(ts, x -> {{'s': '', 'acc': x}})),
+                        (a, x) -> CASE
+                            WHEN a.acc = -1 THEN {{'s': '', 'acc': x.acc}}
+                            WHEN a.acc > 0 AND a.acc + x.acc > 150
+                            THEN {{'s': a.s || ',' || CAST(a.acc AS VARCHAR),
+                                  'acc': x.acc}}
+                            ELSE {{'s': a.s, 'acc': a.acc + x.acc}} END
+                    ) AS st,
+                    len(ts) AS n_docs
+                FROM shards),
+            packs AS (
+                SELECT shard, n_docs,
+                       unnest(list_filter(string_split(
+                           st.s || ',' || CAST(st.acc AS VARCHAR), ','),
+                           x -> x <> '')) AS ptoks
+                FROM folded)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_packs,
+                   CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(ptoks AS BIGINT)) AS BIGINT)
+                       AS total_tokens,
+                   ROUND(AVG(CAST(ptoks AS BIGINT) / 150), 6) AS mean_fill,
+                   ROUND((COUNT(*) * 150 - SUM(CAST(ptoks AS BIGINT)))
+                         / (COUNT(*) * 150), 6) AS padding_waste_frac,
+                   CAST(MAX(CAST(ptoks AS BIGINT)) AS BIGINT)
+                       AS max_pack_tokens
+            FROM packs GROUP BY shard ORDER BY shard
         """,
         "frame_near_dup_pairs": f"""
             WITH imgs AS (

@@ -194,31 +194,36 @@ def pack_manifest(
     exclusive prefix sums of the member token counts in ``order_col``
     order (first offset 0).
 
-    One keyed shuffle on (shard, pack_id); the offset prefix sum runs
-    inside the collected per-pack array (packs are budget-bounded, so
-    the array is small by construction), never as a window."""
-    members = packed.groupBy(shard_col, "pack_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(order_col).alias("o"),
-                    F.col(id_col).alias("i"),
-                    F.col(tokens_col).cast("bigint").alias("t"),
+    One keyed shuffle on (shard, pack_id): the exclusive prefix sum is
+    a running-sum window over that SAME partitioning (pack-sized
+    groups, never unpartitioned), so the groupBy that follows reuses
+    the window's exchange — one shuffle total and O(p) per pack (the
+    previous per-member slice-and-reaggregate form was O(p²))."""
+    w = Window.partitionBy(shard_col, "pack_id").orderBy(order_col)
+    off = F.coalesce(
+        F.sum(F.col(tokens_col).cast("bigint")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    members = (
+        packed.withColumn("_off", off)
+        .groupBy(shard_col, "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(id_col).alias("i"),
+                        F.col(tokens_col).cast("bigint").alias("t"),
+                        F.col("_off").alias("off"),
+                    )
                 )
-            )
-        ).alias("_m")
+            ).alias("_m")
+        )
     )
     m = F.col("_m")
     counts = F.transform(m, lambda x: x["t"])
-    # exclusive prefix sum: offsets[i] = sum of counts[0..i-1]
-    offsets = F.transform(
-        F.sequence(F.lit(1), F.size(m)),
-        lambda i: F.aggregate(
-            F.slice(counts, 1, i - 1),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ),
-    )
     return members.select(
         shard_col,
         "pack_id",
@@ -228,7 +233,50 @@ def pack_manifest(
         ).alias("total_tokens"),
         F.transform(m, lambda x: x["i"]).alias("member_ids"),
         counts.alias("token_counts"),
-        offsets.alias("offsets"),
+        F.transform(m, lambda x: x["off"]).alias("offsets"),
+    )
+
+
+def packing_efficiency_report(
+    packed: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "shard",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-shard packing-efficiency census over a
+    :func:`pack_sequences` result — the number a dataloader owner
+    actually tunes ``budget_tokens`` with. One row per shard:
+
+    - ``n_packs`` / ``n_docs`` / ``total_tokens``,
+    - ``mean_fill``: mean over packs of pack_tokens / budget (6dp),
+    - ``padding_waste_frac``: (n_packs * budget - total_tokens) /
+      (n_packs * budget) — the fraction of trained-on positions that
+      would be padding at this budget (6dp),
+    - ``max_pack_tokens``: sanity bound (> budget means an oversize
+      single doc got its own pack — the pack_sequences overflow rule).
+
+    Two keyed aggregates (pack level then shard level), no joins."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    b = F.lit(int(budget_tokens)).cast("bigint")
+    per_pack = packed.groupBy(shard_col, "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs"),
+        F.sum(F.col(tokens_col).cast("bigint")).alias("_toks"),
+    )
+    n_packs = F.count(F.lit(1)).cast("bigint")
+    total = F.sum("_toks").cast("bigint")
+    return (
+        per_pack.groupBy(shard_col)
+        .agg(
+            n_packs.alias("n_packs"),
+            F.sum("_docs").cast("bigint").alias("n_docs"),
+            total.alias("total_tokens"),
+            F.round(F.avg(F.col("_toks") / b), 6).alias("mean_fill"),
+            F.round(
+                (n_packs * b - total) / (n_packs * b), 6
+            ).alias("padding_waste_frac"),
+            F.max("_toks").alias("max_pack_tokens"),
+        )
     )
 
 

@@ -554,3 +554,50 @@ def test_pack_manifest_offsets_and_boundaries(spark):
             assert off == acc
             acc += t
         assert acc == r["total_tokens"]
+
+
+def test_pack_manifest_single_shuffle(spark):
+    """The window prefix sum and the pack groupBy share one exchange
+    on (shard, pack_id) — the O(p) rewrite must not add a shuffle."""
+    df = spark.createDataFrame(
+        [(0, 0, 1, 4), (0, 1, 2, 5)],
+        "shard INT, pos INT, doc_id BIGINT, n_tokens INT",
+    )
+    packed = spark.createDataFrame(
+        [(0, 0, 1, 4, 0), (0, 1, 2, 5, 0)],
+        "shard INT, pos INT, doc_id BIGINT, n_tokens INT, pack_id INT",
+    )
+    plan = (
+        sampling.pack_manifest(packed)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_packing_efficiency_report(spark):
+    rows = [
+        (0, 0, 100, 7), (0, 1, 101, 3), (0, 2, 102, 9), (0, 3, 103, 12),
+        (1, 0, 200, 5), (1, 1, 201, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard INT, pos INT, doc_id BIGINT, n_tokens INT"
+    )
+    packed = sampling.pack_sequences(df, budget_tokens=10)
+    rep = {
+        r["shard"]: r.asDict()
+        for r in sampling.packing_efficiency_report(
+            packed, budget_tokens=10
+        ).collect()
+    }
+    # shard 0: packs [10, 9, 12] -> fills 1.0, 0.9, 1.2; waste (30-31)/30
+    assert rep[0]["n_packs"] == 3 and rep[0]["n_docs"] == 4
+    assert rep[0]["total_tokens"] == 31
+    assert rep[0]["mean_fill"] == round((1.0 + 0.9 + 1.2) / 3, 6)
+    assert rep[0]["padding_waste_frac"] == round((30 - 31) / 30, 6)
+    assert rep[0]["max_pack_tokens"] == 12
+    # shard 1: one full pack
+    assert rep[1]["n_packs"] == 1 and rep[1]["mean_fill"] == 1.0
+    assert rep[1]["padding_waste_frac"] == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.packing_efficiency_report(packed, budget_tokens=0)
