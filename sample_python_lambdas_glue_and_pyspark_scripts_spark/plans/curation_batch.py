@@ -52,6 +52,8 @@ def curate_corpus(
     token_budget: int | None = None,
     benchmark: DataFrame | None = None,
     decon_min_tokens: int = 13,
+    n_salts: int | None = None,
+    hot_min_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
@@ -60,9 +62,14 @@ def curate_corpus(
     ExactSubstr also enabled the two run FUSED
     (``dedup.exactsubstr_decon_rewrite`` — one corpus tokenize feeds
     both window widths, plan-pinned), otherwise
-    ``decontaminate_spans`` runs alone. Equivalent to applying the
-    stages sequentially by hand (pinned by test) — this wrapper adds
-    the ordering, the survivor plumbing, and the census."""
+    ``decontaminate_spans`` runs alone. ``n_salts`` / ``hot_min_rows``
+    pass through to the domain-cap stage (the measured 1.48× salted /
+    routed hot-domain levers, ``web.domain_capped_docs``) so a
+    known-hot crawl uses them WITHOUT bypassing the cascade — the kept
+    set is identical on every path (3-way cascade-level test).
+    Equivalent to applying the stages sequentially by hand (pinned by
+    test) — this wrapper adds the ordering, the survivor plumbing, and
+    the census."""
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
@@ -119,7 +126,7 @@ def curate_corpus(
     if n_per_domain and url_col is not None:
         capped = domain_capped_docs(
             cur, url_col, n_per_domain, order_col=id_col, id_col=id_col,
-            descending=False,
+            descending=False, n_salts=n_salts, hot_min_rows=hot_min_rows,
         )
         cur = _mark("domain_cap", capped.drop("domain"))
     if token_budget:

@@ -152,3 +152,37 @@ def test_cascade_fused_decontamination_stage(spark):
         decon_min_tokens=13,
     )
     assert "decontaminate_spans" in {r["stage"] for r in rep2.collect()}
+
+
+def test_cascade_hot_domain_lever_three_way_equal(spark):
+    """n_salts / hot_min_rows pass through to the domain-cap stage and
+    leave the cascade's kept set and census IDENTICAL (the measured
+    hot-domain levers never change semantics, only the plan)."""
+    docs = spark.createDataFrame(
+        [
+            (i,
+             "the document number %d has plenty of common stopwords and a "
+             "reasonable length so it passes every quality heuristic." % i,
+             # 94%-hot shape: almost everything on one domain
+             f"https://hot.com/p/{i}" if i % 16 else f"https://c{i}.com/p")
+            for i in range(32)
+        ],
+        "doc_id BIGINT, text STRING, url STRING",
+    )
+    results = []
+    for kw in (
+        {},
+        {"n_salts": 4},
+        {"n_salts": 4, "hot_min_rows": 8},
+    ):
+        kept, report = curate_corpus(
+            docs, url_col="url", exactsubstr_min_tokens=None,
+            n_per_domain=3, **kw,
+        )
+        results.append(
+            (
+                sorted(r["doc_id"] for r in kept.collect()),
+                sorted(map(tuple, report.collect())),
+            )
+        )
+    assert results[0] == results[1] == results[2]
