@@ -150,3 +150,140 @@ def retract_from_lsh_corpus_index(
     corpus_fp, corpus_bands = index
     ids = _ids_df(retract_ids, id_col)
     return corpus_fp, corpus_bands.join(ids, id_col, "left_anti")
+
+
+def retract_doc_ids(
+    retract_ids: DataFrame,
+    corpus_tables: dict[str, DataFrame] | None = None,
+    ivf_index: tuple | None = None,
+    ivf_pq_index: tuple | None = None,
+    bm25_index: tuple | None = None,
+    prefix_index: tuple | None = None,
+    lsh_corpus_index: tuple | None = None,
+    prefix_state_dir: str | None = None,
+    minhash_state_dir: str | None = None,
+    ewma_state: tuple[str, str] | None = None,
+    exactsubstr_state: tuple | None = None,
+    sketch_state_dirs: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> dict:
+    """Single compliance entry point: retract a set of ids from EVERY
+    persisted artifact of a run by routing each named artifact to its
+    family function — a takedown caller names what the run persisted
+    and cannot miss a table by forgetting a per-family call.
+
+    Batch artifacts (pure DataFrames — no side effects until the caller
+    writes them back): ``corpus_tables`` ({name: id-keyed frame},
+    plain anti-join), ``ivf_index`` / ``ivf_pq_index`` (keyed on
+    ``vec_id_col``; the centroid-identity REFUSAL of
+    :func:`retract_from_ivf_index` applies), ``bm25_index``,
+    ``prefix_index``, ``lsh_corpus_index`` (partial — the ``corpus_fp``
+    caveat is surfaced in ``caveats``).
+
+    Streaming states (mutate their state dirs in place; streams must
+    be stopped): ``prefix_state_dir``, ``minhash_state_dir``,
+    ``ewma_state=(work_dir, key_col)`` (the ids are interpreted in that
+    state's KEY space), ``exactsubstr_state=(work_dir, epoch_sources)``
+    or ``(work_dir, epoch_sources, text_col, min_tokens)``.
+
+    REFUSED up front, before anything mutates: ``sketch_state_dirs``
+    ({name: dir} of HLL/CMS/Bloom register states) — registers are
+    lossy or-/max-/sum-folds no operator can subtract from; the
+    documented compliant path is an epoch rebuild from surviving
+    sources (:func:`..streaming.state_retraction.rebuild_sketch_epoch`),
+    so naming one here raises instead of silently skipping it.
+
+    Order of operations: validation/refusals first, then the lazy batch
+    artifacts, then the state-dir mutations — a refusal never leaves a
+    half-retracted run. Returns ``{"artifacts": {name: retracted
+    frames}, "state_counts": {name: removed-row dict}, "caveats":
+    [...]}``.
+    """
+    if sketch_state_dirs:
+        names = ", ".join(sorted(sketch_state_dirs))
+        raise ValueError(
+            f"retract_doc_ids: sketch register states ({names}) cannot "
+            "be id-retracted — HLL/CMS/Bloom folds are irreversible. "
+            "Rebuild each epoch from its surviving source rows with "
+            "streaming.state_retraction.rebuild_sketch_epoch, then call "
+            "this again without sketch_state_dirs."
+        )
+    spark = retract_ids.sparkSession
+    artifacts: dict[str, object] = {}
+    caveats: list[str] = []
+    # batch artifacts first: pure frames, the IVF centroid-identity
+    # check is the only eager step and precedes every dir mutation
+    if ivf_index is not None:
+        artifacts["ivf_index"] = retract_from_ivf_index(
+            ivf_index, retract_ids, vec_id_col
+        )
+    if ivf_pq_index is not None:
+        artifacts["ivf_pq_index"] = retract_from_ivf_pq_index(
+            ivf_pq_index, retract_ids, vec_id_col
+        )
+    if bm25_index is not None:
+        artifacts["bm25_index"] = retract_from_bm25_index(
+            bm25_index, retract_ids, id_col
+        )
+    if prefix_index is not None:
+        artifacts["prefix_index"] = retract_from_prefix_index(
+            prefix_index, retract_ids, id_col
+        )
+    if lsh_corpus_index is not None:
+        artifacts["lsh_corpus_index"] = retract_from_lsh_corpus_index(
+            lsh_corpus_index, retract_ids, id_col
+        )
+        caveats.append(
+            "lsh_corpus_index: corpus_fp is a distinct-md5 set without "
+            "doc ids and was left intact (conservative); exact fp "
+            "retraction requires a refcounted fp table or a rebuild"
+        )
+    for name, df in (corpus_tables or {}).items():
+        artifacts[name] = df.join(
+            _ids_df(retract_ids, id_col), id_col, "left_anti"
+        )
+    # streaming states last — these rewrite state dirs in place
+    from ..streaming import state_retraction as SR
+
+    state_counts: dict[str, dict] = {}
+    if prefix_state_dir is not None:
+        state_counts["prefix_state"] = SR.retract_from_prefix_state(
+            spark, prefix_state_dir, retract_ids, id_col
+        )
+    if minhash_state_dir is not None:
+        # str, or (work_dir, kwargs) when the stream ran with non-
+        # default text_col / num_hashes / bands — they must match
+        mh_kwargs: dict = {}
+        if isinstance(minhash_state_dir, tuple):
+            minhash_state_dir, mh_kwargs = minhash_state_dir
+        state_counts["minhash_state"] = SR.retract_from_minhash_state(
+            spark, minhash_state_dir, retract_ids, id_col=id_col,
+            **mh_kwargs,
+        )
+    if ewma_state is not None:
+        work_dir, key_col = ewma_state
+        state_counts["ewma_state"] = SR.retract_from_ewma_state(
+            spark, work_dir, retract_ids, key_col
+        )
+    if exactsubstr_state is not None:
+        work_dir, epoch_sources, *rest = exactsubstr_state
+        text_col = rest[0] if rest else "text"
+        min_tokens = rest[1] if len(rest) > 1 else 20
+        state_counts["exactsubstr_state"] = (
+            SR.retract_from_exactsubstr_state(
+                spark, work_dir, retract_ids, epoch_sources,
+                text_col, id_col, min_tokens,
+            )
+        )
+        caveats.append(
+            "exactsubstr_state: anchors are rebuilt per hit epoch from "
+            "epoch_sources; other docs' rewritten text is not "
+            "re-adjudicated (removed ranges stay removed — none of the "
+            "retracted content is retained)"
+        )
+    return {
+        "artifacts": artifacts,
+        "state_counts": state_counts,
+        "caveats": caveats,
+    }

@@ -115,3 +115,78 @@ def test_retract_lsh_bands_and_ids_df_validation(spark):
         R._ids_df(
             spark.createDataFrame([(1, 2)], "x bigint, y bigint"), "doc_id"
         )
+
+
+def test_retract_doc_ids_routes_every_family(spark, sf_dir, tmp_path):
+    """One compliance call covers every persisted artifact of a run:
+    batch indexes come back retracted (equal to the per-family calls),
+    streaming state dirs are rewritten, refusals fire up front."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.prefix_intake import (
+        make_batch_fn as pf_batch_fn,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.exactsubstr_intake import (
+        make_batch_fn as es_batch_fn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    gone = _ids(spark, [2, 5, 8])
+    gone_vec = _ids(spark, [7, 9], col="vec_id")
+
+    b0 = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    pdir, edir = str(tmp_path / "pf"), str(tmp_path / "es")
+    pf_batch_fn(pdir)(b0, 0)
+    es_batch_fn(edir)(b0, 0)
+
+    # sketch registers refuse BEFORE anything mutates
+    with pytest.raises(ValueError, match="irreversible"):
+        R.retract_doc_ids(gone, sketch_state_dirs={"hll": "/x"})
+
+    out = R.retract_doc_ids(
+        gone,
+        corpus_tables={"documents": docs},
+        bm25_index=T.build_bm25_index(docs),
+        prefix_index=D.build_prefix_index(
+            docs.select("doc_id", "text")
+        ),
+        lsh_corpus_index=D.build_corpus_index(
+            docs.select("doc_id", "text")
+        ),
+        prefix_state_dir=pdir,
+        exactsubstr_state=(edir, {0: b0}),
+    )
+    ivf_out = R.retract_doc_ids(
+        gone_vec, ivf_index=S.build_ivf_index(emb, ncells=4)
+    )
+
+    # every named artifact present; retracted ids gone from id-keyed rows
+    assert set(out["artifacts"]) == {
+        "documents", "bm25_index", "prefix_index", "lsh_corpus_index"
+    }
+    assert out["artifacts"]["documents"].filter(
+        F.col("doc_id").isin(2, 5, 8)
+    ).count() == 0
+    _, doclen, postings = out["artifacts"]["bm25_index"]
+    assert doclen.filter(F.col("doc_id").isin(2, 5, 8)).count() == 0
+    assert postings.filter(F.col("doc_id").isin(2, 5, 8)).count() == 0
+    _, cells = ivf_out["artifacts"]["ivf_index"]
+    assert cells.filter(F.col("vec_id").isin(7, 9)).count() == 0
+    # the corpus_fp caveat is surfaced, not silent
+    assert any("corpus_fp" in c for c in out["caveats"])
+    # streaming states rewritten on disk
+    assert out["state_counts"]["prefix_state"]["kept"] > 0
+    assert out["state_counts"]["exactsubstr_state"]["kept"] > 0
+    for table in ("prefix", "shingles", "kept"):
+        left = spark.read.parquet(f"{pdir}/{table}").filter(
+            F.col("doc_id").isin(2, 5, 8)
+        )
+        assert left.count() == 0, table
+    assert spark.read.parquet(f"{edir}/kept").filter(
+        F.col("doc_id").isin(2, 5, 8)
+    ).count() == 0
+    # centroid-identity refusal propagates through the orchestrator
+    with pytest.raises(ValueError, match="centroid"):
+        R.retract_doc_ids(
+            _ids(spark, [0], col="vec_id"),
+            ivf_index=S.build_ivf_index(emb, ncells=4),
+        )
