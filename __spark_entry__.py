@@ -2393,6 +2393,15 @@ def q_frame_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_source_dup_report at three thresholds in ONE pass: LSH
+    candidates + exact verify run once at the lowest cut; each
+    threshold filters the materialized pair frame (pair-sized) — the
+    tuning view the mix owner reads to pick the cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.cross_source_dup_sweep(docs, thresholds=(0.2, 0.35, 0.5))
+
+
 def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier calibration: precision/recall of every Gopher
     rule (and the conjunction) and of a train-split-fit logistic
@@ -3287,7 +3296,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # robust-winnowing match side + retention census
     "c4_line_filtered_docs", "frame_near_dup_pairs",
     "robust_winnow_matches", "winnow_retention_report",
-    "packing_efficiency_report",
+    "packing_efficiency_report", "cross_source_dup_sweep",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3524,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_winnow_matches": q_robust_winnow_matches,
         "winnow_retention_report": q_winnow_retention_report,
         "packing_efficiency_report": q_packing_efficiency_report,
+        "cross_source_dup_sweep": q_cross_source_dup_sweep,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -5640,6 +5650,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT db) AS BIGINT) AS n_docs_b,
                    ROUND(AVG(jaccard), 6) AS mean_jaccard
             FROM xnorm GROUP BY 1, 2
+        """,
+        # one candidate+verify pass at the lowest threshold; each sweep
+        # point is a filter over the same verified pairs
+        "cross_source_dup_sweep": f"""
+            WITH xpairs AS (
+                SELECT * FROM (
+                    {_minhash_lsh_oracle(num_hashes=16, bands=4,
+                                         threshold=0.2)}
+                ) t),
+            xsrc AS (
+                SELECT p.a, p.b, p.jaccard,
+                       coalesce(da.source, '') AS sa,
+                       coalesce(db.source, '') AS sb
+                FROM xpairs p
+                JOIN documents da ON da.doc_id = p.a
+                JOIN documents db ON db.doc_id = p.b),
+            xnorm AS (
+                SELECT least(sa, sb) AS source_a,
+                       greatest(sa, sb) AS source_b,
+                       CASE WHEN sa <= sb THEN a ELSE b END AS da,
+                       CASE WHEN sa <= sb THEN b ELSE a END AS db,
+                       jaccard
+                FROM xsrc)
+            {" UNION ALL ".join(
+                f'''SELECT CAST({t} AS DOUBLE) AS threshold,
+                       source_a, source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(COUNT(DISTINCT da) AS BIGINT) AS n_docs_a,
+                       CAST(COUNT(DISTINCT db) AS BIGINT) AS n_docs_b,
+                       ROUND(AVG(jaccard), 6) AS mean_jaccard
+                FROM xnorm WHERE jaccard >= {t} GROUP BY 2, 3'''
+                for t in (0.2, 0.35, 0.5))}
         """,
         "edit_near_dup": _edit_distance_oracle(num_hashes=16, bands=4, threshold=0.9),
         "containment_pairs": _containment_oracle(16, 4, 0.35),

@@ -829,6 +829,18 @@ def cross_source_dup_report(
         df, text_col, id_col, threshold, num_hashes, bands,
         max_bucket_size,
     )
+    return _source_pair_census(
+        _source_labeled_pairs(pairs, df, id_col, source_col)
+    )
+
+
+def _source_labeled_pairs(
+    pairs: DataFrame, df: DataFrame, id_col: str, source_col: str
+) -> DataFrame:
+    """Normalize a verified ``(a, b, jaccard)`` pair frame to
+    lexicographically-ordered source pairs: ``(source_a, source_b,
+    _da, _db, jaccard)``. Two id-keyed lookups on the PAIR table —
+    pair-sized, never corpus-sized."""
     src = df.select(
         F.col(id_col),
         F.coalesce(F.col(source_col), F.lit("")).alias("_src"),
@@ -843,22 +855,69 @@ def cross_source_dup_report(
         )
     )
     a_first = F.col("_sa") <= F.col("_sb")
-    return (
-        j.select(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("_da"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("_db"),
-            "jaccard",
-        )
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.countDistinct("_da").cast("bigint").alias("n_docs_a"),
-            F.countDistinct("_db").cast("bigint").alias("n_docs_b"),
-            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
-        )
+    return j.select(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("_da"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("_db"),
+        "jaccard",
     )
+
+
+def _source_pair_census(labeled: DataFrame) -> DataFrame:
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("_da").cast("bigint").alias("n_docs_a"),
+        F.countDistinct("_db").cast("bigint").alias("n_docs_b"),
+        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+    )
+
+
+def cross_source_dup_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.2, 0.35, 0.5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`cross_source_dup_report` at several thresholds in ONE
+    pass — the tuning view a mix owner reads to pick the cut: the LSH
+    candidates and the exact-Jaccard verify run ONCE at the LOWEST
+    threshold, and each threshold is a filter over the materialized
+    verified pair frame (pair-sized — the per-threshold cost is a tiny
+    filter + groupBy, not another corpus pass). Output adds a
+    ``threshold`` column; rows per (threshold, source pair).
+
+    Recall note: band recall is tuned by (num_hashes, bands) and tracks
+    Jaccard, so all thresholds share the candidate recall of the lowest
+    one — higher thresholds are strictly exact-filtered subsets."""
+    ths = sorted({float(t) for t in thresholds})
+    if not ths:
+        raise ValueError("cross_source_dup_sweep: thresholds is empty")
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, ths[0], num_hashes, bands, max_bucket_size
+    )
+    labeled = _source_labeled_pairs(
+        pairs, df, id_col, source_col
+    ).localCheckpoint(eager=False)
+    out = None
+    for t in ths:
+        c = _source_pair_census(
+            labeled.filter(F.col("jaccard") >= t)
+        ).select(
+            F.lit(t).alias("threshold"),
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            "mean_jaccard",
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
 
 
 def verify_containment_on_candidates(

@@ -1287,3 +1287,41 @@ def test_cross_source_dup_report_normalizes_pairs(spark):
     assert x["n_docs_a"] >= 1 and x["n_docs_b"] == 1
     assert ("alpha", "alpha") in out         # intra-source baseline row
     assert 0.0 < x["mean_jaccard"] <= 1.0
+
+
+def test_cross_source_dup_sweep_equals_per_threshold_reports(spark):
+    """Every sweep point equals the standalone report at that
+    threshold (shared candidates + verify, per-threshold filters)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        cross_source_dup_report,
+        cross_source_dup_sweep,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds sing in the tall green trees")
+    rows = [
+        (1, base, "zeta"),
+        (2, base + " extra", "alpha"),
+        (3, base + " more words appended here", "alpha"),
+        (4, "completely different text with nothing shared here at all "
+            "about engines and parquet files and window functions",
+         "alpha"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+    ths = (0.2, 0.5)
+    sweep = cross_source_dup_sweep(df, thresholds=ths)
+    by_t = {}
+    for r in sweep.collect():
+        by_t.setdefault(r["threshold"], set()).add(tuple(r)[1:])
+    assert set(by_t) == set(ths)
+    for t in ths:
+        want = {
+            tuple(r)
+            for r in cross_source_dup_report(df, threshold=t).collect()
+        }
+        assert by_t[t] == want, t
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cross_source_dup_sweep(df, thresholds=())
