@@ -1,6 +1,327 @@
-"""Load-bearing plan-shape pins for the composite contract queries
-(the PLANS.md audit, frozen as tests so a shuffle/scan regression fails
-CI instead of only changing a report row)."""
+"""Physical-plan pins for the round-3 curation operators.
+
+PLANS.md records these numbers as documentation; this test enforces the
+scale-critical ones so a refactor that silently adds a shuffle, drops a
+broadcast, or pushes work into Python fails CI instead of the 100 TB run.
+"""
+
+from pyspark.sql import functions as F
+
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import dedup as D
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import text as T
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.bucketing import (
+    count_exchanges,
+)
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_is_map_side_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.repetition_stats(docs)
+    assert count_exchanges(plan) == 0  # pure projection — no shuffle
+    ex = _executed(plan)
+    assert "EvalPython" not in ex and "InPandas" not in ex
+
+
+def test_text_stats_is_map_side_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.text_stats(docs)
+    assert count_exchanges(plan) == 0
+    assert "EvalPython" not in _executed(plan)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    plan = D.decontaminate(docs, bench, shingle_n=3)
+    ex = _executed(plan)
+    # the gram probe and the final anti-join must both be broadcast —
+    # the corpus must never shuffle on content
+    assert ex.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in ex
+    assert "EvalPython" not in ex
+
+
+def test_unigram_logprob_has_no_python_and_broadcast_total(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.unigram_logprob(docs)
+    ex = _executed(plan)
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    # the corpus-total scalar must come in via broadcast (q11 shape),
+    # never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in ex or "BroadcastExchange" in ex
+    assert "CartesianProduct" not in ex
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_en = F.coalesce(F.col("lang"), F.lit("")) == "en"
+    plan = T.dsir_select(docs.filter(~is_en), docs.filter(is_en), k=10, dim=256)
+    ex = _executed(plan)
+    # log-ratio table (≤ dim rows) joins back onto the raw features via
+    # broadcast; the raw corpus must not shuffle for the scoring join
+    assert "BroadcastHashJoin" in ex
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    # top-k is TakeOrdered, not a global Sort+Limit materialization
+    assert "TakeOrderedAndProject" in ex
+
+
+def test_contamination_scores_broadcasts_bench(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    plan = D.contamination_scores(docs, bench, shingle_n=3)
+    ex = _executed(plan)
+    assert "BroadcastHashJoin" in ex
+    assert "EvalPython" not in ex
+
+
+def test_repeated_passages_single_keyed_shuffle_and_takeordered(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.repeated_passages(docs, n=5, min_docs=2, k=20)
+    ex = _executed(plan)
+    assert "TakeOrderedAndProject" in ex
+    assert "EvalPython" not in ex
+
+
+def test_logreg_iteration_broadcasts_weights(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        classifier as CL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "__y", (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("double")
+    )
+    w = CL.logreg_fit(docs, "__y", dim=32, n_iter=2)
+    plan = CL.logreg_predict(docs, w, dim=32)
+    ex = _executed(plan)
+    # the ≤ dim+1-row weight table must broadcast onto the features
+    assert "BroadcastHashJoin" in ex
+    assert "SortMergeJoin" not in ex
+
+
+def test_pca_component_broadcast_and_no_python(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as SM,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = SM.pca_power_iteration(emb, n_iter=1)
+    plan = SM.pca_project(emb, comp)
+    ex = _executed(plan)
+    assert "BroadcastHashJoin" in ex or "BroadcastExchange" in ex
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    assert "CartesianProduct" not in ex
+
+
+def _fmt_plan(spark, df) -> str:
+    qe = df._jdf.queryExecution()
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(fmt)
+
+
+def test_indexed_intake_corpus_scan_count(spark, tmp_path):
+    """The 100 TB claim behind corpus_admitted_indexed: with persisted
+    fp/band index tables, an intake batch touches the CORPUS file only
+    for the candidate-restricted Jaccard verify (1 scan), never the
+    full fingerprint + MinHash-band recompute (3+ corpus scans in the
+    index-less form). New-batch scans are delta-sized and don't matter
+    at scale; corpus scans are the ones that cost ~3 full passes per
+    arriving crawl batch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_path = str(tmp_path / "existing_side")
+    new_path = str(tmp_path / "arriving_side")
+    docs.filter(F.substring("source", 4, 10).cast("int") < 10).write.parquet(
+        corpus_path
+    )
+    docs.filter(F.substring("source", 4, 10).cast("int") >= 10).write.parquet(
+        new_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    new = spark.read.parquet(new_path)
+
+    def corpus_scans(df) -> int:
+        plan = _fmt_plan(spark, df)
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Location:" in ln and "existing_side" in ln
+        )
+
+    unindexed = corpus_scans(D.dedup_against_corpus(new, corpus, threshold=0.2))
+    fp, bands = D.build_corpus_index(corpus)
+    fp = fp.localCheckpoint(eager=True)
+    bands = bands.localCheckpoint(eager=True)
+    indexed = corpus_scans(
+        D.dedup_against_corpus(
+            new, corpus, threshold=0.2, corpus_fp=fp, corpus_bands=bands
+        )
+    )
+    assert unindexed >= 3  # fp pass + band pass + verify pass
+    assert indexed == 1  # candidate-restricted Jaccard verify only
+
+
+def test_indexed_intake_contract_query_scans_drop(spark):
+    """Same claim on the contract-query formulation (corpus and new
+    carved from one documents.parquet): total file-scan count must drop
+    vs the index-less corpus_admitted (19 scans at round-3's PLANS.md;
+    the survivors remain new-batch-sized re-reads)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    unindexed = _fmt_plan(spark, e.q_corpus_admitted(spark, sf)).count(
+        "Location:"
+    )
+    indexed = _fmt_plan(spark, e.q_corpus_admitted_indexed(spark, sf)).count(
+        "Location:"
+    )
+    assert unindexed >= 15
+    assert indexed <= 11
+    assert indexed < unindexed
+
+
+def test_skyline_grouped_is_one_keyed_shuffle(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        skyline as SKY,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = SKY.skyline_grouped(
+        part.select("p_brand", "p_partkey", "p_size", "p_retailprice"),
+        ["p_brand"],
+        {"p_retailprice": "min", "p_size": "max"},
+    )
+    # per-group fronts: one keyed shuffle on the group column, dominance
+    # in applyInPandas, and NO global single-partition merge stage
+    assert count_exchanges(plan) == 1
+    ex = _executed(plan)
+    assert ex.count("FlatMapGroupsInPandas") == 1
+    assert "Coalesce 1" not in ex and "SinglePartition" not in ex
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            (F.col("l_partkey") % 25).alias("dst"),
+        )
+        .count()
+        .withColumnRenamed("count", "w")
+    )
+    ranks = GR.pagerank(edges, "src", "dst", "w", n_iter=2)
+    # result is an eager local checkpoint: downstream plans read the
+    # cached rank RDD (scan-free), and the whole fit stayed JVM-side
+    plan = _fmt_plan(spark, ranks)
+    assert "Scan ExistingRDD" in plan
+    assert "Location:" not in plan  # no file re-scan after the fit
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = T.bm25_scores(docs, ["spark", "join", "vector"], top_k=10)
+    ex = _executed(plan)
+    # stats row broadcasts back; no (doc, term) explode/shuffle, no
+    # Python, and the top-k is per-partition heaps, never a global sort
+    assert "BroadcastNestedLoopJoin" in ex or "BroadcastHashJoin" in ex
+    assert "Generate" not in ex  # no explode
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    assert "TakeOrderedAndProject" in ex
+    # tokenization evaluates once per corpus pass (scoring side): the
+    # m per-term filters reference ONE materialized token array
+    fmtd = _fmt_plan(spark, plan)
+    import re as _re
+
+    per_node = [
+        seg.count("regexp_extract_all") for seg in fmtd.split("Project")
+    ]
+    assert max(per_node) <= 1, "token regex inlined into per-term filters"
+
+
+def test_scd2_single_join_single_generate(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        scd2 as S2,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cur = o.limit(500).select(
+        "o_orderkey", "o_orderstatus",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    upd = o.limit(300).select(
+        "o_orderkey", F.lit("Z").alias("o_orderstatus"),
+        F.lit(9).cast("bigint").alias("effective_ts"),
+    )
+    plan = S2.scd2_apply(cur, upd, ["o_orderkey"], ["o_orderstatus"])
+    ex = _executed(plan)
+    # one keyed full-outer join, versions emitted by ONE explode, no
+    # Python anywhere, no three-branch re-scan of the join output
+    assert ex.count("Generate") == 1
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    joins = ex.count("SortMergeJoin") + ex.count("ShuffledHashJoin")
+    assert joins == 1
+
+
+def test_resample_no_python_mapside_grid(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
+        event_time,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        timeseries as TS,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = TS.resample_ffill(e, "user_id", event_time(e, "ts"), "value")
+    ex = _executed(plan)
+    assert "EvalPython" not in ex and "InPandas" not in ex
+    assert "Generate" in ex  # sequence+explode grid, map-side
+    assert "Window" in ex    # per-key forward fill
+
+
+def test_bm25_indexed_serve_never_scans_corpus(spark, tmp_path):
+    """The 100 TB claim behind bm25_search_indexed: served from the
+    persisted (stats, doclen, postings) tables, a query batch never
+    touches the corpus TEXT again — corpus-sized serve work is exactly
+    one scan of the narrow doclen table; postings scans are term-pruned
+    index probes."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_path = str(tmp_path / "corpus_text")
+    docs.select("doc_id", "text").write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    stats, doclen, postings = T.build_bm25_index(corpus)
+    ixdir = tmp_path / "bm25_index"
+    stats.write.parquet(str(ixdir / "stats"))
+    doclen.write.parquet(str(ixdir / "doclen"))
+    postings.write.parquet(str(ixdir / "postings"))
+    idx = (
+        spark.read.parquet(str(ixdir / "stats")),
+        spark.read.parquet(str(ixdir / "doclen")),
+        spark.read.parquet(str(ixdir / "postings")),
+    )
+    served = T.bm25_scores_indexed(idx, ["spark", "join"], top_k=10)
+    plan = _fmt_plan(spark, served)
+    scans = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert not any("corpus_text" in ln for ln in scans)  # text never re-read
+    assert sum(1 for ln in scans if "doclen" in ln) == 1  # one narrow corpus-sized scan
+    # and the direct form, for contrast, scans the corpus text
+    direct_plan = _fmt_plan(spark, T.bm25_scores(corpus, ["spark", "join"]))
+    assert "corpus_text" in direct_plan
+
+
+# --- round-10 composite-query shape pins ------------------------------
+
 
 import re
 
