@@ -2393,6 +2393,17 @@ def q_frame_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995 /
+    Chen & Goodman 1998): per-doc mean ln P of the bigram stream under
+    the corpus's own KN-smoothed model — absolute discounting plus the
+    continuation-count backoff that down-weights tokens frequent only
+    in one context. All model tables derive from one bigram-type
+    aggregate; the mean rounds 6dp LAST (float-oracle contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.kn_bigram_logprob(docs, discount=0.75)
+
+
 def q_cross_source_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cross_source_dup_report at three thresholds in ONE pass: LSH
     candidates + exact verify run once at the lowest cut; each
@@ -3297,6 +3308,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "c4_line_filtered_docs", "frame_near_dup_pairs",
     "robust_winnow_matches", "winnow_retention_report",
     "packing_efficiency_report", "cross_source_dup_sweep",
+    "kn_bigram_logprob",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -3534,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_retention_report": q_winnow_retention_report,
         "packing_efficiency_report": q_packing_efficiency_report,
         "cross_source_dup_sweep": q_cross_source_dup_sweep,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
@@ -6556,6 +6569,34 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    COUNT(*) AS tf
             FROM htok GROUP BY doc_id, bucket
+        """,
+        "kn_bigram_logprob": f"""
+            WITH ktoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '{_WORD_SQL}') AS t
+                FROM documents),
+            kpos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM ktoks WHERE len(t) >= 2),
+            kp AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM kpos),
+            bt AS (SELECT w1, w2, COUNT(*) AS nb FROM kp GROUP BY 1, 2),
+            kctx AS (SELECT w1, SUM(nb) AS c1, COUNT(*) AS f1
+                     FROM bt GROUP BY 1),
+            kct AS (SELECT w2, COUNT(*) AS r2 FROM bt GROUP BY 1),
+            kb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM bt)
+            SELECT kp.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(ln(
+                       greatest(bt.nb - 0.75, 0) / kctx.c1
+                       + 0.75 * kctx.f1 / kctx.c1 * kct.r2 / kb.B
+                   )), 6) AS mean_logprob
+            FROM kp
+            JOIN bt USING (w1, w2)
+            JOIN kctx USING (w1)
+            JOIN kct USING (w2), kb
+            GROUP BY kp.doc_id
         """,
         "bigram_logprob": f"""
             WITH btoks AS (

@@ -1325,3 +1325,72 @@ def test_cross_source_dup_sweep_equals_per_threshold_reports(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cross_source_dup_sweep(df, thresholds=())
+
+
+def _py_kn_bigram(rows, d=0.75):
+    """Pure-Python interpolated Kneser-Ney reference (Chen & Goodman
+    1998 section 2.7) for the distributed scorer."""
+    import collections
+    import math
+    import re as _re
+
+    per_doc, bt = {}, collections.Counter()
+    for i, t in rows:
+        ws = _re.findall(r"[a-z0-9]+", (t or "").lower())
+        bs = list(zip(ws, ws[1:]))
+        if bs:
+            per_doc[i] = bs
+        bt.update(bs)
+    c1, f1, r2 = (
+        collections.Counter(),
+        collections.Counter(),
+        collections.Counter(),
+    )
+    for (w1, w2), c in bt.items():
+        c1[w1] += c
+        f1[w1] += 1
+        r2[w2] += 1
+    B = len(bt)
+    out = {}
+    for i, bs in per_doc.items():
+        lps = [
+            math.log(
+                max(bt[b] - d, 0) / c1[b[0]]
+                + d * f1[b[0]] / c1[b[0]] * r2[b[1]] / B
+            )
+            for b in bs
+        ]
+        out[i] = (len(lps), sum(lps) / len(lps))
+    return out
+
+
+def test_kn_bigram_logprob_matches_python_reference(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        kn_bigram_logprob,
+    )
+
+    rows = [
+        (1, "san francisco is in california and san diego is in california"),
+        (2, "francisco francisco francisco"),  # frequent, one-context word
+        (3, "one"),          # single word -> no row
+        (4, None),           # NULL -> no row
+        (5, "a b a b a b"),  # heavy repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in kn_bigram_logprob(df).collect()
+    }
+    want = _py_kn_bigram(rows)
+    assert set(got) == set(want) == {1, 2, 5}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1.5e-6, i
+    # the KN insight, observable: 'francisco' has high raw frequency
+    # but only one predecessor type, so its continuation mass is tiny —
+    # doc 2's all-francisco stream must score BELOW doc 5's ab-cycle
+    # (both are maximally repetitive bigram streams)
+    assert got[2][1] < got[5][1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kn_bigram_logprob(df, discount=1.0)
