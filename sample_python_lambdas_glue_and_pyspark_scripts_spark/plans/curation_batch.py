@@ -54,6 +54,7 @@ def curate_corpus(
     decon_min_tokens: int = 13,
     n_salts: int | None = None,
     hot_min_rows: int | None = None,
+    c4_clean: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
@@ -67,9 +68,15 @@ def curate_corpus(
     routed hot-domain levers, ``web.domain_capped_docs``) so a
     known-hot crawl uses them WITHOUT bypassing the cascade — the kept
     set is identical on every path (3-way cascade-level test).
-    Equivalent to applying the stages sequentially by hand (pinned by
-    test) — this wrapper adds the ordering, the survivor plumbing, and
-    the census."""
+    ``c4_clean`` (a kwargs dict for ``text.c4_line_filter``; ``{}`` for
+    the published defaults) enables the pipeline's STAGE 0 — line-level
+    cleaning before any content key is computed (C4 runs it first for
+    the same reason this cascade orders cheap keys first: dedup and
+    quality keys over boilerplate lines are wasted work); docs the C4
+    doc rules drop leave the cascade, survivors carry the CLEANED text
+    forward. Equivalent to applying the stages sequentially by hand
+    (pinned by test) — this wrapper adds the ordering, the survivor
+    plumbing, and the census."""
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
@@ -78,6 +85,17 @@ def curate_corpus(
         stages.append((name, out))
         return out
 
+    if c4_clean is not None:
+        from ..operators.text import c4_line_filter
+
+        flagged = c4_line_filter(cur, text_col=text_col, **c4_clean)
+        cleaned = flagged.filter(F.col("keep")).select(
+            *[
+                F.col("text_clean").alias(text_col) if c == text_col else c
+                for c in docs.columns
+            ]
+        )
+        cur = _mark("c4_line_clean", cleaned)
     if url_col is not None:
         cur = _mark("url_dedup", url_dedup(cur, url_col, id_col))
     cur = _mark(

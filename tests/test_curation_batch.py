@@ -186,3 +186,33 @@ def test_cascade_hot_domain_lever_three_way_equal(spark):
             )
         )
     assert results[0] == results[1] == results[2]
+
+
+def test_cascade_c4_stage_zero(spark):
+    """c4_clean runs FIRST: dropped docs never reach later stages and
+    survivors carry the cleaned text into exact dedup (two docs that
+    differ only in dropped lines collapse to one)."""
+    keep = "this line is long enough and ends with a period."
+    rows = [
+        # 1 and 2 identical after cleaning (different junk lines)
+        (1, keep + "\njunk no punct\n" + keep, "https://a.com/1"),
+        (2, keep + "\nother junk line\n" + keep, "https://b.com/2"),
+        # 3 dropped by C4 (nothing survives the line filter)
+        (3, "no terminal punctuation anywhere here", "https://c.com/3"),
+        # 4 survives distinctly
+        (4, keep + "\nanother quite different long sentence ends too.",
+         "https://d.com/4"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, url STRING"
+    )
+    kept, report = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=None,
+        c4_clean={"min_kept_lines": 1},
+    )
+    census = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert census["c4_line_clean"] == 3          # doc 3 gone at stage 0
+    assert census["exact_dedup"] == 2            # 1 and 2 collapsed
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(out) == {1, 4}
+    assert out[1] == keep + "\n" + keep          # cleaned text forward
