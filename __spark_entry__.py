@@ -3349,21 +3349,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # sanity band, lag/lead inter-arrival gaps, and the re-proven
     # (now non-vacuous, k=0.5) Tukey-fence outlier screen
     "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
-    "order_price_outliers", "bigram_logprob_pruned", "drift_report",
-    "pca_top2_sampled",
-    # new in round 6: BM25 served from the persisted inverted index
-    # (shares bm25_search's oracle verbatim), and the oracle-proven
-    # approx-percentile siblings of the exact-percentile queries (the
-    # documented 100 TB swaps, now contract-pinned)
-    "bm25_search_indexed", "price_quantiles_approx",
-    "depth_histogram_approx",
-    # round 5: held-out PCA scoring (fit means + component on the
-    # fit split, score the held-out tenth), BM25 ranked retrieval — the
-    # lexical sibling of the ANN serving path — and character-level
-    # (levenshtein) near-dup on LSH candidates
-    # (pca_project_heldout rotated out for the round-8 third batch —
-    # driver-proven in the r5 window.)
-    "bm25_search", "edit_near_dup",
+    "order_price_outliers", "bigram_logprob_pruned",
+    # (drift_report, pca_top2_sampled, bm25_search_indexed,
+    # price_quantiles_approx, depth_histogram_approx, bm25_search,
+    # edit_near_dup rotated out for the round-10 batch — all
+    # driver-proven green in earlier windows.)
     # round 5: the data-profiling layer (per-column quality counts,
     # numeric drift summary, equi-width histogram) + SCD2 historized
     # merge. (orders_profile, orders_numeric_profile, price_histogram
