@@ -1108,6 +1108,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prototype_pruned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-prototypicality pruning (Sorscher et al., NeurIPS 2022):
+    k-means prototypes (the kmeans_clusters fit verbatim), per-cluster
+    rank by distance-to-prototype, keep the hardest ceil(n/2) of every
+    cluster — the abundant-data regime. The rational 1/2 cut is an
+    integer comparison, so the whole prune (fit included) unrolls into
+    plain SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.prototype_prune(
+        emb, k=4, n_iter=2, keep_num=1, keep_den=2, mode="hard"
+    )
+
+
 def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS mapInPandas exact top-k — same semantics as ann_cosine_topk
     (shares its oracle SQL verbatim), different physical path: one numpy
@@ -3302,6 +3315,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 10 (second batch): prototypicality pruning (Sorscher
+    # 2022), MMR diverse reranking, tokenizer fertility census
+    "prototype_pruned_docs",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3468,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "kmeans_clusters": q_kmeans_clusters,
+        "prototype_pruned_docs": q_prototype_pruned_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -5780,6 +5797,23 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist2, label) AS rn
                 FROM d2_1) t
             WHERE rn = 1
+        """,
+        "prototype_pruned_docs": f"""
+            WITH {_kmeans_ctes(k=4)},
+            a1 AS (SELECT vec_id, CAST(label AS INTEGER) AS assigned_label, dist2
+                   FROM (SELECT vec_id, label, dist2,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY dist2, label) AS rn
+                         FROM d2_1) t WHERE rn = 1),
+            sz AS (SELECT assigned_label, COUNT(*) AS n FROM a1 GROUP BY 1),
+            rk AS (SELECT vec_id, assigned_label, dist2,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY assigned_label
+                                                  ORDER BY dist2 DESC, vec_id)
+                               AS INTEGER) AS proto_rank
+                   FROM a1)
+            SELECT r.vec_id, r.assigned_label, r.dist2, r.proto_rank
+            FROM rk r JOIN sz s USING (assigned_label)
+            WHERE (r.proto_rank - 1) * 2 < s.n * 1
         """,
         "semantic_dedup": f"""
             WITH {_kmeans_ctes(k=4)},

@@ -2318,3 +2318,79 @@ def build_ivf_index_trained(
     centroids = centroids.localCheckpoint(eager=False)
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
     return centroids, corpus_cells
+
+
+def prototype_prune(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    mode: str = "hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-prototypicality data pruning (Sorscher, Geirhos, Shekhar,
+    Ganguli & Morcos, NeurIPS 2022, "Beyond neural scaling laws: beating
+    power law scaling via data pruning"): self-supervised prototypes are
+    k-means centroids, an example's difficulty is its distance to its
+    prototype, and pruning happens PER CLUSTER so the kept set still
+    spans every prototype. ``mode="hard"`` keeps the FARTHEST
+    ``keep_num/keep_den`` fraction of each cluster (the paper's
+    abundant-data regime — easy, redundant examples go); ``mode="easy"``
+    keeps the closest fraction (the scarce-data regime, where outliers
+    and label noise go).
+
+    Engine-exact with no float threshold: the keep fraction is a
+    RATIONAL (``keep_num``/``keep_den``), so the per-cluster cut
+    ``kept = ceil(n · num/den)`` is the integer comparison
+    ``(rank − 1) · den < n · num`` over ``row_number`` ranked on the
+    already-6dp-rounded ``dist2`` with id tiebreak — the rational-
+    threshold idiom from the prefix-filter family.
+
+    Scale: the fit is :func:`kmeans_fit` (broadcast E-step, k×dims
+    M-step — nothing corpus-quadratic); the prune adds one k-row size
+    aggregate joined back broadcast plus one per-cluster window pass.
+    Lloyd assignment keeps cluster sizes ~corpus/k, so the window
+    partitions are balanced by construction; a corpus with a known
+    degenerate cluster takes the salted ``cap_per_group`` lever
+    upstream instead.
+
+    Returns the KEPT rows: ``(id_col, assigned_label, dist2,
+    proto_rank)`` — rank 1 is the hardest (mode="hard") or easiest
+    (mode="easy") example of its cluster.
+    """
+    if mode not in ("hard", "easy"):
+        raise ValueError(f"prototype_prune: mode must be 'hard' or 'easy', got {mode!r}")
+    if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
+        raise ValueError(
+            "prototype_prune: keep fraction must be a rational in (0, 1] "
+            f"(got {keep_num}/{keep_den})"
+        )
+    assign, _ = kmeans_fit(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    dist_order = (
+        F.col("dist2").desc() if mode == "hard" else F.col("dist2").asc()
+    )
+    w = Window.partitionBy("assigned_label").orderBy(
+        dist_order, F.col("vec_id").asc()
+    )
+    sizes = assign.groupBy("assigned_label").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ranked = assign.withColumn(
+        "proto_rank", F.row_number().over(w)
+    ).join(F.broadcast(sizes), "assigned_label")
+    return (
+        ranked.filter(
+            (F.col("proto_rank") - F.lit(1)) * F.lit(keep_den)
+            < F.col("__n") * F.lit(keep_num)
+        )
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("assigned_label").cast("int").alias("assigned_label"),
+            "dist2",
+            "proto_rank",
+        )
+    )

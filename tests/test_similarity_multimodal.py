@@ -681,3 +681,99 @@ def test_pca_deflation_top2_matches_numpy(spark):
     for i in (0, 50, 249):
         assert abs(got[i][0] - want1[i]) < 1e-4
         assert abs(got[i][1] - want2[i]) < 1e-4
+
+
+# --- prototype_prune (Sorscher 2022 cluster-prototypicality pruning) -------
+
+
+@pytest.fixture(scope="module")
+def proto_vecs(spark):
+    # two planted clusters; ids 0 and 1 are the first-k seeds, one per
+    # cluster, so the 2-iteration Lloyd fit stays put
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.6, 0.4]),
+        (4, [0.8, 0.2]),
+        (10, [0.1, 0.9]),
+        (11, [0.4, 0.6]),
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _expected_prune(spark, proto_vecs, keep_num, keep_den, mode):
+    """Pure-Python mirror: full assignment from the SAME kmeans_fit,
+    then the rational per-cluster cut replayed over sorted rows."""
+    import math
+
+    assign, _ = S.kmeans_fit(proto_vecs, k=2, n_iter=2)
+    rows = assign.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.assigned_label, []).append(r)
+    kept = set()
+    for label, members in by_label.items():
+        members.sort(
+            key=lambda r: (-r.dist2 if mode == "hard" else r.dist2, r.vec_id)
+        )
+        n_keep = math.ceil(len(members) * keep_num / keep_den)
+        kept |= {m.vec_id for m in members[:n_keep]}
+    return kept
+
+
+@pytest.mark.parametrize("mode", ["hard", "easy"])
+def test_prototype_prune_matches_python_mirror(spark, proto_vecs, mode):
+    out = S.prototype_prune(
+        proto_vecs, k=2, n_iter=2, keep_num=1, keep_den=2, mode=mode
+    ).collect()
+    expected = _expected_prune(spark, proto_vecs, 1, 2, mode)
+    assert {r.vec_id for r in out} == expected
+    # per-cluster kept counts are ceil(n * 1/2): clusters of 4 and 3 keep 2 each
+    from collections import Counter
+
+    counts = Counter(r.assigned_label for r in out)
+    assert sorted(counts.values()) == [2, 2]
+    # proto_rank is dense 1..kept within each cluster
+    for label in counts:
+        ranks = sorted(r.proto_rank for r in out if r.assigned_label == label)
+        assert ranks == list(range(1, counts[label] + 1))
+
+
+def test_prototype_prune_hard_keeps_farthest(spark, proto_vecs):
+    assign, _ = S.kmeans_fit(proto_vecs, k=2, n_iter=2)
+    dist = {r.vec_id: (r.assigned_label, r.dist2) for r in assign.collect()}
+    kept = {
+        r.vec_id
+        for r in S.prototype_prune(
+            proto_vecs, k=2, n_iter=2, keep_num=1, keep_den=2, mode="hard"
+        ).collect()
+    }
+    for label in {v[0] for v in dist.values()}:
+        members = {vid: d for vid, (lb, d) in dist.items() if lb == label}
+        kept_d = [d for vid, d in members.items() if vid in kept]
+        drop_d = [d for vid, d in members.items() if vid not in kept]
+        if kept_d and drop_d:
+            assert min(kept_d) >= max(drop_d)
+
+
+def test_prototype_prune_full_fraction_keeps_everything(spark, proto_vecs):
+    out = S.prototype_prune(
+        proto_vecs, k=2, n_iter=2, keep_num=1, keep_den=1, mode="easy"
+    )
+    assert out.count() == proto_vecs.count()
+
+
+def test_prototype_prune_validates_args(spark, proto_vecs):
+    with pytest.raises(ValueError, match="mode"):
+        S.prototype_prune(proto_vecs, mode="medium")
+    with pytest.raises(ValueError, match="rational"):
+        S.prototype_prune(proto_vecs, keep_num=3, keep_den=2)
+    with pytest.raises(ValueError, match="rational"):
+        S.prototype_prune(proto_vecs, keep_num=0, keep_den=2)
