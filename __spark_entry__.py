@@ -1150,6 +1150,17 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse reranking (Carbonell & Goldstein, SIGIR 1998): the
+    cosine top-8 candidates of 3 stored queries greedily re-cut to 4,
+    each step maximizing 0.5·rel − 0.5·max-sim-to-selected. The greedy
+    loop is fixed-k, every score rounds to 6dp before comparison, so
+    the whole rerank unrolls CTE-for-CTE into plain SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = SM.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=8)
+    return RT.mmr_rerank(cand, emb, k=4, lam=0.5)
+
+
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over int8-quantized embeddings (asymmetric serve: full-
     precision queries vs reconstructed corpus): fit per-dim affine
@@ -3317,7 +3328,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
-    "prototype_pruned_docs",
+    "prototype_pruned_docs", "mmr_diverse_topk",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3485,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vectorized": q_ann_topk_vectorized,
         "kmeans_clusters": q_kmeans_clusters,
         "prototype_pruned_docs": q_prototype_pruned_docs,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -3741,6 +3753,69 @@ def _kmeans_ctes(k: int = 4) -> str:
         d2_1 AS (SELECT d.vec_id, c.label,
                         ROUND(SUM((d.x - c.c) * (d.x - c.c)), 6) AS dist2
                  FROM dims d JOIN cent1 c ON d.dim = c.dim GROUP BY 1, 2)"""
+
+
+def _mmr_oracle(k: int = 4, m: int = 8, lam: float = 0.5, nq: int = 3) -> str:
+    """Unrolled MMR greedy loop (mirrors retrieval.mmr_rerank step for
+    step): candidates = cosine top-m per query, then k selection rounds —
+    round i computes each remaining candidate's MAX 6dp-rounded cosine to
+    the selected set, scores round(λ·rel − (1−λ)·ms, 6), and picks the
+    (mmr DESC, id ASC) argmax. λ/(1−λ) are injected as the SAME double
+    literals Spark multiplies by."""
+    mu = 1.0 - lam
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    mu_s = f"CAST({mu!r} AS DOUBLE)"
+    parts = [
+        f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < {nq}),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                          ROUND(list_cosine_similarity(q.v, c.v), 6) AS rel
+                   FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        cand AS (SELECT query_id, nid, rel FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                  ORDER BY rel DESC, nid) AS rn
+                     FROM scored) t WHERE rn <= {m}),
+        m1 AS (SELECT query_id, nid, rel,
+                      ROUND({lam_s} * rel - {mu_s} * 0.0, 6) AS mmr FROM cand),
+        p1 AS (SELECT query_id, nid, rel, mmr FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY mmr DESC, nid) AS rn
+                   FROM m1) t WHERE rn = 1),
+        s1 AS (SELECT query_id, nid FROM p1),
+        r1 AS (SELECT c.* FROM cand c LEFT JOIN s1 s
+               ON c.query_id = s.query_id AND c.nid = s.nid
+               WHERE s.nid IS NULL)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        ms{i} AS (SELECT r.query_id, r.nid, r.rel,
+                         MAX(ROUND(list_cosine_similarity(cv.v, sv.v), 6)) AS ms
+                  FROM r{p} r JOIN s{p} s ON s.query_id = r.query_id
+                  JOIN e cv ON cv.vec_id = r.nid
+                  JOIN e sv ON sv.vec_id = s.nid
+                  GROUP BY 1, 2, 3),
+        m{i} AS (SELECT query_id, nid, rel,
+                        ROUND({lam_s} * rel - {mu_s} * COALESCE(ms, 0.0), 6) AS mmr
+                 FROM ms{i}),
+        p{i} AS (SELECT query_id, nid, rel, mmr FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                 ORDER BY mmr DESC, nid) AS rn
+                    FROM m{i}) t WHERE rn = 1),
+        s{i} AS (SELECT query_id, nid FROM p{i}
+                 UNION ALL SELECT query_id, nid FROM s{p}),
+        r{i} AS (SELECT c.* FROM r{p} c LEFT JOIN p{i} s
+                 ON c.query_id = s.query_id AND c.nid = s.nid
+                 WHERE s.nid IS NULL)"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT query_id, nid AS neighbor_id, CAST({i} AS INTEGER) AS sel_rank,"
+        f" mmr AS mmr_score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + f"\n            {sel}"
 
 
 # shared shingling CTE prefix: toks → distinct word-3-gram shingles →
@@ -5798,6 +5873,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d2_1) t
             WHERE rn = 1
         """,
+        "mmr_diverse_topk": _mmr_oracle(k=4, m=8, lam=0.5, nq=3),
         "prototype_pruned_docs": f"""
             WITH {_kmeans_ctes(k=4)},
             a1 AS (SELECT vec_id, CAST(label AS INTEGER) AS assigned_label, dist2

@@ -149,3 +149,134 @@ def hybrid_rrf_search(
         k0=k0,
         top_k=top_k,
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "neighbor_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "sim",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` results per query, each step
+    picking the candidate maximizing
+    ``λ·rel − (1−λ)·max_{s∈selected} sim(cand, s)`` — relevance traded
+    against redundancy with what is already selected, the standard
+    diversity pass between retrieval and serving (dedup of near-identical
+    hits, RAG context diversity).
+
+    ``candidates`` is a per-query TOP-M CUT ``(query_id, id_col,
+    rel_col)`` from a retriever (``cosine_topk`` / ``ivf_topk`` /
+    ``rrf_fuse``) with ``rel_col`` already 6dp-rounded; ``vectors``
+    supplies the candidate embeddings for the redundancy term. The
+    greedy loop is INHERENTLY sequential in ``k`` (each pick changes the
+    next redundancy term), so it runs as ``k`` candidate-sized rounds:
+    remaining × selected pair sims (selected ≤ round index per query),
+    a (query, cand)-keyed MAX, one per-query argmax window. Nothing
+    corpus-sized is ever touched — cost is O(k·m·|queries|) pair rows,
+    co-partitioned on query_id; lineage is truncated per round exactly
+    like ``kmeans_fit``.
+
+    Determinism contract: pair sims and the MMR score round to
+    ``round_to`` before every comparison; argmax tiebreak is id ASC;
+    the empty selected set contributes redundancy 0.0 (so rank 1 is the
+    pure-relevance argmax scaled by λ). A fixed ``k`` therefore unrolls
+    into plain SQL — the oracle mirrors the loop CTE-for-CTE.
+
+    Returns ``(query_id, id_col, sel_rank, mmr_score)`` with
+    ``sel_rank`` 1..k (queries with fewer than k candidates return
+    fewer rows).
+    """
+    from functools import reduce
+
+    from .similarity import _dbl, cosine_from_norms, l2_norm
+
+    if k <= 0:
+        raise ValueError(f"mmr_rerank: k must be positive, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: lambda must be in [0, 1], got {lam}")
+    mu = 1.0 - lam
+    v = vectors.select(
+        F.col(vec_id_col).alias("__vid"), _dbl(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    rem = (
+        candidates.select(
+            "query_id",
+            F.col(id_col).alias("__id"),
+            F.col(rel_col).alias("__rel"),
+        )
+        .join(v, F.col("__id") == F.col("__vid"))
+        .drop("__vid")
+    )
+    sel: DataFrame | None = None
+    picks: list[DataFrame] = []
+    for i in range(1, k + 1):
+        if sel is None:
+            scored = rem.withColumn("__ms", F.lit(0.0))
+        else:
+            pair = rem.alias("r").join(
+                sel.select(
+                    "query_id",
+                    F.col("__cv").alias("__sv"),
+                    F.col("__cn").alias("__sn"),
+                ),
+                "query_id",
+            )
+            sims = pair.withColumn(
+                "__sim",
+                F.round(
+                    cosine_from_norms(
+                        F.col("r.__cv"),
+                        F.col("__sv"),
+                        F.col("r.__cn"),
+                        F.col("__sn"),
+                    ),
+                    round_to,
+                ),
+            )
+            ms = sims.groupBy("query_id", "__id").agg(
+                F.max("__sim").alias("__ms")
+            )
+            scored = rem.join(ms, ["query_id", "__id"], "left")
+        scored = scored.withColumn(
+            "__mmr",
+            F.round(
+                F.lit(lam) * F.col("__rel")
+                - F.lit(mu) * F.coalesce(F.col("__ms"), F.lit(0.0)),
+                round_to,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__mmr").desc(), F.col("__id").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "__id", "__cv", "__cn", "__mmr")
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            pick.select(
+                "query_id",
+                F.col("__id"),
+                F.lit(i).cast("int").alias("sel_rank"),
+                F.col("__mmr").alias("mmr_score"),
+            )
+        )
+        sel_cols = pick.select("query_id", "__id", "__cv", "__cn")
+        sel = sel_cols if sel is None else sel.unionByName(sel_cols)
+        rem = rem.join(
+            pick.select("query_id", "__id"), ["query_id", "__id"], "left_anti"
+        ).localCheckpoint(eager=False)
+    out = reduce(lambda a, b: a.unionByName(b), picks)
+    return out.select(
+        "query_id",
+        F.col("__id").alias(id_col),
+        "sel_rank",
+        "mmr_score",
+    )

@@ -639,3 +639,116 @@ def test_winnow_retention_report_robust_sparser(spark):
     assert rep["standard"]["retention"] == round(
         n_std / rep["standard"]["n_grams"], 6
     )
+
+
+# --- mmr_rerank (Carbonell & Goldstein 1998) --------------------------------
+
+
+def _py_round6(x):
+    # Spark HALF_UP at 6dp on doubles
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _py_mmr(cands, vecs, k, lam):
+    """Pure-Python mirror of mmr_rerank: cands = {qid: [(nid, rel)]},
+    vecs = {vid: list[float]}; returns [(qid, nid, sel_rank, score)]."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = []
+    for qid, cl in cands.items():
+        rem = dict(cl)
+        sel = []
+        for i in range(1, k + 1):
+            if not rem:
+                break
+            best = None
+            for nid, rel in rem.items():
+                ms = max(
+                    (_py_round6(cos(vecs[nid], vecs[s])) for s in sel),
+                    default=0.0,
+                )
+                score = _py_round6(lam * rel - (1.0 - lam) * ms)
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, score)
+            _, nid, score = best
+            out.append((qid, nid, i, score))
+            sel.append(nid)
+            del rem[nid]
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def mmr_vecs(spark):
+    rows = [
+        (0, [1.0, 1.0, 0.0]),    # the query
+        (1, [1.0, 0.9, 0.0]),    # relevant
+        (2, [0.9, 1.0, 0.05]),   # relevant, near-dup of 1
+        (3, [1.0, -0.2, 0.1]),   # less relevant, diverse
+        (4, [0.2, 1.0, 0.9]),    # less relevant, diverse
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_mmr_matches_python_mirror(spark, mmr_vecs):
+    cand = S.cosine_topk(mmr_vecs, mmr_vecs.filter(F.col("vec_id") == 0), k=4)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.sel_rank, r.mmr_score)
+        for r in R.mmr_rerank(cand, mmr_vecs, k=3, lam=0.5).collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in mmr_vecs.collect()}
+    cands = {}
+    for r in cand.collect():
+        cands.setdefault(r.query_id, []).append((r.neighbor_id, r.sim))
+    expected = _py_mmr({q: dict(c) for q, c in cands.items()}, vecs, 3, 0.5)
+    assert got == expected
+
+
+def test_mmr_diversifies_away_from_near_dup(spark, mmr_vecs):
+    """Pure relevance ranks the near-dup pair 1,2 first; with λ=0.5 the
+    second pick must NOT be the near-duplicate of the first."""
+    cand = S.cosine_topk(mmr_vecs, mmr_vecs.filter(F.col("vec_id") == 0), k=4)
+    picks = {
+        r.sel_rank: r.neighbor_id
+        for r in R.mmr_rerank(cand, mmr_vecs, k=2, lam=0.5).collect()
+    }
+    assert picks[1] in (1, 2)
+    assert picks[2] not in (1, 2)
+
+
+def test_mmr_lambda_one_is_relevance_order(spark, mmr_vecs):
+    cand = S.cosine_topk(mmr_vecs, mmr_vecs.filter(F.col("vec_id") == 0), k=4)
+    rel_order = [
+        r.neighbor_id
+        for r in cand.orderBy(F.col("sim").desc(), F.col("neighbor_id")).collect()
+    ]
+    got = R.mmr_rerank(cand, mmr_vecs, k=3, lam=1.0).collect()
+    by_rank = {r.sel_rank: r.neighbor_id for r in got}
+    assert [by_rank[i] for i in (1, 2, 3)] == rel_order[:3]
+
+
+def test_mmr_short_candidate_list_returns_fewer(spark, mmr_vecs):
+    cand = S.cosine_topk(mmr_vecs, mmr_vecs.filter(F.col("vec_id") == 0), k=2)
+    out = R.mmr_rerank(cand, mmr_vecs, k=5, lam=0.5).collect()
+    assert len(out) == 2
+    assert sorted(r.sel_rank for r in out) == [1, 2]
+
+
+def test_mmr_validates_args(spark, mmr_vecs):
+    cand = S.cosine_topk(mmr_vecs, mmr_vecs.filter(F.col("vec_id") == 0), k=2)
+    with pytest.raises(ValueError, match="k must be positive"):
+        R.mmr_rerank(cand, mmr_vecs, k=0)
+    with pytest.raises(ValueError, match="lambda"):
+        R.mmr_rerank(cand, mmr_vecs, lam=1.5)
