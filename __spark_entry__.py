@@ -1055,6 +1055,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression census per source: bytes,
+    chars, BPE-ish regex tokens, words, tokens_per_word, bytes_per_token
+    — the sequence-length numbers a tokenizer choice (and a new-crawl
+    drift check) is made on. One map-side counter projection + one
+    source-keyed aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tokenizer_fertility_report(docs)
+
+
 # --- training-data operators: dedup -------------------------------------------
 
 
@@ -3329,6 +3339,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
+    "tokenizer_fertility_report",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3485,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "tokenizer_fertility_report": q_tokenizer_fertility_report,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
@@ -5659,6 +5671,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
                         ELSE 'de' END AS lang_pred
             FROM s
+        """,
+        "tokenizer_fertility_report": f"""
+            WITH per AS (
+                SELECT source,
+                       strlen(COALESCE(text, '')) AS b,
+                       length(COALESCE(text, '')) AS ch,
+                       len(regexp_extract_all(COALESCE(text, ''), '{_TOKEN_SQL}')) AS t,
+                       len(regexp_extract_all(lower(COALESCE(text, '')), '{_WORD_SQL}')) AS w
+                FROM documents),
+            agg AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(b) AS BIGINT) AS total_bytes,
+                       CAST(SUM(ch) AS BIGINT) AS total_chars,
+                       CAST(SUM(t) AS BIGINT) AS total_tokens,
+                       CAST(SUM(w) AS BIGINT) AS total_words
+                FROM per GROUP BY source)
+            SELECT source, n_docs, total_bytes, total_chars, total_tokens,
+                   total_words,
+                   CASE WHEN total_words > 0
+                        THEN ROUND(total_tokens / total_words, 6) END AS tokens_per_word,
+                   CASE WHEN total_tokens > 0
+                        THEN ROUND(total_bytes / total_tokens, 6) END AS bytes_per_token
+            FROM agg
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

@@ -1477,3 +1477,57 @@ def entropy_stats(
         _entropy_bits(F.col("__cs")).alias("char_entropy"),
         _entropy_bits(F.col("__ws")).alias("word_entropy"),
     )
+
+
+def tokenizer_fertility_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility / compression census per source — the numbers
+    a tokenizer choice is actually made on (tokens-per-word "fertility",
+    Ács 2019 usage; bytes-per-token compression): per group, doc count,
+    total bytes / chars / regex tokens (``TOKEN_REGEX``, the BPE-ish
+    word+punct splitter) / word tokens (``WORD_REGEX``), plus
+    ``tokens_per_word`` and ``bytes_per_token`` at 6dp. A fertility
+    drift between sources (or between crawls of one source) is the
+    early warning that a trained tokenizer will segment the new data
+    badly — sequence lengths and effective context shrink.
+
+    Scale: one map-side projection of per-doc counters + one group-keyed
+    partial aggregate — group cardinality rows out, never the corpus.
+    NULL text counts as empty everywhere (the repo-wide convention);
+    ratios are NULL (not a division error) for a group with zero
+    words/tokens.
+    """
+    c = F.coalesce(_c(text_col), F.lit(""))
+    per = df.select(
+        F.col(group_col).alias("source"),
+        F.octet_length(c).alias("__b"),
+        F.length(c).alias("__c"),
+        token_count(c).alias("__t"),
+        F.size(words(c)).alias("__w"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__b").alias("total_bytes"),
+        F.sum("__c").alias("total_chars"),
+        F.sum("__t").alias("total_tokens"),
+        F.sum("__w").alias("total_words"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "total_tokens",
+        "total_words",
+        F.when(
+            F.col("total_words") > 0,
+            F.round(F.col("total_tokens") / F.col("total_words"), 6),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("total_bytes") / F.col("total_tokens"), 6),
+        ).alias("bytes_per_token"),
+    )

@@ -1394,3 +1394,34 @@ def test_kn_bigram_logprob_matches_python_reference(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kn_bigram_logprob(df, discount=1.0)
+
+
+def test_tokenizer_fertility_report(spark):
+    rows = [
+        (1, "a", "Hello, world!"),        # tokens: Hello , world ! = 4; words: hello world = 2
+        (2, "a", "abc"),                  # 1 token, 1 word
+        (3, "b", None),                   # NULL text counts as empty
+        (4, "b", "!!!"),                  # 3 punct tokens, 0 words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in T.tokenizer_fertility_report(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_docs == 2
+    assert a.total_bytes == len("Hello, world!") + len("abc")
+    assert a.total_chars == a.total_bytes  # ASCII
+    assert a.total_tokens == 5 and a.total_words == 3
+    assert a.tokens_per_word == round(5 / 3, 6)
+    assert a.bytes_per_token == round(a.total_bytes / 5, 6)
+    # group b: no words -> fertility NULL, not a division error
+    assert b.n_docs == 2
+    assert b.total_tokens == 3 and b.total_words == 0
+    assert b.tokens_per_word is None
+    assert b.bytes_per_token == round(3 / 3, 6)
+
+
+def test_tokenizer_fertility_all_empty_group(spark):
+    df = spark.createDataFrame([(1, "z", None), (2, "z", "")],
+                               ["doc_id", "source", "text"])
+    r = T.tokenizer_fertility_report(df).collect()[0]
+    assert (r.total_bytes, r.total_tokens, r.total_words) == (0, 0, 0)
+    assert r.tokens_per_word is None and r.bytes_per_token is None
