@@ -47,10 +47,20 @@ def make_intake_batch_fn(
     hll_p: int = 12,
     shingle_n: int = 13,
     exactsubstr_min_tokens: int | None = None,
+    c4_clean: dict | None = None,
 ):
     """Per-micro-batch callback, standalone so tests and probes drive
     the exact production path. ``benchmark`` is a STATIC frame (eval
     sets change rarely); its gram set broadcasts into every batch.
+
+    ``c4_clean`` (a kwargs dict for ``text.c4_line_filter``; ``{}`` for
+    the published defaults) enables the same STAGE 0 the batch cascade
+    runs (``plans.curation_batch.curate_corpus``): line-level cleaning
+    BEFORE any content key is computed, per batch — docs the C4 doc
+    rules drop never reach the gram/bucket/anchor states, survivors
+    carry the CLEANED text into decontamination, LSH admission, and
+    ExactSubstr anchors (so streamed and batch-curated corpora agree on
+    what "the text" is). Map-side only; adds no per-batch state.
 
     ``shingle_n`` follows the standard decontamination convention (13-gram
     overlap, matching ``dedup.decontaminate``'s default): a production
@@ -67,6 +77,16 @@ def make_intake_batch_fn(
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if c4_clean is not None:
+            from ..operators.text import c4_line_filter
+
+            flagged = c4_line_filter(batch_df, text_col=text_col, **c4_clean)
+            batch_df = flagged.filter(F.col("keep")).select(
+                *[
+                    F.col("text_clean").alias(text_col) if c == text_col else c
+                    for c in batch_df.columns
+                ]
+            )
         passed = (
             gopher_rules(batch_df, text_col=text_col, min_words=min_words)
             .filter(F.col("keep"))
@@ -122,6 +142,7 @@ def run_curation_intake(
     shingle_n: int = 13,
     available_now: bool = True,
     exactsubstr_min_tokens: int | None = None,
+    c4_clean: dict | None = None,
 ) -> StreamingQuery:
     """Wire the intake callback into the incremental runner (availableNow
     drains the backlog exactly once; continuous mode just flips the
@@ -130,7 +151,7 @@ def run_curation_intake(
         stream_df,
         make_intake_batch_fn(
             work_dir, benchmark, text_col, id_col, min_words, hll_p,
-            shingle_n, exactsubstr_min_tokens,
+            shingle_n, exactsubstr_min_tokens, c4_clean=c4_clean,
         ),
         f"{work_dir}/ckpt",
         available_now=available_now,

@@ -127,3 +127,33 @@ def test_intake_with_exactsubstr_rewriting(spark, workdir):
     fn(spark.createDataFrame([(10, S + " " + TAIL)], DOC_SCHEMA), 1)
     after = sorted(map(tuple, spark.read.parquet(f"{workdir}/kept").collect()))
     assert before == after
+
+
+def test_intake_c4_stage_cleans_before_states(spark, workdir):
+    """Optional stage 0 (c4_clean): line-level cleaning runs BEFORE any
+    content key — a javascript boilerplate line is stripped from the
+    admitted text, a lorem-ipsum doc and a too-few-lines doc never reach
+    the sink — mirroring the batch cascade's stage 0 semantics."""
+    L1 = "the quick brown fox jumps over the lazy dog again tonight."
+    L2 = "a second proper sentence with plenty of useful words follows here."
+    JS = "please enable javascript to view this page"
+    LOREM = (
+        "this doc has lorem ipsum hiding inside of it somewhere today.\n"
+        "another perfectly fine sentence with enough words comes after it."
+    )
+    bench = spark.createDataFrame([(900, LEAKED)], DOC_SCHEMA)
+    fn = make_intake_batch_fn(
+        workdir, bench, min_words=5, shingle_n=3,
+        c4_clean={"min_kept_lines": 2},
+    )
+    fn(
+        spark.createDataFrame(
+            [(20, L1 + "\n" + JS + "\n" + L2), (21, LOREM), (22, L1)],
+            DOC_SCHEMA,
+        ),
+        0,
+    )
+    kept = {r["doc_id"]: r for r in spark.read.parquet(f"{workdir}/kept").collect()}
+    assert sorted(kept) == [20]
+    # the sink carries the CLEANED text: the javascript line is gone
+    assert kept[20]["text"] == L1 + "\n" + L2
