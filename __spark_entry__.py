@@ -1676,6 +1676,23 @@ def q_bottomk_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_order_price_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from the mergeable bottom-k VALUE sample —
+    the distribution member of the sketch family: a 64-row uniform
+    row sample (hash of the ORDER KEY decides inclusion, so it is
+    value-independent and engine-exact) next to the same discrete
+    rational quantiles over the full table, with 6dp absolute error —
+    the acceptance gate before serving quantiles from the k-row state
+    alone."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = SK.bottomk_value_sample(orders, "o_orderkey", "o_totalprice", k=64)
+    return SK.sampled_quantile_report(samp, orders, "o_totalprice")
+
+
 BLOOM_M_BITS = 120
 BLOOM_K = 2
 
@@ -3339,7 +3356,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
-    "tokenizer_fertility_report",
+    "tokenizer_fertility_report", "order_price_sampled_quantiles",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3526,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_sketch": q_hll_user_sketch,
         "hll_cardinality_report": q_hll_cardinality_report,
         "bottomk_user_sample": q_bottomk_user_sample,
+        "order_price_sampled_quantiles": q_order_price_sampled_quantiles,
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "priority_user_sample": q_priority_user_sample,
         "priority_subset_estimate": q_priority_subset_estimate,
@@ -6634,6 +6652,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.est_subset_total / x.exact_subset_total - 1.0, 6)
                        AS rel_err
             FROM est e CROSS JOIN ex x
+        """,
+        "order_price_sampled_quantiles": """
+            WITH s AS (SELECT ('0x' || substr(md5('bq|' ||
+                                  CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+                              CAST(o_totalprice AS DOUBLE) AS val
+                       FROM orders
+                       WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+                       ORDER BY h LIMIT 64),
+            qs AS (SELECT * FROM (VALUES (1, 4), (2, 4), (3, 4), (9, 10))
+                   t(q_num, q_den)),
+            sr AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS r FROM s),
+            sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sr),
+            es AS (SELECT q.q_num, q.q_den, sn.n AS n_sample, sr.val AS est
+                   FROM qs q CROSS JOIN sn
+                   JOIN sr ON sr.r = (sn.n * q.q_num + q.q_den - 1) // q.q_den),
+            fr AS (SELECT CAST(o_totalprice AS DOUBLE) AS val,
+                          ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)) AS r
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fr),
+            ex AS (SELECT q.q_num, q.q_den, fr.val AS exact
+                   FROM qs q CROSS JOIN fn
+                   JOIN fr ON fr.r = (fn.n * q.q_num + q.q_den - 1) // q.q_den)
+            SELECT e.q_num, e.q_den, e.n_sample, e.est, x.exact,
+                   ROUND(ABS(e.est - x.exact), 6) AS abs_err
+            FROM es e JOIN ex x USING (q_num, q_den)
         """,
         "bottomk_user_sample": """
             WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key

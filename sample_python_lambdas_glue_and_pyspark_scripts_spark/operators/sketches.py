@@ -687,3 +687,136 @@ def priority_estimates(sketch: DataFrame, k: int = 32) -> DataFrame:
             ),
         )
     )
+
+
+# --- sampled quantile summary ----------------------------------------------
+#
+# The DISTRIBUTION member of the sketch family (next to Bloom membership,
+# CMS frequency, HLL cardinality, bottom-k key samples, priority weighted
+# samples): a k-row mergeable uniform ROW sample whose order statistics
+# estimate population quantiles. Deterministic by the same hash rule as
+# bottom-k, so both the sample and every quantile read off it are
+# engine-exact — no probabilistic tolerance bands in the oracle.
+
+
+def bottomk_value_sample(
+    df: DataFrame, key_col: str, val_col: str, k: int = 64
+) -> DataFrame:
+    """Mergeable uniform row sample for DISTRIBUTION summaries: the
+    ``k`` rows with the smallest ``hash60('bq|' || key)`` carrying
+    their ``val_col`` — the bottom-k sketch lifted from distinct keys
+    to (key, value) rows, so quantiles (not just cardinalities) serve
+    from a k-row summary at 100 TB. ``key_col`` must identify the row
+    (a primary key): hashing the KEY, not the value, is what makes the
+    inclusion decision independent of the value distribution (uniform)
+    AND reproducible across engines/partitions/merges.
+
+    Rows with NULL key or NULL value are ignored (the family
+    convention — a NULL value cannot contribute an order statistic).
+    One TakeOrdered, no full sort; merge law identical to
+    ``bottomk_merge``: bottom-k of a union is the bottom-k of the
+    per-part bottoms (``bottomk_value_merge``, pinned by test).
+    """
+    if k < 1:
+        raise ValueError("bottomk_value_sample: k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bq|"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.where(F.col(key_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            h.alias("h"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(val_col).cast("double").alias("val"),
+        )
+        # identical (h, key, val) rows collapse — a no-op when key_col is
+        # a real primary key, but it keeps the merge law exact on
+        # replayed/overlapping inputs (direct build ≡ merge, as for
+        # bottomk_sketch's key distinct)
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+
+
+def bottomk_value_merge(*samples: DataFrame, k: int = 64) -> DataFrame:
+    """Merge value samples built with the same hash: union (+ distinct —
+    replayed parts contribute identical (h, key, val) rows) and re-take
+    the k smallest. ≡ a direct build over the unioned inputs."""
+    if not samples:
+        raise ValueError("bottomk_value_merge: no samples")
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy(F.col("h").asc()).limit(k)
+
+
+def sampled_quantile_report(
+    sample: DataFrame,
+    full: DataFrame,
+    val_col: str,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 4), (2, 4), (3, 4), (9, 10)),
+) -> DataFrame:
+    """Self-measuring quantile acceptance gate (the
+    ``hll_cardinality_report`` pattern applied to distributions): for
+    each RATIONAL quantile ``q_num/q_den``, the DISCRETE (lower order
+    statistic) quantile of the k-row sample next to the same statistic
+    over the full data, plus the 6dp absolute error. The rank is the
+    integer ``ceil(n·num/den) = (n·num + den − 1) div den`` — no float
+    quantile definition to reconcile between engines, and the emitted
+    value is a VALUE FROM THE DATA (row_number ties on equal values
+    cannot change it).
+
+    100 TB posture: the exact side is the gate you run ONCE at
+    onboarding (it is the ``price_quantiles`` global-sort shape); after
+    it passes, serving reads quantiles off the k-row sample alone —
+    that is the point of the sketch. The sample side's "global" window
+    is ≤ k rows by construction.
+    """
+    spark = sample.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in quantiles], "q_num INT, q_den INT"
+    )
+    if any(a < 1 or b < 1 or a > b for a, b in quantiles):
+        raise ValueError(
+            "sampled_quantile_report: quantiles must be rationals in (0, 1]"
+        )
+
+    def _side(df: DataFrame, vcol: str, out_name: str) -> DataFrame:
+        ranked = (
+            df.where(F.col(vcol).isNotNull())
+            .select(F.col(vcol).cast("double").alias("__v"))
+            .withColumn(
+                "__r", F.row_number().over(Window.orderBy(F.col("__v").asc()))
+            )
+        )
+        n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+        tgt = F.broadcast(qdf).crossJoin(F.broadcast(n)).withColumn(
+            "__tr", F.expr("(__n * q_num + q_den - 1) div q_den")
+        )
+        return tgt.join(ranked, F.col("__r") == F.col("__tr")).select(
+            "q_num",
+            "q_den",
+            F.col("__n").alias(f"__n_{out_name}"),
+            F.col("__v").alias(out_name),
+        )
+
+    est = _side(sample, "val", "est")
+    exact = _side(full, val_col, "exact")
+    return (
+        est.join(exact, ["q_num", "q_den"])
+        .select(
+            "q_num",
+            "q_den",
+            F.col("__n_est").alias("n_sample"),
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+    )

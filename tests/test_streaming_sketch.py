@@ -317,3 +317,65 @@ def test_priority_sample_guards_and_filters(spark):
     assert kept == {"a"}  # zero/negative weights and NULL keys dropped
     with _pytest.raises(ValueError, match="k must be"):
         priority_sample(wts, "key", "w", 0)
+
+
+def test_bottomk_value_sample_merge_law_and_nulls(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    rows_a = [(i, float(i * 10)) for i in range(40)] + [(None, 1.0), (99, None)]
+    rows_b = [(i, float(i * 10)) for i in range(30, 80)]
+    a = spark.createDataFrame(rows_a, "k BIGINT, v DOUBLE")
+    b = spark.createDataFrame(rows_b, "k BIGINT, v DOUBLE")
+    sa = SK.bottomk_value_sample(a, "k", "v", k=16)
+    sb = SK.bottomk_value_sample(b, "k", "v", k=16)
+    merged = sorted(map(tuple, SK.bottomk_value_merge(sa, sb, k=16).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            SK.bottomk_value_sample(a.unionByName(b), "k", "v", k=16).collect(),
+        )
+    )
+    assert merged == direct
+    # NULL key / NULL value rows never enter the sample
+    keys = {r.key for r in sa.collect()}
+    assert "99" not in keys and None not in keys
+
+
+def test_sampled_quantile_report_discrete_ranks(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # full data 1..8; a "sample" that IS the full table makes the
+    # discrete rank arithmetic hand-checkable: est == exact everywhere
+    full = spark.createDataFrame([(i, float(i)) for i in range(1, 9)],
+                                 "k BIGINT, v DOUBLE")
+    samp = SK.bottomk_value_sample(full, "k", "v", k=100)
+    rep = {
+        (r.q_num, r.q_den): r
+        for r in SK.sampled_quantile_report(
+            samp, full, "v", quantiles=((1, 4), (1, 2), (3, 4), (1, 1))
+        ).collect()
+    }
+    # ceil(8*q) -> ranks 2, 4, 6, 8 -> values 2, 4, 6, 8
+    assert rep[(1, 4)].exact == 2.0 and rep[(1, 2)].exact == 4.0
+    assert rep[(3, 4)].exact == 6.0 and rep[(1, 1)].exact == 8.0
+    for r in rep.values():
+        assert r.est == r.exact and r.abs_err == 0.0 and r.n_sample == 8
+
+
+def test_sampled_quantile_report_validates_quantiles(spark):
+    import pytest as _pt
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE")
+    s = SK.bottomk_value_sample(df, "k", "v", k=4)
+    with _pt.raises(ValueError, match="rationals"):
+        SK.sampled_quantile_report(s, df, "v", quantiles=((3, 2),))
+    with _pt.raises(ValueError):
+        SK.bottomk_value_sample(df, "k", "v", k=0)
