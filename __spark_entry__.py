@@ -951,6 +951,17 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PF.profile_table(_t(spark, sf_dir, "orders"), columns=_ORDERS_COLS)
 
 
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew census on events.user_id — the quantified broadcast /
+    salt / hot-route decision input: top-10 heaviest keys with share,
+    cumulative share, and the rational is_hot flag (≥ 1/10 of all
+    rows). One keyed count with map-side combine; everything after is
+    key-cardinality-sized."""
+    return PF.key_skew_report(
+        _t(spark, sf_dir, "events"), "user_id", top_n=10, hot_num=1, hot_den=10
+    )
+
+
 def q_orders_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric drift summary (min/max/mean/stddev, 6dp) for the order
     value columns — one map-side-partial aggregate, no Expand."""
@@ -3357,6 +3368,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
+    "events_key_skew",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3505,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resampled": q_events_resampled,
         "user_value_trend": q_user_value_trend,
         "orders_profile": q_orders_profile,
+        "events_key_skew": q_events_key_skew,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
         "price_depth_histogram": q_price_depth_histogram,
@@ -5629,6 +5642,26 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2 AND var_pop(x) > 0
         """,
         "orders_profile": _profile_oracle("orders", _ORDERS_COLS),
+        "events_key_skew": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                         CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+            r AS (SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                                            key ASC NULLS LAST) AS rank
+                  FROM c),
+            top AS (SELECT * FROM r WHERE rank <= 10),
+            cum AS (SELECT rank, key, cnt,
+                           CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS ccnt
+                    FROM top)
+            SELECT CAST(rank AS INTEGER) AS rank, key, cnt,
+                   t.n_rows, t.n_keys,
+                   ROUND(cnt / t.n_rows, 6) AS share,
+                   ROUND(ccnt / t.n_rows, 6) AS cum_share,
+                   (cnt * 10 >= t.n_rows * 1) AS is_hot
+            FROM cum CROSS JOIN t
+        """,
         "orders_numeric_profile": _numeric_profile_oracle(
             "orders", ["o_totalprice", "o_orderkey"]
         ),

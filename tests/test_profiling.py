@@ -109,3 +109,41 @@ def test_equi_depth_histogram_balanced_counts(spark):
     assert max(d.values()) <= 30  # no width-style 90/10 collapse
     with pytest.raises(ValueError):
         P.equi_depth_histogram(df, "x", n_buckets=1)
+
+
+def test_key_skew_report_hand_counts(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        profiling as PF,
+    )
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k STRING")
+    out = {r.rank: r for r in PF.key_skew_report(df, "k", top_n=3).collect()}
+    assert len(out) == 3
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert (r1.key, r1.cnt) == ("a", 6)
+    assert (r2.key, r2.cnt) == ("b", 3)
+    # NULL keys count like any hot key
+    assert r3.key is None and r3.cnt == 2
+    assert r1.n_rows == 12 and r1.n_keys == 4
+    assert r1.share == 0.5 and r1.cum_share == 0.5
+    assert r2.cum_share == 0.75 and r3.cum_share == round(11 / 12, 6)
+    # hot at >= 1/10 of 12 rows = cnt >= 1.2 -> all three flagged
+    assert r1.is_hot and r2.is_hot and r3.is_hot
+    strict = {
+        r.rank: r.is_hot
+        for r in PF.key_skew_report(df, "k", top_n=3, hot_num=1, hot_den=2).collect()
+    }
+    assert strict == {1: True, 2: False, 3: False}
+
+
+def test_key_skew_report_validates(spark):
+    import pytest as _pt
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        profiling as PF,
+    )
+
+    df = spark.createDataFrame([("a",)], "k STRING")
+    with _pt.raises(ValueError):
+        PF.key_skew_report(df, "k", top_n=0)
