@@ -2303,6 +2303,60 @@ def q_winnow_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_retention_report(docs, k=4, w=4)
 
 
+def _packing_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.col("doc_id").alias("pos"),
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit(r"[a-z0-9]+"),
+                0,
+            )
+        ).alias("n_tokens"),
+    )
+
+
+def q_packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-sequential vs best-fit-decreasing packing at the same
+    budget — the padding-waste lever measured per shard (packs and
+    waste fraction under each strategy, plus the 6dp saving). Both
+    applyInPandas folds are replayed exactly by the DuckDB oracle
+    (delimited-VARCHAR list_reduce; BFD's best-fit pick is max fitting
+    load, first bin on ties)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sampling as SA,
+    )
+
+    staged = _packing_base(spark, sf_dir)
+    g = SA.packing_efficiency_report(
+        SA.pack_sequences(staged, 150), 150
+    ).select(
+        "shard",
+        F.col("n_packs").alias("n_packs_seq"),
+        F.col("padding_waste_frac").alias("waste_seq"),
+    )
+    b = SA.packing_efficiency_report(
+        SA.pack_sequences_bfd(staged, 150), 150
+    ).select(
+        "shard",
+        F.col("n_packs").alias("n_packs_bfd"),
+        F.col("padding_waste_frac").alias("waste_bfd"),
+    )
+    return g.join(b, "shard").select(
+        "shard",
+        "n_packs_seq",
+        "n_packs_bfd",
+        "waste_seq",
+        "waste_bfd",
+        F.round(F.col("waste_seq") - F.col("waste_bfd"), 6).alias(
+            "waste_saving"
+        ),
+    )
+
+
 def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency census over greedy sequence packing
     (sampling.pack_sequences → packing_efficiency_report): per shard,
@@ -3368,7 +3422,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
-    "events_key_skew",
+    "events_key_skew", "packing_strategy_compare",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3607,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_winnow_matches": q_robust_winnow_matches,
         "winnow_retention_report": q_winnow_retention_report,
         "packing_efficiency_report": q_packing_efficiency_report,
+        "packing_strategy_compare": q_packing_strategy_compare,
         "cross_source_dup_sweep": q_cross_source_dup_sweep,
         "kn_bigram_logprob": q_kn_bigram_logprob,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -3859,6 +3914,87 @@ def _mmr_oracle(k: int = 4, m: int = 8, lam: float = 0.5, nq: int = 3) -> str:
         for i in range(1, k + 1)
     )
     return "WITH " + "".join(parts) + f"\n            {sel}"
+
+
+def _packing_compare_oracle(budget: int = 150) -> str:
+    """Greedy-sequential AND best-fit-decreasing packing folds replayed
+    in DuckDB (delimited-VARCHAR list_reduce accumulators). The greedy
+    fold mirrors the packing_efficiency_report oracle; the BFD fold's
+    state is the comma-joined open-bin loads — each step parses them,
+    takes the FULLEST load that still fits (first bin on value ties,
+    list_position), and either bumps it or appends a new bin."""
+    loads = (
+        "list_transform(list_filter(string_split(a.s, ','), z -> z <> ''),"
+        " z -> CAST(z AS BIGINT))"
+    )
+    t = "CAST(x.s AS BIGINT)"
+    fits = f"list_filter({loads}, l -> l + {t} <= {budget})"
+    bestidx = f"list_position({loads}, list_max({fits}))"
+    bfd_step = (
+        "{'s': CASE WHEN len(" + fits + ") = 0 THEN a.s || ',' || x.s "
+        "ELSE array_to_string(list_transform(" + loads + ", (l, i) -> "
+        "CAST(CASE WHEN i = " + bestidx + " THEN l + " + t +
+        " ELSE l END AS VARCHAR)), ',') END}"
+    )
+    word_sql = _WORD_SQL
+    return f"""
+            WITH base AS (
+                SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id AS pos,
+                       CAST(len(regexp_extract_all(
+                           lower(coalesce(text, '')), '{word_sql}'))
+                           AS BIGINT) AS t
+                FROM documents),
+            gts AS (SELECT shard, list(t ORDER BY pos) AS ts FROM base
+                    GROUP BY shard),
+            gfolded AS (
+                SELECT shard,
+                    list_reduce(
+                        list_prepend({{'s': '', 'acc': CAST(-1 AS BIGINT)}},
+                            list_transform(ts, x -> {{'s': '', 'acc': x}})),
+                        (a, x) -> CASE
+                            WHEN a.acc = -1 THEN {{'s': '', 'acc': x.acc}}
+                            WHEN a.acc > 0 AND a.acc + x.acc > {budget}
+                            THEN {{'s': a.s || ',' || CAST(a.acc AS VARCHAR),
+                                  'acc': x.acc}}
+                            ELSE {{'s': a.s, 'acc': a.acc + x.acc}} END
+                    ) AS st
+                FROM gts),
+            gpacks AS (
+                SELECT shard,
+                       unnest(list_filter(string_split(
+                           st.s || ',' || CAST(st.acc AS VARCHAR), ','),
+                           x -> x <> '')) AS ptoks
+                FROM gfolded),
+            grep AS (
+                SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_packs_seq,
+                       ROUND((COUNT(*) * {budget} - SUM(CAST(ptoks AS BIGINT)))
+                             / (COUNT(*) * {budget}), 6) AS waste_seq
+                FROM gpacks GROUP BY shard),
+            bts AS (SELECT shard, list(t ORDER BY t DESC, pos ASC) AS ts
+                    FROM base GROUP BY shard),
+            bfolded AS (
+                SELECT shard,
+                    list_reduce(
+                        list_prepend({{'s': ''}},
+                            list_transform(ts, x -> {{'s': CAST(x AS VARCHAR)}})),
+                        (a, x) -> {bfd_step}
+                    ) AS st
+                FROM bts),
+            bpacks AS (
+                SELECT shard,
+                       unnest(list_filter(string_split(st.s, ','),
+                                          x -> x <> '')) AS ptoks
+                FROM bfolded),
+            brep AS (
+                SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_packs_bfd,
+                       ROUND((COUNT(*) * {budget} - SUM(CAST(ptoks AS BIGINT)))
+                             / (COUNT(*) * {budget}), 6) AS waste_bfd
+                FROM bpacks GROUP BY shard)
+            SELECT g.shard, g.n_packs_seq, b.n_packs_bfd,
+                   g.waste_seq, b.waste_bfd,
+                   ROUND(g.waste_seq - b.waste_bfd, 6) AS waste_saving
+            FROM grep g JOIN brep b USING (shard)
+    """
 
 
 # shared shingling CTE prefix: toks → distinct word-3-gram shingles →
@@ -6970,6 +7106,7 @@ def oracle_sql() -> dict[str, str]:
         # token sums accumulate in a delimited VARCHAR (the
         # _ROBUST_WINNOW_CTES accumulator pattern — DuckDB list_reduce
         # loses nested-list appends) and split back to one row per pack
+        "packing_strategy_compare": _packing_compare_oracle(150),
         "packing_efficiency_report": f"""
             WITH base AS (
                 SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id AS pos,

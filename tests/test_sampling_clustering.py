@@ -601,3 +601,62 @@ def test_packing_efficiency_report(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sampling.packing_efficiency_report(packed, budget_tokens=0)
+
+
+def test_pack_sequences_bfd_best_fit_rule(spark):
+    """BFD hand case (budget 100): sorted desc [60, 60, 50, 40, 30] —
+    40 joins the FULLEST fitting bin (the first 60), 30 the second 60;
+    final loads {100, 90, 50} in 3 packs (greedy arrival order on the
+    same rows needs 4)."""
+    rows = [(0, 0, 60), (0, 1, 60), (0, 2, 50), (0, 3, 40), (0, 4, 30)]
+    df = spark.createDataFrame(rows, "shard INT, pos INT, n_tokens INT")
+    out = sampling.pack_sequences_bfd(df, budget_tokens=100).collect()
+    loads = {}
+    for r in out:
+        loads[r["pack_id"]] = loads.get(r["pack_id"], 0) + r["n_tokens"]
+    assert sorted(loads.values(), reverse=True) == [100, 90, 50]
+    greedy = sampling.pack_sequences(df, budget_tokens=100).collect()
+    assert len({r["pack_id"] for r in greedy}) == 4
+
+
+def test_pack_sequences_bfd_oversize_isolated(spark):
+    rows = [(0, 0, 150), (0, 1, 10), (0, 2, 10)]
+    df = spark.createDataFrame(rows, "shard INT, pos INT, n_tokens INT")
+    out = sampling.pack_sequences_bfd(df, budget_tokens=100).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    # the oversized row is alone; the two 10s share a bin
+    assert sorted(map(sorted, by_pack.values())) == [[10, 10], [150]]
+
+
+def test_pack_sequences_bfd_matches_python_mirror(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(s, p, rnd.randint(5, 95)) for s in (0, 1) for p in range(40)]
+    df = spark.createDataFrame(rows, "shard INT, pos INT, n_tokens INT")
+    out = sampling.pack_sequences_bfd(df, budget_tokens=100).collect()
+
+    def mirror(items):
+        items = sorted(items, key=lambda x: (-x[1], x[0]))
+        loads, assign = [], {}
+        for pos, t in items:
+            best = -1
+            for i, l in enumerate(loads):
+                if l + t <= 100 and (best == -1 or l > loads[best]):
+                    best = i
+            if best == -1:
+                loads.append(t)
+                assign[pos] = len(loads) - 1
+            else:
+                loads[best] += t
+                assign[pos] = best
+        return assign
+
+    for s in (0, 1):
+        expected = mirror([(p, t) for sh, p, t in rows if sh == s])
+        got = {r["pos"]: r["pack_id"] for r in out if r["shard"] == s}
+        assert got == expected
+    with __import__("pytest").raises(ValueError):
+        sampling.pack_sequences_bfd(df, budget_tokens=0)
