@@ -1066,6 +1066,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-exposure census per source (the compliance view before
+    scrub_text masks anything): long-form (source, pii_type) rows with
+    docs-hit and total-match counts for email/ipv4/ssn/phone shapes.
+    Map-side counts + one source-keyed aggregate; pattern shapes
+    restricted so Java regex and RE2 agree."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pii_report(docs)
+
+
 def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility / compression census per source: bytes,
     chars, BPE-ish regex tokens, words, tokens_per_word, bytes_per_token
@@ -3422,7 +3432,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
-    "events_key_skew", "packing_strategy_compare",
+    "events_key_skew", "packing_strategy_compare", "pii_report",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3581,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "tokenizer_fertility_report": q_tokenizer_fertility_report,
+        "pii_report": q_pii_report,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
@@ -3914,6 +3925,43 @@ def _mmr_oracle(k: int = 4, m: int = 8, lam: float = 0.5, nq: int = 3) -> str:
         for i in range(1, k + 1)
     )
     return "WITH " + "".join(parts) + f"\n            {sel}"
+
+
+def _pii_oracle() -> str:
+    """Long-form PII census: one regexp_extract_all count per pattern
+    in a map-side projection, group-keyed sums, then one SELECT per
+    pattern unioned — mirrors text.pii_report (which explodes an array
+    of per-pattern structs instead of unioning)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        PII_PATTERNS,
+    )
+
+    per_cols = ",\n                       ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS c_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    agg_cols = ",\n                       ".join(
+        f"CAST(SUM(CASE WHEN c_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d_{name},\n                       "
+        f"CAST(SUM(c_{name}) AS BIGINT) AS m_{name}"
+        for name, _ in PII_PATTERNS
+    )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT source, n_docs, '{name}' AS pii_type,"
+        f" d_{name} AS n_docs_hit, m_{name} AS n_matches FROM agg"
+        for name, _ in PII_PATTERNS
+    )
+    return f"""
+            WITH per AS (
+                SELECT source,
+                       {per_cols}
+                FROM documents),
+            agg AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       {agg_cols}
+                FROM per GROUP BY source)
+            {unions}
+    """
 
 
 def _packing_compare_oracle(budget: int = 150) -> str:
@@ -5859,6 +5907,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM s
         """,
+        "pii_report": _pii_oracle(),
         "tokenizer_fertility_report": f"""
             WITH per AS (
                 SELECT source,

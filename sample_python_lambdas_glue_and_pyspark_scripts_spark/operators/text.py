@@ -1531,3 +1531,69 @@ def tokenizer_fertility_report(
             F.round(F.col("total_bytes") / F.col("total_tokens"), 6),
         ).alias("bytes_per_token"),
     )
+
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # simple character-class+quantifier shapes only: Java regex and RE2
+    # agree on these (no lookaround/backrefs — RE2 has neither)
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII-exposure census per source — the compliance view BEFORE
+    :func:`scrub_text` masks anything (which docs would be touched, how
+    many matches, which source leaks what): one long-form row per
+    (group, pii_type) with ``n_docs`` (group size), ``n_docs_hit``
+    (docs with ≥1 match) and ``n_matches`` (total matches).
+
+    One map-side projection counting every pattern per doc, one
+    group-keyed partial aggregate, then a k-patterns-sized explode of
+    the aggregate row — group-cardinality × n_patterns rows out, the
+    corpus never shuffled on content. NULL text counts as empty. The
+    pattern shapes are restricted to character classes + quantifiers so
+    the Java-regex (Spark) and RE2 (DuckDB oracle) match sets are
+    identical.
+    """
+    c = F.coalesce(_c(text_col), F.lit(""))
+    per = df.select(
+        F.col(group_col).alias("source"),
+        *[
+            _count_matches(c, pat).alias(f"__c_{name}")
+            for name, pat in patterns
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for name, _ in patterns:
+        aggs.append(
+            F.sum((F.col(f"__c_{name}") > 0).cast("bigint")).alias(f"__d_{name}")
+        )
+        aggs.append(F.sum(f"__c_{name}").cast("bigint").alias(f"__m_{name}"))
+    agg = per.groupBy("source").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pii_type"),
+                F.col(f"__d_{name}").alias("n_docs_hit"),
+                F.col(f"__m_{name}").alias("n_matches"),
+            )
+            for name, _ in patterns
+        ]
+    )
+    return agg.select(
+        "source", "n_docs", F.explode(rows).alias("__r")
+    ).select(
+        "source",
+        "n_docs",
+        F.col("__r.pii_type").alias("pii_type"),
+        F.col("__r.n_docs_hit").alias("n_docs_hit"),
+        F.col("__r.n_matches").alias("n_matches"),
+    )

@@ -1425,3 +1425,27 @@ def test_tokenizer_fertility_all_empty_group(spark):
     r = T.tokenizer_fertility_report(df).collect()[0]
     assert (r.total_bytes, r.total_tokens, r.total_words) == (0, 0, 0)
     assert r.tokens_per_word is None and r.bytes_per_token is None
+
+
+def test_pii_report_hand_counts(spark):
+    rows = [
+        (1, "a", "mail me at bob@example.com or alice@test.org thanks"),
+        (2, "a", "server at 10.0.0.1 and 192.168.1.255, ssn 123-45-6789"),
+        (3, "b", None),
+        (4, "b", "call 555-123-4567 twice: 555-123-4567"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r.source, r.pii_type): r for r in T.pii_report(df).collect()}
+    assert out[("a", "email")].n_matches == 2
+    assert out[("a", "email")].n_docs_hit == 1
+    assert out[("a", "ipv4")].n_matches == 2
+    assert out[("a", "ssn")].n_matches == 1
+    # phone pattern \d{3}[-.]\d{3}[-.]\d{4} also matches inside the SSN
+    # context? no: 123-45-6789 has a 2-digit middle group
+    assert out[("a", "phone")].n_matches == 0
+    assert out[("b", "phone")].n_matches == 2
+    assert out[("b", "phone")].n_docs_hit == 1
+    assert out[("b", "email")].n_matches == 0
+    assert all(r.n_docs == 2 for r in out.values())
+    # every (source, pattern) pair is present even when all-zero
+    assert len(out) == 8
