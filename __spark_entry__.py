@@ -1076,6 +1076,18 @@ def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_report(docs)
 
 
+def q_fertility_report_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental census maintenance, identity-contract form: the
+    corpus split in two (doc_id parity), a fertility census built per
+    part, then counter-merged — provably ≡ the direct census of the
+    whole corpus (shares tokenizer_fertility_report's oracle VERBATIM).
+    The 100 TB posture: census the delta crawl, merge, never rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    a = TX.tokenizer_fertility_report(docs.filter(F.col("doc_id") % 2 == 0))
+    b = TX.tokenizer_fertility_report(docs.filter(F.col("doc_id") % 2 == 1))
+    return TX.merge_fertility_reports(a, b)
+
+
 def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility / compression census per source: bytes,
     chars, BPE-ish regex tokens, words, tokens_per_word, bytes_per_token
@@ -3433,6 +3445,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
+    "fertility_report_merged",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3591,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "tokenizer_fertility_report": q_tokenizer_fertility_report,
+        "fertility_report_merged": q_fertility_report_merged,
         "pii_report": q_pii_report,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -8219,6 +8233,10 @@ def oracle_sql() -> dict[str, str]:
     # provably identical semantics: the vectorized path validates against
     # the exact same oracle as the join formulation (no drift possible)
     d["ann_topk_vectorized"] = d["ann_cosine_topk"]
+    # census merge is algebraic: merged per-part censuses ≡ the direct
+    # census of the whole corpus (identical integer sums → identical
+    # rounded divisions)
+    d["fertility_report_merged"] = d["tokenizer_fertility_report"]
     # ... and both CC algorithms must produce the identical labeling
     d["dedup_clusters_star"] = d["dedup_clusters"]
     # Bloom prefilter has no false negatives and survivors are exactly

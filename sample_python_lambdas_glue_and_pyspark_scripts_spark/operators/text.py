@@ -1597,3 +1597,66 @@ def pii_report(
         F.col("__r.n_docs_hit").alias("n_docs_hit"),
         F.col("__r.n_matches").alias("n_matches"),
     )
+
+
+def merge_fertility_reports(*reports: DataFrame) -> DataFrame:
+    """Incremental maintenance for :func:`tokenizer_fertility_report`:
+    the census is an ALGEBRAIC aggregate (every ratio derives from
+    summed integer counters), so the census of a grown corpus is the
+    counter-sum of per-part censuses with the ratios recomputed — the
+    ``extend_*`` pattern applied to corpus statistics. At 100 TB the
+    per-crawl census is computed once on the delta and merged; the
+    corpus is never rescanned. merge(census(A), census(B)) ≡
+    census(A ∪ B) exactly (identical integer sums → identical rounded
+    divisions; identity-contract query shares the direct oracle
+    verbatim)."""
+    if not reports:
+        raise ValueError("merge_fertility_reports: no reports")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    agg = out.groupBy("source").agg(
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for c in (
+                "n_docs",
+                "total_bytes",
+                "total_chars",
+                "total_tokens",
+                "total_words",
+            )
+        ]
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "total_tokens",
+        "total_words",
+        F.when(
+            F.col("total_words") > 0,
+            F.round(F.col("total_tokens") / F.col("total_words"), 6),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("total_bytes") / F.col("total_tokens"), 6),
+        ).alias("bytes_per_token"),
+    )
+
+
+def merge_pii_reports(*reports: DataFrame) -> DataFrame:
+    """Incremental maintenance for :func:`pii_report` — same algebraic
+    contract as :func:`merge_fertility_reports`: all three columns are
+    integer counters, so per-part censuses sum per (source, pii_type)
+    into exactly the direct census of the union."""
+    if not reports:
+        raise ValueError("merge_pii_reports: no reports")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("source", "pii_type").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_docs_hit").cast("bigint").alias("n_docs_hit"),
+        F.sum("n_matches").cast("bigint").alias("n_matches"),
+    ).select("source", "n_docs", "pii_type", "n_docs_hit", "n_matches")

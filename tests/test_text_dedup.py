@@ -1449,3 +1449,43 @@ def test_pii_report_hand_counts(spark):
     assert all(r.n_docs == 2 for r in out.values())
     # every (source, pattern) pair is present even when all-zero
     assert len(out) == 8
+
+
+def test_census_merges_match_direct(spark):
+    rows = [
+        (1, "a", "Hello, world! bob@example.com"),
+        (2, "a", "abc def 10.0.0.1"),
+        (3, "b", None),
+        (4, "b", "call 555-123-4567 now."),
+        (5, "a", "more words here with an email x@y.z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    left, right = df.filter("doc_id <= 2"), df.filter("doc_id > 2")
+
+    direct_f = sorted(map(tuple, T.tokenizer_fertility_report(df).collect()))
+    merged_f = sorted(
+        map(
+            tuple,
+            T.merge_fertility_reports(
+                T.tokenizer_fertility_report(left),
+                T.tokenizer_fertility_report(right),
+            ).collect(),
+        )
+    )
+    assert merged_f == direct_f
+
+    direct_p = sorted(map(tuple, T.pii_report(df).collect()))
+    merged_p = sorted(
+        map(
+            tuple,
+            T.merge_pii_reports(T.pii_report(left), T.pii_report(right)).collect(),
+        )
+    )
+    assert merged_p == direct_p
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        T.merge_fertility_reports()
+    with _pt.raises(ValueError):
+        T.merge_pii_reports()
