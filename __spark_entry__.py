@@ -1726,6 +1726,26 @@ def q_order_price_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     return SK.sampled_quantile_report(samp, orders, "o_totalprice")
 
 
+def q_grouped_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY quantiles from the grouped bottom-k value sample:
+    per order priority, median and p90 of total price read off a
+    32-row-per-group mergeable sample next to the exact statistic,
+    with 6dp absolute error — the hll_sketch_grouped pattern applied
+    to distributions. Every window is group-partitioned."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = SK.bottomk_value_sample_grouped(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice", k=32
+    )
+    return SK.grouped_quantile_report(
+        samp, orders, "o_orderpriority", "o_totalprice",
+        quantiles=((1, 2), (9, 10)),
+    )
+
+
 BLOOM_M_BITS = 120
 BLOOM_K = 2
 
@@ -3445,7 +3465,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
-    "fertility_report_merged",
+    "fertility_report_merged", "grouped_price_quantiles",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3636,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality_report": q_hll_cardinality_report,
         "bottomk_user_sample": q_bottomk_user_sample,
         "order_price_sampled_quantiles": q_order_price_sampled_quantiles,
+        "grouped_price_quantiles": q_grouped_price_quantiles,
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "priority_user_sample": q_priority_user_sample,
         "priority_subset_estimate": q_priority_subset_estimate,
@@ -6884,6 +6905,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.est_subset_total / x.exact_subset_total - 1.0, 6)
                        AS rel_err
             FROM est e CROSS JOIN ex x
+        """,
+        "grouped_price_quantiles": """
+            WITH s0 AS (SELECT o_orderpriority AS g,
+                              ('0x' || substr(md5('bq|' ||
+                                  CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+                              CAST(o_totalprice AS DOUBLE) AS val
+                        FROM orders
+                        WHERE o_orderkey IS NOT NULL
+                          AND o_totalprice IS NOT NULL),
+            s AS (SELECT g, val FROM (
+                      SELECT g, val,
+                             ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+                      FROM s0) t WHERE r <= 32),
+            qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) t(q_num, q_den)),
+            sr AS (SELECT g, val,
+                          ROW_NUMBER() OVER (PARTITION BY g ORDER BY val) AS r
+                   FROM s),
+            sn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sr GROUP BY g),
+            es AS (SELECT sn.g, q.q_num, q.q_den, sn.n AS n_sample, sr.val AS est
+                   FROM qs q CROSS JOIN sn
+                   JOIN sr ON sr.g = sn.g
+                          AND sr.r = (sn.n * q.q_num + q.q_den - 1) // q.q_den),
+            fr AS (SELECT o_orderpriority AS g,
+                          CAST(o_totalprice AS DOUBLE) AS val,
+                          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(o_totalprice AS DOUBLE)) AS r
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            fn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM fr GROUP BY g),
+            ex AS (SELECT fn.g, q.q_num, q.q_den, fr.val AS exact
+                   FROM qs q CROSS JOIN fn
+                   JOIN fr ON fr.g = fn.g
+                          AND fr.r = (fn.n * q.q_num + q.q_den - 1) // q.q_den)
+            SELECT e.g AS o_orderpriority, e.q_num, e.q_den, e.n_sample,
+                   e.est, x.exact, ROUND(ABS(e.est - x.exact), 6) AS abs_err
+            FROM es e JOIN ex x ON e.g = x.g AND e.q_num = x.q_num
+                               AND e.q_den = x.q_den
         """,
         "order_price_sampled_quantiles": """
             WITH s AS (SELECT ('0x' || substr(md5('bq|' ||

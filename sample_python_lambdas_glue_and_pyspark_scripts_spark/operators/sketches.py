@@ -820,3 +820,141 @@ def sampled_quantile_report(
             F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
         )
     )
+
+
+def bottomk_value_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    val_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group :func:`bottomk_value_sample` (the
+    ``hll_sketch_grouped`` precedent applied to distributions): ≤ k
+    sample rows PER GROUP via one (group)-partitioned rank window over
+    the hashed keys — a GROUP BY quantile summary whose state is
+    ``groups × k`` rows. Merge law per group: union + distinct +
+    re-rank (:func:`bottomk_value_merge_grouped`)."""
+    if k < 1:
+        raise ValueError("bottomk_value_sample_grouped: k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bq|"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    staged = (
+        df.where(F.col(key_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            h.alias("h"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(val_col).cast("double").alias("val"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        staged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(F.col("grp").alias(group_col), "h", "key", "val")
+    )
+
+
+def bottomk_value_merge_grouped(
+    *samples: DataFrame, group_col: str = "grp", k: int = 32
+) -> DataFrame:
+    """Merge grouped value samples: union, collapse identical rows,
+    re-take the k smallest hashes per group — ≡ a direct grouped build
+    over the unioned inputs (pinned by test)."""
+    if not samples:
+        raise ValueError("bottomk_value_merge_grouped: no samples")
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    return (
+        out.distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def grouped_quantile_report(
+    sample: DataFrame,
+    full: DataFrame,
+    group_col: str,
+    val_col: str,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10)),
+) -> DataFrame:
+    """Per-group :func:`sampled_quantile_report`: discrete rational
+    quantiles of each group's k-row sample next to the same statistic
+    over the full group, 6dp absolute error. All windows are
+    (group)-partitioned — never unpartitioned; the exact side is the
+    once-at-onboarding gate, serving reads the groups × k state."""
+    if any(a < 1 or b < 1 or a > b for a, b in quantiles):
+        raise ValueError(
+            "grouped_quantile_report: quantiles must be rationals in (0, 1]"
+        )
+    spark = sample.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in quantiles], "q_num INT, q_den INT"
+    )
+
+    def _side(df: DataFrame, gcol: str, vcol: str, out_name: str) -> DataFrame:
+        ranked = (
+            df.where(F.col(vcol).isNotNull())
+            .select(
+                F.col(gcol).alias("__g"), F.col(vcol).cast("double").alias("__v")
+            )
+            .withColumn(
+                "__r",
+                F.row_number().over(
+                    Window.partitionBy("__g").orderBy(F.col("__v").asc())
+                ),
+            )
+        )
+        n = ranked.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+        tgt = n.crossJoin(F.broadcast(qdf)).withColumn(
+            "__tr", F.expr("(__n * q_num + q_den - 1) div q_den")
+        )
+        return (
+            tgt.alias("t")
+            .join(
+                ranked.alias("r"),
+                (F.col("t.__g") == F.col("r.__g"))
+                & (F.col("r.__r") == F.col("t.__tr")),
+            )
+            .select(
+                F.col("t.__g").alias("__g"),
+                "q_num",
+                "q_den",
+                F.col("t.__n").alias(f"__n_{out_name}"),
+                F.col("r.__v").alias(out_name),
+            )
+        )
+
+    est = _side(sample, group_col, "val", "est")
+    exact = _side(full, group_col, val_col, "exact")
+    return (
+        est.alias("e")
+        .join(
+            exact.alias("x"),
+            (F.col("e.__g") == F.col("x.__g"))
+            & (F.col("e.q_num") == F.col("x.q_num"))
+            & (F.col("e.q_den") == F.col("x.q_den")),
+        )
+        .select(
+            F.col("e.__g").alias(group_col),
+            F.col("e.q_num").alias("q_num"),
+            F.col("e.q_den").alias("q_den"),
+            F.col("e.__n_est").alias("n_sample"),
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+    )

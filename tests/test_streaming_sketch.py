@@ -379,3 +379,62 @@ def test_sampled_quantile_report_validates_quantiles(spark):
         SK.sampled_quantile_report(s, df, "v", quantiles=((3, 2),))
     with _pt.raises(ValueError):
         SK.bottomk_value_sample(df, "k", "v", k=0)
+
+
+def test_grouped_value_sample_merge_law(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    rows_a = [("g1", i, float(i)) for i in range(30)] + [
+        ("g2", i, float(i * 2)) for i in range(10)
+    ]
+    rows_b = [("g1", i, float(i)) for i in range(20, 60)] + [
+        ("g2", i, float(i * 2)) for i in range(5, 30)
+    ]
+    a = spark.createDataFrame(rows_a, "g STRING, k BIGINT, v DOUBLE")
+    b = spark.createDataFrame(rows_b, "g STRING, k BIGINT, v DOUBLE")
+    sa = SK.bottomk_value_sample_grouped(a, "g", "k", "v", k=8)
+    sb = SK.bottomk_value_sample_grouped(b, "g", "k", "v", k=8)
+    merged = sorted(
+        map(tuple, SK.bottomk_value_merge_grouped(sa, sb, group_col="g", k=8).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            SK.bottomk_value_sample_grouped(
+                a.unionByName(b), "g", "k", "v", k=8
+            ).collect(),
+        )
+    )
+    assert merged == direct
+    # every group capped at k
+    from collections import Counter
+
+    assert all(c <= 8 for c in Counter(t[0] for t in merged).values())
+
+
+def test_grouped_quantile_report_per_group_exact(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # full-table "sample" per group -> est == exact; groups of different
+    # sizes exercise the per-group rank arithmetic
+    rows = [("a", i, float(i)) for i in range(1, 5)] + [
+        ("b", i, float(10 * i)) for i in range(1, 11)
+    ]
+    full = spark.createDataFrame(rows, "g STRING, k BIGINT, v DOUBLE")
+    samp = SK.bottomk_value_sample_grouped(full, "g", "k", "v", k=100)
+    rep = {
+        (r.g, r.q_num, r.q_den): r
+        for r in SK.grouped_quantile_report(
+            samp, full, "g", "v", quantiles=((1, 2), (3, 4))
+        ).collect()
+    }
+    # group a (n=4): ceil(4*1/2)=2 -> 2.0 ; ceil(4*3/4)=3 -> 3.0
+    assert rep[("a", 1, 2)].exact == 2.0 and rep[("a", 3, 4)].exact == 3.0
+    # group b (n=10): ranks 5 and 8 -> 50.0, 80.0
+    assert rep[("b", 1, 2)].exact == 50.0 and rep[("b", 3, 4)].exact == 80.0
+    for r in rep.values():
+        assert r.est == r.exact and r.abs_err == 0.0
