@@ -319,3 +319,68 @@ def read_bottomk_state(
         .orderBy(F.col("h").asc())
         .limit(k)
     )
+
+
+# --- streaming value sample (live quantiles) -------------------------------
+
+_BKV_SCHEMA = "h bigint, key string, val double"
+
+
+def make_bottomk_values_batch_fn(
+    work_dir: str, key_col: str, val_col: str, k: int = 64
+):
+    from ..operators.sketches import bottomk_value_sample
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        bottomk_value_sample(batch_df, key_col, val_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{work_dir}/bottomk_values/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_bottomk_values(
+    stream_df: DataFrame,
+    work_dir: str,
+    key_col: str,
+    val_col: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live bottom-k VALUE sample over a stream — the
+    distribution member of the streaming sketch family (live quantiles
+    without ever rescanning the stream): per epoch one
+    ``bottomk_value_sample`` over the batch (≤ k rows written). Same
+    double replay-safety as the key sample: a replayed epoch overwrites
+    its own dir, AND re-taking the k smallest over duplicated rows is
+    idempotent (identical (h, key, val) rows collapse in the distinct).
+    Serve quantiles with ``operators.sketches.sampled_quantile_report``
+    over :func:`read_bottomk_values_state`."""
+    return run_incremental(
+        stream_df,
+        make_bottomk_values_batch_fn(work_dir, key_col, val_col, k),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_bottomk_values_state(
+    spark: SparkSession, work_dir: str, k: int = 64
+) -> DataFrame:
+    """The merged value sample across every committed epoch (re-take-k,
+    the ``bottomk_value_merge`` law — the read EQUALS a batch sample
+    over everything the stream has seen). Empty-but-valid before the
+    first commit."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/bottomk_values")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _BKV_SCHEMA)
+    return (
+        spark.read.schema(_BKV_SCHEMA)
+        .parquet(f"{work_dir}/bottomk_values")
+        .select("h", "key", "val")
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )

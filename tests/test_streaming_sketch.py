@@ -438,3 +438,65 @@ def test_grouped_quantile_report_per_group_exact(spark):
     assert rep[("b", 1, 2)].exact == 50.0 and rep[("b", 3, 4)].exact == 80.0
     for r in rep.values():
         assert r.est == r.exact and r.abs_err == 0.0
+
+
+def test_streaming_bottomk_values_matches_batch_and_replay(spark, workdir, tmp_path):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bottomk_value_sample,
+        sampled_quantile_report,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_bottomk_values_batch_fn,
+        read_bottomk_values_state,
+        streaming_bottomk_values,
+    )
+
+    src = str(tmp_path / "bkvsrc")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    b0, b1 = mk(0, 400), mk(200, 700)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_bottomk_values(
+        stream, workdir, "event_id", "value", k=16
+    ).awaitTermination(180)
+
+    key = lambda r: (r["h"], r["key"], r["val"])
+    union = b0.unionByName(b1)
+    batch = sorted(
+        map(key, bottomk_value_sample(union, "event_id", "value", 16).collect())
+    )
+    streamed_df = read_bottomk_values_state(spark, workdir, 16)
+    assert sorted(map(key, streamed_df.collect())) == batch
+    # live quantiles off the state match the batch-sample report
+    live = sorted(
+        map(
+            tuple,
+            sampled_quantile_report(
+                streamed_df, union, "value", quantiles=((1, 2),)
+            ).collect(),
+        )
+    )
+    offline = sorted(
+        map(
+            tuple,
+            sampled_quantile_report(
+                bottomk_value_sample(union, "event_id", "value", 16),
+                union,
+                "value",
+                quantiles=((1, 2),),
+            ).collect(),
+        )
+    )
+    assert live == offline
+    # replay idempotence (own-dir overwrite AND re-take-k law)
+    make_bottomk_values_batch_fn(workdir, "event_id", "value", 16)(b0, 0)
+    again = sorted(map(key, read_bottomk_values_state(spark, workdir, 16).collect()))
+    assert again == batch
