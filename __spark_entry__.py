@@ -1066,6 +1066,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def q_zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit over the corpus head vocabulary (ln count on
+    ln rank, top-100 terms): slope/intercept/r2 at 6dp — the
+    is-this-natural-language corpus diagnostic. Closed-form from raw
+    moment sums; only the final values round."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.zipf_fit_report(docs, top_k=100)
+
+
+def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source add-one-smoothed KL(P_source || P_corpus) over the
+    corpus top-100 vocabulary — the mixing diagnostic behind
+    temperature/proportion choices. Vocab broadcast; per-(source, term)
+    counts shuffle vocab-restricted tokens only; the KL grid is
+    sources x V rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_vocab_divergence(docs, top_k=100)
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-exposure census per source (the compliance view before
     scrub_text masks anything): long-form (source, pii_type) rows with
@@ -3466,6 +3485,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged", "grouped_price_quantiles",
+    "zipf_fit_report", "source_vocab_divergence",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3626,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_report": q_tokenizer_fertility_report,
         "fertility_report_merged": q_fertility_report_merged,
         "pii_report": q_pii_report,
+        "zipf_fit_report": q_zipf_fit_report,
+        "source_vocab_divergence": q_source_vocab_divergence,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
@@ -5943,6 +5965,59 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "pii_report": _pii_oracle(),
+        "zipf_fit_report": f"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}'))
+                           AS term
+                FROM documents),
+            tt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+                   GROUP BY 1 ORDER BY n DESC, term LIMIT 100),
+            r AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term)
+                                 AS DOUBLE)) AS x,
+                         ln(CAST(n AS DOUBLE)) AS y
+                  FROM tt),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                         SUM(x * x) AS sxx, SUM(y * y) AS syy
+                  FROM r)
+            SELECT n_terms,
+                   ROUND((n_terms * sxy - sx * sy)
+                         / (n_terms * sxx - sx * sx), 6) AS slope,
+                   ROUND((sy * sxx - sx * sxy)
+                         / (n_terms * sxx - sx * sx), 6) AS intercept,
+                   ROUND(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+                         / ((n_terms * sxx - sx * sx)
+                            * (n_terms * syy - sy * sy)), 6) AS r2
+            FROM a
+        """,
+        "source_vocab_divergence": f"""
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '{_WORD_SQL}'))
+                           AS term
+                FROM documents),
+            vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+                      GROUP BY 1 ORDER BY n DESC, term LIMIT 100),
+            nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nc,
+                          CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+            st AS (SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok t JOIN vocab v USING (term) GROUP BY 1, 2),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            grid AS (SELECT s.source, v.term, v.n
+                     FROM srcs s CROSS JOIN vocab v),
+            g2 AS (SELECT g.source, g.term, g.n, coalesce(st.c, 0) AS c
+                   FROM grid g LEFT JOIN st ON st.source = g.source
+                                           AND st.term = g.term),
+            cs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cstot
+                   FROM g2 GROUP BY source)
+            SELECT g2.source, cs.cstot AS n_vocab_tokens,
+                   ROUND(SUM(((g2.c + 1) / CAST(cs.cstot + nn.nv AS DOUBLE))
+                             * ln(((g2.c + 1)
+                                   / CAST(cs.cstot + nn.nv AS DOUBLE))
+                                  / (g2.n / CAST(nn.nc AS DOUBLE)))), 6) AS kl
+            FROM g2 JOIN cs USING (source) CROSS JOIN nn
+            GROUP BY g2.source, cs.cstot
+        """,
         "tokenizer_fertility_report": f"""
             WITH per AS (
                 SELECT source,

@@ -1660,3 +1660,110 @@ def merge_pii_reports(*reports: DataFrame) -> DataFrame:
         F.sum("n_docs_hit").cast("bigint").alias("n_docs_hit"),
         F.sum("n_matches").cast("bigint").alias("n_matches"),
     ).select("source", "n_docs", "pii_type", "n_docs_hit", "n_matches")
+
+
+def zipf_fit_report(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf's-law fit over the corpus head vocabulary — the
+    is-this-natural-language corpus diagnostic (natural text shows
+    ln(freq) ≈ a − s·ln(rank) with s near 1; boilerplate, spam and
+    generated gibberish bend it): OLS of ln(count) on ln(rank) over the
+    ``top_k`` most frequent terms, one row out
+    ``(n_terms, slope, intercept, r2)`` at 6dp.
+
+    The vocab count is the :func:`top_terms` shuffle (|vocabulary|
+    volume, map-side partial counts); the fit runs on the k-row cut in
+    closed form from the raw moment sums (slope, intercept and r²
+    each a single rounded expression — no iterative fit, and per the
+    float-sum contract only the FINAL values round)."""
+    counts = top_terms(df, text_col, k=top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col("n").cast("double")).alias("__y"),
+    )
+    a = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    det = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return a.select(
+        "n_terms",
+        F.round(cov / det, 6).alias("slope"),
+        F.round(
+            (F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy"))
+            / det,
+            6,
+        ).alias("intercept"),
+        F.round((cov * cov) / (det * vary), 6).alias("r2"),
+    )
+
+
+def source_vocab_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-source vocabulary divergence — the mixing diagnostic behind
+    temperature/proportion choices (how far each source's word usage
+    sits from the corpus average): add-one-smoothed KL(P_source ‖
+    P_corpus) over the corpus's ``top_k`` head vocabulary, one row per
+    source ``(source, n_vocab_tokens, kl)`` with kl at 6dp.
+
+    P_corpus is the head-vocab frequency; P_source is add-one smoothed
+    over the same V terms (so zero-count terms contribute — the grid is
+    sources × V, built from a broadcast vocab). Scale: the vocab count
+    is the |vocabulary|-volume shuffle; the per-(source, term) count
+    only shuffles vocab-restricted tokens; everything after is
+    sources × V rows. Only the final KL sum rounds (the float-sum
+    contract)."""
+    toks = df.select(
+        F.col(group_col).alias("source"),
+        F.explode(words(text_col)).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(top_k)
+    )
+    n_corpus = vocab.agg(
+        F.sum("n").cast("bigint").alias("__nc"),
+        # actual head-vocab size: == top_k normally, smaller on a tiny
+        # corpus — the add-one denominator must use the REAL V
+        F.count(F.lit(1)).cast("bigint").alias("__nv"),
+    )
+    st = (
+        toks.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    grid = (
+        df.select(F.col(group_col).alias("source"))
+        .distinct()
+        .crossJoin(F.broadcast(vocab))
+    )
+    g2 = grid.join(st, ["source", "term"], "left").withColumn(
+        "__c", F.coalesce(F.col("__c"), F.lit(0).cast("bigint"))
+    )
+    cs = g2.groupBy("source").agg(F.sum("__c").cast("bigint").alias("__cs"))
+    joined = g2.join(cs, "source").crossJoin(F.broadcast(n_corpus))
+    ps = (F.col("__c") + F.lit(1)) / (F.col("__cs") + F.col("__nv"))
+    pc = F.col("n") / F.col("__nc")
+    return (
+        joined.withColumn("__kl_term", ps * F.log(ps / pc))
+        .groupBy("source", "__cs")
+        .agg(F.round(F.sum("__kl_term"), 6).alias("kl"))
+        .select(
+            "source", F.col("__cs").alias("n_vocab_tokens"), "kl"
+        )
+    )

@@ -1489,3 +1489,45 @@ def test_census_merges_match_direct(spark):
         T.merge_fertility_reports()
     with _pt.raises(ValueError):
         T.merge_pii_reports()
+
+
+def test_zipf_fit_exact_line(spark):
+    """Counts constructed so ln(count) = 2 - 1*ln(rank) exactly (count
+    = e^2 / rank, rounded to large ints keeps it near-exact): slope
+    about -1, r2 about 1. Use a perfect power law: count = C / rank
+    with C divisible by all ranks."""
+    import math
+
+    C = 2520  # lcm(1..9) keeps counts integral for ranks 1..6
+    rows = []
+    did = 0
+    for rank, term in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"], start=1):
+        for _ in range(C // rank):
+            rows.append((did, term))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = TX_zipf(df)
+    assert r.n_terms == 6
+    assert abs(r.slope + 1.0) < 1e-6
+    assert abs(r.r2 - 1.0) < 1e-6
+    assert abs(r.intercept - math.log(C)) < 1e-6
+
+
+def TX_zipf(df):
+    return T.zipf_fit_report(df, top_k=100).collect()[0]
+
+
+def test_source_vocab_divergence_identical_sources_near_zero(spark):
+    """Two sources with the same word distribution: KL is near zero
+    (not exactly, because of add-one smoothing); a third divergent
+    source scores strictly higher."""
+    same = "alpha beta gamma delta " * 5
+    rows = (
+        [(i, "a", same) for i in range(10)]
+        + [(100 + i, "b", same) for i in range(10)]
+        + [(200 + i, "c", "omega omega omega zeta " * 5) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r.kl for r in T.source_vocab_divergence(df, top_k=10).collect()}
+    assert out["a"] == out["b"]
+    assert out["c"] > out["a"] >= 0.0
