@@ -55,6 +55,7 @@ def curate_corpus(
     n_salts: int | None = None,
     hot_min_rows: int | None = None,
     c4_clean: dict | None = None,
+    scrub_pii: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
@@ -74,9 +75,12 @@ def curate_corpus(
     the same reason this cascade orders cheap keys first: dedup and
     quality keys over boilerplate lines are wasted work); docs the C4
     doc rules drop leave the cascade, survivors carry the CLEANED text
-    forward. Equivalent to applying the stages sequentially by hand
-    (pinned by test) — this wrapper adds the ordering, the survivor
-    plumbing, and the census."""
+    forward. ``scrub_pii`` adds PII masking (``text.scrub_text``) as
+    the LAST stage — after every content key is computed, so masking
+    never perturbs dedup/anchor/quality decisions and the emitted
+    corpus alone carries the masked text. Equivalent to applying the
+    stages sequentially by hand (pinned by test) — this wrapper adds
+    the ordering, the survivor plumbing, and the census."""
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
@@ -155,6 +159,23 @@ def curate_corpus(
             id_col=id_col,
         ).select(id_col)
         cur = _mark("token_budget", cur.join(chosen, id_col, "left_semi"))
+    if scrub_pii:
+        # LAST stage by design: masking rewrites the text, so every
+        # content key (dedup hashes, ExactSubstr anchors, quality
+        # features) must be computed on the original — the emitted
+        # corpus alone carries the masked form. Map-side projection,
+        # keeps every stage above byte-identical.
+        from ..operators.text import scrub_text
+
+        cur = _mark(
+            "pii_scrub",
+            scrub_text(cur, text_col, out_col="__scrubbed").select(
+                *[
+                    F.col("__scrubbed").alias(c) if c == text_col else c
+                    for c in cur.columns
+                ]
+            ),
+        )
 
     spark = docs.sparkSession
     report = None

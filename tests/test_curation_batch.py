@@ -216,3 +216,42 @@ def test_cascade_c4_stage_zero(spark):
     out = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert set(out) == {1, 4}
     assert out[1] == keep + "\n" + keep          # cleaned text forward
+
+
+def test_cascade_pii_scrub_is_last_stage(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        scrub_text,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact someone@example.com or 12345.")),
+    )
+    plain, rep_plain = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=20, min_quality=0.5,
+    )
+    scrubbed, rep_scrub = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=20, min_quality=0.5,
+        scrub_pii=True,
+    )
+    # identical kept ids: masking happens after every content decision
+    ids_plain = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    ids_scrub = sorted(r["doc_id"] for r in scrubbed.select("doc_id").collect())
+    assert ids_scrub == ids_plain
+    # scrubbed output == scrub_text applied to the plain cascade output
+    expect = {
+        r["doc_id"]: r["scrubbed"]
+        for r in scrub_text(plain, "text").collect()
+    }
+    got = {r["doc_id"]: r["text"] for r in scrubbed.collect()}
+    assert got == expect
+    # the rewrite stage re-emits normalized word tokens, so the email's
+    # @ is gone before scrubbing — but the number token survives and
+    # must be masked, and no raw digit run remains anywhere
+    assert any("<NUM>" in t for t in got.values())
+    assert not any("12345" in t for t in got.values())
+    # census gained exactly the one extra stage with the same final count
+    stages = [r["stage"] for r in rep_scrub.collect()]
+    assert stages[-1] == "pii_scrub"
+    final_count = {r["stage"]: r["n_docs"] for r in rep_scrub.collect()}
+    assert final_count["pii_scrub"] == len(ids_plain)
