@@ -1305,6 +1305,49 @@ def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jl_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Rademacher JL projection to 16 dims (Achlioptas
+    2003): every component value-checked in long form — the projection
+    matrix is an md5 hash function both engines rebuild bit-identically,
+    no stored artifact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = SM.rademacher_project(emb, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "y")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "y")
+
+
+def q_ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of cosine serve on the 16-dim JL projection against
+    the exact full-precision top-10 — the same measured acceptance gate
+    as the Matryoshka and int8 tiers, for the data-independent
+    projection (4x compute/memory cut with no fit and no stored
+    matrix)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = SM.cosine_topk(emb, qs, k=10)
+    jl = SM.cosine_topk(
+        SM.rademacher_project(emb, out_dim=16),
+        SM.rademacher_project(qs, out_dim=16),
+        k=10,
+    )
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(jl.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003 — the MOSS scheme): per-window rightmost-min k-gram hashes,
@@ -3486,6 +3529,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged", "grouped_price_quantiles",
     "zipf_fit_report", "source_vocab_divergence",
+    "jl_projections", "ann_jl_recall",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3525,15 +3569,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
     "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
-    "ann_quantized_recall", "winnow_fingerprints", "winnow_matches",
-    "bloom_user_filter", "bloom_filter_report", "orders_bloom_semi",
-    "pq_codebooks", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
-    # new in round 7: batch BM25 serving (query TABLE against the
-    # index, one postings pass), the HLL profiling swap with an exact
-    # sanity band, lag/lead inter-arrival gaps, and the re-proven
-    # (now non-vacuous, k=0.5) Tukey-fence outlier screen
-    "bm25_batch_topk", "orders_profile_hll", "order_gap_days",
-    "order_price_outliers", "bigram_logprob_pruned",
+    "ann_quantized_recall", "winnow_fingerprints",
+    # round-10 second-batch rotation: winnow_matches, bloom_user_filter,
+    # bloom_filter_report, orders_bloom_semi, pq_codebooks, pq_codes,
+    # ann_pq_topk, ann_ivfpq_topk, bm25_batch_topk, orders_profile_hll,
+    # order_gap_days, order_price_outliers, bigram_logprob_pruned moved
+    # out (all driver-proven green in the r9 window, none changed this
+    # round) to make room for the 13 new round-10 second-batch queries
     # (drift_report, pca_top2_sampled, bm25_search_indexed,
     # price_quantiles_approx, depth_histogram_approx, bm25_search,
     # edit_near_dup rotated out for the round-10 batch — all
@@ -3663,6 +3705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "jl_projections": q_jl_projections,
+        "ann_jl_recall": q_ann_jl_recall,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_real_decode": q_multimodal_real_decode,
         "decontaminated_docs": q_decontaminated_docs,
@@ -3982,6 +4026,28 @@ def _mmr_oracle(k: int = 4, m: int = 8, lam: float = 0.5, nq: int = 3) -> str:
         for i in range(1, k + 1)
     )
     return "WITH " + "".join(parts) + f"\n            {sel}"
+
+
+# deterministic Rademacher JL projection (mirrors
+# similarity.rademacher_project, out_dim=16): the sign matrix is
+# rebuilt in SQL from the same md5 nibble rule — no stored artifact
+_JL_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            jdims AS (SELECT vec_id, CAST(p.dim AS INTEGER) AS i, p.val AS x
+                      FROM (SELECT vec_id, unnest(list_transform(
+                                range(1, len(v) + 1),
+                                k -> {'dim': k - 1, 'val': v[k]})) AS p
+                            FROM e) t),
+            sgn AS (SELECT d.i, t.j,
+                           CASE WHEN ('0x' || substr(md5('jl|'
+                                    || CAST(d.i AS VARCHAR) || '|'
+                                    || CAST(t.j AS VARCHAR)), 1, 1))::INT < 8
+                                THEN 1.0 ELSE -1.0 END AS s
+                    FROM (SELECT DISTINCT i FROM jdims) d
+                    CROSS JOIN range(0, 16) t(j)),
+            proj AS (SELECT d.vec_id, s.j AS dim,
+                            ROUND(SUM(d.x * s.s) / sqrt(16.0), 6) AS y
+                     FROM jdims d JOIN sgn s ON s.i = d.i GROUP BY 1, 2)"""
 
 
 def _pii_oracle() -> str:
@@ -5590,6 +5656,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(u.val), 6) AS max_abs_err,
                    ROUND(AVG(u.val), 6) AS mean_abs_err
             FROM errs
+        """,
+        "jl_projections": f"""
+            WITH {_JL_CTES}
+            SELECT vec_id, CAST(dim AS INTEGER) AS dim, y FROM proj
+        """,
+        "ann_jl_recall": f"""
+            WITH {_JL_CTES},
+            pv AS (SELECT vec_id, list(y ORDER BY dim) AS v FROM proj
+                   GROUP BY vec_id),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            xsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.query_id),
+            xtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM xsc) t
+                     WHERE rn <= 10),
+            pq AS (SELECT vec_id AS query_id, v AS qv FROM pv WHERE vec_id < 3),
+            jsc AS (SELECT pq.query_id, c.vec_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(pq.qv, c.v), 6) AS sim
+                    FROM pq JOIN pv c ON c.vec_id <> pq.query_id),
+            jtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM jsc) t
+                     WHERE rn <= 10),
+            hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                     FROM xtop JOIN jtop USING (query_id, neighbor_id)
+                     GROUP BY query_id)
+            SELECT q2.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+            FROM (SELECT DISTINCT query_id FROM xtop) q2
+            LEFT JOIN hits h USING (query_id)
         """,
         "ann_truncated_recall": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -2394,3 +2394,70 @@ def prototype_prune(
             "proto_rank",
         )
     )
+
+
+def rademacher_project(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl|",
+) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss projection (Achlioptas 2003,
+    "Database-friendly random projections", sign variant):
+    ``y_j = round(Σ_i x_i·s(i,j) / √out_dim, 6)`` with ``s(i,j) = ±1``
+    decided by one md5 hex nibble of ``seed||i||'|'||j`` — the
+    projection matrix IS a hash function, so it needs no storage, no
+    fit, and no synchronization across jobs (any worker, any engine,
+    any day reconstructs it bit-identically; the oracle rebuilds it in
+    SQL). The data-independent member of the dim-reduction family next
+    to the trained ones (PCA), the structural one (Matryoshka prefix),
+    and the codebook ones (int8/PQ) — the only one that works on a
+    corpus it has never seen.
+
+    The d×out_dim sign matrix is computed ONCE driver-side
+    (deterministic — the seed is the RNG state) and shipped as a
+    one-row broadcast rather than a literal in the plan (the r8
+    analyzer-cost lesson); the multiply is JVM-side higher-order
+    functions, pure map-side. Per the float-sum contract only the
+    final component rounds (a d-element product sum).
+    """
+    import hashlib
+
+    if out_dim < 1:
+        raise ValueError(f"rademacher_project: out_dim must be >= 1, got {out_dim}")
+    first = vectors.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("rademacher_project: no vectors to infer dims from")
+    d = len(first[0])
+    signs = [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}{i}|{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(out_dim)
+    ]
+    spark = vectors.sparkSession
+    sdf = spark.createDataFrame([(signs,)], "signs array<array<double>>")
+    scale = float(out_dim) ** 0.5
+    v = _dbl(vec_col)
+    proj = F.transform(
+        F.col("__signs"),
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(v, row, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(scale),
+            6,
+        ),
+    )
+    return (
+        vectors.crossJoin(
+            F.broadcast(sdf.select(F.col("signs").alias("__signs")))
+        )
+        .select(F.col(id_col), proj.alias(vec_col))
+    )

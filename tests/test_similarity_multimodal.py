@@ -777,3 +777,45 @@ def test_prototype_prune_validates_args(spark, proto_vecs):
         S.prototype_prune(proto_vecs, keep_num=3, keep_den=2)
     with pytest.raises(ValueError, match="rational"):
         S.prototype_prune(proto_vecs, keep_num=0, keep_den=2)
+
+
+# --- rademacher_project (deterministic JL) ---------------------------------
+
+
+def test_rademacher_project_matches_hash_mirror(spark, vecs):
+    import hashlib
+    import math
+
+    out = {r.vec_id: list(r.embedding)
+           for r in S.rademacher_project(vecs, out_dim=4).collect()}
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in vecs.collect()}
+    d = len(next(iter(raw.values())))
+    signs = [
+        [1.0 if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) < 8
+         else -1.0 for i in range(d)]
+        for j in range(4)
+    ]
+    import decimal
+
+    def r6(x):
+        return float(decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+    for vid, v in raw.items():
+        expect = [r6(sum(a * b for a, b in zip(v, signs[j])) / math.sqrt(4.0))
+                  for j in range(4)]
+        assert out[vid] == expect
+
+
+def test_rademacher_project_deterministic_and_seeded(spark, vecs):
+    a = sorted(map(tuple, S.rademacher_project(vecs, out_dim=4).collect()))
+    b = sorted(map(tuple, S.rademacher_project(vecs, out_dim=4).collect()))
+    assert a == b
+    c = sorted(map(tuple,
+                   S.rademacher_project(vecs, out_dim=4, seed="jl2|").collect()))
+    assert c != a  # a different seed is a different projection
+
+
+def test_rademacher_project_validates(spark, vecs):
+    with pytest.raises(ValueError):
+        S.rademacher_project(vecs, out_dim=0)
