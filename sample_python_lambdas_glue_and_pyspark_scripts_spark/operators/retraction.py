@@ -164,6 +164,7 @@ def retract_doc_ids(
     minhash_state_dir: str | None = None,
     ewma_state: tuple[str, str] | None = None,
     exactsubstr_state: tuple | None = None,
+    bottomk_values_state: tuple | None = None,
     sketch_state_dirs: dict[str, str] | None = None,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
@@ -185,7 +186,11 @@ def retract_doc_ids(
     be stopped): ``prefix_state_dir``, ``minhash_state_dir``,
     ``ewma_state=(work_dir, key_col)`` (the ids are interpreted in that
     state's KEY space), ``exactsubstr_state=(work_dir, epoch_sources)``
-    or ``(work_dir, epoch_sources, text_col, min_tokens)``.
+    or ``(work_dir, epoch_sources, text_col, min_tokens)``,
+    ``bottomk_values_state=(work_dir,)`` for the anti-join form (the
+    shrunken state stays a valid smaller uniform sample) or
+    ``(work_dir, epoch_sources[, key_col, val_col, k])`` to rebuild hit
+    epochs to the full k.
 
     REFUSED up front, before anything mutates: ``sketch_state_dirs``
     ({name: dir} of HLL/CMS/Bloom register states) — registers are
@@ -282,6 +287,25 @@ def retract_doc_ids(
             "re-adjudicated (removed ranges stay removed — none of the "
             "retracted content is retained)"
         )
+    if bottomk_values_state is not None:
+        work_dir, *rest = bottomk_values_state
+        bkv_sources = rest[0] if rest else None
+        bkv_key = rest[1] if len(rest) > 1 else "key"
+        bkv_val = rest[2] if len(rest) > 2 else "val"
+        bkv_k = rest[3] if len(rest) > 3 else 64
+        state_counts["bottomk_values_state"] = (
+            SR.retract_from_bottomk_values_state(
+                spark, work_dir, retract_ids, bkv_sources,
+                bkv_key, bkv_val, bkv_k,
+            )
+        )
+        if bkv_sources is None:
+            caveats.append(
+                "bottomk_values_state: anti-join form — hit epochs now "
+                "hold fewer than k rows (still a valid uniform sample "
+                "of their survivors); pass epoch_sources to rebuild to "
+                "the full k"
+            )
     return {
         "artifacts": artifacts,
         "state_counts": state_counts,

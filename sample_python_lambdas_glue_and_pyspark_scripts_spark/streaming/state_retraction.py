@@ -2,7 +2,7 @@
 the per-epoch state dirs (the batch serving artifacts live in
 ``operators/retraction.py``).
 
-Five state families, three retraction stories:
+Six state families, three retraction stories:
 
 - **prefix-intake state** (``streaming/prefix_intake.py``: ``prefix/``,
   ``shingles/``, ``kept/``) is ID-KEYED — every state row carries the
@@ -38,6 +38,13 @@ Five state families, three retraction stories:
   the caller supplies from the source-of-record (the state stores
   rewritten text only, and anchors accumulate grams of the original
   text of everything SEEN — :func:`retract_from_exactsubstr_state`).
+- **bottom-k value samples** (``streaming/sketch_state.py``:
+  ``bottomk_values/`` (h, key, val) rows) are KEY-KEYED with a bonus:
+  the per-epoch anti-join leaves exactly the bottom-(k−r) sample of the
+  epoch's survivors (excluded survivors hash above the epoch's k-th
+  hash by construction), so the shrunken state is still a valid uniform
+  sample; ``epoch_sources`` rebuilds hit epochs to the full k
+  (:func:`retract_from_bottomk_values_state`).
 
 Retraction does NOT re-adjudicate history: a doc that was dropped
 because it collided with a now-retracted doc stays dropped (its content
@@ -355,3 +362,66 @@ def rebuild_sketch_epoch(
     adds is the documented contract — there is no cheaper compliant
     path for lossy-fold sketches."""
     batch_fn(surviving_df, epoch)
+
+
+def retract_from_bottomk_values_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_keys: DataFrame,
+    epoch_sources: dict[int, DataFrame] | None = None,
+    key_col: str = "key",
+    val_col: str = "val",
+    k: int = 64,
+) -> dict[str, int]:
+    """Retraction from the streaming bottom-k VALUE sample
+    (``bottomk_values/`` per-epoch dirs). The state is KEY-KEYED, so
+    the cheap path is an exact per-epoch anti-join on the sample's
+    ``key`` column — and unlike most sub-sampled states the shrunken
+    result keeps a PROVABLE shape: an epoch held its batch's k
+    hash-smallest rows, every excluded survivor hashes ABOVE the
+    epoch's k-th hash, so after removing r retracted rows the remainder
+    is exactly the bottom-(k−r) sample of that epoch's SURVIVORS
+    (pinned by test). Quantiles served from the shrunken state are
+    therefore still read off a valid uniform sample — just a smaller
+    one.
+
+    To restore the full k per hit epoch, pass ``epoch_sources``
+    ({epoch: surviving source rows with the ORIGINAL key/val columns})
+    and the hit epochs are REBUILT with ``bottomk_value_sample`` — the
+    extend-≡-rebuild convention run backwards; the rewritten state then
+    equals the state of a history without the retracted keys exactly.
+
+    Stream must be stopped. Returns removed/rebuilt counts.
+    """
+    from ..operators.sketches import bottomk_value_sample
+
+    ids = (
+        retract_keys.select(
+            F.col(retract_keys.columns[0]).cast("string").alias("key")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    table_dir = f"{work_dir}/bottomk_values"
+    removed = {"rows_removed": 0, "epochs_rebuilt": 0}
+    for epoch in list_state_epochs(spark, table_dir):
+        cur = spark.read.parquet(f"{table_dir}/batch_id={epoch}")
+        hit = cur.join(ids, "key", "left_semi").count()
+        if hit == 0:
+            continue
+        removed["rows_removed"] += hit
+        if epoch_sources is not None and epoch in epoch_sources:
+            src = epoch_sources[epoch].join(
+                ids,
+                F.col(key_col).cast("string") == F.col("key"),
+                "left_anti",
+            )
+            fresh = bottomk_value_sample(src, key_col, val_col, k)
+            _rewrite_epoch(spark, table_dir, epoch, fresh)
+            removed["epochs_rebuilt"] += 1
+        else:
+            # keyed anti-joins move the join key to the FRONT of the
+            # column order (the r9 note) — restore the state schema
+            surv = cur.join(ids, "key", "left_anti").select(*cur.columns)
+            _rewrite_epoch(spark, table_dir, epoch, surv)
+    return removed

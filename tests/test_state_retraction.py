@@ -327,3 +327,73 @@ def test_exactsubstr_retraction_requires_epoch_sources(spark, workdir):
             spark, workdir,
             spark.createDataFrame([(1,)], "doc_id BIGINT"), {},
         )
+
+
+def test_bottomk_values_retraction_antijoin_and_rebuild(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bottomk_value_sample,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_bottomk_values_batch_fn,
+        read_bottomk_values_state,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 31).cast("double").alias("value"),
+    )
+    b0, b1 = mk(0, 200), mk(200, 400)
+    fn = make_bottomk_values_batch_fn(workdir, "event_id", "value", k=12)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    # pick two keys that are actually IN epoch 0's sample
+    ep0 = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=0")
+    victims = [r["key"] for r in ep0.orderBy("h").limit(2).collect()]
+    gone = spark.createDataFrame([(v,) for v in victims], "key STRING")
+
+    # anti-join form: epoch 0 now holds exactly the bottom-(k-2) sample
+    # of its SURVIVORS (the provable-shape property)
+    out = SR.retract_from_bottomk_values_state(
+        spark, workdir, gone, key_col="event_id", val_col="value", k=12
+    )
+    assert out == {"rows_removed": 2, "epochs_rebuilt": 0}
+    left = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=0")
+    surv0 = b0.filter(~F.col("event_id").cast("string").isin(victims))
+    expect = (
+        bottomk_value_sample(surv0, "event_id", "value", 12)
+        .orderBy("h").limit(10)
+    )
+    assert sorted(map(tuple, left.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+    # rebuild form restores the full k and the merged read equals a
+    # rebuilt history without the victims
+    out2 = SR.retract_from_bottomk_values_state(
+        spark, workdir,
+        spark.createDataFrame([(victims[0],)], "key STRING"),
+        epoch_sources={0: surv0},
+        key_col="event_id", val_col="value", k=12,
+    )
+    # victim0 already gone from the state rows, so nothing is removed —
+    # force a rebuild by retracting a key still present in epoch 1
+    ep1 = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=1")
+    v1 = ep1.orderBy("h").limit(1).collect()[0]["key"]
+    surv1 = b1.filter(F.col("event_id").cast("string") != v1)
+    out3 = SR.retract_from_bottomk_values_state(
+        spark, workdir,
+        spark.createDataFrame([(v1,)], "key STRING"),
+        epoch_sources={1: surv1},
+        key_col="event_id", val_col="value", k=12,
+    )
+    assert out3 == {"rows_removed": 1, "epochs_rebuilt": 1}
+    ep1_after = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=1")
+    expect1 = bottomk_value_sample(surv1, "event_id", "value", 12)
+    assert sorted(map(tuple, ep1_after.collect())) == sorted(
+        map(tuple, expect1.collect())
+    )
+    # a retracted key never reappears in the merged read
+    read = read_bottomk_values_state(spark, workdir, 12)
+    keys = {r["key"] for r in read.collect()}
+    assert not ({victims[0], victims[1], v1} & keys)
