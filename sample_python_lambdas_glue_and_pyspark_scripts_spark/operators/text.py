@@ -1752,11 +1752,13 @@ def source_vocab_divergence(
         .distinct()
         .crossJoin(F.broadcast(vocab))
     )
-    g2 = grid.join(st, ["source", "term"], "left").withColumn(
+    # st and cs are ≤ sources×V and ≤ sources rows by construction —
+    # broadcast both so the S×V grid never shuffles
+    g2 = grid.join(F.broadcast(st), ["source", "term"], "left").withColumn(
         "__c", F.coalesce(F.col("__c"), F.lit(0).cast("bigint"))
     )
     cs = g2.groupBy("source").agg(F.sum("__c").cast("bigint").alias("__cs"))
-    joined = g2.join(cs, "source").crossJoin(F.broadcast(n_corpus))
+    joined = g2.join(F.broadcast(cs), "source").crossJoin(F.broadcast(n_corpus))
     ps = (F.col("__c") + F.lit(1)) / (F.col("__cs") + F.col("__nv"))
     pc = F.col("n") / F.col("__nc")
     return (
