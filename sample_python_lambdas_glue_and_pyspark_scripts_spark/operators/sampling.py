@@ -211,23 +211,32 @@ def pack_sequences_bfd(
     ) + ", pack_id int"
 
     def pack(pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(
             [tokens_col, order_col], ascending=[False, True]
         ).reset_index(drop=True)
-        loads: list[int] = []
+        # the best-fit pick is vectorized (np.argmax over masked loads —
+        # argmax returns the FIRST max, which IS the tie rule), so the
+        # per-shard cost is O(rows·bins) in C, not a Python inner loop:
+        # the 16× sweep on the pure-Python form was superlinear (19.7×)
+        loads = np.empty(len(pdf), dtype=np.int64)
+        nb = 0
         ids: list[int] = []
         for t in pdf[tokens_col]:
             t = int(t)
-            best = -1
-            for i, l in enumerate(loads):
-                if l + t <= budget_tokens and (best == -1 or l > loads[best]):
-                    best = i
-            if best == -1:
-                loads.append(t)
-                ids.append(len(loads) - 1)
-            else:
-                loads[best] += t
-                ids.append(best)
+            if nb:
+                masked = np.where(
+                    loads[:nb] <= budget_tokens - t, loads[:nb], -1
+                )
+                best = int(masked.argmax())
+                if masked[best] >= 0:
+                    loads[best] += t
+                    ids.append(best)
+                    continue
+            loads[nb] = t
+            ids.append(nb)
+            nb += 1
         pdf["pack_id"] = ids
         return pdf
 
