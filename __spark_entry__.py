@@ -3041,6 +3041,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.semantic_dedup(emb, threshold=0.35, k=4, n_iter=2)
 
 
+def q_semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup epsilon sweep: the drop census at three thresholds from
+    ONE clustering and ONE confined pair scan — each vector's verdict
+    at eps depends only on its max 6dp cosine to a lower-id same-
+    cluster neighbor, so the scan reduces to a doc-sized (id, max_sim)
+    table and every threshold is a filter+count (the
+    cross_source_dup_sweep design applied to SemDeDup tuning)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SM.semantic_dedup_sweep(emb, thresholds=(0.35, 0.5, 0.7), k=4)
+
+
 # --- training-data operators: sampling / clustering / vocab / scrub ----------
 
 
@@ -3529,7 +3540,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged", "grouped_price_quantiles",
     "zipf_fit_report", "source_vocab_divergence",
-    "jl_projections", "ann_jl_recall",
+    "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3569,8 +3580,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
     "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
-    "ann_quantized_recall", "winnow_fingerprints",
-    # round-10 second-batch rotation: winnow_matches, bloom_user_filter,
+    "ann_quantized_recall",
+    # round-10 second-batch rotation: winnow_fingerprints, winnow_matches, bloom_user_filter,
     # bloom_filter_report, orders_bloom_semi, pq_codebooks, pq_codes,
     # ann_pq_topk, ann_ivfpq_topk, bm25_batch_topk, orders_profile_hll,
     # order_gap_days, order_price_outliers, bigram_logprob_pruned moved
@@ -3781,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_sweep": q_semantic_dedup_sweep,
         "source_mixed_docs": q_source_mixed_docs,
         "corpus_admitted": q_corpus_admitted,
         "corpus_admitted_indexed": q_corpus_admitted_indexed,
@@ -6369,6 +6381,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.vec_id, r.assigned_label, r.dist2, r.proto_rank
             FROM rk r JOIN sz s USING (assigned_label)
             WHERE (r.proto_rank - 1) * 2 < s.n * 1
+        """,
+        "semantic_dedup_sweep": f"""
+            WITH {_kmeans_ctes(k=4)},
+            a1 AS (SELECT vec_id, CAST(label AS INTEGER) AS assigned_label FROM (
+                       SELECT vec_id, label,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist2, label) AS rn
+                       FROM d2_1) t WHERE rn = 1),
+            ms AS (SELECT lb.vec_id AS b,
+                          MAX(ROUND(list_cosine_similarity(ra.v, rb.v), 6)) AS ms
+                   FROM a1 la
+                   JOIN a1 lb ON la.assigned_label = lb.assigned_label
+                             AND la.vec_id < lb.vec_id
+                   JOIN e ra ON ra.vec_id = la.vec_id
+                   JOIN e rb ON rb.vec_id = lb.vec_id
+                   WHERE ROUND(list_cosine_similarity(ra.v, rb.v), 6) >= 0.35
+                   GROUP BY lb.vec_id),
+            ts AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+                   FROM (VALUES (0.35), (0.5), (0.7)) t(threshold)),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM a1),
+            dr AS (SELECT t.threshold, CAST(COUNT(m.b) AS BIGINT) AS n_dropped
+                   FROM ts t LEFT JOIN ms m ON m.ms >= t.threshold
+                   GROUP BY t.threshold)
+            SELECT threshold, n_total, n_dropped,
+                   CAST(n_total - n_dropped AS BIGINT) AS n_kept,
+                   ROUND(n_dropped / n_total, 6) AS drop_frac
+            FROM dr CROSS JOIN tot
         """,
         "semantic_dedup": f"""
             WITH {_kmeans_ctes(k=4)},

@@ -2461,3 +2461,93 @@ def rademacher_project(
         )
         .select(F.col(id_col), proj.alias(vec_col))
     )
+
+
+def semantic_dedup_sweep(
+    vectors: DataFrame,
+    thresholds: tuple[float, ...] = (0.35, 0.5, 0.7),
+    k: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 1024,
+) -> DataFrame:
+    """SemDeDup epsilon sweep — the tuning view the paper's Figure-style
+    analysis needs before committing to one threshold: the per-epsilon
+    drop census ``(threshold, n_total, n_dropped, n_kept, drop_frac)``
+    for several thresholds from ONE clustering and ONE within-cluster
+    pair scan (the ``cross_source_dup_sweep`` design): a vector's
+    verdict at ε depends only on its MAX 6dp-rounded cosine to a
+    lower-id same-cluster neighbor, so the Σ|c|² scan runs once at
+    ``min(thresholds)``, reduces to a doc-sized (id, max_sim) table,
+    and every threshold is a filter+count over that table.
+
+    Clustering and tie rules are exactly :func:`semantic_dedup`'s
+    (fixed-iteration seeded k-means, 6dp sims), so each sweep point's
+    ``n_kept`` equals a standalone ``semantic_dedup`` run at that
+    threshold (pinned by test) and the whole sweep unrolls to SQL.
+    """
+    if not thresholds:
+        raise ValueError("semantic_dedup_sweep: no thresholds")
+    thr_min = min(thresholds)
+    if k is None:
+        k = auto_k(vectors.count(), target_cluster_size)
+    assign, _ = kmeans_fit(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    labeled = vectors.select(id_col, vec_col).join(
+        assign.select(
+            F.col("vec_id").alias(id_col),
+            F.col("assigned_label").cast("int").alias("assigned_label"),
+        ),
+        id_col,
+    )
+    side = labeled.select(
+        F.col("assigned_label").alias("lbl"),
+        F.col(id_col).alias("a"),
+        _dbl(vec_col).alias("va"),
+    ).withColumn("na", l2_norm(F.col("va")))
+    r = side.select(
+        F.col("lbl").alias("rlbl"),
+        F.col("a").alias("b"),
+        F.col("va").alias("vb"),
+        F.col("na").alias("nb"),
+    )
+    maxs = (
+        side.join(r, (F.col("lbl") == F.col("rlbl")) & (F.col("a") < F.col("b")))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= F.lit(float(thr_min)))
+        .groupBy(F.col("b"))
+        .agg(F.max("sim").alias("__ms"))
+        .localCheckpoint(eager=False)
+    )
+    spark = vectors.sparkSession
+    tdf = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold DOUBLE"
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    dropped = (
+        F.broadcast(tdf)
+        .join(maxs, F.col("__ms") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("__ms").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped")
+        )
+    )
+    return dropped.crossJoin(F.broadcast(total)).select(
+        "threshold",
+        "n_total",
+        "n_dropped",
+        (F.col("n_total") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
+        F.round(F.col("n_dropped") / F.col("n_total"), 6).alias("drop_frac"),
+    )

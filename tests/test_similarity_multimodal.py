@@ -819,3 +819,26 @@ def test_rademacher_project_deterministic_and_seeded(spark, vecs):
 def test_rademacher_project_validates(spark, vecs):
     with pytest.raises(ValueError):
         S.rademacher_project(vecs, out_dim=0)
+
+
+def test_semantic_dedup_sweep_matches_standalone_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sweep = {
+        r.threshold: r
+        for r in S.semantic_dedup_sweep(
+            emb, thresholds=(0.35, 0.5, 0.7), k=4
+        ).collect()
+    }
+    assert len(sweep) == 3
+    n_total = emb.count()
+    for thr in (0.35, 0.5, 0.7):
+        kept = S.semantic_dedup(emb, threshold=thr, k=4, engine="join").count()
+        assert sweep[thr].n_kept == kept, thr
+        assert sweep[thr].n_total == n_total
+        assert sweep[thr].n_dropped == n_total - kept
+    # monotone: a higher epsilon never drops more
+    assert (
+        sweep[0.35].n_dropped >= sweep[0.5].n_dropped >= sweep[0.7].n_dropped
+    )
+    with pytest.raises(ValueError):
+        S.semantic_dedup_sweep(emb, thresholds=())
