@@ -384,3 +384,68 @@ def read_bottomk_values_state(
         .orderBy(F.col("h").asc())
         .limit(k)
     )
+
+
+# --- streaming corpus census (live fertility stats) -------------------------
+
+_FERT_SCHEMA = (
+    "source string, n_docs bigint, total_bytes bigint, total_chars bigint,"
+    " total_tokens bigint, total_words bigint, tokens_per_word double,"
+    " bytes_per_token double"
+)
+
+
+def make_fertility_batch_fn(
+    work_dir: str, text_col: str = "text", group_col: str = "source"
+):
+    from ..operators.text import tokenizer_fertility_report
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        tokenizer_fertility_report(batch_df, text_col, group_col).write.mode(
+            "overwrite"
+        ).parquet(f"{work_dir}/fertility/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_fertility(
+    stream_df: DataFrame,
+    work_dir: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live per-source fertility/compression census over a
+    document stream: per epoch one ``tokenizer_fertility_report`` over
+    the batch (≤ |sources| rows written — the census is an algebraic
+    counter aggregate, so epochs merge by counter sum exactly like the
+    batch ``merge_fertility_reports``). Replay safety is the CMS story
+    — layout only: a replayed epoch overwrites its OWN dir (counter
+    sums are NOT idempotent under duplicated rows, so the per-epoch
+    dir layout is what makes replay safe). The live read is the drift
+    monitor a crawl intake watches: a fertility shift in the merged
+    census vs the trained tokenizer's baseline is the early warning
+    that new data segments badly."""
+    return run_incremental(
+        stream_df,
+        make_fertility_batch_fn(work_dir, text_col, group_col),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_fertility_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The merged census across every committed epoch
+    (``merge_fertility_reports`` counter law — the read EQUALS a batch
+    census over everything the stream has seen, pinned by test).
+    Empty-but-valid before the first commit."""
+    from ..operators.text import merge_fertility_reports
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/fertility")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _FERT_SCHEMA)
+    return merge_fertility_reports(
+        spark.read.schema(_FERT_SCHEMA).parquet(f"{work_dir}/fertility")
+    )

@@ -500,3 +500,42 @@ def test_streaming_bottomk_values_matches_batch_and_replay(spark, workdir, tmp_p
     make_bottomk_values_batch_fn(workdir, "event_id", "value", 16)(b0, 0)
     again = sorted(map(key, read_bottomk_values_state(spark, workdir, 16).collect()))
     assert again == batch
+
+
+def test_streaming_fertility_matches_batch_and_replay(spark, workdir, tmp_path):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.text import (
+        tokenizer_fertility_report,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_fertility_batch_fn,
+        read_fertility_state,
+        streaming_fertility,
+    )
+
+    src = str(tmp_path / "fertsrc")
+    SCHEMA = "doc_id BIGINT, source STRING, text STRING"
+    b0 = spark.createDataFrame(
+        [(1, "a", "Hello, world!"), (2, "b", None), (3, "a", "one two three.")],
+        SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [(4, "a", "more words arrive here"), (5, "c", "zeta!")], SCHEMA
+    )
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_fertility(stream, workdir).awaitTermination(180)
+
+    batch = sorted(
+        map(tuple, tokenizer_fertility_report(b0.unionByName(b1)).collect())
+    )
+    streamed = sorted(map(tuple, read_fertility_state(spark, workdir).collect()))
+    assert streamed == batch
+    # replay of epoch 0 overwrites its own dir: the merged read is unchanged
+    make_fertility_batch_fn(workdir)(b0, 0)
+    again = sorted(map(tuple, read_fertility_state(spark, workdir).collect()))
+    assert again == batch
