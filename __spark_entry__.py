@@ -3155,6 +3155,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_members(docs, pairs, id_col="doc_id")
 
 
+def q_dedup_clusters_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering, identity-contract form: CC over the
+    'old' corpus's pairs (both endpoints doc_id % 4 != 0), then
+    extend_components with every pair a 'new' batch introduces — the
+    super-node-contraction delta CC whose work is O(new edges + touched
+    components), provably ≡ a from-scratch CC over all pairs (shares
+    dedup_clusters' recursive-CTE oracle verbatim)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    both_old = (F.col("a") % 4 != 0) & (F.col("b") % 4 != 0)
+    old_labels = clustering.connected_components(pairs.filter(both_old))
+    ext = clustering.extend_components(old_labels, pairs.filter(~both_old))
+    return (
+        docs.select("doc_id")
+        .join(ext.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering, deep-graph algorithm: alternating large-star/
     small-star (O(log^2) rounds vs diameter). Shares dedup_clusters'
@@ -3541,6 +3565,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "fertility_report_merged", "grouped_price_quantiles",
     "zipf_fit_report", "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
+    "dedup_clusters_extended",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3580,8 +3605,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
     "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
-    "ann_quantized_recall",
-    # round-10 second-batch rotation: winnow_fingerprints, winnow_matches, bloom_user_filter,
+    # round-10 second-batch rotation: ann_quantized_recall,
+    # winnow_fingerprints, winnow_matches, bloom_user_filter,
     # bloom_filter_report, orders_bloom_semi, pq_codebooks, pq_codes,
     # ann_pq_topk, ann_ivfpq_topk, bm25_batch_topk, orders_profile_hll,
     # order_gap_days, order_price_outliers, bigram_logprob_pruned moved
@@ -3813,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical_docs,
         "dedup_rate_report": q_dedup_rate_report,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_clusters_extended": q_dedup_clusters_extended,
         "minhash_keepers": q_minhash_keepers,
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_terms": q_tfidf_terms,
@@ -8508,6 +8534,8 @@ def oracle_sql() -> dict[str, str]:
     d["fertility_report_merged"] = d["tokenizer_fertility_report"]
     # ... and both CC algorithms must produce the identical labeling
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # ... and the incremental extend must reproduce the from-scratch CC
+    d["dedup_clusters_extended"] = d["dedup_clusters"]
     # Bloom prefilter has no false negatives and survivors are exactly
     # verified, so the result is identical to plain decontamination
     d["decontaminated_docs_bloom"] = d["decontaminated_docs"]

@@ -285,3 +285,79 @@ def connected_components_star(
             F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
         )
     )
+
+
+def extend_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected components — the daily-crawl cluster
+    maintenance op: given the EXISTING labeling (id, cluster_id) and
+    the new edges a fresh batch introduced (new↔new and new↔corpus
+    pairs from the LSH index probe), produce the labeling of the grown
+    graph WITHOUT re-running CC over the corpus-sized edge set.
+
+    Super-node contraction: each new edge endpoint maps to its existing
+    cluster label if it has one (a whole old component collapses into
+    one super-node) or to itself; CC runs on THIS graph — its size is
+    O(new edges + touched components), never corpus-sized — and the
+    result relabels touched old components and labels the new ids.
+
+    Extend ≡ rebuild EXACTLY (pinned by test): an old label IS the
+    minimum id of its component, so the min-reachable-id of a merged
+    super-component equals the min over every underlying member id —
+    the same (id, cluster_id) mapping a from-scratch
+    :func:`connected_components` over (old edges ∪ new edges) returns.
+    Old ids whose component no new edge touches keep their label
+    untouched (their rows never shuffle through the delta CC).
+
+    Returns (id, cluster_id) covering all previously-labeled ids plus
+    every id appearing in ``new_pairs``.
+    """
+    lab_a = labels.select(
+        F.col("id").alias(src), F.col("cluster_id").alias("__la")
+    )
+    lab_b = labels.select(
+        F.col("id").alias(dst), F.col("cluster_id").alias("__lb")
+    )
+    t_pairs = (
+        new_pairs.select(src, dst)
+        .join(lab_a, src, "left")
+        .join(lab_b, dst, "left")
+        .select(
+            F.coalesce(F.col("__la"), F.col(src)).alias(src),
+            F.coalesce(F.col("__lb"), F.col(dst)).alias(dst),
+        )
+    )
+    sup = connected_components(t_pairs, src=src, dst=dst, max_iter=max_iter)
+    old = (
+        labels.join(
+            sup.select(
+                F.col("id").alias("cluster_id"),
+                F.col("cluster_id").alias("__new"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("__new"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    known = labels.select("id")
+    fresh = (
+        new_pairs.select(F.explode(F.array(F.col(src), F.col(dst))).alias("id"))
+        .distinct()
+        .join(known, "id", "left_anti")
+        .join(sup.withColumnRenamed("cluster_id", "__new"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__new"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    return old.select("id", "cluster_id").unionByName(
+        fresh.select("id", "cluster_id")
+    )

@@ -660,3 +660,32 @@ def test_pack_sequences_bfd_matches_python_mirror(spark):
         assert got == expected
     with __import__("pytest").raises(ValueError):
         sampling.pack_sequences_bfd(df, budget_tokens=0)
+
+
+def test_extend_components_equals_rebuild(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.clustering import (
+        connected_components,
+        extend_components,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (100, 101)], "a BIGINT, b BIGINT"
+    )
+    # new edges exercise every merge shape: a new id SMALLER than an old
+    # component's min (5-12), an old component gaining a larger new id
+    # (21-30), a brand-new component (40-41), and a late old-old edge
+    # merging two existing components (12-20)
+    new_pairs = spark.createDataFrame(
+        [(5, 12), (21, 30), (40, 41), (12, 20)], "a BIGINT, b BIGINT"
+    )
+    rebuild = connected_components(old_pairs.unionByName(new_pairs))
+    ext = extend_components(connected_components(old_pairs), new_pairs)
+    assert sorted(map(tuple, ext.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
+    got = {r.id: r.cluster_id for r in ext.collect()}
+    # 5 joined {10,11,12} and the late edge merged in {20,21,30}: all -> 5
+    assert all(got[i] == 5 for i in (5, 10, 11, 12, 20, 21, 30))
+    assert got[40] == 40 and got[41] == 40
+    # the untouched component kept its label without re-clustering
+    assert got[100] == 100 and got[101] == 100
