@@ -836,6 +836,28 @@ def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_topk_batch(idx, qdf, top_k=5)
 
 
+def q_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the DPR recipe): per query, drop the top-1
+    hit (the stand-in labeled positive) from the BM25 top-8 and keep
+    the next 5 as training negatives — one anti-join + one window over
+    already-cut lists."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = TX.build_bm25_index(docs)
+    qdf = spark.createDataFrame(
+        BM25_BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    ranked = TX.bm25_topk_batch(idx, qdf, top_k=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    pos = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id")
+    )
+    return RT.hard_negatives(ranked, pos, k=5)
+
+
 def q_orders_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB profiling swap, itself oracle-proven (the
     approx_aggregates pattern): exact per-column counts hash-match the
@@ -3565,7 +3587,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "fertility_report_merged", "grouped_price_quantiles",
     "zipf_fit_report", "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
-    "dedup_clusters_extended",
+    "dedup_clusters_extended", "bm25_hard_negatives",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3604,8 +3626,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
-    "hybrid_rrf_search", "ann_quantized_topk", "quantization_error_report",
-    # round-10 second-batch rotation: ann_quantized_recall,
+    "hybrid_rrf_search", "ann_quantized_topk",
+    # round-10 second-batch rotation: quantization_error_report,
+    # ann_quantized_recall,
     # winnow_fingerprints, winnow_matches, bloom_user_filter,
     # bloom_filter_report, orders_bloom_semi, pq_codebooks, pq_codes,
     # ann_pq_topk, ann_ivfpq_topk, bm25_batch_topk, orders_profile_hll,
@@ -3703,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "bm25_batch_topk": q_bm25_batch_topk,
+        "bm25_hard_negatives": q_bm25_hard_negatives,
         "orders_profile_hll": q_orders_profile_hll,
         "order_gap_days": q_order_gap_days,
         "price_quantiles_approx": q_price_quantiles_approx,
@@ -5979,6 +6003,25 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
         """,
         "bm25_batch_topk": _bm25_batch_oracle(BM25_BATCH_QUERIES, top_k=5),
+        "bm25_hard_negatives": f"""
+            WITH ranked AS (
+                SELECT * FROM ({_bm25_batch_oracle(BM25_BATCH_QUERIES, top_k=8)})),
+            pos AS (SELECT query_id, doc_id FROM (
+                        SELECT query_id, doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rn
+                        FROM ranked) t WHERE rn = 1),
+            neg AS (SELECT r.query_id, r.doc_id, r.bm25
+                    FROM ranked r LEFT JOIN pos p
+                      ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+                    WHERE p.doc_id IS NULL)
+            SELECT query_id, doc_id, neg_rank, bm25 FROM (
+                SELECT query_id, doc_id, bm25,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY bm25 DESC, doc_id) AS INTEGER) AS neg_rank
+                FROM neg) t
+            WHERE neg_rank <= 5
+        """,
         # the HLL estimate itself is engine-specific; the contract pins
         # the exact columns hash-exactly and the estimate to a ±15%
         # (≈3σ at rsd 5%) band that the oracle states as literal TRUE

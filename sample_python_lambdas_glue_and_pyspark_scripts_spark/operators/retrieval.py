@@ -280,3 +280,45 @@ def mmr_rerank(
         "sel_rank",
         "mmr_score",
     )
+
+
+def hard_negatives(
+    ranked: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Hard-negative mining — the training-pair construction step of
+    dense-retriever/reranker pipelines (the BM25-hard-negatives recipe
+    of DPR, Karpukhin et al., EMNLP 2020): from each query's ranked
+    candidate list drop the KNOWN positives and keep the top-``k``
+    remaining — high-scoring non-relevant candidates are the negatives
+    a model actually learns a decision boundary from (random negatives
+    are trivially separable).
+
+    ``ranked`` is a per-query top-m cut ``(query_col, id_col,
+    score_col)`` with the score already 6dp-rounded (any retriever:
+    ``bm25_topk_batch``, ``cosine_topk``, ``rrf_fuse``); ``positives``
+    is the labeled ``(query_col, id_col)`` relevance set. One anti-join
+    plus one per-query window over the already-cut list, so cost is
+    k-row bounded per query regardless of corpus size.
+
+    Returns ``(query_col, id_col, neg_rank, score_col)`` with
+    ``neg_rank`` 1..k per query (rank ties broken by id ASC on the
+    rounded score — the parity-kit cut).
+    """
+    if k < 1:
+        raise ValueError(f"hard_negatives: k must be >= 1, got {k}")
+    neg = ranked.join(
+        positives.select(query_col, id_col), [query_col, id_col], "left_anti"
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_col, id_col, "neg_rank", score_col)
+    )

@@ -752,3 +752,25 @@ def test_mmr_validates_args(spark, mmr_vecs):
         R.mmr_rerank(cand, mmr_vecs, k=0)
     with pytest.raises(ValueError, match="lambda"):
         R.mmr_rerank(cand, mmr_vecs, lam=1.5)
+
+
+def test_hard_negatives_drops_positives_and_reranks(spark):
+    ranked = spark.createDataFrame(
+        [
+            ("q1", 1, 9.0), ("q1", 2, 8.0), ("q1", 3, 7.0), ("q1", 4, 6.0),
+            ("q2", 1, 5.0), ("q2", 9, 4.0),
+        ],
+        "query_id STRING, doc_id BIGINT, bm25 DOUBLE",
+    )
+    # a positive in the MIDDLE of q1's list: ranks must close the gap
+    pos = spark.createDataFrame([("q1", 2), ("q2", 9)],
+                                "query_id STRING, doc_id BIGINT")
+    out = sorted(
+        (r.query_id, r.doc_id, r.neg_rank)
+        for r in R.hard_negatives(ranked, pos, k=2).collect()
+    )
+    assert out == [("q1", 1, 1), ("q1", 3, 2), ("q2", 1, 1)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        R.hard_negatives(ranked, pos, k=0)
