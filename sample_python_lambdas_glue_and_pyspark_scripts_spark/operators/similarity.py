@@ -862,6 +862,71 @@ def _semantic_dropped_vectorized(
     )
 
 
+def _semantic_maxsim_vectorized(
+    labeled: DataFrame, thr_min: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-id MAX lower-id within-cluster similarity (≥ ``thr_min``
+    only) via the same per-cluster chunked-BLAS scan as
+    :func:`_semantic_dropped_vectorized` — the sweep's reduction: one
+    Σ|c|² matmul pass instead of Σ|c|² Spark pair rows. Sims round to
+    6dp BEFORE the max (identical to the join form's round-then-MAX).
+    Returns ``(b bigint, __ms double)`` for ids with ≥ 1 qualifying
+    lower-id neighbor."""
+    import numpy as np
+    import pandas as pd
+
+    integral = ("byte", "tinyint", "short", "smallint", "int", "integer",
+                "bigint", "long")
+    t = dict(labeled.dtypes).get(id_col)
+    if t not in integral:
+        raise TypeError(
+            f"vectorized semantic_dedup_sweep needs an integral {id_col} "
+            f"(got {t}); use engine='join' for arbitrary id types"
+        )
+    thr = float(thr_min)
+
+    def find_maxsim(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__a")
+        ids = pdf["__a"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["__va"].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        n = len(ids)
+        out_ids: list[np.ndarray] = []
+        out_ms: list[np.ndarray] = []
+        chunk = 1024
+        for s in range(1, n, chunk):  # index 0 has no lower-id peer
+            e = min(s + chunk, n)
+            sims = mat[s:e] @ mat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = sims / (norms[s:e, None] * norms[None, :])
+            sims = _np_round_half_up_like_spark(sims, 1e6)
+            lower = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            with np.errstate(invalid="ignore"):
+                ok = (sims >= thr) & lower  # NaN compares False
+            masked = np.where(ok, sims, -np.inf)
+            ms = masked.max(axis=1)
+            hit = np.isfinite(ms)
+            out_ids.append(ids[s:e][hit])
+            out_ms.append(ms[hit])
+        return pd.DataFrame(
+            {
+                "b": np.concatenate(out_ids)
+                if out_ids else np.asarray([], dtype=np.int64),
+                "__ms": np.concatenate(out_ms)
+                if out_ms else np.asarray([], dtype=np.float64),
+            }
+        )
+
+    src = labeled.select(
+        F.col("assigned_label").alias("__lbl"),
+        F.col(id_col).alias("__a"),
+        _dbl(vec_col).alias("__va"),
+    )
+    return src.groupBy("__lbl").applyInPandas(
+        find_maxsim, schema="b bigint, __ms double"
+    )
+
+
 def auto_k(n: int, target_cluster_size: int = 1024) -> int:
     """Cluster count enforcing SemDeDup's k ∝ n invariant: enough
     clusters that the EXPECTED cluster size is ``target_cluster_size``,
@@ -2470,6 +2535,7 @@ def semantic_dedup_sweep(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "vectorized",
     target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup epsilon sweep — the tuning view the paper's Figure-style
@@ -2486,9 +2552,18 @@ def semantic_dedup_sweep(
     (fixed-iteration seeded k-means, 6dp sims), so each sweep point's
     ``n_kept`` equals a standalone ``semantic_dedup`` run at that
     threshold (pinned by test) and the whole sweep unrolls to SQL.
+
+    ``engine`` follows :func:`semantic_dedup`: ``"vectorized"``
+    (default) runs the max-sim scan as per-cluster chunked BLAS
+    (:func:`_semantic_maxsim_vectorized` — Σ|c|² multiply-adds inside
+    matmuls; the pure-join form swept 73× at 16× with the oracle's
+    pinned k=4), ``"join"`` is the pure-DataFrame formulation the
+    oracle mirrors 1:1 — engine equivalence pinned by test.
     """
     if not thresholds:
         raise ValueError("semantic_dedup_sweep: no thresholds")
+    if engine not in ("vectorized", "join"):
+        raise ValueError("engine must be 'vectorized' or 'join'")
     thr_min = min(thresholds)
     if k is None:
         k = auto_k(vectors.count(), target_cluster_size)
@@ -2502,33 +2577,40 @@ def semantic_dedup_sweep(
         ),
         id_col,
     )
-    side = labeled.select(
-        F.col("assigned_label").alias("lbl"),
-        F.col(id_col).alias("a"),
-        _dbl(vec_col).alias("va"),
-    ).withColumn("na", l2_norm(F.col("va")))
-    r = side.select(
-        F.col("lbl").alias("rlbl"),
-        F.col("a").alias("b"),
-        F.col("va").alias("vb"),
-        F.col("na").alias("nb"),
-    )
-    maxs = (
-        side.join(r, (F.col("lbl") == F.col("rlbl")) & (F.col("a") < F.col("b")))
-        .withColumn(
-            "sim",
-            F.round(
-                cosine_from_norms(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            ),
+    if engine == "vectorized":
+        maxs = _semantic_maxsim_vectorized(
+            labeled, thr_min, id_col, vec_col
+        ).localCheckpoint(eager=False)
+    else:
+        side = labeled.select(
+            F.col("assigned_label").alias("lbl"),
+            F.col(id_col).alias("a"),
+            _dbl(vec_col).alias("va"),
+        ).withColumn("na", l2_norm(F.col("va")))
+        r = side.select(
+            F.col("lbl").alias("rlbl"),
+            F.col("a").alias("b"),
+            F.col("va").alias("vb"),
+            F.col("na").alias("nb"),
         )
-        .filter(F.col("sim") >= F.lit(float(thr_min)))
-        .groupBy(F.col("b"))
-        .agg(F.max("sim").alias("__ms"))
-        .localCheckpoint(eager=False)
-    )
+        maxs = (
+            side.join(
+                r, (F.col("lbl") == F.col("rlbl")) & (F.col("a") < F.col("b"))
+            )
+            .withColumn(
+                "sim",
+                F.round(
+                    cosine_from_norms(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("sim") >= F.lit(float(thr_min)))
+            .groupBy(F.col("b"))
+            .agg(F.max("sim").alias("__ms"))
+            .localCheckpoint(eager=False)
+        )
     spark = vectors.sparkSession
     tdf = spark.createDataFrame(
         [(float(t),) for t in sorted(thresholds)], "threshold DOUBLE"

@@ -842,3 +842,24 @@ def test_semantic_dedup_sweep_matches_standalone_runs(spark, sf_dir):
     )
     with pytest.raises(ValueError):
         S.semantic_dedup_sweep(emb, thresholds=())
+
+
+def test_semantic_dedup_sweep_engines_agree(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = sorted(
+        map(
+            tuple,
+            S.semantic_dedup_sweep(
+                emb, thresholds=(0.35, 0.5), k=4, engine="vectorized"
+            ).collect(),
+        )
+    )
+    j = sorted(
+        map(
+            tuple,
+            S.semantic_dedup_sweep(
+                emb, thresholds=(0.35, 0.5), k=4, engine="join"
+            ).collect(),
+        )
+    )
+    assert v == j
