@@ -1933,6 +1933,16 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.perplexity_buckets(docs)
 
 
+def q_ccnet_buckets_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's partition as shipped — PER-GROUP cut points (the paper
+    computes thresholds per language; per source here): same corpus-
+    wide self-LM scores, but each source cut at its OWN tertiles, so a
+    uniformly-noisier source still yields a head third. One group-keyed
+    percentile aggregate broadcast back; no corpus sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.perplexity_buckets_grouped(docs)
+
+
 def q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (arXiv:2302.03169): pick the 100 non-English
     docs whose hashed-ngram distribution looks most like the English
@@ -3588,6 +3598,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "zipf_fit_report", "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
+    "ccnet_buckets_by_source",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3626,8 +3637,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
-    "hybrid_rrf_search", "ann_quantized_topk",
-    # round-10 second-batch rotation: quantization_error_report,
+    "hybrid_rrf_search",
+    # round-10 second-batch rotation: ann_quantized_topk,
+    # quantization_error_report,
     # ann_quantized_recall,
     # winnow_fingerprints, winnow_matches, bloom_user_filter,
     # bloom_filter_report, orders_bloom_semi, pq_codebooks, pq_codes,
@@ -3788,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_subset_estimate": q_priority_subset_estimate,
         "join_size_estimate": q_join_size_estimate,
         "ccnet_buckets": q_ccnet_buckets,
+        "ccnet_buckets_by_source": q_ccnet_buckets_by_source,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
         "pca_component": q_pca_component,
@@ -6713,6 +6726,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mean_logprob >= t_lo THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM scored CROSS JOIN thr
+        """,
+        "ccnet_buckets_by_source": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS tok
+                FROM documents),
+            v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM v),
+            lp AS (SELECT t.doc_id, ln(v.n / tot.N) AS l
+                   FROM tok t JOIN v ON t.tok = v.tok CROSS JOIN tot),
+            scored AS (
+                SELECT s.doc_id, d.source, COUNT(*) AS n_tokens,
+                       ROUND(AVG(s.l), 6) AS mean_logprob
+                FROM lp s JOIN documents d ON d.doc_id = s.doc_id
+                GROUP BY s.doc_id, d.source),
+            thr AS (
+                SELECT source,
+                       ROUND(quantile_cont(mean_logprob, {1.0 / 3.0!r}), 6) AS t_lo,
+                       ROUND(quantile_cont(mean_logprob, {2.0 / 3.0!r}), 6) AS t_hi
+                FROM scored GROUP BY source)
+            SELECT s.doc_id, s.source, s.n_tokens, s.mean_logprob,
+                   CASE WHEN s.mean_logprob >= t.t_hi THEN 'head'
+                        WHEN s.mean_logprob >= t.t_lo THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored s JOIN thr t USING (source)
         """,
         "dsir_selected_docs": f"""
             WITH dtoks AS (

@@ -1769,3 +1769,50 @@ def source_vocab_divergence(
             "source", F.col("__cs").alias("n_vocab_tokens"), "kl"
         )
     )
+
+
+def perplexity_buckets_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    q: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+) -> DataFrame:
+    """:func:`perplexity_buckets` with PER-GROUP cut points — the form
+    CCNet actually ships (Wenzek et al. 2020 §3.3 computes its
+    head/middle/tail thresholds per language): scores stay corpus-wide
+    (the same self-unigram LM — only the CUTS adapt), but each group is
+    partitioned at its OWN score quantiles, so a uniformly-noisier
+    source still yields a head third instead of landing wholesale in
+    the global tail — the adaptive-threshold shape a mixed-quality
+    crawl needs.
+
+    Scale: scoring is the unigram_logprob plan; the thresholds are ONE
+    group-keyed aggregate (|groups| rows, broadcast back); still no
+    corpus sort. ``exact=False`` flips to approx_percentile at 100 TB
+    (same plan shape). All comparisons on 6dp-rounded scores.
+
+    Returns ``(id_col, group_col, n_tokens, mean_logprob, ppl_bucket)``.
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).join(
+        df.select(id_col, group_col), id_col
+    )
+    fn = "percentile" if exact else "approx_percentile"
+    thr = scored.groupBy(group_col).agg(
+        F.round(F.expr(f"{fn}(mean_logprob, {q[0]!r}d)"), 6).alias("__t_lo"),
+        F.round(F.expr(f"{fn}(mean_logprob, {q[1]!r}d)"), 6).alias("__t_hi"),
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_tokens"),
+            F.col("mean_logprob"),
+            F.when(F.col("mean_logprob") >= F.col("__t_hi"), F.lit("head"))
+            .when(F.col("mean_logprob") >= F.col("__t_lo"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -1531,3 +1531,36 @@ def test_source_vocab_divergence_identical_sources_near_zero(spark):
     out = {r.source: r.kl for r in T.source_vocab_divergence(df, top_k=10).collect()}
     assert out["a"] == out["b"]
     assert out["c"] > out["a"] >= 0.0
+
+
+def test_perplexity_buckets_grouped_adaptive_cuts(spark):
+    """A uniformly-noisier source still yields head/middle/tail thirds
+    under its OWN cuts (the global partition would put it wholesale in
+    the tail); scores equal the corpus-wide self-LM scores."""
+    # varying mixes of common vs rarer words so scores differ per doc
+    fluent = [
+        "the quick brown fox jumps over the lazy dog " * 2
+        + "the and of to is in it a " * (i + 1)
+        for i in range(6)
+    ]
+    noisy = [
+        f"zzq{i} qxj{i} wvk{i} jjy{i} pqz{i} xoq{i} " * (i + 2)
+        for i in range(6)
+    ]
+    rows = [(i, "good", t) for i, t in enumerate(fluent)] + [
+        (100 + i, "bad", t) for i, t in enumerate(noisy)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = T.perplexity_buckets_grouped(df).collect()
+    from collections import Counter
+
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, Counter())[r.ppl_bucket] += 1
+    # each source partitions into its own thirds
+    assert set(per_src["bad"]) == {"head", "middle", "tail"}
+    assert set(per_src["good"]) == {"head", "middle", "tail"}
+    # corpus-wide comparison: every bad doc scores below every good doc
+    good_scores = [r.mean_logprob for r in out if r.source == "good"]
+    bad_scores = [r.mean_logprob for r in out if r.source == "bad"]
+    assert max(bad_scores) < min(good_scores)
