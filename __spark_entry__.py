@@ -2526,6 +2526,23 @@ def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mix_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sweep for the mix planner: the per-(alpha, source)
+    census at alpha in {0.0, 0.3, 0.7} from ONE corpus pass — masses
+    pre-aggregate per (source, hash bucket) under the SAME bucket rule
+    the mixer filters by, so each alpha is a broadcast filter + tiny
+    aggregate over the bounded bucket table; each sweep point equals
+    plan_training_mix's census at that alpha."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import (
+        mixing as MX,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return MX.training_mix_sweep(
+        docs, alphas=(0.0, 0.3, 0.7), weight_unit_col="n_chars"
+    )
+
+
 def q_training_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed training recipe, end to end with its census
     (plans/mixing.plan_training_mix, Xue et al. 2021 §3.1): weights ∝
@@ -3598,7 +3615,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "zipf_fit_report", "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
-    "ccnet_buckets_by_source",
+    "ccnet_buckets_by_source", "training_mix_sweep",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3637,8 +3654,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
-    "hybrid_rrf_search",
-    # round-10 second-batch rotation: ann_quantized_topk,
+    # round-10 second-batch rotation: hybrid_rrf_search,
+    # ann_quantized_topk,
     # quantization_error_report,
     # ann_quantized_recall,
     # winnow_fingerprints, winnow_matches, bloom_user_filter,
@@ -3840,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
         "cross_source_dup_report": q_cross_source_dup_report,
         "training_mix_census": q_training_mix_census,
+        "training_mix_sweep": q_training_mix_sweep,
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
@@ -4123,6 +4141,45 @@ _JL_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             proj AS (SELECT d.vec_id, s.j AS dim,
                             ROUND(SUM(d.x * s.s) / sqrt(16.0), 6) AS y
                      FROM jdims d JOIN sgn s ON s.i = d.i GROUP BY 1, 2)"""
+
+
+def _mix_sweep_oracle(alphas: tuple[float, ...] = (0.0, 0.3, 0.7)) -> str:
+    """Mirrors plans/mixing.training_mix_sweep: one per-(source, bucket)
+    mass table, then each α's weight/threshold/kept-mass chain over it
+    (the training_mix_census fragments, per α)."""
+    bucket = _sample_bucket_sql("doc_id", seed="mix|")
+    blocks = []
+    selects = []
+    for i, a in enumerate(alphas):
+        blocks.append(f"""
+            w{i} AS (SELECT source, mass, ROUND(pow(mass, {float(a)!r}), 6)
+                            AS weight FROM av),
+            t{i} AS (SELECT MIN(mass / weight) AS T FROM w{i}),
+            f{i} AS (SELECT source, mass, weight,
+                            CAST(ROUND(ROUND(weight * T / mass, 6)
+                                       * 1000000, 0) AS BIGINT) AS thr
+                     FROM w{i}, t{i}),
+            k{i} AS (SELECT tb.source, CAST(SUM(m) AS BIGINT) AS kept
+                     FROM tb JOIN f{i} USING (source)
+                     WHERE b < thr GROUP BY tb.source),
+            tt{i} AS (SELECT CAST(SUM(kept) AS DOUBLE) AS tk FROM k{i}),
+            r{i} AS (SELECT CAST({float(a)!r} AS DOUBLE) AS alpha, f.source,
+                            CAST(f.mass AS BIGINT) AS avail_mass, f.weight,
+                            CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_mass,
+                            ROUND(coalesce(k.kept, 0) / tt{i}.tk, 6)
+                                AS achieved_share
+                     FROM f{i} f LEFT JOIN k{i} k USING (source), tt{i})""")
+        selects.append(f"SELECT * FROM r{i}")
+    return f"""
+            WITH tb AS (
+                SELECT source, {bucket} AS b,
+                       CAST(SUM(n_chars) AS BIGINT) AS m
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY source, b),
+            av AS (SELECT source, CAST(SUM(m) AS DOUBLE) AS mass
+                   FROM tb GROUP BY source HAVING SUM(m) > 0),{",".join(blocks)}
+            {" UNION ALL ".join(selects)}
+    """
 
 
 def _pii_oracle() -> str:
@@ -8179,6 +8236,7 @@ def oracle_sql() -> dict[str, str]:
         # the temperature-mix plan's census: weights = ROUND(pow(mass,
         # 0.3), 6) (HALF_UP both engines), the source_mixed_docs
         # threshold machinery with COMPUTED weights, kept mass + share
+        "training_mix_sweep": _mix_sweep_oracle((0.0, 0.3, 0.7)),
         "training_mix_census": f"""
             WITH tmw AS (
                 SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS mass

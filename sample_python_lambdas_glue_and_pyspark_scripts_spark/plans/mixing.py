@@ -131,3 +131,100 @@ def plan_training_mix(
         )
     )
     return mixed, census
+
+
+def training_mix_sweep(
+    docs: DataFrame,
+    alphas: tuple[float, ...] = (0.0, 0.3, 0.7),
+    group_col: str = "source",
+    weight_unit_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "mix|",
+) -> DataFrame:
+    """Temperature sweep for the mix planner — the tuning view behind
+    the α choice (Xue et al. 2021 sweep α before fixing it): the
+    per-(α, source) census ``(alpha, source, avail_mass, weight,
+    kept_mass, achieved_share)`` for several temperatures from ONE
+    corpus pass. Masses pre-aggregate per (source, hash bucket) — the
+    SAME bucket rule :func:`..operators.sampling.mix_to_proportions`
+    filters docs by, so summing buckets below a threshold EQUALS the
+    mass of the docs that filter keeps — and every α's thresholds and
+    kept masses are then computed over that bounded table (occupied
+    buckets ≤ min(corpus rows, sources × BUCKETS); each α costs a
+    broadcast-join filter + a sources-sized aggregate, never a corpus
+    re-scan — the ``cross_source_dup_sweep`` design applied to
+    mixing).
+
+    Each sweep point is EXACTLY :func:`plan_training_mix`'s census at
+    that α (same HALF_UP weight rounding, same integer bucket
+    thresholds; pinned by test).
+    """
+    from ..operators.sampling import BUCKETS, hash_bucket
+
+    if not alphas:
+        raise ValueError("training_mix_sweep: no alphas")
+    unit = F.col(weight_unit_col) if weight_unit_col else F.lit(1)
+    tb = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col), hash_bucket(id_col, seed).alias("__b"))
+        .agg(F.sum(unit).cast("bigint").alias("__m"))
+        .localCheckpoint(eager=False)
+    )
+    avail = (
+        tb.groupBy(group_col)
+        .agg(F.sum("__m").cast("double").alias("__avail"))
+        .filter(F.col("__avail") > 0)
+        .localCheckpoint(eager=False)
+    )
+    out: DataFrame | None = None
+    for a in alphas:
+        w = avail.select(
+            group_col,
+            "__avail",
+            F.round(F.pow(F.col("__avail"), F.lit(float(a))), 6).alias(
+                "weight"
+            ),
+        )
+        total = w.agg(F.min(F.col("__avail") / F.col("weight")).alias("__T"))
+        thr = w.crossJoin(F.broadcast(total)).select(
+            group_col,
+            "__avail",
+            "weight",
+            F.round(
+                F.round(
+                    F.col("weight") * F.col("__T") / F.col("__avail"), 6
+                )
+                * F.lit(BUCKETS),
+                0,
+            )
+            .cast("bigint")
+            .alias("__thr"),
+        )
+        kept = (
+            tb.join(F.broadcast(thr.select(group_col, "__thr")), group_col)
+            .filter(F.col("__b") < F.col("__thr"))
+            .groupBy(group_col)
+            .agg(F.sum("__m").cast("bigint").alias("kept_mass"))
+        )
+        tot = kept.agg(
+            F.sum("kept_mass").cast("double").alias("tk")
+        ).alias("tg")
+        row = (
+            thr.join(kept, group_col, "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(float(a)).alias("alpha"),
+                F.col(group_col),
+                F.col("__avail").cast("bigint").alias("avail_mass"),
+                "weight",
+                F.coalesce(F.col("kept_mass"), F.lit(0))
+                .cast("bigint")
+                .alias("kept_mass"),
+                F.round(
+                    F.coalesce(F.col("kept_mass"), F.lit(0)) / F.col("tg.tk"),
+                    6,
+                ).alias("achieved_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -82,3 +82,31 @@ def test_unigram_encode_string_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     got = {r["doc_id"]: r["n_pieces"] for r in out.collect()}
     assert set(got) == {"a", "b"} and all(v > 0 for v in got.values())
+
+
+def test_training_mix_sweep_points_match_standalone_census(spark, sf_dir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans.mixing import (
+        plan_training_mix,
+        training_mix_sweep,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sweep = training_mix_sweep(
+        docs, alphas=(0.3, 0.7), weight_unit_col="n_chars"
+    ).collect()
+    for a in (0.3, 0.7):
+        point = sorted(
+            (r.source, r.avail_mass, r.weight, r.kept_mass, r.achieved_share)
+            for r in sweep
+            if r.alpha == a
+        )
+        _, census = plan_training_mix(docs, alpha=a, weight_unit_col="n_chars")
+        standalone = sorted(map(tuple, census.collect()))
+        assert point == standalone, a
+    # alpha=1 keeps everything (proportional = no downsampling)
+    full = training_mix_sweep(docs, alphas=(1.0,), weight_unit_col="n_chars").collect()
+    assert all(r.kept_mass == r.avail_mass for r in full)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        training_mix_sweep(docs, alphas=())
