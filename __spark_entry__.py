@@ -2385,6 +2385,30 @@ def q_curation_cascade_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def q_curation_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade census at DOC granularity — per doc, the FIRST stage
+    that dropped it ('kept' for survivors): the why-did-my-doc-
+    disappear audit table, built from id-only anti-joins between
+    consecutive survivor sets. Same cascade configuration as
+    curation_cascade_census; the oracle reuses its CTE chain verbatim
+    and assigns the stage by left-join presence."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.plans import (
+        curation_batch as CB,
+    )
+
+    docs = _doc_urls_messy(_t(spark, sf_dir, "documents"))
+    _, _, ledger = CB.curate_corpus(
+        docs,
+        url_col="url",
+        exactsubstr_min_tokens=20,
+        min_quality=0.5,
+        n_per_domain=10,
+        token_budget=15000,
+        return_ledger=True,
+    )
+    return ledger
+
+
 def q_exactsubstr_decon_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUSED ExactSubstr dedup + span decontamination (L=20 / D=13,
     benchmark = doc_id % 20 == 0): one corpus tokenize emits both
@@ -3616,6 +3640,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
+    "curation_drop_ledger",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3650,7 +3675,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
-    "priority_subset_estimate", "join_size_estimate",
+    "priority_subset_estimate",
+    # join_size_estimate rotated (driver-proven r9, unchanged)
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -3853,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_spans": q_decontaminated_spans,
         "user_value_ewma": q_user_value_ewma,
         "curation_cascade_census": q_curation_cascade_census,
+        "curation_drop_ledger": q_curation_drop_ledger,
         "quality_calibration_report": q_quality_calibration_report,
         "exactsubstr_decon_rewrite": q_exactsubstr_decon_rewrite,
         "cross_source_dup_report": q_cross_source_dup_report,
@@ -4141,6 +4168,66 @@ _JL_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             proj AS (SELECT d.vec_id, s.j AS dim,
                             ROUND(SUM(d.x * s.s) / sqrt(16.0), 6) AS y
                      FROM jdims d JOIN sgn s ON s.i = d.i GROUP BY 1, 2)"""
+
+
+def _cascade_ctes() -> str:
+    """Shared CTE chain of the curation cascade (messy urls -> url
+    dedup cc1 -> exact dedup cc2 -> ExactSubstr L=20 rewrite cc3 ->
+    quality >= 0.5 cc4 -> per-domain cap 10 cc5 -> 15k-word budget
+    cc6) — single definition for the census AND the per-doc drop
+    ledger oracles."""
+    return rf"""{_MESSY_URL_SQL},
+            u1 AS (SELECT doc_id FROM (
+                     SELECT doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY
+                                CASE WHEN canonical_url = ''
+                                     THEN chr(0) || 'id:'
+                                          || CAST(doc_id AS VARCHAR)
+                                     ELSE canonical_url END
+                                ORDER BY doc_id) AS rn
+                     FROM mucanon) t WHERE rn = 1),
+            cc1 AS (SELECT d.doc_id, d.text
+                    FROM documents d JOIN u1 USING (doc_id)),
+            ccf AS (SELECT doc_id,
+                           md5(regexp_replace(trim(lower(text)),
+                                              '\s+', ' ', 'g')) AS fp
+                    FROM cc1),
+            cck AS (SELECT MIN(doc_id) AS doc_id FROM ccf GROUP BY fp),
+            cc2 AS (SELECT cc1.* FROM cc1 JOIN cck USING (doc_id)),
+            {_exactsubstr_ctes('cc2', 'cs', 20)},
+            cstokpos AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+                                u.v AS tok
+                         FROM (SELECT doc_id, unnest(list_transform(w,
+                                  (x, i) -> {{'v': x, 'i': i}})) AS u
+                               FROM csbase)),
+            cskept AS (SELECT cstokpos.doc_id, pos, tok FROM cstokpos
+                       ANTI JOIN csremoved
+                       ON (cstokpos.doc_id = csremoved.doc_id
+                           AND cstokpos.pos = csremoved.pos)),
+            cc3 AS (SELECT b.doc_id, coalesce(r.text_dedup, '') AS text
+                    FROM csbase b
+                    LEFT JOIN (SELECT doc_id,
+                                      string_agg(tok, ' ' ORDER BY pos)
+                                          AS text_dedup
+                               FROM cskept GROUP BY doc_id) r
+                        USING (doc_id)),
+            {_quality_ctes('cc3', 'q4')},
+            cc4 AS (SELECT doc_id, text FROM q4q
+                    WHERE quality_score >= 0.5),
+            cc5 AS (SELECT doc_id, text FROM (
+                      SELECT cc4.doc_id, cc4.text,
+                             ROW_NUMBER() OVER (PARTITION BY p.host
+                                 ORDER BY cc4.doc_id ASC) AS rn
+                      FROM cc4 JOIN muparts p USING (doc_id)) t
+                    WHERE rn <= 10),
+            {_quality_ctes('cc5', 'q6')},
+            cc6 AS (SELECT doc_id FROM (
+                      SELECT doc_id,
+                             SUM(n_words) OVER (
+                                 ORDER BY quality_score DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+                      FROM q6q) t WHERE cum <= 15000)"""
 
 
 def _mix_sweep_oracle(alphas: tuple[float, ...] = (0.0, 0.3, 0.7)) -> str:
@@ -7773,60 +7860,25 @@ def oracle_sql() -> dict[str, str]:
         # domain = muparts.host directly: the messy synthetic hosts are
         # always two labels (site{{k}}.com/.org), so registrable domain
         # == host by the n<=2 rule.
+        "curation_drop_ledger": rf"""
+            WITH {_cascade_ctes()}
+            SELECT d.doc_id,
+                   CASE WHEN c1.doc_id IS NULL THEN 'url_dedup'
+                        WHEN c2.doc_id IS NULL THEN 'exact_dedup'
+                        WHEN c4.doc_id IS NULL THEN 'quality_filter'
+                        WHEN c5.doc_id IS NULL THEN 'domain_cap'
+                        WHEN c6.doc_id IS NULL THEN 'token_budget'
+                        ELSE 'kept' END AS dropped_at
+            FROM documents d
+            LEFT JOIN cc1 c1 ON c1.doc_id = d.doc_id
+            LEFT JOIN cc2 c2 ON c2.doc_id = d.doc_id
+            LEFT JOIN cc4 c4 ON c4.doc_id = d.doc_id
+            LEFT JOIN cc5 c5 ON c5.doc_id = d.doc_id
+            LEFT JOIN cc6 c6 ON c6.doc_id = d.doc_id
+        """,
         "curation_cascade_census": rf"""
-            WITH {_MESSY_URL_SQL},
-            u1 AS (SELECT doc_id FROM (
-                     SELECT doc_id,
-                            ROW_NUMBER() OVER (PARTITION BY
-                                CASE WHEN canonical_url = ''
-                                     THEN chr(0) || 'id:'
-                                          || CAST(doc_id AS VARCHAR)
-                                     ELSE canonical_url END
-                                ORDER BY doc_id) AS rn
-                     FROM mucanon) t WHERE rn = 1),
-            cc1 AS (SELECT d.doc_id, d.text
-                    FROM documents d JOIN u1 USING (doc_id)),
-            ccf AS (SELECT doc_id,
-                           md5(regexp_replace(trim(lower(text)),
-                                              '\s+', ' ', 'g')) AS fp
-                    FROM cc1),
-            cck AS (SELECT MIN(doc_id) AS doc_id FROM ccf GROUP BY fp),
-            cc2 AS (SELECT cc1.* FROM cc1 JOIN cck USING (doc_id)),
-            {_exactsubstr_ctes('cc2', 'cs', 20)},
-            cstokpos AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
-                                u.v AS tok
-                         FROM (SELECT doc_id, unnest(list_transform(w,
-                                  (x, i) -> {{'v': x, 'i': i}})) AS u
-                               FROM csbase)),
-            cskept AS (SELECT cstokpos.doc_id, pos, tok FROM cstokpos
-                       ANTI JOIN csremoved
-                       ON (cstokpos.doc_id = csremoved.doc_id
-                           AND cstokpos.pos = csremoved.pos)),
-            cc3 AS (SELECT b.doc_id, coalesce(r.text_dedup, '') AS text
-                    FROM csbase b
-                    LEFT JOIN (SELECT doc_id,
-                                      string_agg(tok, ' ' ORDER BY pos)
-                                          AS text_dedup
-                               FROM cskept GROUP BY doc_id) r
-                        USING (doc_id)),
-            {_quality_ctes('cc3', 'q4')},
-            cc4 AS (SELECT doc_id, text FROM q4q
-                    WHERE quality_score >= 0.5),
-            cc5 AS (SELECT doc_id, text FROM (
-                      SELECT cc4.doc_id, cc4.text,
-                             ROW_NUMBER() OVER (PARTITION BY p.host
-                                 ORDER BY cc4.doc_id ASC) AS rn
-                      FROM cc4 JOIN muparts p USING (doc_id)) t
-                    WHERE rn <= 10),
-            {_quality_ctes('cc5', 'q6')},
-            cc6 AS (SELECT doc_id FROM (
-                      SELECT doc_id,
-                             SUM(n_words) OVER (
-                                 ORDER BY quality_score DESC, doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum
-                      FROM q6q) t WHERE cum <= 15000)
-            SELECT 'url_dedup' AS stage,
+            WITH {_cascade_ctes()}
+SELECT 'url_dedup' AS stage,
                    CAST((SELECT COUNT(*) FROM cc1) AS BIGINT) AS n_docs
             UNION ALL SELECT 'exact_dedup',
                    CAST((SELECT COUNT(*) FROM cc2) AS BIGINT)

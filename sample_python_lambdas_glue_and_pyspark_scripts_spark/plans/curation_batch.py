@@ -56,6 +56,7 @@ def curate_corpus(
     hot_min_rows: int | None = None,
     c4_clean: dict | None = None,
     scrub_pii: bool = False,
+    return_ledger: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
@@ -186,4 +187,23 @@ def curate_corpus(
         report = row if report is None else report.unionByName(row)
     if report is None:
         report = spark.createDataFrame([], "stage STRING, n_docs BIGINT")
-    return cur, report
+    if not return_ledger:
+        return cur, report
+    # per-doc drop ledger: the FIRST stage whose survivor set lost the
+    # doc ("why did my doc disappear" — the census at doc granularity).
+    # Each step is an id-only anti-join between consecutive survivor
+    # sets; text-rewrite stages drop nobody and contribute no rows.
+    prev = docs.select(id_col)
+    ledger = None
+    for name, df in stages:
+        ids = df.select(id_col)
+        dropped = prev.join(ids, id_col, "left_anti").select(
+            F.col(id_col), F.lit(name).alias("dropped_at")
+        )
+        ledger = dropped if ledger is None else ledger.unionByName(dropped)
+        prev = ids
+    kept_rows = prev.select(F.col(id_col), F.lit("kept").alias("dropped_at"))
+    ledger = (
+        kept_rows if ledger is None else ledger.unionByName(kept_rows)
+    )
+    return cur, report, ledger

@@ -255,3 +255,31 @@ def test_cascade_pii_scrub_is_last_stage(spark):
     assert stages[-1] == "pii_scrub"
     final_count = {r["stage"]: r["n_docs"] for r in rep_scrub.collect()}
     assert final_count["pii_scrub"] == len(ids_plain)
+
+
+def test_cascade_drop_ledger(spark):
+    docs = _docs(spark)
+    kept, report, ledger = curate_corpus(
+        docs, url_col="url", exactsubstr_min_tokens=20, min_quality=0.66,
+        return_ledger=True,
+    )
+    led = {r["doc_id"]: r["dropped_at"] for r in ledger.collect()}
+    # every input doc is accounted for exactly once
+    assert sorted(led) == sorted(r["doc_id"] for r in docs.collect())
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert {d for d, s in led.items() if s == "kept"} == kept_ids
+    # doc 4 is the exact-text dup of 3; doc 7 is the low-quality one
+    assert led[4] == "exact_dedup"
+    assert led[7] == "quality_filter"
+    # ledger counts reconcile with the census: stage n_docs equals
+    # (docs not yet dropped) at that stage
+    census = {r["stage"]: r["n_docs"] for r in report.collect()}
+    n_in = docs.count()
+    order = [r["stage"] for r in report.collect()]
+    running = n_in
+    from collections import Counter
+
+    drops = Counter(led.values())
+    for st in order:
+        running -= drops.get(st, 0)
+        assert census[st] == running, st
