@@ -1550,6 +1550,18 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: per video, the dHash hamming distance
+    between consecutive sampled frames (NULL on frame 0) and the
+    running scene id (cut at hamming > 16). Fake-decode pixels make
+    the whole chain — fan-out, pixels, signatures, lag, running count
+    — exactly SQL-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    frames = MM.sample_frames(media, every_ms=1000, fake=True)
+    return MM.video_scene_changes(frames, threshold=16)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals — map-side, 0 shuffles."""
     docs = _t(spark, sf_dir, "documents")
@@ -3640,7 +3652,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
-    "curation_drop_ledger",
+    "curation_drop_ledger", "video_scene_changes",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3675,8 +3687,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
-    "priority_subset_estimate",
-    # join_size_estimate rotated (driver-proven r9, unchanged)
+    # priority_subset_estimate + join_size_estimate rotated
+    # (driver-proven r9, unchanged)
     # new in round 7 (second batch): RRF hybrid retrieval, int8 scalar
     # quantization (serve + error + recall gates), and winnowing
     # fingerprints + fingerprint-keyed match candidates
@@ -3865,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_unpivot": q_stats_unpivot,
         "hll_grouped_report": q_hll_grouped_report,
         "video_frame_sample": q_video_frame_sample,
+        "video_scene_changes": q_video_scene_changes,
         "unigram_logprob": q_unigram_logprob,
         "span_dedup": q_span_dedup,
         "exactsubstr_removals": q_exactsubstr_removals,
@@ -6776,6 +6789,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_tokens,
                    ROUND(AVG(l), 6) AS mean_logprob
             FROM lp GROUP BY doc_id
+        """,
+        "video_scene_changes": f"""
+            WITH m AS (
+                SELECT doc_id AS media_id, md5(text) AS h,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+                FROM documents WHERE doc_id % 3 = 2),
+            d AS (SELECT media_id, h, 1000 + v % 7200000 AS dur FROM m),
+            fr AS (SELECT media_id, h,
+                          unnest(range(0, least(dur // 1000, 8))) AS i
+                   FROM d),
+            fh AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                          md5(h || '|' || CAST(i AS VARCHAR)) AS fhash
+                   FROM fr),
+            px AS (SELECT media_id, frame_idx,
+                          [{", ".join(f"substr(md5(fhash || '|p{r}'), 1, 18)" for r in range(8))}]
+                              AS px
+                   FROM fh),
+            byt AS (SELECT media_id, frame_idx,
+                           list_transform(px, x ->
+                               CAST({_dhash_byte_sql("x")} AS BIGINT)) AS bands
+                    FROM px),
+            sig AS (SELECT media_id, frame_idx,
+                           bands[1] + bands[2]*256 + bands[3]*65536
+                               + bands[4]*16777216 AS sig_hi,
+                           bands[5] + bands[6]*256 + bands[7]*65536
+                               + bands[8]*16777216 AS sig_lo
+                    FROM byt),
+            lagd AS (SELECT media_id, frame_idx, sig_hi, sig_lo,
+                            LAG(sig_hi) OVER (PARTITION BY media_id
+                                              ORDER BY frame_idx) AS ph,
+                            LAG(sig_lo) OVER (PARTITION BY media_id
+                                              ORDER BY frame_idx) AS pl
+                     FROM sig),
+            ham AS (SELECT media_id, frame_idx,
+                           CASE WHEN ph IS NULL THEN NULL
+                                ELSE CAST(bit_count(xor(sig_hi, ph))
+                                          + bit_count(xor(sig_lo, pl))
+                                     AS INTEGER) END AS hamming
+                    FROM lagd)
+            SELECT media_id, frame_idx, hamming,
+                   CAST(SUM(CASE WHEN hamming IS NULL OR hamming > 16
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY media_id ORDER BY frame_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS INTEGER) AS scene_id
+            FROM ham
         """,
         "video_frame_sample": """
             WITH m AS (

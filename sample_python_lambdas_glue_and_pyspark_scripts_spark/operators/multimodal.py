@@ -31,7 +31,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -528,3 +528,51 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Da
             yield pd.DataFrame(out, columns=[f.name for f in frame_schema.fields])
 
     return df.select("media_id", "kind", "payload").mapInPandas(frames, schema=frame_schema)
+
+
+def video_scene_changes(
+    frames: DataFrame,
+    media_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "frame_hash",
+    threshold: int = 16,
+    rows_col: str | None = None,
+    seed: str = "p",
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over sampled video frames —
+    the standard preprocessing step before per-scene frame selection /
+    captioning in multimodal pipelines: the dHash hamming distance
+    between CONSECUTIVE frames of a video (perceptual content distance;
+    the public content-based shot-detection recipe), a distance >
+    ``threshold`` marks a cut, and ``scene_id`` is the running cut
+    count (frame 0 opens scene 1). Identical frames distance 0; a
+    one-pixel retouch moves ≤ 2 bits — far under any sane threshold —
+    while unrelated content sits near 32 (random bits).
+
+    Plan: the signature build is the map-side :func:`frame_dhash`
+    (fake-mode pixels unless ``rows_col`` supplies real decoded rows);
+    the lag and the running cut count share ONE (media)-partitioned
+    window exchange (frame counts per video are bounded — the
+    ``sample_frames`` contract). Returns ``(media_col, idx_col,
+    hamming, scene_id)`` with ``hamming`` NULL on each video's first
+    frame.
+    """
+    sigs = frame_dhash(frames, hash_col=hash_col, rows_col=rows_col, seed=seed)
+    w = Window.partitionBy(media_col).orderBy(idx_col)
+    prev_hi = F.lag("sig_hi").over(w)
+    prev_lo = F.lag("sig_lo").over(w)
+    ham = (
+        F.bit_count(F.col("sig_hi").bitwiseXOR(prev_hi))
+        + F.bit_count(F.col("sig_lo").bitwiseXOR(prev_lo))
+    ).cast("int")
+    staged = sigs.withColumn("hamming", ham)
+    is_cut = F.when(
+        F.col("hamming").isNull() | (F.col("hamming") > int(threshold)), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        media_col,
+        idx_col,
+        "hamming",
+        F.sum(is_cut).over(wc).cast("int").alias("scene_id"),
+    )

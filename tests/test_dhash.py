@@ -110,3 +110,24 @@ def test_frame_dhash_map_side(spark):
     df = M.frame_dhash(_frames(spark, [(1, 0, "a")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_video_scene_changes_identical_and_cut_frames(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.multimodal import (
+        video_scene_changes,
+    )
+
+    # one video: frames 0,1 share a hash (identical content -> hamming
+    # 0, same scene), frame 2 is different content (a cut)
+    rows = [
+        (1, 0, "aaaa"), (1, 1, "aaaa"), (1, 2, "bbbb"),
+        (2, 0, "zzzz"),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, frame_idx INT, frame_hash STRING")
+    out = {(r.media_id, r.frame_idx): r for r in video_scene_changes(df, threshold=8).collect()}
+    assert out[(1, 0)].hamming is None and out[(1, 0)].scene_id == 1
+    assert out[(1, 1)].hamming == 0 and out[(1, 1)].scene_id == 1
+    assert out[(1, 2)].hamming is not None and out[(1, 2)].hamming > 8
+    assert out[(1, 2)].scene_id == 2
+    # a second video starts its own scene numbering
+    assert out[(2, 0)].hamming is None and out[(2, 0)].scene_id == 1
