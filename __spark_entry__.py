@@ -1936,6 +1936,22 @@ def q_orders_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with exact verification: distinct event
+    users probe the CMS grid (width 256 — deliberately dense so false
+    candidates are visible), candidates at est >= rows/50 get exact
+    counts, is_heavy exposes the one-sided error. The threshold is a
+    scalar control read (rows // 50) both engines derive from the same
+    table."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    threshold = max(1, ev.count() // 50)
+    return SK.cms_heavy_hitters(ev, "user_id", threshold, width=256, depth=4)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition of the corpus by self-LM score
     tertiles (arXiv:1911.00359): the standard 'keep the fluent two
@@ -3652,7 +3668,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
-    "curation_drop_ledger", "video_scene_changes",
+    "curation_drop_ledger", "video_scene_changes", "cms_heavy_hitters",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3683,7 +3699,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # the Matryoshka prefix-truncation serve recall gate, and Bloom-
     # prefiltered decontamination (identity oracle)
     "dedup_canonical_docs",
-    "decontaminated_docs_bloom",
+    # decontaminated_docs_bloom rotated (driver-proven r9, unchanged)
     "prefix_jaccard_pairs", "dedup_rate_report",
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
@@ -3856,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "ccnet_buckets": q_ccnet_buckets,
         "ccnet_buckets_by_source": q_ccnet_buckets_by_source,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "dsir_selected_docs": q_dsir_selected_docs,
         "langid_classifier_scores": q_langid_classifier_scores,
         "pca_component": q_pca_component,
@@ -6892,6 +6909,33 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_rate
             FROM documents
             GROUP BY source
+        """,
+        "cms_heavy_hitters": """
+            WITH tot AS (SELECT GREATEST(COUNT(*) // 50, 1) AS thr
+                         FROM events),
+            ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k
+                   FROM events WHERE user_id IS NOT NULL),
+            keys AS (SELECT DISTINCT user_id, k FROM ev),
+            cells AS (SELECT t.d AS row,
+                             ('0x' || substr(md5('cms' || t.d || '|' || k),
+                                             1, 15))::BIGINT % 256 AS slot
+                      FROM ev, range(4) AS t(d)),
+            grid AS (SELECT row, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM cells GROUP BY 1, 2),
+            probes AS (SELECT user_id, k, t.d AS row,
+                              ('0x' || substr(md5('cms' || t.d || '|' || k),
+                                              1, 15))::BIGINT % 256 AS slot
+                       FROM keys, range(4) AS t(d)),
+            ests AS (SELECT user_id,
+                            CAST(MIN(coalesce(g.cnt, 0)) AS BIGINT) AS est
+                     FROM probes p LEFT JOIN grid g USING (row, slot)
+                     GROUP BY user_id),
+            cands AS (SELECT user_id, est FROM ests, tot WHERE est >= thr),
+            ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+                   FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+            SELECT c.user_id, c.est, e.exact,
+                   (e.exact >= tot.thr) AS is_heavy
+            FROM cands c JOIN ex e USING (user_id) CROSS JOIN tot
         """,
         "cms_token_sketch": f"""
             WITH ctok AS (

@@ -958,3 +958,54 @@ def grouped_quantile_report(
             F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 4,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Heavy-hitter detection with exact verification — the acceptance-
+    gate pattern applied to frequency: distinct keys probe the CMS grid
+    (broadcast, map-side); every key whose estimate ≥ ``threshold`` is
+    a CANDIDATE — a SUPERSET of the true heavy hitters by the sketch's
+    one-sided error (estimates never undercount) — and only candidates
+    pay for an exact count (broadcast semi-join + keyed count whose
+    map-side combine collapses exactly the hot keys being counted).
+    Returns ``(key, est, exact, is_heavy)`` — ``est ≥ exact`` always,
+    and ``is_heavy = exact ≥ threshold`` exposes the false candidates
+    the width bounds (the self-measuring view that sizes the grid).
+
+    Pass ``sketch=`` to probe a PRE-BUILT (possibly merged, possibly
+    streamed) grid — the cross-corpus/day accumulation path; the
+    default builds it from ``df`` in one keyed pass.
+    """
+    if threshold < 1:
+        raise ValueError("cms_heavy_hitters: threshold must be >= 1")
+    sk = (
+        sketch
+        if sketch is not None
+        else count_min_sketch(df, key_col, width, depth)
+    )
+    keys = (
+        df.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    )
+    ests = cms_estimate(sk, keys, key_col, width, depth)
+    cands = ests.filter(F.col("est") >= F.lit(int(threshold)))
+    exact = (
+        df.join(F.broadcast(cands.select(key_col)), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    return (
+        cands.join(exact, key_col)
+        .select(
+            key_col,
+            "est",
+            "exact",
+            (F.col("exact") >= F.lit(int(threshold))).alias("is_heavy"),
+        )
+    )

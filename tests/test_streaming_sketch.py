@@ -539,3 +539,33 @@ def test_streaming_fertility_matches_batch_and_replay(spark, workdir, tmp_path):
     make_fertility_batch_fn(workdir)(b0, 0)
     again = sorted(map(tuple, read_fertility_state(spark, workdir).collect()))
     assert again == batch
+
+
+def test_cms_heavy_hitters_superset_and_verify(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+
+    # 3 true heavy keys (>= 50 rows), a long tail of singletons; a tiny
+    # 8-slot grid forces collisions so FALSE candidates appear
+    rows = (
+        [("hot1",)] * 80 + [("hot2",)] * 60 + [("hot3",)] * 50
+        + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k STRING")
+    out = {r.k: r for r in SK.cms_heavy_hitters(df, "k", 50, width=8, depth=2).collect()}
+    # every true heavy hitter is a candidate AND verified heavy
+    for k, n in (("hot1", 80), ("hot2", 60), ("hot3", 50)):
+        assert k in out and out[k].exact == n and out[k].is_heavy
+        assert out[k].est >= out[k].exact  # one-sided error
+    # collisions on the tiny grid produce candidates the verify rejects
+    false_cands = [r for r in out.values() if not r.is_heavy]
+    assert false_cands and all(r.est >= 50 > r.exact for r in false_cands)
+    # a generous grid removes the false candidates entirely
+    wide = {r.k: r for r in SK.cms_heavy_hitters(df, "k", 50, width=1024, depth=4).collect()}
+    assert sorted(wide) == ["hot1", "hot2", "hot3"]
+    assert all(r.est == r.exact for r in wide.values())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SK.cms_heavy_hitters(df, "k", 0)
