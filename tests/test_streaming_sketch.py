@@ -569,3 +569,40 @@ def test_cms_heavy_hitters_superset_and_verify(spark):
 
     with _pt.raises(ValueError):
         SK.cms_heavy_hitters(df, "k", 0)
+
+
+def test_cms_heavy_hitters_over_streamed_grid(spark, workdir, tmp_path):
+    """The sketch= hook composes with the streaming CMS state: hitters
+    detected against the MERGED grid of everything the stream has seen
+    equal hitters against a batch-built grid over the same rows."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        sketches as SK,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        read_cms_state,
+        streaming_cms,
+    )
+
+    src = str(tmp_path / "cmssrc")
+    mk = lambda ks: spark.createDataFrame([(k,) for k in ks], "k STRING")
+    b0 = mk(["hot"] * 40 + [f"c{i}" for i in range(50)])
+    b1 = mk(["hot"] * 40 + ["warm"] * 60 + [f"d{i}" for i in range(50)])
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_cms(stream, workdir, "k", width=1024, depth=4).awaitTermination(180)
+
+    union = b0.unionByName(b1)
+    grid = read_cms_state(spark, workdir)
+    live = sorted(
+        map(tuple, SK.cms_heavy_hitters(union, "k", 50, 1024, 4, sketch=grid).collect())
+    )
+    batch = sorted(
+        map(tuple, SK.cms_heavy_hitters(union, "k", 50, 1024, 4).collect())
+    )
+    assert live == batch
+    assert {t[0] for t in live} == {"hot", "warm"}
