@@ -1129,6 +1129,16 @@ def q_fertility_report_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.merge_fertility_reports(a, b)
 
 
+def q_datasheet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet (Gebru et al. 2021, the quantitative
+    composition slice): docs/sources/words, exact-dup fraction,
+    dominant predicted language + share, mean quality, PII-doc
+    fraction, mean doc length — every field reusing an already-proven
+    signal, one per-doc projection + two tiny aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.datasheet_report(docs)
+
+
 def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility / compression census per source: bytes,
     chars, BPE-ish regex tokens, words, tokens_per_word, bytes_per_token
@@ -3669,6 +3679,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
     "curation_drop_ledger", "video_scene_changes", "cms_heavy_hitters",
+    "datasheet_report",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3700,7 +3711,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # prefiltered decontamination (identity oracle)
     "dedup_canonical_docs",
     # decontaminated_docs_bloom rotated (driver-proven r9, unchanged)
-    "prefix_jaccard_pairs", "dedup_rate_report",
+    "dedup_rate_report",
+    # prefix_jaccard_pairs rotated (driver-proven r9, unchanged)
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
     # priority_subset_estimate + join_size_estimate rotated
@@ -3829,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "tokenizer_fertility_report": q_tokenizer_fertility_report,
+        "datasheet_report": q_datasheet_report,
         "fertility_report_merged": q_fertility_report_merged,
         "pii_report": q_pii_report,
         "zipf_fit_report": q_zipf_fit_report,
@@ -6331,6 +6344,67 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "pii_report": _pii_oracle(),
+        "datasheet_report": rf"""
+            WITH dper AS (
+                SELECT doc_id, source,
+                       md5(regexp_replace(trim(lower(coalesce(text, ''))),
+                                          '\s+', ' ', 'g')) AS fp,
+                       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '{_WORD_SQL}')) AS BIGINT)
+                           AS w,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS em
+                FROM documents),
+            dlang AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                            ELSE 'de' END AS lang_pred
+                FROM (SELECT doc_id,
+                             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS s_en,
+                             len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en|un)\b')) AS s_es,
+                             len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|du)\b')) AS s_fr,
+                             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht|zu)\b')) AS s_de
+                      FROM documents) s),
+            dqual AS (
+                SELECT doc_id,
+                       ROUND((
+                           (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_stop / greatest(n_words, 1), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN ROUND(n_punct / greatest(n_chars, 1), 6) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       ) / 3.0, 6) AS quality_score
+                FROM (SELECT doc_id,
+                             length(text) AS n_chars,
+                             len(regexp_extract_all(lower(text), '{_WORD_SQL}')) AS n_words,
+                             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it|a)\b')) AS n_stop
+                      FROM documents) s),
+            dj AS (SELECT p.*, l.lang_pred, q.quality_score
+                   FROM dper p JOIN dlang l USING (doc_id)
+                   JOIN dqual q USING (doc_id)),
+            dbase AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                       CAST(SUM(w) AS BIGINT) AS total_words,
+                       CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq,
+                       ROUND(AVG(quality_score), 6) AS mean_quality,
+                       CAST(SUM(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS pii_docs
+                FROM dj),
+            dtl AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS lc
+                    FROM dj GROUP BY 1
+                    ORDER BY lc DESC, lang_pred ASC LIMIT 1)
+            SELECT n_docs, n_sources, total_words,
+                   ROUND((n_docs - uniq) / n_docs, 6) AS dup_doc_frac,
+                   dtl.lang_pred AS top_lang,
+                   ROUND(dtl.lc / n_docs, 6) AS top_lang_share,
+                   mean_quality,
+                   ROUND(pii_docs / n_docs, 6) AS pii_docs_frac,
+                   ROUND(total_words / n_docs, 6) AS mean_doc_words
+            FROM dbase CROSS JOIN dtl
+        """,
         "zipf_fit_report": f"""
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(lower(text), '{_WORD_SQL}'))

@@ -1816,3 +1816,78 @@ def perplexity_buckets_grouped(
             .alias("ppl_bucket"),
         )
     )
+
+
+def datasheet_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """One-row dataset datasheet — the quantitative slice of
+    "Datasheets for Datasets" (Gebru et al., CACM 2021 §composition),
+    the summary a corpus release ships: size (docs / sources / words),
+    exact-duplicate fraction, dominant predicted language and its
+    share, mean quality score, PII-bearing doc fraction, mean doc
+    length. Every field reuses an already-oracle-proven signal
+    (fingerprint dedup, stopword-vote language ID, the composite
+    quality score, the PII email shape).
+
+    One staged per-doc projection + one global aggregate + one
+    language-mode aggregate (top language by count, ties by code) —
+    nothing corpus-quadratic; per the float contract only final
+    ratios round. NULL text counts as empty everywhere.
+    """
+    c = F.coalesce(_c(text_col), F.lit(""))
+    per = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__src"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+        ).alias("__fp"),
+        F.size(words(c)).cast("bigint").alias("__w"),
+        _count_matches(c, PII_PATTERNS[0][1]).alias("__em"),
+    )
+    lang = language_id(df.select(id_col, text_col), text_col).select(
+        id_col, "lang_pred"
+    )
+    qual = quality_score(df.select(id_col, text_col), text_col).select(
+        id_col, "quality_score"
+    )
+    j = per.join(lang, id_col).join(qual, id_col)
+    base = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("__src").cast("bigint").alias("n_sources"),
+        F.sum("__w").cast("bigint").alias("total_words"),
+        F.countDistinct("__fp").cast("bigint").alias("__uniq"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.sum((F.col("__em") > 0).cast("bigint")).alias("__pii_docs"),
+    )
+    top_lang = (
+        j.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__lc"))
+        .orderBy(F.col("__lc").desc(), F.col("lang_pred").asc())
+        .limit(1)
+    )
+    return (
+        base.crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "n_sources",
+            "total_words",
+            F.round(
+                (F.col("n_docs") - F.col("__uniq")) / F.col("n_docs"), 6
+            ).alias("dup_doc_frac"),
+            F.col("lang_pred").alias("top_lang"),
+            F.round(F.col("__lc") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            "mean_quality",
+            F.round(F.col("__pii_docs") / F.col("n_docs"), 6).alias(
+                "pii_docs_frac"
+            ),
+            F.round(F.col("total_words") / F.col("n_docs"), 6).alias(
+                "mean_doc_words"
+            ),
+        )
+    )

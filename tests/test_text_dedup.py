@@ -1564,3 +1564,20 @@ def test_perplexity_buckets_grouped_adaptive_cuts(spark):
     good_scores = [r.mean_logprob for r in out if r.source == "good"]
     bad_scores = [r.mean_logprob for r in out if r.source == "bad"]
     assert max(bad_scores) < min(good_scores)
+
+
+def test_datasheet_report_hand_values(spark):
+    rows = [
+        (1, "a", "the quick brown fox is in the house and it is fine today."),
+        (2, "a", "the quick brown fox is in the house and it is fine today."),
+        (3, "b", "mail bob@x.com about the thing that is due to land in it."),
+        (4, "b", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    r = T.datasheet_report(df).collect()[0]
+    assert r.n_docs == 4 and r.n_sources == 2
+    # docs 1 and 2 are exact dups -> 3 unique fingerprints
+    assert r.dup_doc_frac == round(1 / 4, 6)
+    assert r.top_lang == "en"
+    assert r.pii_docs_frac == round(1 / 4, 6)
+    assert r.mean_doc_words == round(r.total_words / 4, 6)
