@@ -1129,6 +1129,14 @@ def q_fertility_report_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.merge_fertility_reports(a, b)
 
 
+def q_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc from regex-only proxies (sentence
+    runs, vowel-group syllables) — map-side, zero shuffles, one 6dp
+    round of the final score."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.readability_report(docs)
+
+
 def q_datasheet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset datasheet (Gebru et al. 2021, the quantitative
     composition slice): docs/sources/words, exact-dup fraction,
@@ -3679,7 +3687,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
     "curation_drop_ledger", "video_scene_changes", "cms_heavy_hitters",
-    "datasheet_report",
+    "datasheet_report", "readability_report",
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
@@ -3711,8 +3719,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # prefiltered decontamination (identity oracle)
     "dedup_canonical_docs",
     # decontaminated_docs_bloom rotated (driver-proven r9, unchanged)
-    "dedup_rate_report",
-    # prefix_jaccard_pairs rotated (driver-proven r9, unchanged)
+    # dedup_rate_report + prefix_jaccard_pairs rotated
+    # (driver-proven r9, unchanged)
     "prefix_intake_admitted", "bottomk_user_sample",
     "bottomk_cardinality_report", "priority_user_sample",
     # priority_subset_estimate + join_size_estimate rotated
@@ -3842,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "tokenizer_fertility_report": q_tokenizer_fertility_report,
         "datasheet_report": q_datasheet_report,
+        "readability_report": q_readability_report,
         "fertility_report_merged": q_fertility_report_merged,
         "pii_report": q_pii_report,
         "zipf_fit_report": q_zipf_fit_report,
@@ -6344,6 +6353,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "pii_report": _pii_oracle(),
+        "readability_report": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '{_WORD_SQL}')) AS BIGINT)
+                           AS n_words,
+                       CAST(GREATEST(len(regexp_extract_all(
+                                coalesce(text, ''), '[.!?]+')), 1) AS BIGINT)
+                           AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '[aeiouy]+')) AS BIGINT)
+                           AS n_vg
+                FROM documents)
+            SELECT doc_id, n_words, n_sentences,
+                   GREATEST(n_vg, n_words) AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                        ROUND(206.835
+                              - 1.015 * (CAST(n_words AS DOUBLE)
+                                         / CAST(n_sentences AS DOUBLE))
+                              - 84.6 * (CAST(GREATEST(n_vg, n_words) AS DOUBLE)
+                                        / CAST(n_words AS DOUBLE)), 6)
+                   END AS flesch
+            FROM r
+        """,
         "datasheet_report": rf"""
             WITH dper AS (
                 SELECT doc_id, source,

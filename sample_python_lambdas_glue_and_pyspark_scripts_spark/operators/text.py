@@ -1891,3 +1891,49 @@ def datasheet_report(
             ),
         )
     )
+
+
+def readability_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per doc (Flesch 1948; the readability signal
+    classic curation stacks keep next to the Gopher battery):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with
+    regex-only proxies both engines share exactly — sentences = runs of
+    ``[.!?]+`` (min 1), syllables = vowel GROUPS per word (the standard
+    cheap approximation; min 1 per word via max(groups, words)), words
+    = WORD_REGEX tokens. Map-side projection, zero shuffles; the score
+    rounds once at 6dp (the float contract). Empty/NULL docs score
+    NULL rather than dividing by zero.
+
+    Returns ``(id_col, n_words, n_sentences, n_syllables, flesch)``.
+    """
+    c = F.coalesce(_c(text_col), F.lit(""))
+    n_words = F.size(words(c))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    # vowel groups across the lowercased text approximate syllables;
+    # every word has >= 1 syllable, so take the max with the word count
+    n_syl = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+        ),
+        n_words,
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double")),
+            6,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -1581,3 +1581,20 @@ def test_datasheet_report_hand_values(spark):
     assert r.top_lang == "en"
     assert r.pii_docs_frac == round(1 / 4, 6)
     assert r.mean_doc_words == round(r.total_words / 4, 6)
+
+
+def test_readability_report_hand_values(spark):
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, None),
+        (3, "xyz"),                          # 1 word, no vowels -> 1 syllable floor
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in T.readability_report(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences) == (6, 2)
+    # vowel groups: e/a/a/e/o/a = 6 -> syllables 6
+    assert r1.n_syllables == 6
+    assert r1.flesch == round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert out[2].n_words == 0 and out[2].flesch is None
+    assert out[3].n_syllables == 1  # floor at one per word
