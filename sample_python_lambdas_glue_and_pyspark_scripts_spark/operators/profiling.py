@@ -250,10 +250,15 @@ def key_skew_report(
 
     Scale: one keyed count with map-side combine (hot keys collapse in
     the combiner — the reason a census like this is cheap even when the
-    skew is why you are running it); everything after operates on the
-    key-cardinality table, and the rank window is cut to ``top_n``.
-    NULL keys are counted too (NULLs skew reduce-side joins like any
-    hot key) and sort after real keys on ties.
+    skew is why you are running it); the heaviest keys are then taken
+    with ``orderBy(...).limit(top_n)`` (TakeOrdered — per-partition
+    top-n then a k-sized driver merge, NO unpartitioned rank window:
+    key cardinality is corpus-scale for a skew census, and ranking ALL
+    keys through a single-partition window was the op's own straggler —
+    round-11 advice fix). Rank and ``cum_share`` windows run on the
+    ≤ ``top_n`` surviving rows only. NULL keys are counted too (NULLs
+    skew reduce-side joins like any hot key) and sort after real keys
+    on ties.
     """
     if top_n < 1 or hot_num < 1 or hot_den < 1:
         raise ValueError("key_skew_report: top_n and the hot rational must be >= 1")
@@ -265,11 +270,12 @@ def key_skew_report(
     total = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
     top = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
+        .limit(top_n)
     )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
+    top = top.withColumn("rank", F.row_number().over(w))
     wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     return (
         top.withColumn("__ccnt", F.sum("cnt").over(wc))

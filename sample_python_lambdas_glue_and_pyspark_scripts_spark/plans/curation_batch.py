@@ -57,7 +57,7 @@ def curate_corpus(
     c4_clean: dict | None = None,
     scrub_pii: bool = False,
     return_ledger: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
     ``quality_score >= min_quality``); ``token_budget`` enables stage 6.

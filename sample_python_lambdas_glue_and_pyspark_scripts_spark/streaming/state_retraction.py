@@ -395,9 +395,15 @@ def retract_from_bottomk_values_state(
     """
     from ..operators.sketches import bottomk_value_sample
 
+    # Retract-id column gets a collision-free name: the rebuild path
+    # joins epoch_sources on key_col, and with the DEFAULT key_col
+    # ('key') an ids column also named 'key' made the join condition
+    # AMBIGUOUS_REFERENCE on Spark 4 — raised mid-loop, leaving a
+    # PARTIAL retraction behind (round-11 advice fix, test-pinned with
+    # key_col='key').
     ids = (
         retract_keys.select(
-            F.col(retract_keys.columns[0]).cast("string").alias("key")
+            F.col(retract_keys.columns[0]).cast("string").alias("__rk")
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -406,14 +412,16 @@ def retract_from_bottomk_values_state(
     removed = {"rows_removed": 0, "epochs_rebuilt": 0}
     for epoch in list_state_epochs(spark, table_dir):
         cur = spark.read.parquet(f"{table_dir}/batch_id={epoch}")
-        hit = cur.join(ids, "key", "left_semi").count()
+        hit = cur.join(
+            ids, F.col("key") == F.col("__rk"), "left_semi"
+        ).count()
         if hit == 0:
             continue
         removed["rows_removed"] += hit
         if epoch_sources is not None and epoch in epoch_sources:
             src = epoch_sources[epoch].join(
                 ids,
-                F.col(key_col).cast("string") == F.col("key"),
+                F.col(key_col).cast("string") == F.col("__rk"),
                 "left_anti",
             )
             fresh = bottomk_value_sample(src, key_col, val_col, k)
@@ -422,6 +430,8 @@ def retract_from_bottomk_values_state(
         else:
             # keyed anti-joins move the join key to the FRONT of the
             # column order (the r9 note) — restore the state schema
-            surv = cur.join(ids, "key", "left_anti").select(*cur.columns)
+            surv = cur.join(
+                ids, F.col("key") == F.col("__rk"), "left_anti"
+            ).select(*cur.columns)
             _rewrite_epoch(spark, table_dir, epoch, surv)
     return removed

@@ -397,3 +397,43 @@ def test_bottomk_values_retraction_antijoin_and_rebuild(spark, workdir):
     read = read_bottomk_values_state(spark, workdir, 12)
     keys = {r["key"] for r in read.collect()}
     assert not ({victims[0], victims[1], v1} & keys)
+
+
+def test_bottomk_values_retraction_with_key_col_named_key(spark, workdir):
+    """Rebuild path with the DEFAULT key_col='key': before the r11 fix
+    the epoch_sources anti-join condition referenced an ids column also
+    named 'key' and raised AMBIGUOUS_REFERENCE mid-loop (partial
+    retraction hazard). The source here literally has a 'key' column."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.sketches import (
+        bottomk_value_sample,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_bottomk_values_batch_fn,
+        read_bottomk_values_state,
+    )
+
+    src = spark.range(0, 150).select(
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") % 17).cast("double").alias("val"),
+    )
+    fn = make_bottomk_values_batch_fn(workdir, "key", "val", k=10)
+    fn(src, 0)
+    ep0 = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=0")
+    victim = ep0.orderBy("h").limit(1).collect()[0]["key"]
+    surv = src.filter(F.col("key") != victim)
+    out = SR.retract_from_bottomk_values_state(
+        spark, workdir,
+        spark.createDataFrame([(victim,)], "key STRING"),
+        epoch_sources={0: surv},
+        # defaults: key_col='key', val_col='val'
+        k=10,
+    )
+    assert out == {"rows_removed": 1, "epochs_rebuilt": 1}
+    expect = bottomk_value_sample(surv, "key", "val", 10)
+    got = spark.read.parquet(f"{workdir}/bottomk_values/batch_id=0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    assert victim not in {
+        r["key"] for r in read_bottomk_values_state(spark, workdir, 10).collect()
+    }
