@@ -1957,16 +1957,31 @@ def q_orders_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter detection with exact verification: distinct event
     users probe the CMS grid (width 256 — deliberately dense so false
-    candidates are visible), candidates at est >= rows/50 get exact
+    candidates are visible), candidates at est >= threshold get exact
     counts, is_heavy exposes the one-sided error. The threshold is a
-    scalar control read (rows // 50) both engines derive from the same
-    table."""
+    scalar control read both engines derive from the same table:
+    floor(1.15 x mean per-key count) as the integer rational
+    (23*rows) // (20*keys) — keyed to the DISTRIBUTION, not the table
+    size, so the near-uniform synthetic keys still yield candidates
+    (the old rows//50 exceeded every key's count at sf0.01 and the
+    query was green-but-vacuous, r10 verdict #1; at sf0.01 this
+    threshold yields ~25 true heavy hitters AND ~6 false candidates,
+    so the candidate-superset + exact-verify path is exercised on
+    data)."""
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
         sketches as SK,
     )
 
     ev = _t(spark, sf_dir, "events")
-    threshold = max(1, ev.count() // 50)
+    stats = (
+        ev.filter(F.col("user_id").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("k"),
+        )
+        .collect()[0]
+    )
+    threshold = max(1, (23 * stats["n"]) // (20 * stats["k"]))
     return SK.cms_heavy_hitters(ev, "user_id", threshold, width=256, depth=4)
 
 
@@ -7018,8 +7033,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "cms_heavy_hitters": """
-            WITH tot AS (SELECT GREATEST(COUNT(*) // 50, 1) AS thr
-                         FROM events),
+            WITH tot AS (SELECT GREATEST(
+                             (23 * COUNT(*)) // (20 * COUNT(DISTINCT user_id)),
+                             1) AS thr
+                         FROM events WHERE user_id IS NOT NULL),
             ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k
                    FROM events WHERE user_id IS NOT NULL),
             keys AS (SELECT DISTINCT user_id, k FROM ev),

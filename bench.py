@@ -277,6 +277,20 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # persist the FULL per-query map: BENCH_rN.json keeps only a
+    # truncated tail of stdout, so only ~70/232 queries were
+    # regression-diffable across rounds (r10 verdict task 3). Record
+    # runs commit this file; BASELINE.md regression claims cite it.
+    full_path = os.environ.get(
+        "BENCH_FULL_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH-WARN could not write {full_path}: {exc}", file=sys.stderr)
     # compact summary LAST: the driver's bench record keeps only the
     # tail of the output, and the big per-query line above overflows it
     # (BENCH_r04.json lost the headline total) — this line survives any
