@@ -984,6 +984,34 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split two-path fact-fact join (clicks x purchases per
+    user): the census's 8 heaviest user_ids are broadcast-joined (hot
+    rows never enter an exchange), the cold residual sort-merges, union
+    — and the result is IDENTICAL to the plain join, which is the
+    oracle (the bloom_semi_join identity-contract precedent). The 100
+    TB straggler this removes is the hot key whose rows all land on one
+    reducer; which keys are called hot cannot change the answer, only
+    the plan (plan-pinned: 1 BroadcastHashJoin + 1 SortMergeJoin, no
+    single-partition exchange)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        skew as SKW,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id")
+    )
+    hot = PF.key_skew_report(clicks, "user_id", top_n=8).select("key")
+    out = SKW.hot_split_join(clicks, purch, "user_id", hot_keys=hot)
+    return out.select("user_id", "click_id", "click_value", "purchase_id")
+
+
 def q_orders_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric drift summary (min/max/mean/stddev, 6dp) for the order
     value columns — one map-side-partial aggregate, no Expand."""
@@ -3691,13 +3719,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 11: skew-split two-path fact-fact join (identity
+    # oracle). events_key_skew (TakeOrdered rewrite) and
+    # cms_heavy_hitters (non-vacuous threshold) CHANGED in round 11 and
+    # stay in-window for re-proof; zipf_fit_report rotated out
+    # (driver-proven r10, unchanged).
+    "events_hot_join",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged", "grouped_price_quantiles",
-    "zipf_fit_report", "source_vocab_divergence",
+    "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
@@ -3855,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_trend": q_user_value_trend,
         "orders_profile": q_orders_profile,
         "events_key_skew": q_events_key_skew,
+        "events_hot_join": q_events_hot_join,
         "orders_numeric_profile": q_orders_numeric_profile,
         "price_histogram": q_price_histogram,
         "price_depth_histogram": q_price_depth_histogram,
@@ -6305,6 +6340,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ccnt / t.n_rows, 6) AS cum_share,
                    (cnt * 10 >= t.n_rows * 1) AS is_hot
             FROM cum CROSS JOIN t
+        """,
+        "events_hot_join": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   c.value AS click_value, p.event_id AS purchase_id
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "orders_numeric_profile": _numeric_profile_oracle(
             "orders", ["o_totalprice", "o_orderkey"]

@@ -86,3 +86,83 @@ def salted_replicate_join(
 
 # backwards-compat alias for the original (misleading) name
 salted_broadcast_join = salted_replicate_join
+
+
+def hot_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_keys: DataFrame | list | None = None,
+    how: str = "inner",
+    top_n: int = 20,
+    hot_num: int = 1,
+    hot_den: int = 10,
+) -> DataFrame:
+    """Skew-split two-path fact⋈fact join: hot keys broadcast, cold
+    residual sort-merge, union — result IDENTICAL to the plain join
+    (the contract query's oracle is the plain join itself).
+
+    The classic 100 TB straggler is a fact-fact equi-join whose key has
+    a few corpus-scale-hot values (``profiling.key_skew_report`` is the
+    census that finds them): the sort-merge shuffle lands every row of
+    a hot key on ONE reducer, and when the hot key's match count
+    explodes, AQE's skew-split can mitigate the partition size but the
+    per-key work still serializes. This lever removes hot keys from the
+    shuffle entirely:
+
+    - **hot path**: both sides filtered to the hot keys; the RIGHT hot
+      slice (rows of ≤ ``top_n`` keys — bounded by the census cap) is
+      broadcast, so hot rows never enter an exchange and the hot join
+      parallelizes over the LEFT's map partitions.
+    - **cold path**: both sides anti-filtered and joined normally
+      (sort-merge at fact sizes) — skew-free by construction, since the
+      hot keys are gone.
+
+    ``hot_keys``: a 1-column DataFrame or list of key values; ``None``
+    derives them from ``key_skew_report(left, on, top_n, hot_num,
+    hot_den)`` rows flagged ``is_hot`` (a ≤ top_n control-plane read).
+    Membership tests compare on the STRING form of the key (matching
+    the census's key encoding) — injective for the int/string keys this
+    engine joins on, so the split is exact. NULL keys match neither
+    filter and are dropped on both paths, exactly as an inner join
+    drops them.
+
+    Only ``how='inner'`` is supported: on outer joins the two paths
+    would each emit their own unmatched rows and the union is no longer
+    the plain join. If the hot slice of ``right`` is itself too large
+    to broadcast (hot key × wide right), use ``salted_replicate_join``
+    — this lever is for the common case where the right side's hot rows
+    are bounded (e.g. a per-key dimension-ish slice of a fact).
+    """
+    if how != "inner":
+        raise ValueError(
+            "hot_split_join supports how='inner' only (outer-join rows "
+            "would be emitted by both paths)"
+        )
+    if hot_keys is None:
+        from .profiling import key_skew_report
+
+        census = key_skew_report(
+            left, on, top_n=top_n, hot_num=hot_num, hot_den=hot_den
+        )
+        hot = [r["key"] for r in census.filter(F.col("is_hot")).collect()]
+    elif isinstance(hot_keys, DataFrame):
+        hot = [
+            r[0]
+            for r in hot_keys.select(
+                F.col(hot_keys.columns[0]).cast("string")
+            ).distinct().collect()
+        ]
+    else:
+        hot = [None if k is None else str(k) for k in hot_keys]
+    hot = [k for k in hot if k is not None]
+    if not hot:
+        return left.join(right, on=on, how="inner")
+    k = F.col(on).cast("string")
+    hot_out = left.filter(k.isin(hot)).join(
+        F.broadcast(right.filter(k.isin(hot))), on=on, how="inner"
+    )
+    cold_out = left.filter(~k.isin(hot)).join(
+        right.filter(~k.isin(hot)), on=on, how="inner"
+    )
+    return hot_out.unionByName(cold_out)

@@ -400,3 +400,34 @@ def test_c4_query_is_shuffle_free(spark, sf_dir):
     s = _shape(_q(spark, sf_dir, "c4_line_filtered_docs"))
     assert s["exchanges"] == 0, s["executed"]
     assert s["python"] == 0
+
+
+def test_hot_split_join_is_one_broadcast_plus_one_smj(spark, sf_dir):
+    """r11 skew lever: the hot path must be a broadcast hash join (hot
+    rows never enter an exchange), the cold residual a sort-merge join,
+    and nothing in the plan may collapse to a single partition. The
+    auto-broadcast threshold is disabled so the cold side can't be
+    broadcast by size at test scale — at fact sizes it never would be."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id")
+        )
+        out = hot_split_join(clicks, purch, "user_id", hot_keys=[1, 2, 3])
+        ex = _executed(out)
+        assert ex.count("BroadcastHashJoin") == 1
+        assert ex.count("SortMergeJoin") == 1
+        assert "Exchange SinglePartition" not in ex
+        assert "CartesianProduct" not in ex
+        assert "EvalPython" not in ex and "InPandas" not in ex
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

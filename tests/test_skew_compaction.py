@@ -87,3 +87,75 @@ def test_compact_partitioned(spark, tmpdir):
     after = spark.read.parquet(path)
     assert after.count() == n_before
     assert sorted(after.columns) == sorted(before.columns)
+
+
+def _hot_inputs(spark):
+    # one 90%-hot key + tail on the left; right shares the skew
+    left = spark.createDataFrame(
+        [(7, i, float(i)) for i in range(450)]
+        + [(k, k * 10, float(k)) for k in range(20)]
+        + [(None, 999, 0.0)],
+        ["k", "lv", "lw"],
+    )
+    right = spark.createDataFrame(
+        [(7, i) for i in range(40)]
+        + [(k, k * 100) for k in range(0, 20, 2)]
+        + [(None, -1)],
+        ["k", "rv"],
+    )
+    return left, right
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_hot_split_join_identity_with_census_derived_hot_keys(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left, right = _hot_inputs(spark)
+    plain = left.join(right, "k", "inner")
+    out = hot_split_join(left, right, "k", hot_num=1, hot_den=10)
+    assert out.columns == plain.columns
+    assert _rows(out) == _rows(plain)
+
+
+def test_hot_split_join_identity_with_explicit_and_df_hot_keys(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left, right = _hot_inputs(spark)
+    plain = _rows(left.join(right, "k", "inner"))
+    # list form (ints — stringified internally), incl. a key absent on
+    # the right and a None that must be ignored
+    assert _rows(hot_split_join(left, right, "k", hot_keys=[7, 3, None])) == plain
+    # DataFrame form
+    hk = spark.createDataFrame([(7,), (2,)], ["key"])
+    assert _rows(hot_split_join(left, right, "k", hot_keys=hk)) == plain
+
+
+def test_hot_split_join_empty_hot_set_degenerates_to_plain(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left, right = _hot_inputs(spark)
+    plain = _rows(left.join(right, "k", "inner"))
+    assert _rows(hot_split_join(left, right, "k", hot_keys=[])) == plain
+    # census with an unreachable hotness threshold -> no hot keys
+    assert _rows(
+        hot_split_join(left, right, "k", hot_num=99, hot_den=1)
+    ) == plain
+
+
+def test_hot_split_join_rejects_outer_joins(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left, right = _hot_inputs(spark)
+    with pytest.raises(ValueError, match="inner"):
+        hot_split_join(left, right, "k", how="left")
