@@ -2775,6 +2775,53 @@ def q_frame_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: per-window band-energy SIGN fingerprint
+    (Haitsma-Kalker / chromaprint family) over fake-decoded 8-window x
+    9-band energy grids, 8 window-byte LSH bands, bit_count(xor)
+    verify — the missing member of the multimodal dedup family
+    (images/video ship via dHash). PIGEONHOLE-EXACT at max_hamming=7
+    (<= 7 differing bits leave >= 1 of the 8 window bands intact).
+    Clips: one per audio doc (doc_id % 3 = 1, the media_from_documents
+    kind rule); every audio doc with media_id % 5 = 1 also gets a
+    one-band-perturbed variant (media_id + 10^6, band 4 of window 2
+    forced to max energy 'ff') — a genuine near-dup at hamming <= 2
+    since one band energy feeds only its two adjacent sign
+    comparisons."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(0).alias("clip_idx"),
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")).alias(
+            "clip_hash"
+        ),
+    ).withColumn("_en", MM.fake_pixel_rows("clip_hash", seed="a"))
+    variants = base.filter(F.col("media_id") % 5 == 1).select(
+        (F.col("media_id") + F.lit(1000000)).alias("media_id"),
+        "clip_idx",
+        "clip_hash",
+        F.transform(
+            F.col("_en"),
+            lambda x, i: F.when(
+                i == 2,
+                F.concat(
+                    F.substring(x, 1, 8), F.lit("ff"), F.substring(x, 11, 8)
+                ),
+            ).otherwise(x),
+        ).alias("_en"),
+    )
+    clips = MM.audio_fingerprint(base.unionByName(variants), rows_col="_en")
+    return DD.dhash_near_pairs(
+        clips, key_cols=("media_id", "clip_idx"), max_hamming=7
+    ).select(
+        "a_media_id",
+        F.col("a_clip_idx").cast("int").alias("a_clip_idx"),
+        "b_media_id",
+        F.col("b_clip_idx").cast("int").alias("b_clip_idx"),
+        "hamming",
+    )
+
+
 def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995 /
     Chen & Goodman 1998): per-doc mean ln P of the bigram stream under
@@ -3720,18 +3767,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 11: skew-split two-path fact-fact join (identity
-    # oracle). events_key_skew (TakeOrdered rewrite) and
-    # cms_heavy_hitters (non-vacuous threshold) CHANGED in round 11 and
-    # stay in-window for re-proof; zipf_fit_report rotated out
-    # (driver-proven r10, unchanged).
-    "events_hot_join",
+    # oracle) + audio band-energy-sign near-dup fingerprints.
+    # events_key_skew (TakeOrdered rewrite) and cms_heavy_hitters
+    # (non-vacuous threshold) CHANGED in round 11 and stay in-window
+    # for re-proof; zipf_fit_report + source_vocab_divergence rotated
+    # out (driver-proven r10, unchanged).
+    "events_hot_join", "audio_near_dup_pairs",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged", "grouped_price_quantiles",
-    "source_vocab_divergence",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
@@ -3990,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_winnow_fingerprints": q_robust_winnow_fingerprints,
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
         "robust_winnow_matches": q_robust_winnow_matches,
         "winnow_retention_report": q_winnow_retention_report,
         "packing_efficiency_report": q_packing_efficiency_report,
@@ -8050,6 +8098,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_media_id, a_frame_idx, b_media_id, b_frame_idx, hamming
             FROM (
                 SELECT a_media_id, a_frame_idx, b_media_id, b_frame_idx,
+                       CAST(bit_count(xor(hi_a, hi_b))
+                            + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+                FROM cand)
+            WHERE hamming <= 7
+        """,
+        "audio_near_dup_pairs": f"""
+            WITH clips AS (
+                SELECT doc_id AS media_id, 0 AS clip_idx,
+                       md5(coalesce(text, '')) AS fh
+                FROM documents WHERE doc_id % 3 = 1),
+            en0 AS (
+                SELECT media_id, clip_idx,
+                       [{", ".join(f"substr(md5(fh || '|a{r}'), 1, 18)" for r in range(8))}]
+                           AS en
+                FROM clips),
+            allen AS (
+                SELECT media_id, clip_idx, en FROM en0
+                UNION ALL
+                SELECT media_id + 1000000, clip_idx,
+                       list_transform(en, (x, i) ->
+                           CASE WHEN i = 3
+                                THEN substr(x, 1, 8) || 'ff' || substr(x, 11, 8)
+                                ELSE x END)
+                FROM en0 WHERE media_id % 5 = 1),
+            byt AS (
+                SELECT media_id, clip_idx,
+                       list_transform(en, x -> CAST({_dhash_byte_sql("x")} AS BIGINT))
+                           AS bands
+                FROM allen),
+            sig AS (
+                SELECT media_id, clip_idx, bands,
+                       bands[1] + bands[2]*256 + bands[3]*65536
+                           + bands[4]*16777216 AS sig_hi,
+                       bands[5] + bands[6]*256 + bands[7]*65536
+                           + bands[8]*16777216 AS sig_lo
+                FROM byt),
+            banded AS (
+                SELECT media_id, clip_idx, sig_hi, sig_lo,
+                       u.band_id AS band_id, u.band_val AS band_val
+                FROM sig, unnest(list_transform(bands,
+                    (b, i) -> {{'band_id': i - 1, 'band_val': b}})) AS t(u)),
+            cand AS (
+                SELECT DISTINCT
+                       l.media_id AS a_media_id, l.clip_idx AS a_clip_idx,
+                       r.media_id AS b_media_id, r.clip_idx AS b_clip_idx,
+                       l.sig_hi AS hi_a, l.sig_lo AS lo_a,
+                       r.sig_hi AS hi_b, r.sig_lo AS lo_b
+                FROM banded l JOIN banded r
+                  ON l.band_id = r.band_id AND l.band_val = r.band_val
+                 AND (l.media_id < r.media_id
+                      OR (l.media_id = r.media_id
+                          AND l.clip_idx < r.clip_idx)))
+            SELECT a_media_id, a_clip_idx, b_media_id, b_clip_idx, hamming
+            FROM (
+                SELECT a_media_id, a_clip_idx, b_media_id, b_clip_idx,
                        CAST(bit_count(xor(hi_a, hi_b))
                             + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
                 FROM cand)

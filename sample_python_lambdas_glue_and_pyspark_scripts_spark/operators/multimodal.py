@@ -487,6 +487,35 @@ def frame_dhash(
     )
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    hash_col: str = "clip_hash",
+    rows_col: str | None = None,
+    seed: str = "a",
+) -> DataFrame:
+    """Per-window band-energy SIGN fingerprint for audio clips — the
+    spectral-difference family (Haitsma & Kalker 2002's sub-fingerprint
+    sign bits / chromaprint's filter signs): the fake decode derives an
+    8-window x 9-band energy grid from the clip hash
+    (``fake_pixel_rows`` with the audio seed — each energy a 00-ff hex
+    byte; a REAL decode would emit the SAME array<string> grid from
+    windowed FFT band energies via mapInPandas — ffmpeg is not in this
+    container), and window w's fingerprint byte sets bit b iff
+    E[b] > E[b+1] — the identical difference-sign signature dHash takes
+    over pixel rows, so ``dedup.dhash_near_pairs`` and its
+    pigeonhole-exact hamming<=7 recall guarantee apply verbatim (8
+    window bytes = 8 LSH bands; a pair differing in <= 7 bits leaves
+    >= 1 band intact). A single perturbed band energy feeds only its
+    two adjacent comparisons, so small re-encodes stay within
+    hamming 2 per touched window. Emits ``d_bands`` / ``sig_hi`` /
+    ``sig_lo``; map-side only — zero shuffles.
+
+    ``rows_col`` names a precomputed energy-window array (the
+    perturbation hook for near-dup tests and the seam where a real FFT
+    decode plugs in)."""
+    return frame_dhash(df, hash_col=hash_col, rows_col=rows_col, seed=seed)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Frame-sampling stub for video: one output row per sampled frame.
 

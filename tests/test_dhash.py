@@ -131,3 +131,52 @@ def test_video_scene_changes_identical_and_cut_frames(spark):
     assert out[(1, 2)].scene_id == 2
     # a second video starts its own scene numbering
     assert out[(2, 0)].hamming is None and out[(2, 0)].scene_id == 1
+
+
+AUDIO_SCHEMA = "media_id BIGINT, clip_idx INT, clip_hash STRING"
+
+
+def test_audio_fingerprint_differs_from_image_and_is_map_side(spark):
+    # the audio seed ('a') derives a DIFFERENT energy grid than the
+    # image seed over the same payload hash — the two modalities never
+    # cross-match on content hash alone
+    img = M.frame_dhash(_frames(spark, [(1, 0, "same-payload")]))
+    aud = M.audio_fingerprint(
+        spark.createDataFrame([(1, 0, "same-payload")], AUDIO_SCHEMA)
+    )
+    ir, ar = img.collect()[0], aud.collect()[0]
+    assert (ir["sig_hi"], ir["sig_lo"]) != (ar["sig_hi"], ar["sig_lo"])
+    assert len(ar["d_bands"]) == 8 and 0 <= ar["sig_hi"] < 2**32
+    plan = aud._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_audio_one_band_perturbation_is_near(spark):
+    # clip 2: force band 4 of window 2 (hex chars 9-10) to max energy —
+    # only the two adjacent sign comparisons (bits 3 and 4 of window
+    # 2's byte) can flip, so the pair is a near-dup at hamming <= 2 and
+    # MUST surface (pigeonhole-exact at <= 7)
+    base = spark.createDataFrame(
+        [(1, 0, "clip"), (2, 0, "clip")], AUDIO_SCHEMA
+    ).withColumn("_en", M.fake_pixel_rows("clip_hash", seed="a"))
+    perturbed = base.withColumn(
+        "_en",
+        F.when(
+            F.col("media_id") == 2,
+            F.transform(
+                F.col("_en"),
+                lambda x, i: F.when(
+                    i == 2,
+                    F.concat(
+                        F.substring(x, 1, 8),
+                        F.lit("ff"),
+                        F.substring(x, 11, 8),
+                    ),
+                ).otherwise(x),
+            ),
+        ).otherwise(F.col("_en")),
+    )
+    clips = M.audio_fingerprint(perturbed, rows_col="_en")
+    pairs = D.dhash_near_pairs(clips, key_cols=("media_id", "clip_idx")).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["hamming"] <= 2
