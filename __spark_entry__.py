@@ -1888,6 +1888,32 @@ def q_grouped_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-error grouped quantiles from the deterministic-compaction
+    KLL sketch (operators/kll.py) — the GUARANTEED-rank-error sibling of
+    the uniform-sample gates above (their error is ~1/sqrt(k) at one
+    standard deviation; this one carries an exactly-tracked worst-case
+    budget in its state) and the documented 100 TB path of the grouped
+    quantile gates: the exact rank check below runs once at onboarding,
+    serving reads the O(k·log) sketch alone. rank_ok asserts the
+    guarantee (true rank of each estimate within the self-reported
+    err_bound of its target — provable, so the oracle emits literal
+    true); bound_ok asserts the bound stays under 2% of n at k=512.
+    n_rows is exact and hash-matched."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        kll as KL,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = KL.kll_sketch(
+        li, "l_extendedprice", group_cols=["l_returnflag"],
+        k=512, n_blocks=16, id_col="l_orderkey",
+    )
+    return KL.kll_quantile_report(
+        sk, li, "l_extendedprice", group_cols=["l_returnflag"]
+    )
+
+
 BLOOM_M_BITS = 120
 BLOOM_K = 2
 
@@ -3767,18 +3793,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of order.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 11: skew-split two-path fact-fact join (identity
-    # oracle) + audio band-energy-sign near-dup fingerprints.
+    # oracle), audio band-energy-sign near-dup fingerprints, and the
+    # deterministic-compaction KLL bounded-error quantile gate.
     # events_key_skew (TakeOrdered rewrite) and cms_heavy_hitters
     # (non-vacuous threshold) CHANGED in round 11 and stay in-window
-    # for re-proof; zipf_fit_report + source_vocab_divergence rotated
-    # out (driver-proven r10, unchanged).
-    "events_hot_join", "audio_near_dup_pairs",
+    # for re-proof; zipf_fit_report, source_vocab_divergence and
+    # grouped_price_quantiles rotated out (driver-proven r10,
+    # unchanged).
+    "events_hot_join", "audio_near_dup_pairs", "kll_price_quantiles",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "mmr_diverse_topk",
     "tokenizer_fertility_report", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
-    "fertility_report_merged", "grouped_price_quantiles",
+    "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
@@ -3985,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_user_sample": q_bottomk_user_sample,
         "order_price_sampled_quantiles": q_order_price_sampled_quantiles,
         "grouped_price_quantiles": q_grouped_price_quantiles,
+        "kll_price_quantiles": q_kll_price_quantiles,
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "priority_user_sample": q_priority_user_sample,
         "priority_subset_estimate": q_priority_subset_estimate,
@@ -7684,6 +7713,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.est_subset_total / x.exact_subset_total - 1.0, 6)
                        AS rel_err
             FROM est e CROSS JOIN ex x
+        """,
+        "kll_price_quantiles": """
+            WITH g AS (SELECT l_returnflag,
+                              CAST(COUNT(l_extendedprice) AS BIGINT) AS n_rows
+                       FROM lineitem GROUP BY l_returnflag),
+            q(q_num, q_den) AS (VALUES (1, 4), (2, 4), (3, 4), (19, 20))
+            SELECT l_returnflag,
+                   CAST(q_num AS INTEGER) AS q_num,
+                   CAST(q_den AS INTEGER) AS q_den,
+                   n_rows,
+                   true AS rank_ok, true AS bound_ok
+            FROM g CROSS JOIN q
         """,
         "grouped_price_quantiles": """
             WITH s0 AS (SELECT o_orderpriority AS g,

@@ -449,3 +449,70 @@ def read_fertility_state(spark: SparkSession, work_dir: str) -> DataFrame:
     return merge_fertility_reports(
         spark.read.schema(_FERT_SCHEMA).parquet(f"{work_dir}/fertility")
     )
+
+
+# --- streaming bounded-error quantiles (KLL state) ---------------------------
+
+_KLL_SCHEMA = "level int, val double, n bigint, err_budget bigint"
+
+
+def make_kll_batch_fn(work_dir: str, val_col: str, k: int = 512, n_blocks: int = 16):
+    from ..operators.kll import kll_sketch
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        kll_sketch(batch_df, val_col, k=k, n_blocks=n_blocks).write.mode(
+            "overwrite"
+        ).parquet(f"{work_dir}/kll/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_kll(
+    stream_df: DataFrame,
+    work_dir: str,
+    val_col: str,
+    k: int = 512,
+    n_blocks: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live BOUNDED-ERROR quantile sketch over a stream —
+    the guaranteed-rank-error member of the streaming sketch family
+    (``streaming_bottomk_values`` is its probabilistic uniform-sample
+    sibling): per epoch one ``operators.kll.kll_sketch`` over the batch
+    (O(k·log) rows written; the build is canonical, so a replayed epoch
+    rewrites its own dir with IDENTICAL content — replay-idempotent by
+    determinism, not just by layout). Serve with
+    ``operators.kll.kll_quantiles`` over :func:`read_kll_state`; the
+    merged state's ``err_budget`` still bounds the true rank error over
+    everything the stream has seen (the KLL merge error contract —
+    literal state equality with a one-shot batch build is
+    information-theoretically unavailable for compacting quantile
+    summaries; see operators/kll.py). Retraction: the state is a lossy
+    fold of unkeyed values — route through
+    ``state_retraction.rebuild_sketch_epoch`` (replay the hit epoch's
+    survivors), the documented path for lossy-fold sketches."""
+    return run_incremental(
+        stream_df,
+        make_kll_batch_fn(work_dir, val_col, k, n_blocks),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def read_kll_state(
+    spark: SparkSession, work_dir: str, k: int = 512
+) -> DataFrame:
+    """The merged sketch across every committed epoch: ONE m-way
+    canonical merge (``kll_merge_tagged`` keyed by the epoch's
+    batch_id partition column — per-level multiset concatenation is
+    order-free, so the fold is one sketch-sized stage however many
+    epochs exist). Empty-but-valid before the first commit."""
+    from ..operators.kll import kll_merge_tagged
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/kll")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _KLL_SCHEMA)
+    state = spark.read.parquet(f"{work_dir}/kll")  # batch_id partition col
+    return kll_merge_tagged(state, k=k, tag_col="batch_id")
