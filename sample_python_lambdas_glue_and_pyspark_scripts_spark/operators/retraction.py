@@ -165,6 +165,7 @@ def retract_doc_ids(
     ewma_state: tuple[str, str] | None = None,
     exactsubstr_state: tuple | None = None,
     bottomk_values_state: tuple | None = None,
+    cc_state: str | None = None,
     sketch_state_dirs: dict[str, str] | None = None,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
@@ -190,7 +191,10 @@ def retract_doc_ids(
     ``bottomk_values_state=(work_dir,)`` for the anti-join form (the
     shrunken state stays a valid smaller uniform sample) or
     ``(work_dir, epoch_sources[, key_col, val_col, k])`` to rebuild hit
-    epochs to the full k.
+    epochs to the full k, ``cc_state=work_dir`` (the ids are VERTEX
+    ids; hit edge epochs anti-join, label snapshots rebuild forward —
+    bridge removal splits components, so no label row is merely
+    filtered).
 
     REFUSED up front, before anything mutates: ``sketch_state_dirs``
     ({name: dir} of HLL/CMS/Bloom register states) — registers are
@@ -306,6 +310,16 @@ def retract_doc_ids(
                 "of their survivors); pass epoch_sources to rebuild to "
                 "the full k"
             )
+    if cc_state is not None:
+        state_counts["cc_state"] = SR.retract_from_cc_state(
+            spark, cc_state, retract_ids, id_col
+        )
+        caveats.append(
+            "cc_state: retract ids were interpreted as VERTEX ids; "
+            "label snapshots from the earliest hit epoch were rebuilt "
+            "forward (components merged through a retracted vertex "
+            "split back apart)"
+        )
     return {
         "artifacts": artifacts,
         "state_counts": state_counts,

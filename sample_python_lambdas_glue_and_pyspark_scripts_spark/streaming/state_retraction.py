@@ -45,6 +45,13 @@ Six state families, three retraction stories:
   hash by construction), so the shrunken state is still a valid uniform
   sample; ``epoch_sources`` rebuilds hit epochs to the full k
   (:func:`retract_from_bottomk_values_state`).
+- **connected-components labels** (``streaming/cc_state.py``:
+  ``cc_edges/`` deltas + ``cc_labels/`` per-epoch snapshots) are a
+  DERIVED chain: retracted vertex ids anti-join out of every hit edge
+  epoch, then label snapshots rebuild FORWARD from the earliest hit —
+  removing a bridge vertex splits components, and extend can only
+  merge, so downstream snapshots must be re-derived
+  (:func:`retract_from_cc_state`).
 
 Retraction does NOT re-adjudicate history: a doc that was dropped
 because it collided with a now-retracted doc stays dropped (its content
@@ -435,3 +442,71 @@ def retract_from_bottomk_values_state(
             ).select(*cur.columns)
             _rewrite_epoch(spark, table_dir, epoch, surv)
     return removed
+
+
+def retract_from_cc_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Retraction from the streaming connected-components state
+    (``cc_edges/`` + ``cc_labels/`` per-epoch dirs, streaming/cc_state):
+    the retracted VERTEX ids' edges are anti-joined out of every hit
+    edge epoch, then the label snapshots are REBUILT FORWARD from the
+    earliest hit epoch — forward rebuild is mandatory, not an
+    anti-join on the label rows: removing a bridge vertex SPLITS the
+    component it merged, and ``extend_components`` can only merge, so
+    snapshots downstream of the hit must be re-derived from the
+    retracted deltas. The rewritten state equals the state of a history
+    that never saw the retracted ids (pinned by test); untouched
+    prefixes of the epoch chain are never rewritten.
+
+    Stream must be stopped. Returns edges-removed / epochs-rebuilt
+    counts."""
+    from ..operators.clustering import extend_components
+    from .cc_state import _CC_EDGES_SCHEMA, _empty_labels, _labels_at
+
+    ids = (
+        retract_ids.select(
+            F.col(retract_ids.columns[0]).cast("bigint").alias("__rid")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges_dir = f"{work_dir}/cc_edges"
+    labels_dir = f"{work_dir}/cc_labels"
+    out = {"edges_removed": 0, "label_epochs_rebuilt": 0}
+    epochs = list_state_epochs(spark, edges_dir)
+    first_hit: int | None = None
+    for epoch in epochs:
+        cur = spark.read.schema(_CC_EDGES_SCHEMA).parquet(
+            f"{edges_dir}/batch_id={epoch}"
+        )
+        hit_cond = (F.col("a") == F.col("__rid")) | (F.col("b") == F.col("__rid"))
+        hits = cur.join(ids, hit_cond, "left_semi").count()
+        if hits == 0:
+            continue
+        out["edges_removed"] += hits
+        surv = cur.join(ids, hit_cond, "left_anti").select("a", "b")
+        _rewrite_epoch(spark, edges_dir, epoch, surv)
+        if first_hit is None:
+            first_hit = epoch
+    if first_hit is None:
+        return out
+    # forward rebuild of the derived label snapshots from the earliest
+    # hit epoch (earlier snapshots cannot contain the ids: labels only
+    # ever come from edges)
+    prior = [e for e in list_state_epochs(spark, labels_dir) if e < first_hit]
+    prev = _labels_at(spark, work_dir, max(prior)) if prior else _empty_labels(spark)
+    for epoch in [e for e in epochs if e >= first_hit]:
+        delta = spark.read.schema(_CC_EDGES_SCHEMA).parquet(
+            f"{edges_dir}/batch_id={epoch}"
+        )
+        labels = extend_components(prev, delta, src="a", dst="b").localCheckpoint(
+            eager=True
+        )
+        _rewrite_epoch(spark, labels_dir, epoch, labels)
+        out["label_epochs_rebuilt"] += 1
+        prev = labels
+    return out
