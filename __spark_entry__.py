@@ -3791,6 +3791,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # window/sampler block, with the remaining slots rotating recent
 # flagships. Local check_correctness.py always runs ALL queries
 # regardless of order.
+#
+# ROTATION RULE (r11, per VERDICT r10 task 6): slots are filled in this
+# priority order — (1) queries ADDED this round, (2) queries whose
+# implementation or oracle CHANGED this round (re-proof), (3) the
+# flagships with the OLDEST driver-recorded proof (round-robin from the
+# CORRECTNESS_r*.json history, a ~5-round refresh cycle at the current
+# set size), (4) recent flagships keeping their proof warm. Rotated OUT
+# each round: names driver-proven last round and unchanged since —
+# noted in place below so the audit trail stays in the file.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
@@ -3827,15 +3836,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "exactsubstr_decon_rewrite", "cross_source_dup_report",
     "training_mix_census", "robust_winnow_fingerprints",
     "simhash_near_pairs",
-    # round 8 queries CHANGED in round 9 (120-bit anchor keys / routed
-    # cap / oracle key fix / EWMA guard) — re-proven in the r9 window;
-    # the unchanged r8 siblings domain_report, domain_blocklist_docs,
-    # canonical_urls rotated out (driver-proven in the r8 window)
-    "exactsubstr_rewrite", "exactsubstr_removals",
-    "domain_capped_docs",
-    "url_dedup_docs",
-    "domain_split_assign", "decontaminated_spans",
-    "user_value_ewma", "exactsubstr_dup_stats",
+    # oldest-proof refresh (rotation rule clause 3): dedup_minhash_lsh
+    # last driver-proven r2, semantic_dedup r4, the pz/routing block r2
+    # — cycled back in so every query regains driver-recorded proof on
+    # a ~5-round cadence. Rotated out to make room (driver-proven r10,
+    # unchanged in r11): exactsubstr_rewrite, exactsubstr_removals,
+    # domain_capped_docs, url_dedup_docs, domain_split_assign,
+    # decontaminated_spans, user_value_ewma, exactsubstr_dup_stats.
+    "dedup_minhash_lsh", "semantic_dedup",
+    "pz_quarantine_rollup", "pz_validation_matrix",
+    "transform_typed", "route_clusters",
+    "region_rollup", "admission_topk",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —
     # quality-ranked survivorship (longest member per dup cluster),
