@@ -57,6 +57,7 @@ def curate_corpus(
     c4_clean: dict | None = None,
     scrub_pii: bool = False,
     return_ledger: bool = False,
+    on_stage=None,
 ) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Run the cascade (see module docstring). ``url_col`` enables
     stages 1 and 5; ``min_quality`` enables stage 4 (keep docs with
@@ -88,6 +89,12 @@ def curate_corpus(
     def _mark(name: str, df: DataFrame) -> DataFrame:
         out = df.localCheckpoint(eager=False)
         stages.append((name, out))
+        if on_stage is not None:
+            # observation hook (scale probes time each stage by forcing
+            # the checkpointed frame here — materialization is reused by
+            # every downstream consumer, so the hook shifts WHEN work
+            # happens, never WHAT is computed)
+            on_stage(name, out)
         return out
 
     if c4_clean is not None:
