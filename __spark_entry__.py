@@ -2848,6 +2848,39 @@ def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document line dedup (self-repetition REMOVAL — the
+    rewrite sibling of repetition_stats, within-doc complement of
+    span_dedup): sentences become lines and a boilerplate NAV BAR line
+    wraps every doc, so every doc carries a genuine repeat and the
+    keep-first rewrite is exercised on data (the cms_heavy_hitters
+    non-vacuity lesson). Survivors re-join in original order; both
+    keyed shuffles are doc-keyed."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV BAR\n"),
+            F.replace(t, F.lit(". "), F.lit("\n")),
+            F.lit("\nNAV BAR"),
+        ).alias("text"),
+    )
+    return TX.dedup_lines(synth)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus's own top-500
+    vocabulary (count desc, word asc — a total order, so the cut is
+    deterministic in both engines): the vocabulary-FIT signal next to
+    tokenizer_fertility_report's sequence-LENGTH signal. Vocab is a
+    TakeOrdered cut broadcast to a map-side token join; one doc-keyed
+    count back; zero-token docs keep NULL oov_rate."""
+    return TX.vocab_coverage_report(
+        _t(spark, sf_dir, "documents"), vocab_size=500
+    )
+
+
 def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995 /
     Chen & Goodman 1998): per-doc mean ln P of the bigram stream under
@@ -3810,10 +3843,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # grouped_price_quantiles rotated out (driver-proven r10,
     # unchanged).
     "events_hot_join", "audio_near_dup_pairs", "kll_price_quantiles",
+    # round-11 second batch: intra-doc line dedup, vocab coverage
+    # (chunking already shipped in round 1 as chunk_documents).
+    # mmr_diverse_topk, tokenizer_fertility_report rotated out
+    # (driver-proven r10, unchanged).
+    "doc_line_dedup", "vocab_coverage",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
-    "prototype_pruned_docs", "mmr_diverse_topk",
-    "tokenizer_fertility_report", "order_price_sampled_quantiles",
+    "prototype_pruned_docs", "order_price_sampled_quantiles",
     "events_key_skew", "packing_strategy_compare", "pii_report",
     "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
@@ -4078,6 +4115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
         "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "doc_line_dedup": q_doc_line_dedup,
+        "vocab_coverage": q_vocab_coverage,
         "robust_winnow_matches": q_robust_winnow_matches,
         "winnow_retention_report": q_winnow_retention_report,
         "packing_efficiency_report": q_packing_efficiency_report,
@@ -8154,6 +8193,49 @@ def oracle_sql() -> dict[str, str]:
                             + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
                 FROM cand)
             WHERE hamming <= 7
+        """,
+        "doc_line_dedup": """
+            WITH src AS (
+                SELECT doc_id,
+                       'NAV BAR' || chr(10)
+                           || replace(coalesce(text, ''), '. ', chr(10))
+                           || chr(10) || 'NAV BAR' AS t
+                FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+            e AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                         unnest(list_transform(ls,
+                             (x, i) -> {'i': i, 'line': x})) AS u
+                  FROM l),
+            f AS (SELECT doc_id, n_lines, u.line AS line, MIN(u.i) AS mi
+                  FROM e GROUP BY doc_id, n_lines, u.line)
+            SELECT doc_id, n_lines, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY mi) AS text_dedup
+            FROM f GROUP BY doc_id, n_lines
+        """,
+        "vocab_coverage": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_WORD_SQL}')) AS w
+                FROM documents),
+            v AS (SELECT w FROM (
+                      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+                      ORDER BY c DESC, w ASC LIMIT 500)),
+            o AS (SELECT t.doc_id,
+                         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_oov
+                  FROM tok t LEFT JOIN v ON t.w = v.w GROUP BY t.doc_id),
+            b AS (SELECT doc_id,
+                         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                                     '{_WORD_SQL}'))
+                              AS BIGINT) AS n_tokens
+                  FROM documents)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN b.n_tokens > 0
+                        THEN ROUND(coalesce(o.n_oov, 0) / b.n_tokens, 6)
+                   END AS oov_rate
+            FROM b LEFT JOIN o ON b.doc_id = o.doc_id
         """,
         "audio_near_dup_pairs": f"""
             WITH clips AS (

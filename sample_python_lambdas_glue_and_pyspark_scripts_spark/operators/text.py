@@ -1937,3 +1937,117 @@ def readability_report(
         n_syl.cast("bigint").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document line dedup: keep the first occurrence of every
+    distinct line within a doc and drop the repeats — the self-
+    repetition REMOVAL sibling of ``repetition_stats`` (which only
+    measures) and the within-doc complement of the cross-doc
+    ``span_dedup``: scraped pages repeat nav bars, cookie banners and
+    footers INSIDE one document, and n-gram statistics computed over
+    them are inflated before any cross-doc signal runs. Emits
+    ``(id, n_lines, n_kept, text_dedup)`` with survivors re-joined in
+    original order. NULL text behaves as empty (one empty line — kept;
+    the family convention).
+
+    Scale: one (id, line) keyed aggregate (min position) + one id-keyed
+    reassembly — dominance never crosses docs, both shuffles are
+    doc-keyed and AQE-splittable; nothing corpus-quadratic.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.split(F.coalesce(_c(text_col), F.lit("")), "\n").alias("__l"),
+    )
+    ex = lines.select(
+        id_col,
+        F.size("__l").cast("bigint").alias("n_lines"),
+        F.posexplode("__l"),
+    ).select(
+        id_col, "n_lines", F.col("pos").alias("__i"), F.col("col").alias("__line")
+    )
+    firsts = ex.groupBy(id_col, "__line").agg(
+        F.min("__i").alias("__mi"), F.first("n_lines").alias("n_lines")
+    )
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.first("n_lines").alias("n_lines"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__mi"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+        )
+        .select(id_col, "n_lines", "n_kept", "text_dedup")
+    )
+
+
+def vocab_coverage_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-k
+    vocabulary (count desc, word asc ties) — the coverage signal behind
+    tokenizer sizing and domain-shift triage (a doc whose words the
+    head vocabulary barely covers is jargon, another language, or
+    noise; ``tokenizer_fertility_report`` measures sequence LENGTH,
+    this measures vocabulary FIT). Emits ``(id, n_tokens, n_oov,
+    oov_rate)``; zero-token docs keep NULL oov_rate (no ANSI division
+    error), 6dp final round only.
+
+    Scale: the vocabulary is a vocab-volume keyed count cut to k with
+    TakeOrdered (no global window — the key_skew_report lesson) and
+    broadcast; the token stream joins it map-side, one doc-keyed count
+    back. Nothing corpus-quadratic, no Python.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_coverage_report: vocab_size must be >= 1")
+    txt = F.coalesce(_c(text_col), F.lit(""))
+    toks = df.select(F.col(id_col), F.explode(words(txt)).alias("__w"))
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w").asc())
+        .limit(int(vocab_size))
+        .select("__w", F.lit(True).alias("__inv"))
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov")
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(words(txt)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(oov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("oov_rate"),
+        )
+    )
