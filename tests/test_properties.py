@@ -519,3 +519,90 @@ def test_registrable_domain_matches_python_reference(spark, hosts):
         assert got[i] == py_registrable_domain(
             h, set(W.MULTI_LABEL_SUFFIXES)
         ), (h, got[i])
+
+
+# --- deterministic-compaction KLL (operators/kll.py) --------------------------
+
+def py_kll_single_block(vals, k):
+    """Exact mirror of kll._compact_levels over ONE canonical block:
+    levels of (level -> multiset), alternating pair survivor (index
+    i % 2 of sorted pair i), odd max stays, budget += 2^level per
+    compaction."""
+    levels = [list(vals)]
+    budget = 0
+    lvl = 0
+    while lvl < len(levels):
+        buf = sorted(levels[lvl])
+        if len(buf) > k:
+            if len(buf) % 2:
+                leftover, body = [buf[-1]], buf[:-1]
+            else:
+                leftover, body = [], buf
+            promoted = [body[2 * i + (i % 2)] for i in range(len(body) // 2)]
+            levels[lvl] = leftover
+            if lvl + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[lvl + 1] = levels[lvl + 1] + promoted
+            budget += 1 << lvl
+        lvl += 1
+    return levels, budget
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000).map(float),
+        min_size=1, max_size=250,
+    ),
+    k=st.sampled_from([4, 8, 16]),
+)
+def test_kll_single_block_matches_python_reference(spark, vals, k):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        kll as K,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id BIGINT, v DOUBLE"
+    )
+    rows = K.kll_sketch(df, "v", k=k, n_blocks=1, id_col="id").collect()
+    ref_levels, ref_budget = py_kll_single_block(vals, k)
+    got = sorted((r["level"], r["val"]) for r in rows)
+    want = sorted(
+        (lvl, v) for lvl, buf in enumerate(ref_levels) for v in buf
+    )
+    assert got == want
+    assert all(r["err_budget"] == ref_budget and r["n"] == len(vals) for r in rows)
+    # invariant: every probe's est rank is within the budget of truth
+    state = [(r["val"], 1 << r["level"]) for r in rows]
+    sv = sorted(vals)
+    for x in {v for v, _ in state} | {sv[0], sv[-1], sv[len(sv) // 2]}:
+        est = sum(w for v, w in state if v < x)
+        true = sum(1 for v in vals if v < x)
+        assert abs(est - true) <= ref_budget
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                  max_size=120),
+    hot=st.sets(st.integers(min_value=0, max_value=8), max_size=4),
+)
+def test_hot_split_join_identity_property(spark, keys, hot):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k BIGINT, lv BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 7) for k in range(0, 7, 2)], "k BIGINT, rv BIGINT"
+    )
+    plain = sorted(map(tuple, left.join(right, "k", "inner").collect()))
+    split = sorted(
+        map(tuple, hot_split_join(left, right, "k", hot_keys=list(hot)).collect())
+    )
+    assert split == plain
