@@ -3236,6 +3236,36 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient over the
+    (undirected) nation trade graph — the cohesion companion to
+    nation_pagerank's centrality: web-graph curation reads both (a
+    central but triangle-free host is a hub/aggregator, a clustered one
+    a community). Degree-ordered orientation bounds the wedge join
+    (O(m^1.5), hub-safe); one semi join closes the triangles; no global
+    rank window anywhere."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b"))
+    )
+    return GR.triangle_counts(edges, "a", "b").select(
+        F.col("node").alias("nationkey"),
+        "degree",
+        "n_triangles",
+        "clustering_coef",
+    )
+
+
 def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the mean-centered embedding cloud via
     2 power iterations from the fixed 1/sqrt(d) start — the A^T(Av)
@@ -3844,14 +3874,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged).
     "events_hot_join", "audio_near_dup_pairs", "kll_price_quantiles",
     # round-11 second batch: intra-doc line dedup, vocab coverage
-    # (chunking already shipped in round 1 as chunk_documents).
-    # mmr_diverse_topk, tokenizer_fertility_report rotated out
-    # (driver-proven r10, unchanged).
-    "doc_line_dedup", "vocab_coverage",
+    # (chunking already shipped in round 1 as chunk_documents),
+    # exact triangle counts / clustering coefficients.
+    # mmr_diverse_topk, tokenizer_fertility_report, pii_report
+    # rotated out (driver-proven r10, unchanged).
+    "doc_line_dedup", "vocab_coverage", "nation_triangles",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "order_price_sampled_quantiles",
-    "events_key_skew", "packing_strategy_compare", "pii_report",
+    "events_key_skew", "packing_strategy_compare",
     "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
@@ -4137,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "skyline_brand_fronts": q_skyline_brand_fronts,
         "nation_pagerank": q_nation_pagerank,
+        "nation_triangles": q_nation_triangles,
         "event_anomaly": q_event_anomaly,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
@@ -6853,6 +6885,49 @@ def oracle_sql() -> dict[str, str]:
                   AND b.p_size >= a.p_size
                   AND (b.p_retailprice < a.p_retailprice
                        OR b.p_size > a.p_size))
+        """,
+        "nation_triangles": """
+            WITH raw AS (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey),
+            e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                  FROM raw WHERE a <> b),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v FROM e) t
+                    GROUP BY node),
+            g AS (SELECT e.u, e.v, du.degree AS du, dv.degree AS dv
+                  FROM e JOIN deg du ON e.u = du.node
+                         JOIN deg dv ON e.v = dv.node),
+            ori AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                                THEN u ELSE v END AS x,
+                           CASE WHEN du < dv OR (du = dv AND u < v)
+                                THEN v ELSE u END AS y,
+                           CASE WHEN du < dv OR (du = dv AND u < v)
+                                THEN dv ELSE du END AS dy
+                    FROM g),
+            w AS (SELECT e1.x AS ta, e1.y AS tb, e2.y AS tc
+                  FROM ori e1 JOIN ori e2 ON e1.x = e2.x
+                   AND (e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y))),
+            tri AS (SELECT w.ta, w.tb, w.tc FROM w
+                    WHERE EXISTS (SELECT 1 FROM ori
+                                  WHERE ori.x = w.tb AND ori.y = w.tc)),
+            cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                    FROM (SELECT ta AS node FROM tri
+                          UNION ALL SELECT tb FROM tri
+                          UNION ALL SELECT tc FROM tri) t
+                    GROUP BY node)
+            SELECT CAST(deg.node AS INTEGER) AS nationkey, deg.degree,
+                   CAST(coalesce(cnt.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN ROUND(2.0 * coalesce(cnt.n_triangles, 0)
+                                   / (deg.degree * (deg.degree - 1)), 6)
+                   END AS clustering_coef
+            FROM deg LEFT JOIN cnt ON deg.node = cnt.node
         """,
         "nation_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "event_anomaly": """

@@ -59,3 +59,49 @@ def test_pagerank_bad_args(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(e.filter(F.lit(False)))
+
+
+def test_triangle_counts_hand_graph(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4; self-loop and parallel/reversed
+    # edges must be dropped/collapsed
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (1, 1)], "a BIGINT, b BIGINT"
+    )
+    out = {r["node"]: r for r in triangle_counts(e).collect()}
+    assert (out[1]["degree"], out[1]["n_triangles"], out[1]["clustering_coef"]) == (2, 1, 1.0)
+    assert (out[2]["degree"], out[2]["n_triangles"], out[2]["clustering_coef"]) == (2, 1, 1.0)
+    assert (out[3]["degree"], out[3]["n_triangles"], out[3]["clustering_coef"]) == (3, 1, 0.333333)
+    # degree-1 node: zero triangles, undefined coefficient
+    assert (out[4]["degree"], out[4]["n_triangles"], out[4]["clustering_coef"]) == (1, 0, None)
+
+
+def test_triangle_counts_complete_graph(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K5: every node degree 4, C(4,2)=6 triangles each, coefficient 1
+    k5 = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)], "a BIGINT, b BIGINT"
+    )
+    rows = triangle_counts(k5).collect()
+    assert len(rows) == 5
+    assert all(
+        (r["degree"], r["n_triangles"], r["clustering_coef"]) == (4, 6, 1.0)
+        for r in rows
+    )
+
+
+def test_triangle_counts_no_cartesian(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a BIGINT, b BIGINT")
+    plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
