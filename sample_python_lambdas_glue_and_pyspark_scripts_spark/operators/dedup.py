@@ -1512,6 +1512,30 @@ def build_corpus_index(
     return corpus_fp, corpus_bands
 
 
+def fingerprint_holders(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The refcount side-table that makes ``corpus_fp`` exactly
+    retractable: ``(id_col, fp)`` — which doc holds which exact-dup
+    fingerprint. ``corpus_fp`` itself is a distinct md5 SET with no doc
+    ids (deliberately — the probe is a set-membership semi join), so an
+    id alone cannot tell whether its fingerprint is still held by a
+    surviving verbatim duplicate; this doc-sized table can. Persist it
+    next to the index and pass it to
+    ``retraction.retract_from_lsh_corpus_index(fp_holders=)`` (or
+    ``retract_doc_ids(lsh_corpus_index=(fp, bands, holders))``) and fp
+    retraction becomes EXACT: a fingerprint survives iff at least one
+    surviving doc still holds it — closing the r4-documented
+    conservative-retention caveat. Extend per admitted batch with
+    :func:`fingerprint_holders` over the batch + union (delta-sized,
+    map-side, same as the index extension)."""
+    return corpus_df.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    ).distinct()
+
+
 def extend_corpus_index(
     index: tuple[DataFrame, DataFrame],
     admitted_df: DataFrame,

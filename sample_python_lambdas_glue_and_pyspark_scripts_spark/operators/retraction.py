@@ -138,18 +138,30 @@ def retract_from_lsh_corpus_index(
     index: tuple[DataFrame, DataFrame],
     retract_ids: DataFrame,
     id_col: str = "doc_id",
+    fp_holders: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Remove ids from the LSH intake index ``(corpus_fp,
-    corpus_bands)``. Only the id-keyed band table is retracted;
-    ``corpus_fp`` is a distinct-md5 SET without ids, so an id cannot
-    tell whether its fingerprint is still held by a surviving verbatim
-    duplicate — it is left intact (conservative: at worst a future
-    verbatim copy of a forgotten doc is still rejected as an exact dup;
-    exact fp retraction requires a refcounted fp table, a deliberate
-    rebuild)."""
+    corpus_bands)``. The id-keyed band table is always retracted
+    exactly. ``corpus_fp`` is a distinct-md5 SET without ids, so by
+    itself an id cannot tell whether its fingerprint is still held by a
+    surviving verbatim duplicate: without ``fp_holders`` it is left
+    intact (conservative: at worst a future verbatim copy of a
+    forgotten doc is still rejected as an exact dup). Pass
+    ``fp_holders`` (``dedup.fingerprint_holders``'s ``(id, fp)``
+    refcount table, maintained alongside the index) and fp retraction
+    becomes EXACT: a fingerprint is kept iff at least one SURVIVING
+    holder still carries it — equal to a rebuild over the survivors
+    (pinned by test), closing the documented caveat."""
     corpus_fp, corpus_bands = index
     ids = _ids_df(retract_ids, id_col)
-    return corpus_fp, corpus_bands.join(ids, id_col, "left_anti")
+    new_bands = corpus_bands.join(ids, id_col, "left_anti")
+    if fp_holders is None:
+        return corpus_fp, new_bands
+    surviving = fp_holders.join(ids, id_col, "left_anti")
+    new_fp = corpus_fp.join(
+        surviving.select("fp").distinct(), "fp", "left_semi"
+    )
+    return new_fp, new_bands
 
 
 def retract_doc_ids(
@@ -180,8 +192,10 @@ def retract_doc_ids(
     plain anti-join), ``ivf_index`` / ``ivf_pq_index`` (keyed on
     ``vec_id_col``; the centroid-identity REFUSAL of
     :func:`retract_from_ivf_index` applies), ``bm25_index``,
-    ``prefix_index``, ``lsh_corpus_index`` (partial — the ``corpus_fp``
-    caveat is surfaced in ``caveats``).
+    ``prefix_index``, ``lsh_corpus_index`` as ``(fp, bands)`` (partial —
+    the ``corpus_fp`` caveat is surfaced in ``caveats``) or
+    ``(fp, bands, fingerprint_holders)`` (exact fp retraction, no
+    caveat).
 
     Streaming states (mutate their state dirs in place; streams must
     be stopped): ``prefix_state_dir``, ``minhash_state_dir``,
@@ -240,14 +254,19 @@ def retract_doc_ids(
             prefix_index, retract_ids, id_col
         )
     if lsh_corpus_index is not None:
+        fp_holders = (
+            lsh_corpus_index[2] if len(lsh_corpus_index) > 2 else None
+        )
         artifacts["lsh_corpus_index"] = retract_from_lsh_corpus_index(
-            lsh_corpus_index, retract_ids, id_col
+            lsh_corpus_index[:2], retract_ids, id_col, fp_holders
         )
-        caveats.append(
-            "lsh_corpus_index: corpus_fp is a distinct-md5 set without "
-            "doc ids and was left intact (conservative); exact fp "
-            "retraction requires a refcounted fp table or a rebuild"
-        )
+        if fp_holders is None:
+            caveats.append(
+                "lsh_corpus_index: corpus_fp is a distinct-md5 set "
+                "without doc ids and was left intact (conservative); "
+                "pass (fp, bands, fingerprint_holders) for exact fp "
+                "retraction"
+            )
     for name, df in (corpus_tables or {}).items():
         artifacts[name] = df.join(
             _ids_df(retract_ids, id_col), id_col, "left_anti"

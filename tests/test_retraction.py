@@ -190,3 +190,49 @@ def test_retract_doc_ids_routes_every_family(spark, sf_dir, tmp_path):
             _ids(spark, [0], col="vec_id"),
             ivf_index=S.build_ivf_index(emb, ncells=4),
         )
+
+
+def test_retract_lsh_fp_exact_with_holders(spark):
+    """r11: fingerprint_holders closes the corpus_fp caveat — with the
+    (id, fp) refcount table, fp retraction equals a rebuild over the
+    survivors: a fingerprint survives iff a surviving doc still holds
+    it (verbatim duplicates keep it alive; sole holders take it away)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # verbatim copy of 1
+            (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp, bands = D.build_corpus_index(corpus)
+    holders = D.fingerprint_holders(corpus)
+
+    # retract 1: its fp survives via the verbatim copy 2
+    fp2, bands2 = R.retract_from_lsh_corpus_index(
+        (fp, bands), _ids(spark, [1]), fp_holders=holders
+    )
+    assert fp2.count() == 2
+    # retract 1 AND 2: the shared fp dies; 3's stays
+    fp3, _ = R.retract_from_lsh_corpus_index(
+        (fp, bands), _ids(spark, [1, 2]), fp_holders=holders
+    )
+    rebuilt_fp, _ = D.build_corpus_index(
+        corpus.filter(~F.col("doc_id").isin([1, 2]))
+    )
+    assert sorted(r["fp"] for r in fp3.collect()) == sorted(
+        r["fp"] for r in rebuilt_fp.collect()
+    )
+
+    # routed form: the 3-tuple drops the caveat
+    out = R.retract_doc_ids(
+        _ids(spark, [1, 2]), lsh_corpus_index=(fp, bands, holders)
+    )
+    got_fp, got_bands = out["artifacts"]["lsh_corpus_index"]
+    assert sorted(r["fp"] for r in got_fp.collect()) == sorted(
+        r["fp"] for r in rebuilt_fp.collect()
+    )
+    assert not any("lsh_corpus_index" in c for c in out["caveats"])
+    # 2-tuple form keeps the conservative caveat
+    out2 = R.retract_doc_ids(_ids(spark, [1]), lsh_corpus_index=(fp, bands))
+    assert any("lsh_corpus_index" in c for c in out2["caveats"])
