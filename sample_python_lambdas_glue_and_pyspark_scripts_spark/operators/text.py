@@ -2023,28 +2023,33 @@ def vocab_coverage_report(
         .limit(int(vocab_size))
         .select("__w", F.lit(True).alias("__inv"))
     )
-    oov = (
+    # one probe pass yields BOTH counts — the corpus is tokenized
+    # exactly twice in the whole plan (once for the vocabulary cut,
+    # once for the probe; a third n_tokens-only scan was folded in
+    # here), and zero-token docs re-enter via the id-only left join
+    per = (
         toks.join(F.broadcast(vocab), "__w", "left")
         .groupBy(id_col)
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
             .cast("bigint")
-            .alias("n_oov")
+            .alias("n_oov"),
         )
     )
-    base = df.select(
-        F.col(id_col), F.size(words(txt)).cast("bigint").alias("n_tokens")
-    )
     return (
-        base.join(oov, id_col, "left")
+        df.select(id_col)
+        .join(per, id_col, "left")
         .select(
             id_col,
-            "n_tokens",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
             F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
             F.when(
                 F.col("n_tokens") > 0,
                 F.round(
-                    F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                    F.col("n_oov").cast("double")
                     / F.col("n_tokens").cast("double"),
                     6,
                 ),
