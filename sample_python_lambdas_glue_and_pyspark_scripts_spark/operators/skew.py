@@ -97,6 +97,7 @@ def hot_split_join(
     top_n: int = 20,
     hot_num: int = 1,
     hot_den: int = 10,
+    max_hot_keys: int = 256,
 ) -> DataFrame:
     """Skew-split two-path fact⋈fact join: hot keys broadcast, cold
     residual sort-merge, union — result IDENTICAL to the plain join
@@ -156,6 +157,17 @@ def hot_split_join(
     else:
         hot = [None if k is None else str(k) for k in hot_keys]
     hot = [k for k in hot if k is not None]
+    if len(hot) > max_hot_keys:
+        # the hot list becomes TWO isin literals in the plan; a large
+        # literal array is analyzer/codegen cost paid per plan (the
+        # Bloom-word-array lesson) — and a "hot set" this big is not a
+        # skew problem, it is the whole key space
+        raise ValueError(
+            f"hot_split_join: {len(hot)} hot keys exceeds max_hot_keys="
+            f"{max_hot_keys} — a hot set this large is not skew; use the "
+            "plain join (AQE skew-split) or salted_replicate_join, or "
+            "raise max_hot_keys explicitly"
+        )
     if not hot:
         return left.join(right, on=on, how="inner")
     k = F.col(on).cast("string")

@@ -159,3 +159,18 @@ def test_hot_split_join_rejects_outer_joins(spark):
     left, right = _hot_inputs(spark)
     with pytest.raises(ValueError, match="inner"):
         hot_split_join(left, right, "k", how="left")
+
+
+def test_hot_split_join_caps_hot_list(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.skew import (
+        hot_split_join,
+    )
+
+    left, right = _hot_inputs(spark)
+    with pytest.raises(ValueError, match="max_hot_keys"):
+        hot_split_join(left, right, "k", hot_keys=list(range(300)))
+    # explicit raise works
+    out = hot_split_join(
+        left, right, "k", hot_keys=list(range(300)), max_hot_keys=512
+    )
+    assert _rows(out) == _rows(left.join(right, "k", "inner"))
