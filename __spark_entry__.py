@@ -2801,6 +2801,21 @@ def q_frame_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_banding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding advisor over the corpus's OWN measured near-dup
+    pairs: exact t=1/2 prefix-filter pairs (the proven machinery) feed
+    the standard 1-(1-j^r)^b collision curve for every factorization of
+    16 hashes — per banding, the recall MinHash-LSH would actually have
+    had on this corpus plus the curve midpoint (1/b)^(1/r). Pair
+    jaccards are 6dp-rounded before the curve, so both engines evaluate
+    it at identical points; the mean rounds once at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.prefix_filter_pairs(
+        docs, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+    return DD.lsh_banding_plan(pairs, num_hashes=16)
+
+
 def q_audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup: per-window band-energy SIGN fingerprint
     (Haitsma-Kalker / chromaprint family) over fake-decoded 8-window x
@@ -3876,13 +3891,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-11 second batch: intra-doc line dedup, vocab coverage
     # (chunking already shipped in round 1 as chunk_documents),
     # exact triangle counts / clustering coefficients.
-    # mmr_diverse_topk, tokenizer_fertility_report, pii_report
-    # rotated out (driver-proven r10, unchanged).
+    # mmr_diverse_topk, tokenizer_fertility_report, pii_report,
+    # packing_strategy_compare rotated out (driver-proven r10,
+    # unchanged).
     "doc_line_dedup", "vocab_coverage", "nation_triangles",
+    "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "prototype_pruned_docs", "order_price_sampled_quantiles",
-    "events_key_skew", "packing_strategy_compare",
+    "events_key_skew",
     "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
@@ -4146,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filtered_docs": q_c4_line_filtered_docs,
         "frame_near_dup_pairs": q_frame_near_dup_pairs,
         "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "lsh_banding_report": q_lsh_banding_report,
         "doc_line_dedup": q_doc_line_dedup,
         "vocab_coverage": q_vocab_coverage,
         "robust_winnow_matches": q_robust_winnow_matches,
@@ -6783,6 +6801,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN hsizes sa ON sa.doc_id = i.a
             JOIN hsizes sb ON sb.doc_id = i.b
             WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)
+        """,
+        "lsh_banding_report": f"""
+            WITH {_shingle_ctes()},
+            {_HASHED_SHINGLE_CTES}
+            inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+                FROM hx l JOIN hx r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY 1, 2),
+            jp AS (
+                SELECT i.a, i.b,
+                       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                           AS jaccard
+                FROM inter i
+                JOIN hsizes sa ON sa.doc_id = i.a
+                JOIN hsizes sb ON sb.doc_id = i.b
+                WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)),
+            bandings(bands, rows_per_band) AS (
+                VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+            SELECT CAST(bands AS INTEGER) AS bands,
+                   CAST(rows_per_band AS INTEGER) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(AVG(1 - POWER(1 - POWER(jaccard, rows_per_band),
+                                       bands)), 6) AS expected_recall,
+                   ROUND(POWER(1.0 / bands, 1.0 / rows_per_band), 6)
+                       AS s_midpoint
+            FROM jp CROSS JOIN bandings
+            GROUP BY bands, rows_per_band
         """,
         "minhash_keepers": _minhash_keepers_oracle(num_hashes=16, bands=4),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.2),

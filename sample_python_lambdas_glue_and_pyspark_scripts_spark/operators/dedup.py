@@ -2783,3 +2783,67 @@ def exactsubstr_dup_stats(
             6,
         ).alias("dup_window_frac"),
     )
+
+
+def lsh_banding_plan(
+    pairs: DataFrame,
+    num_hashes: int = 16,
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """MinHash-LSH banding advisor: for EVERY (bands, rows_per_band)
+    factorization of ``num_hashes``, the expected candidate recall over
+    a MEASURED pair population — the quantified answer to "how should I
+    band my 16 hashes for THIS corpus" (the S-curve math alone answers
+    it only for a hypothetical threshold; this evaluates it against the
+    actual near-dup pairs an exact join found, so the number read off
+    is the recall LSH would have had here).
+
+    Per pair with similarity j, the band-collision probability is the
+    standard ``1 − (1 − j^r)^b`` (Leskovec-Rajaraman-Ullman §3.4);
+    ``expected_recall`` is its mean over the pairs (floats summed raw,
+    ONE 6dp round at the end — the float-sum contract), and
+    ``s_midpoint = (1/b)^(1/r)`` is where the curve crosses ~50% — pick
+    the banding whose midpoint sits just under your threshold and read
+    the recall you will actually get. Input pairs carry 6dp-rounded
+    jaccards (``prefix_filter_pairs`` output), so both engines evaluate
+    the curve at identical points.
+
+    Scale: one broadcast of the ≤ d(num_hashes)-row banding table over
+    the pair frame (pair-sized, already the small output of an exact
+    join), one keyed aggregate.
+    """
+    if num_hashes < 1:
+        raise ValueError("lsh_banding_plan: num_hashes must be >= 1")
+    bandings = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    spark = pairs.sparkSession
+    bdf = spark.createDataFrame(bandings, "bands INT, rows_per_band INT")
+    j = F.col(jaccard_col).cast("double")
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(j, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(bdf))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(p), 6).alias("expected_recall"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_pairs",
+            "expected_recall",
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("bands").cast("double"),
+                    F.lit(1.0) / F.col("rows_per_band").cast("double"),
+                ),
+                6,
+            ).alias("s_midpoint"),
+        )
+    )

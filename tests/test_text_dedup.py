@@ -1598,3 +1598,39 @@ def test_readability_report_hand_values(spark):
     assert r1.flesch == round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
     assert out[2].n_words == 0 and out[2].flesch is None
     assert out[3].n_syllables == 1  # floor at one per word
+
+
+def test_lsh_banding_plan_hand_values(spark):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        lsh_banding_plan,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 1.0), (5, 6, 0.8)], "a BIGINT, b BIGINT, jaccard DOUBLE"
+    )
+    out = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_banding_plan(pairs, num_hashes=4).collect()
+    }
+    assert set(out) == {(1, 4), (2, 2), (4, 1)}
+
+    def p(j, b, r):
+        return 1 - (1 - j**r) ** b
+
+    for (b, r), row in out.items():
+        want = round(sum(p(j, b, r) for j in (0.5, 1.0, 0.8)) / 3, 6)
+        assert row["n_pairs"] == 3
+        assert abs(row["expected_recall"] - want) <= 1e-6, (b, r)
+        assert row["s_midpoint"] == round((1 / b) ** (1 / r), 6)
+    # more bands at fixed hash budget -> higher recall (the S-curve
+    # shifts left), monotone on any population
+    assert (
+        out[(4, 1)]["expected_recall"]
+        > out[(2, 2)]["expected_recall"]
+        > out[(1, 4)]["expected_recall"]
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_hashes"):
+        lsh_banding_plan(pairs, num_hashes=0)
