@@ -281,16 +281,36 @@ def main() -> None:
     # truncated tail of stdout, so only ~70/232 queries were
     # regression-diffable across rounds (r10 verdict task 3). Record
     # runs commit this file; BASELINE.md regression claims cite it.
-    full_path = os.environ.get(
-        "BENCH_FULL_JSON",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-    )
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"BENCH-WARN could not write {full_path}: {exc}", file=sys.stderr)
+    # Guarded (ADVICE r11): a headline-only or errored dev run must not
+    # clobber the committed 239-query map that bench_diff.py claims
+    # cite — those runs only write when BENCH_FULL_JSON names an
+    # explicit (presumably untracked) path.
+    full_path = os.environ.get("BENCH_FULL_JSON")
+    skip_reason = None
+    if full_path is None:
+        if os.environ.get("BENCH_HEADLINE_ONLY"):
+            skip_reason = "BENCH_HEADLINE_ONLY subset run"
+        elif errors:
+            skip_reason = f"{len(errors)} errored queries"
+        elif sf_val != 0.1:
+            skip_reason = f"sf={sf_val} (record runs are sf0.1)"
+        else:
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+            )
+    if skip_reason is not None:
+        print(
+            f"BENCH-WARN not updating bench_full.json ({skip_reason}); "
+            "set BENCH_FULL_JSON to write elsewhere",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"BENCH-WARN could not write {full_path}: {exc}", file=sys.stderr)
     # compact summary LAST: the driver's bench record keeps only the
     # tail of the output, and the big per-query line above overflows it
     # (BENCH_r04.json lost the headline total) — this line survives any

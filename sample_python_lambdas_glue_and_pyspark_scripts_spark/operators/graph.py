@@ -151,65 +151,84 @@ def triangle_counts(
     Returns ``(node, degree, n_triangles, clustering_coef)`` with
     ``clustering_coef = round(2·t / (d·(d−1)), 6)`` (NULL when degree
     < 2). All joins are keyed and AQE-splittable; nothing collects.
+
+    The shared frames are persisted for the call (the ``pagerank``
+    pattern above): ``orient`` is referenced 3x (both wedge sides + the
+    closers semi join) and ``deg`` 2x — without the caches the caller's
+    upstream edge pipeline (e.g. the 4-table trade-graph join of
+    ``q_nation_triangles``) re-executes ~5-6x per action, which at a
+    real web graph makes the corpus-sized edge derivation the dominant
+    cost. The result is pinned with an eager localCheckpoint so the
+    caches can be dropped before returning.
     """
     u, v = F.col(src), F.col(dst)
     e = (
         edges.where(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
     )
-    g = (
-        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
-    )
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    orient = g.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
-    )
-    e1, e2 = orient.alias("e1"), orient.alias("e2")
-    ord_lt = (F.col("e1.dy") < F.col("e2.dy")) | (
-        (F.col("e1.dy") == F.col("e2.dy")) & (F.col("e1.y") < F.col("e2.y"))
-    )
-    wedges = e1.join(
-        e2, (F.col("e1.x") == F.col("e2.x")) & ord_lt
-    ).select(
-        F.col("e1.x").alias("ta"),
-        F.col("e1.y").alias("tb"),
-        F.col("e2.y").alias("tc"),
-    )
-    closers = orient.select(F.col("x").alias("tb"), F.col("y").alias("tc"))
-    tri = wedges.join(closers, ["tb", "tc"], "left_semi")
-    counts = (
-        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
-    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
-    return (
-        deg.join(counts, "node", "left")
-        .select(
-            "node",
-            "degree",
-            t.alias("n_triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                F.round(
-                    (F.lit(2.0) * t.cast("double"))
-                    / (
-                        F.col("degree").cast("double")
-                        * (F.col("degree") - F.lit(1)).cast("double")
-                    ),
-                    6,
-                ),
-            ).alias("clustering_coef"),
+    orient = None
+    try:
+        g = (
+            e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+            .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
         )
-    )
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        orient = g.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+        ).persist()
+        e1, e2 = orient.alias("e1"), orient.alias("e2")
+        ord_lt = (F.col("e1.dy") < F.col("e2.dy")) | (
+            (F.col("e1.dy") == F.col("e2.dy")) & (F.col("e1.y") < F.col("e2.y"))
+        )
+        wedges = e1.join(
+            e2, (F.col("e1.x") == F.col("e2.x")) & ord_lt
+        ).select(
+            F.col("e1.x").alias("ta"),
+            F.col("e1.y").alias("tb"),
+            F.col("e2.y").alias("tc"),
+        )
+        closers = orient.select(F.col("x").alias("tb"), F.col("y").alias("tc"))
+        tri = wedges.join(closers, ["tb", "tc"], "left_semi")
+        counts = (
+            tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        )
+        t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
+        result = (
+            deg.join(counts, "node", "left")
+            .select(
+                "node",
+                "degree",
+                t.alias("n_triangles"),
+                F.when(
+                    F.col("degree") >= 2,
+                    F.round(
+                        (F.lit(2.0) * t.cast("double"))
+                        / (
+                            F.col("degree").cast("double")
+                            * (F.col("degree") - F.lit(1)).cast("double")
+                        ),
+                        6,
+                    ),
+                ).alias("clustering_coef"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        deg.unpersist()
+        if orient is not None:
+            orient.unpersist()

@@ -151,7 +151,16 @@ def retract_from_lsh_corpus_index(
     refcount table, maintained alongside the index) and fp retraction
     becomes EXACT: a fingerprint is kept iff at least one SURVIVING
     holder still carries it — equal to a rebuild over the survivors
-    (pinned by test), closing the documented caveat."""
+    (pinned by test), closing the documented caveat.
+
+    With ``fp_holders`` the return is a THREE-tuple ``(fp, bands,
+    surviving_holders)``: the holders table is itself an artifact that
+    must be retracted in lockstep, or a SECOND retraction against the
+    stale holders keeps fingerprints of already-retracted docs alive
+    forever (doc 1 and 2 share an fp, retracted in two calls — the
+    stale table still lists both, so the fp never dies). Feed the
+    returned holders into the next call; repeated retraction then stays
+    ≡ rebuild-over-survivors (pinned by test)."""
     corpus_fp, corpus_bands = index
     ids = _ids_df(retract_ids, id_col)
     new_bands = corpus_bands.join(ids, id_col, "left_anti")
@@ -161,7 +170,7 @@ def retract_from_lsh_corpus_index(
     new_fp = corpus_fp.join(
         surviving.select("fp").distinct(), "fp", "left_semi"
     )
-    return new_fp, new_bands
+    return new_fp, new_bands, surviving
 
 
 def retract_doc_ids(
@@ -195,7 +204,8 @@ def retract_doc_ids(
     ``prefix_index``, ``lsh_corpus_index`` as ``(fp, bands)`` (partial —
     the ``corpus_fp`` caveat is surfaced in ``caveats``) or
     ``(fp, bands, fingerprint_holders)`` (exact fp retraction, no
-    caveat).
+    caveat; the artifact comes back as the same 3-tuple with the
+    SURVIVING holders — persist those for the next retraction).
 
     Streaming states (mutate their state dirs in place; streams must
     be stopped): ``prefix_state_dir``, ``minhash_state_dir``,
@@ -257,6 +267,10 @@ def retract_doc_ids(
         fp_holders = (
             lsh_corpus_index[2] if len(lsh_corpus_index) > 2 else None
         )
+        # same tuple shape out as in: the 3-tuple form carries the
+        # SURVIVING holders so a later retraction stays exact (stale
+        # holders would keep shared fps of already-retracted docs
+        # alive forever — see retract_from_lsh_corpus_index)
         artifacts["lsh_corpus_index"] = retract_from_lsh_corpus_index(
             lsh_corpus_index[:2], retract_ids, id_col, fp_holders
         )

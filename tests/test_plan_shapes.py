@@ -431,3 +431,47 @@ def test_hot_split_join_is_one_broadcast_plus_one_smj(spark, sf_dir):
         assert "EvalPython" not in ex and "InPandas" not in ex
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_triangle_counts_persists_shared_frames(spark, sf_dir):
+    """r12 (VERDICT r11 #1): triangle_counts references `orient` 3x
+    (both wedge sides + the closers semi join) and `deg` 2x — without
+    persists the caller's upstream edge pipeline re-executes ~5-6x
+    (nation_triangles planned 40 parquet scans for a 25-node result).
+    Pins (a) the pagerank-style eager-checkpoint result (downstream
+    plans are scan-free), and (b) that the shared frames actually went
+    through persist() during the call, so a refactor that drops the
+    caches fails here instead of on the 100 TB graph."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("a"),
+            (F.col("l_partkey") % 25).alias("b"),
+        )
+    )
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame
+    # is abstract; the classic subclass overrides persist)
+    cls = type(edges)
+    persists = []
+    orig = cls.persist
+
+    def counting_persist(self, *a, **kw):
+        persists.append(1)
+        return orig(self, *a, **kw)
+
+    cls.persist = counting_persist
+    try:
+        out = GR.triangle_counts(edges, "a", "b")
+    finally:
+        cls.persist = orig
+    # e, deg, orient each persisted exactly once for the call
+    assert len(persists) == 3
+    plan = _fmt_plan(spark, out)
+    assert "Scan ExistingRDD" in plan
+    assert "Location:" not in plan  # no file re-scan after the build

@@ -208,13 +208,15 @@ def test_retract_lsh_fp_exact_with_holders(spark):
     fp, bands = D.build_corpus_index(corpus)
     holders = D.fingerprint_holders(corpus)
 
-    # retract 1: its fp survives via the verbatim copy 2
-    fp2, bands2 = R.retract_from_lsh_corpus_index(
+    # retract 1: its fp survives via the verbatim copy 2; the holders
+    # come back retracted too (3-tuple form, r12)
+    fp2, bands2, holders2 = R.retract_from_lsh_corpus_index(
         (fp, bands), _ids(spark, [1]), fp_holders=holders
     )
     assert fp2.count() == 2
+    assert holders2.filter(F.col("doc_id") == 1).count() == 0
     # retract 1 AND 2: the shared fp dies; 3's stays
-    fp3, _ = R.retract_from_lsh_corpus_index(
+    fp3, _, _ = R.retract_from_lsh_corpus_index(
         (fp, bands), _ids(spark, [1, 2]), fp_holders=holders
     )
     rebuilt_fp, _ = D.build_corpus_index(
@@ -228,7 +230,7 @@ def test_retract_lsh_fp_exact_with_holders(spark):
     out = R.retract_doc_ids(
         _ids(spark, [1, 2]), lsh_corpus_index=(fp, bands, holders)
     )
-    got_fp, got_bands = out["artifacts"]["lsh_corpus_index"]
+    got_fp, got_bands, got_holders = out["artifacts"]["lsh_corpus_index"]
     assert sorted(r["fp"] for r in got_fp.collect()) == sorted(
         r["fp"] for r in rebuilt_fp.collect()
     )
@@ -236,3 +238,43 @@ def test_retract_lsh_fp_exact_with_holders(spark):
     # 2-tuple form keeps the conservative caveat
     out2 = R.retract_doc_ids(_ids(spark, [1]), lsh_corpus_index=(fp, bands))
     assert any("lsh_corpus_index" in c for c in out2["caveats"])
+
+
+def test_retract_lsh_fp_sequential_retraction_stays_exact(spark):
+    """r12 (ADVICE r11): two retractions in sequence must equal a
+    rebuild over the final survivors — the second call consumes the
+    SURVIVING holders returned by the first. With the pre-fix stale
+    holders, an fp shared by docs 1 and 2 retracted in two separate
+    calls survived forever (each call saw the other doc as a live
+    holder)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # verbatim copy of 1
+            (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp, bands = D.build_corpus_index(corpus)
+    holders = D.fingerprint_holders(corpus)
+
+    fp1, bands1, holders1 = R.retract_from_lsh_corpus_index(
+        (fp, bands), _ids(spark, [1]), fp_holders=holders
+    )
+    fp2, bands2, holders2 = R.retract_from_lsh_corpus_index(
+        (fp1, bands1), _ids(spark, [2]), fp_holders=holders1
+    )
+    rebuilt_fp, rebuilt_bands = D.build_corpus_index(
+        corpus.filter(F.col("doc_id") == 3)
+    )
+    assert sorted(r["fp"] for r in fp2.collect()) == sorted(
+        r["fp"] for r in rebuilt_fp.collect()
+    )
+    assert holders2.count() == holders2.filter(F.col("doc_id") == 3).count()
+    # the STALE-holders sequence over-retains (regression witness for
+    # the bug this pins against): feeding the original holders into
+    # call 2 keeps the shared fp of docs 1 and 2 alive
+    fp2_stale, _, _ = R.retract_from_lsh_corpus_index(
+        (fp1, bands1), _ids(spark, [2]), fp_holders=holders
+    )
+    assert fp2_stale.count() == fp2.count() + 1

@@ -8,21 +8,23 @@ Exit code 1 if any regression. Prints one JSON line.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) != 2:
-        print(__doc__, file=sys.stderr)
-        sys.exit(2)
-    ratio_bar, abs_bar = 1.3, 0.3
-    for a in sys.argv[1:]:
-        if a.startswith("--bar-ratio"):
-            ratio_bar = float(a.split("=", 1)[1])
-    old = json.load(open(args[0]))["queries"]
-    new = json.load(open(args[1]))["queries"]
+    p = argparse.ArgumentParser(
+        description="Diff two bench_full.json per-query maps"
+    )
+    p.add_argument("old_json")
+    p.add_argument("new_json")
+    p.add_argument("--bar-ratio", type=float, default=1.3)
+    p.add_argument("--bar-abs", type=float, default=0.3)
+    ns = p.parse_args()
+    ratio_bar, abs_bar = ns.bar_ratio, ns.bar_abs
+    old = json.load(open(ns.old_json))["queries"]
+    new = json.load(open(ns.new_json))["queries"]
     both = sorted(set(old) & set(new))
     regr = {
         q: {"old": old[q], "new": new[q], "ratio": round(new[q] / old[q], 2)}
