@@ -3083,6 +3083,26 @@ def q_quantile_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aligned_pairs_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pair alignment cut (the LAION/CLIP-score recipe,
+    Schuhmann et al. 2021: keep (text, image) pairs whose two modality
+    embeddings agree): per-row cosine between the stored embedding and
+    an md5-derived second-modality vector (the fake-decode precedent —
+    ``pair[j] = v[j] + amp(id)·coef(id,j)``, amp ∈ [0,2) making
+    high-noise rows the misaligned pairs), rounded 6dp, cut at the
+    corpus P50 via the broadcast-quantile pattern. Map-side zip-multiply
+    + one scalar aggregate — no other shuffle at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = MM.cross_modal_alignment(
+        MM.synthetic_paired_embeddings(emb)
+    ).select("vec_id", "alignment")
+    return (
+        TX.quantile_threshold_filter(scored, "alignment", p=0.5)
+        .select("vec_id", "alignment")
+        .orderBy("vec_id")
+    )
+
+
 def q_token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy best-first training-mix assembly under a global token
     budget — two-phase distributed prefix sum (per-level windows +
@@ -3879,6 +3899,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # each round: names driver-proven last round and unchanged since —
 # noted in place below so the audit trail stays in the file.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
+    # recipe over md5-derived second-modality embeddings).
+    # order_price_sampled_quantiles rotated out (driver-proven r11,
+    # unchanged).
+    "aligned_pairs_filtered",
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
     # deterministic-compaction KLL bounded-error quantile gate.
@@ -3898,7 +3923,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
-    "prototype_pruned_docs", "order_price_sampled_quantiles",
+    "prototype_pruned_docs",
     "events_key_skew",
     "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
@@ -4175,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
+        "aligned_pairs_filtered": q_aligned_pairs_filtered,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sweep": q_semantic_dedup_sweep,
@@ -8885,6 +8911,26 @@ SELECT 'url_dedup' AS stage,
                     FROM s)
             SELECT doc_id, n_chars, q_threshold FROM s, thr
             WHERE ROUND(n_chars, 6) >= q_threshold
+        """,
+        "aligned_pairs_filtered": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            amp AS (SELECT vec_id, v,
+                           (('0x' || substr(md5('amp|' || vec_id), 1, 15))::BIGINT
+                            % 1000) / 500.0 AS amp
+                    FROM e),
+            paired AS (SELECT vec_id, v,
+                              list_transform(v, (x, i) -> x + amp *
+                                  ((('0x' || substr(md5('xm|' || vec_id || '|' || (i-1)), 1, 15))::BIGINT
+                                    % 2001 - 1000) / 1000.0)) AS img
+                       FROM amp),
+            scored AS (SELECT vec_id,
+                              ROUND(list_cosine_similarity(v, img), 6) AS alignment
+                       FROM paired),
+            thr AS (SELECT ROUND(quantile_cont(alignment, 0.5), 6) AS t FROM scored)
+            SELECT vec_id, alignment FROM scored, thr
+            WHERE alignment >= t
+            ORDER BY vec_id
         """,
         "token_budget_subset": rf"""
             WITH s AS (

@@ -605,3 +605,78 @@ def video_scene_changes(
         "hamming",
         F.sum(is_cut).over(wc).cast("int").alias("scene_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal pair alignment (the LAION-style CLIP-score cut — Schuhmann
+# et al. 2021/2022: score each (text, image) pair by the cosine of its
+# two modality embeddings and keep pairs above a threshold/quantile).
+# The standard multimodal curation step AFTER near-dup removal: misaligned
+# pairs (wrong caption, watermark boilerplate, decorative images) score
+# low regardless of each side's unimodal quality.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_paired_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_col: str = "pair_embedding",
+    seed: str = "xm|",
+) -> DataFrame:
+    """Deterministic md5-derived second-modality embedding for each row
+    (the fake-decode precedent: real CLIP encoders aren't in this
+    container, so the harness derives a reproducible paired vector and
+    the Spark-side plumbing stays real and oracle-checkable).
+
+    ``pair[j] = v[j] + amp(id) * coef(id, j)`` where ``amp`` ∈ [0, 2)
+    scales a per-row noise level (high-amp rows are the "misaligned"
+    pairs the filter must cut) and ``coef`` ∈ [-1, 1] is the SRP md5
+    recipe (`similarity._srp_coef`). All arithmetic is IEEE-exact from
+    md5-derived integers, so DuckDB reproduces the array bit-identically
+    via ``list_transform`` (1-based index shifted to match Spark's
+    0-based ``transform`` — CLAUDE.md round-3 ordinality note).
+    Map-side only: no shuffle, no UDF.
+    """
+    from .similarity import _dbl, _srp_coef
+
+    sid = F.col(id_col).cast("string")
+    amp = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("amp|"), sid)), 1, 15), 16, 10
+        ).cast("bigint")
+        % 1000
+    ) / F.lit(500.0)
+    return df.withColumn(
+        pair_col,
+        F.transform(
+            _dbl(vec_col),
+            lambda x, j: x + amp * _srp_coef(F.col(id_col), j, seed),
+        ),
+    )
+
+
+def cross_modal_alignment(
+    df: DataFrame,
+    vec_a: str = "embedding",
+    vec_b: str = "pair_embedding",
+    out_col: str = "alignment",
+) -> DataFrame:
+    """Per-row cosine alignment between the two modality embeddings of
+    a pair, rounded to 6dp (parity kit): ``round(cos(a, b), 6)``, NULL
+    when either side is NULL/zero-norm/NaN-poisoned (the
+    `similarity.cosine_from_norms` contract, so a poisoned pair can
+    never pass a threshold).
+
+    Plan shape: pure map-side column expressions (zip-multiply dot +
+    two norms) — zero shuffles, whole-stage codegen, scales linearly in
+    pairs at any corpus size. Cut the result with a fixed threshold or
+    `text.quantile_threshold_filter` (one broadcast aggregate).
+    """
+    from .similarity import _dbl, cosine_from_norms, dot, l2_norm
+
+    a, b = _dbl(vec_a), _dbl(vec_b)
+    return df.withColumn(
+        out_col,
+        F.round(cosine_from_norms(a, b, l2_norm(a), l2_norm(b)), 6),
+    )

@@ -863,3 +863,81 @@ def test_semantic_dedup_sweep_engines_agree(spark, sf_dir):
         )
     )
     assert v == j
+
+
+def test_cross_modal_alignment_properties(spark):
+    """r12 LAION-style alignment cut: identical modalities score 1;
+    an orthogonal pair scores 0; a zero-norm / NULL side is NULL (never
+    NaN — NaN would pass every threshold); amp=0 rows (pair == text
+    embedding) always survive the quantile cut."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        multimodal as MM,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [1.0, 0.0], [0.0, 1.0]),
+            (3, [1.0, 0.0], [-1.0, 0.0]),
+            (4, [1.0, 0.0], [0.0, 0.0]),
+            (5, [1.0, 0.0], None),
+        ],
+        "vec_id bigint, embedding array<double>, pair_embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["alignment"]
+        for r in MM.cross_modal_alignment(df).collect()
+    }
+    assert out == {1: 1.0, 2: 0.0, 3: -1.0, 4: None, 5: None}
+
+
+def test_synthetic_paired_embeddings_alignment_tracks_amp(spark, sf_dir):
+    """The md5-derived second modality must create a real spread of
+    alignments (some near 1, some low) and alignment must DECREASE with
+    the per-row noise amp — otherwise the quantile cut is vacuous."""
+    from pyspark.sql import functions as F
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        multimodal as MM,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = MM.cross_modal_alignment(MM.synthetic_paired_embeddings(emb))
+    amp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("amp|"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    ) / F.lit(500.0)
+    rows = scored.select("vec_id", "alignment", amp.alias("amp")).collect()
+    lo_amp = [r["alignment"] for r in rows if r["amp"] < 0.3]
+    hi_amp = [r["alignment"] for r in rows if r["amp"] > 1.7]
+    assert lo_amp and hi_amp
+    assert min(lo_amp) > max(hi_amp) - 0.2  # broad monotone trend
+    assert sum(lo_amp) / len(lo_amp) > sum(hi_amp) / len(hi_amp) + 0.3
+    assert max(r["alignment"] for r in rows) > 0.9
+    assert min(r["alignment"] for r in rows) < 0.5
+
+
+def test_cross_modal_alignment_is_map_side(spark, sf_dir):
+    """Scale pin: scoring is pure map-side column work — zero exchanges,
+    zero Python — so the only shuffle in the full filter is the scalar
+    quantile aggregate."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        multimodal as MM,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.sources.bucketing import (
+        count_exchanges,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = MM.cross_modal_alignment(MM.synthetic_paired_embeddings(emb))
+    assert count_exchanges(scored) == 0
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan

@@ -1634,3 +1634,67 @@ def test_lsh_banding_plan_hand_values(spark):
 
     with _pytest.raises(ValueError, match="num_hashes"):
         lsh_banding_plan(pairs, num_hashes=0)
+
+
+def test_choose_banding_rule(spark):
+    """r12: the advisor winner is the TIGHTEST banding (largest
+    s_midpoint <= threshold) whose measured expected_recall clears
+    min_recall — not the max-recall row, which degenerates to
+    rows_per_band=1 and floods the candidate join."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        choose_banding,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.95), (5, 6, 0.85)],
+        "a BIGINT, b BIGINT, jaccard DOUBLE",
+    )
+    # midpoints for 16 hashes: (16,1)=0.0625 (8,2)=0.3536 (4,4)=0.7071
+    # (2,8)=0.9170 (1,16)=1.0. At threshold 0.8 the under-set is
+    # {(16,1),(8,2),(4,4)}; on these high-j pairs all clear recall 0.9,
+    # so the tightest (4,4) wins.
+    assert choose_banding(pairs, 16, threshold=0.8) == (4, 4)
+    # at threshold 0.4 the under-set is {(16,1),(8,2)} (midpoints
+    # 0.0625, 0.3536); tightest clearing 0.9 recall is (8,2)
+    assert choose_banding(pairs, 16, threshold=0.4) == (8, 2)
+    # at threshold 0.2 only (16,1) qualifies by midpoint
+    assert choose_banding(pairs, 16, threshold=0.2) == (16, 1)
+    # impossible min_recall: best-effort max-recall row (16,1)
+    low = spark.createDataFrame(
+        [(1, 2, 0.05)], "a BIGINT, b BIGINT, jaccard DOUBLE"
+    )
+    assert choose_banding(low, 16, threshold=0.2, min_recall=0.99) == (16, 1)
+
+
+def test_minhash_auto_banding_reproduces_standalone_pairs(spark, sf_dir):
+    """r12 (VERDICT r11 task 4): feeding the measured exact near-dup
+    pairs as banding= must (a) pick a banding whose midpoint sits under
+    the threshold and (b) reproduce the pair set of the standalone call
+    with that banding passed explicitly — the advisor changes HOW the
+    hash budget is banded, never the verify semantics."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    measured = D.prefix_filter_pairs(docs, threshold_num=1, threshold_den=2)
+    picked = D.choose_banding(measured, num_hashes=16, threshold=0.5)
+    assert round((1 / picked[0]) ** (1 / picked[1]), 6) <= 0.5
+    assert picked[0] * picked[1] == 16
+
+    auto = sorted(
+        map(tuple, D.minhash_dedup_pairs(
+            docs, threshold=0.5, banding=measured
+        ).collect())
+    )
+    explicit = sorted(
+        map(tuple, D.minhash_dedup_pairs(
+            docs, threshold=0.5, banding=picked
+        ).collect())
+    )
+    assert auto == explicit and auto
+    # recall vs the exact join at the same threshold: the advisor's
+    # pick must actually recall most of the measured pairs
+    exact = {(r["a"], r["b"]) for r in measured.collect()}
+    got = {(a, b) for a, b, _ in auto}
+    assert len(got & exact) / len(exact) >= 0.9
