@@ -1914,6 +1914,29 @@ def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KLL serve on a REAL grouping dimension (per order
+    priority, the `grouped_price_quantiles` shape — 5 groups vs
+    kll_price_quantiles' 3 return flags): CLAUDE.md names kll_sketch
+    (k=512) as the grouped-quantile scale path, so the grouped form
+    gets its own contract gate. Same self-measuring report: rank_ok =
+    the exactly-tracked error budget contains each estimate's true rank
+    band (provable — the oracle emits literal true), bound_ok = budget
+    <= 2% of the group's n; n_rows exact and hash-matched per group."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        kll as KL,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = KL.kll_sketch(
+        orders, "o_totalprice", group_cols=["o_orderpriority"],
+        k=512, n_blocks=16, id_col="o_orderkey",
+    )
+    return KL.kll_quantile_report(
+        sk, orders, "o_totalprice", group_cols=["o_orderpriority"]
+    )
+
+
 BLOOM_M_BITS = 120
 BLOOM_K = 2
 
@@ -3271,6 +3294,56 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community partition of the nation trade graph by deterministic
+    synchronous label propagation (Raghavan et al. 2007 + self-vote and
+    min-label tie-break — see graph.label_propagation): the raw trade
+    graph is complete (every nation pair trades), so edges are first
+    cut to STRONG ties (undirected weight >= 1.4x the mean, the integer
+    rational 5·w·n_pairs >= 7·total) and 4 LPA rounds split the strong-
+    tie graph along its sparse cuts — the community member of the graph
+    shelf next to centrality (pagerank), cohesion (triangles) and
+    connectivity (CC). Integer labels, no rounding contract; the fixed
+    rounds unroll to an exact DuckDB oracle."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    und = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .agg(F.sum("cnt").alias("w"))
+    )
+    tot = und.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
+    ).alias("tg")
+    strong = (
+        und.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("tg.np") * 5 >= 7 * F.col("tg.tw"))
+        .select("u", "v")
+    )
+    return GR.label_propagation(strong, "u", "v", n_iter=4).select(
+        F.col("node").alias("nationkey"), "community"
+    ).orderBy("nationkey")
+
+
 def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counts + local clustering coefficient over the
     (undirected) nation trade graph — the cohesion companion to
@@ -3900,10 +3973,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # noted in place below so the audit trail stays in the file.
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
-    # recipe over md5-derived second-modality embeddings).
-    # order_price_sampled_quantiles rotated out (driver-proven r11,
+    # recipe over md5-derived second-modality embeddings), the grouped
+    # KLL serve gate (per order priority), and label-propagation
+    # communities over the strong-tie nation trade graph.
+    # order_price_sampled_quantiles, prototype_pruned_docs and
+    # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
-    "aligned_pairs_filtered",
+    "aligned_pairs_filtered", "kll_grouped_quantiles",
+    "nation_communities",
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
     # deterministic-compaction KLL bounded-error quantile gate.
@@ -3923,9 +4000,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
-    "prototype_pruned_docs",
     "events_key_skew",
-    "fertility_report_merged",
     "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
@@ -4135,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_sampled_quantiles": q_order_price_sampled_quantiles,
         "grouped_price_quantiles": q_grouped_price_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "kll_grouped_quantiles": q_kll_grouped_quantiles,
         "bottomk_cardinality_report": q_bottomk_cardinality_report,
         "priority_user_sample": q_priority_user_sample,
         "priority_subset_estimate": q_priority_subset_estimate,
@@ -4213,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_brand_fronts": q_skyline_brand_fronts,
         "nation_pagerank": q_nation_pagerank,
         "nation_triangles": q_nation_triangles,
+        "nation_communities": q_nation_communities,
         "event_anomaly": q_event_anomaly,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
@@ -5805,6 +5882,34 @@ _TEXT_STATS_SQL = rf"""
 """
 
 
+def _lpa_rounds_sql(n_iter: int) -> str:
+    """Unrolled label-propagation rounds for the nation_communities
+    oracle (the pagerank unroll precedent): per round, neighbor votes
+    (both edge directions) + one self-vote, winner = (cnt DESC, lbl
+    ASC) — the exact mirror of graph.label_propagation's
+    max(struct(cnt, -lbl)) pick. Integer labels: no rounding contract
+    anywhere."""
+    ctes = []
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+            v{i} AS (
+                SELECT node, lbl, SUM(cnt) AS cnt FROM (
+                    SELECT bi.u AS node, l{i - 1}.community AS lbl,
+                           COUNT(*) AS cnt
+                    FROM bi JOIN l{i - 1} ON bi.v = l{i - 1}.node
+                    GROUP BY 1, 2
+                    UNION ALL
+                    SELECT node, community AS lbl, 1 AS cnt FROM l{i - 1}
+                ) t GROUP BY node, lbl),
+            l{i} AS (
+                SELECT node, lbl AS community FROM (
+                    SELECT node, lbl,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, lbl ASC) AS rn
+                    FROM v{i}) t WHERE rn = 1)""")
+    return ",".join(ctes)
+
+
 # md5→bigint bucket in [0, 1e6): identical to operators/sampling.hash_bucket
 def _sample_bucket_sql(key: str, seed: str = "sample|") -> str:
     return (
@@ -6957,6 +7062,28 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.p_retailprice < a.p_retailprice
                        OR b.p_size > a.p_size))
         """,
+        "nation_communities": f"""
+            WITH e0 AS (
+                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       COUNT(*) AS cnt
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2),
+            und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                           SUM(cnt) AS w
+                    FROM e0 WHERE src != dst GROUP BY 1, 2),
+            tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM und),
+            ed AS (SELECT und.u, und.v FROM und, tot
+                   WHERE und.w * tot.np * 5 >= 7 * tot.tw),
+            bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+            l0 AS (SELECT DISTINCT u AS node, u AS community FROM bi),
+            {_lpa_rounds_sql(4)}
+            SELECT CAST(node AS INTEGER) AS nationkey,
+                   CAST(community AS INTEGER) AS community
+            FROM l4 ORDER BY nationkey
+        """,
         "nation_triangles": """
             WITH raw AS (
                 SELECT s.s_nationkey AS a, c.c_nationkey AS b
@@ -7916,6 +8043,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY l_returnflag),
             q(q_num, q_den) AS (VALUES (1, 4), (2, 4), (3, 4), (19, 20))
             SELECT l_returnflag,
+                   CAST(q_num AS INTEGER) AS q_num,
+                   CAST(q_den AS INTEGER) AS q_den,
+                   n_rows,
+                   true AS rank_ok, true AS bound_ok
+            FROM g CROSS JOIN q
+        """,
+        "kll_grouped_quantiles": """
+            WITH g AS (SELECT o_orderpriority,
+                              CAST(COUNT(o_totalprice) AS BIGINT) AS n_rows
+                       FROM orders GROUP BY o_orderpriority),
+            q(q_num, q_den) AS (VALUES (1, 4), (2, 4), (3, 4), (19, 20))
+            SELECT o_orderpriority,
                    CAST(q_num AS INTEGER) AS q_num,
                    CAST(q_den AS INTEGER) AS q_den,
                    n_rows,

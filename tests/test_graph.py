@@ -105,3 +105,58 @@ def test_triangle_counts_no_cartesian(spark):
     plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Communities split a bridged pair of triangles that CC would fuse
+    — the operator's reason to exist on the graph shelf."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (7, 8)]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    out = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7}
+
+
+def test_label_propagation_no_oscillation_and_dedup(spark):
+    """The self-vote kills pure-synchronous LPA's 2-cycle label swap
+    (a—b with labels 1,2 would flip forever; with self-votes both tie
+    and take min), for any even/odd n_iter. Self-loops and duplicate /
+    reversed edges collapse; NULL endpoints drop."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        label_propagation,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 2), (None, 2)],
+        "a BIGINT, b BIGINT",
+    )
+    for it in (1, 2, 3, 4):
+        out = {
+            r["node"]: r["community"]
+            for r in label_propagation(df, n_iter=it).collect()
+        }
+        assert out == {1: 1, 2: 1}, it
+    with _pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=0)
+
+
+def test_label_propagation_hub_takes_majority(spark):
+    """A node with neighbors in two communities adopts the majority
+    one; at an exact tie the smallest label wins (deterministic)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # clique {1,2,3} and clique {10,11,12}; node 20 sees 1,2 from the
+    # first and 10 from the second -> majority pulls 20 to community 1
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+             (20, 1), (20, 2), (20, 10)]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    out = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert out[20] == 1
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
