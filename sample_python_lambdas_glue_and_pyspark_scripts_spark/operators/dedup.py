@@ -2810,6 +2810,7 @@ def lsh_banding_plan(
     pairs: DataFrame,
     num_hashes: int = 16,
     jaccard_col: str = "jaccard",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding advisor: for EVERY (bands, rows_per_band)
     factorization of ``num_hashes``, the expected candidate recall over
@@ -2832,6 +2833,14 @@ def lsh_banding_plan(
     Scale: one broadcast of the ≤ d(num_hashes)-row banding table over
     the pair frame (pair-sized, already the small output of an exact
     join), one keyed aggregate.
+
+    ``weight_col`` makes each pair row stand for an integer MULTIPLICITY
+    of identical-jaccard pairs — the replicated-corpus lever: run the
+    exact join on exact-dedup KEEPERS only, weight each keeper pair by
+    ``n_docs(a)·n_docs(b)`` and add one ``j=1`` row of weight C(n,2)
+    per exact group, and the advisor equals the raw-pair run
+    (J(copy, x) = J(keeper, x)) at keeper-pair cost instead of the
+    replica-quadratic pair materialization.
     """
     if num_hashes < 1:
         raise ValueError("lsh_banding_plan: num_hashes must be >= 1")
@@ -2847,12 +2856,19 @@ def lsh_banding_plan(
         F.lit(1.0) - F.pow(j, F.col("rows_per_band").cast("double")),
         F.col("bands").cast("double"),
     )
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
     return (
         pairs.crossJoin(F.broadcast(bdf))
         .groupBy("bands", "rows_per_band")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.avg(p), 6).alias("expected_recall"),
+            F.sum(w).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(w.cast("double") * p) / F.sum(w).cast("double"), 6
+            ).alias("expected_recall"),
         )
         .select(
             "bands",

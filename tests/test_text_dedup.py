@@ -1698,3 +1698,34 @@ def test_minhash_auto_banding_reproduces_standalone_pairs(spark, sf_dir):
     exact = {(r["a"], r["b"]) for r in measured.collect()}
     got = {(a, b) for a, b, _ in auto}
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_lsh_banding_plan_weighted_equals_replicated(spark):
+    """r12 lever: a weighted advisor over keeper pairs (+ closed-form
+    intra-group j=1 rows) equals the raw advisor over the materialized
+    replicated pairs — the dedup-upstream lever for the advisor's
+    replication-quadratic input, exact by J(copy, x) = J(keeper, x)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        lsh_banding_plan,
+    )
+
+    # keeper pairs (a,b,j) with multiplicities 2x3 and 1x2, plus one
+    # exact group of size 3 (3 intra pairs at j=1)
+    raw = []
+    raw += [(f"a{i}", f"b{k}", 0.6) for i in range(2) for k in range(3)]
+    raw += [(f"c{i}", f"d{k}", 0.3) for i in range(1) for k in range(2)]
+    raw += [("g0", "g1", 1.0), ("g0", "g2", 1.0), ("g1", "g2", 1.0)]
+    raw_df = spark.createDataFrame(raw, "a STRING, b STRING, jaccard DOUBLE")
+    weighted = spark.createDataFrame(
+        [(0.6, 6), (0.3, 2), (1.0, 3)], "jaccard DOUBLE, w BIGINT"
+    )
+    a = sorted(
+        map(tuple, lsh_banding_plan(raw_df, num_hashes=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            lsh_banding_plan(weighted, num_hashes=8, weight_col="w").collect(),
+        )
+    )
+    assert a == b

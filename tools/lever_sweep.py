@@ -192,8 +192,55 @@ def prefix_intake_on(spark, sf_dir):
     )
 
 
+def banding_report_off(spark, sf_dir):
+    return entrymod.queries()["lsh_banding_report"](spark, sf_dir)
+
+
+def banding_report_on(spark, sf_dir):
+    """Lever: exact dedup upstream + WEIGHTED advisor (r12). The
+    advisor's input under verbatim replication is output-quadratic
+    (every copy pair is J=1), but each replicated pair's collision
+    probability is a function of its KEEPER pair's jaccard alone — so
+    run the exact join on keepers only, weight each keeper pair by
+    n_docs(a)·n_docs(b), add one j=1 row of weight C(n,2) per exact
+    group, and lsh_banding_plan(weight_col=) reproduces the raw-pair
+    advisor exactly (pinned equal_at_1x) at keeper-pair cost."""
+    docs = _docs(spark, sf_dir)
+    groups = DD.exact_dedup_groups(docs)  # fp -> keep_id, n_docs
+    keepers = (
+        docs.select("doc_id", "text", DD.fingerprint("text").alias("fp"))
+        .join(groups.select("fp", "keep_id"), "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    kp = DD.prefix_filter_pairs(
+        keepers, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+    sizes = groups.select(F.col("keep_id"), F.col("n_docs"))
+    weighted = (
+        kp.join(sizes.select(F.col("keep_id").alias("a"),
+                             F.col("n_docs").alias("na")), "a")
+        .join(sizes.select(F.col("keep_id").alias("b"),
+                           F.col("n_docs").alias("nb")), "b")
+        .select("jaccard", (F.col("na") * F.col("nb")).alias("w"))
+    )
+    intra = (
+        groups.filter(F.col("n_docs") >= 2)
+        .select(
+            F.lit(1.0).alias("jaccard"),
+            (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    return DD.lsh_banding_plan(
+        weighted.unionByName(intra), num_hashes=16, weight_col="w"
+    )
+
+
 PAIRS = {
     "dedup_clusters_star": (clusters_star_off, clusters_star_on),
+    "lsh_banding_report": (banding_report_off, banding_report_on),
     "bigram_logprob": (bigram_off, bigram_on),
     "price_quantiles": (quantiles_off, quantiles_on),
     "prefix_jaccard_pairs": (prefix_jaccard_off, prefix_jaccard_on),
@@ -221,7 +268,11 @@ def main() -> None:
         off, on = PAIRS[name]
         row: dict = {}
         try:
-            if name in ("dedup_clusters_star", "prefix_intake_admitted"):
+            if name in (
+                "dedup_clusters_star",
+                "prefix_intake_admitted",
+                "lsh_banding_report",
+            ):
                 # these levers are exactness-preserving (keeper = group
                 # min id; J(copy, x) = J(keeper, x)): pin it
                 a = {tuple(r) for r in off(spark, ss.BASE_SF).collect()}
