@@ -3981,6 +3981,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged).
     "aligned_pairs_filtered", "kll_grouped_quantiles",
     "nation_communities",
+    # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
+    # r11 task-5 list): decontaminated_docs last proven r3, span_dedup
+    # r5, corpus_admitted_indexed + scd2_orders r7, bm25_search_indexed
+    # r9, decontaminated_spans r10. Rotated out to make room (all
+    # driver-proven r11, unchanged this round): jl_projections,
+    # ann_jl_recall, datasheet_report, readability_report,
+    # kn_bigram_logprob, simhash_near_pairs.
+    "span_dedup", "decontaminated_docs", "decontaminated_spans",
+    "corpus_admitted_indexed", "bm25_search_indexed", "scd2_orders",
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
     # deterministic-compaction KLL bounded-error quantile gate.
@@ -4001,18 +4010,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     "events_key_skew",
-    "jl_projections", "ann_jl_recall", "semantic_dedup_sweep",
+    "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
     "curation_drop_ledger", "video_scene_changes", "cms_heavy_hitters",
-    "datasheet_report", "readability_report",
+
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
     "c4_line_filtered_docs", "frame_near_dup_pairs",
     "robust_winnow_matches", "winnow_retention_report",
     "packing_efficiency_report", "cross_source_dup_sweep",
-    "kn_bigram_logprob",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -4020,7 +4028,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "curation_cascade_census", "quality_calibration_report",
     "exactsubstr_decon_rewrite", "cross_source_dup_report",
     "training_mix_census", "robust_winnow_fingerprints",
-    "simhash_near_pairs",
     # oldest-proof refresh (rotation rule clause 3): dedup_minhash_lsh
     # last driver-proven r2, semantic_dedup r4, the pz/routing block r2
     # — cycled back in so every query regains driver-recorded proof on
