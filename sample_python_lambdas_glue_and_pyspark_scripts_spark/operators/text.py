@@ -764,7 +764,8 @@ def quantile_threshold_filter(
     one aggregate plus a narrow filter, no per-row shuffle. ``exact=True``
     uses ``percentile`` (linear interpolation, matches DuckDB
     ``quantile_cont`` at 6dp — contract-checkable); at 100 TB switch to
-    ``exact=False`` (``approx_percentile``, t-digest, single-pass
+    ``exact=False`` (``approx_percentile``, a GK/KLL-family rank
+    sketch, single-pass
     mergeable sketch) — same plan shape, bounded memory.
 
     Threshold and comparison are rounded to 6dp so the kept set is
@@ -1237,7 +1238,8 @@ def perplexity_buckets(
     broadcast back — no per-row shuffle, no sort of the full corpus.
     ``exact=True`` uses ``percentile`` (matches DuckDB ``quantile_cont``
     at 6dp — contract-checkable); at 100 TB flip to ``exact=False``
-    (``approx_percentile``, mergeable t-digest, same plan shape).
+    (``approx_percentile``, a mergeable GK/KLL-family rank sketch,
+    same plan shape).
     Thresholds and comparisons are on 6dp-rounded scores (parity kit),
     so the partition is identical across engines.
     """
