@@ -278,11 +278,23 @@ def main() -> None:
                 a = {tuple(r) for r in off(spark, ss.BASE_SF).collect()}
                 b = {tuple(r) for r in on(spark, ss.BASE_SF).collect()}
                 row["equal_at_1x"] = a == b
-            row["t1_off"] = ss.timed(lambda: ss.force(off(spark, ss.BASE_SF)))
+            on_only = bool(os.environ.get("LEVER_SWEEP_ON_ONLY"))
+            if not on_only:
+                row["t1_off"] = ss.timed(
+                    lambda: ss.force(off(spark, ss.BASE_SF))
+                )
             row["t1_on"] = ss.timed(lambda: ss.force(on(spark, ss.BASE_SF)))
-            row["t64_off"] = ss.timed(lambda: ss.force(off(spark, WORK)))
+            if not on_only:
+                # the off arm of an output-quadratic query can exceed
+                # local shuffle disk at 64x (lsh_banding_report's raw
+                # pair input spilled past the container disk) — set
+                # LEVER_SWEEP_ON_ONLY=1 to record the lever arm alone
+                row["t64_off"] = ss.timed(lambda: ss.force(off(spark, WORK)))
             row["t64_on"] = ss.timed(lambda: ss.force(on(spark, WORK)))
-            row["ratio_off"] = round(row["t64_off"] / max(row["t1_off"], 1e-9), 1)
+            if not on_only:
+                row["ratio_off"] = round(
+                    row["t64_off"] / max(row["t1_off"], 1e-9), 1
+                )
             row["ratio_on"] = round(row["t64_on"] / max(row["t1_on"], 1e-9), 1)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
