@@ -3294,21 +3294,12 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community partition of the nation trade graph by deterministic
-    synchronous label propagation (Raghavan et al. 2007 + self-vote and
-    min-label tie-break — see graph.label_propagation): the raw trade
-    graph is complete (every nation pair trades), so edges are first
-    cut to STRONG ties (undirected weight >= 1.4x the mean, the integer
-    rational 5·w·n_pairs >= 7·total) and 4 LPA rounds split the strong-
-    tie graph along its sparse cuts — the community member of the graph
-    shelf next to centrality (pagerank), cohesion (triangles) and
-    connectivity (CC). Integer labels, no rounding contract; the fixed
-    rounds unroll to an exact DuckDB oracle."""
-    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
-        graph as GR,
-    )
-
+def _strong_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-tie nation trade graph shared by the community and
+    coreness queries: undirected trade weight >= 1.4x the mean (the
+    integer rational 5·w·n_pairs >= 7·total) — the raw graph is
+    complete, so graph structure only appears after the strong-tie
+    cut."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3334,14 +3325,51 @@ def q_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = und.agg(
         F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
     ).alias("tg")
-    strong = (
+    return (
         und.crossJoin(F.broadcast(tot))
         .filter(F.col("w") * F.col("tg.np") * 5 >= 7 * F.col("tg.tw"))
         .select("u", "v")
     )
+
+
+def q_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community partition of the nation trade graph by deterministic
+    synchronous label propagation (Raghavan et al. 2007 + self-vote and
+    min-label tie-break — see graph.label_propagation): the raw trade
+    graph is complete (every nation pair trades), so edges are first
+    cut to STRONG ties (undirected weight >= 1.4x the mean, the integer
+    rational 5·w·n_pairs >= 7·total) and 4 LPA rounds split the strong-
+    tie graph along its sparse cuts — the community member of the graph
+    shelf next to centrality (pagerank), cohesion (triangles) and
+    connectivity (CC). Integer labels, no rounding contract; the fixed
+    rounds unroll to an exact DuckDB oracle."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    strong = _strong_trade_edges(spark, sf_dir)
     return GR.label_propagation(strong, "u", "v", n_iter=4).select(
         F.col("node").alias("nationkey"), "community"
     ).orderBy("nationkey")
+
+
+def q_nation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the strong-tie nation trade graph (Seidman 1983,
+    synchronous peel, k=4): the coreness member of the graph shelf —
+    surviving the peel needs 4 MUTUALLY-surviving trade partners, the
+    standard link-farm/densest-region signal a pendant hub or one-clique
+    wonder can't fake. Integer degrees, no ties, no floats: the fixed
+    8-round unroll is the exact oracle, and the engine's early
+    convergence exit equals it because peeling is monotone (a converged
+    round is a no-op)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    strong = _strong_trade_edges(spark, sf_dir)
+    return GR.kcore(strong, k=4, src="u", dst="v", max_rounds=8).orderBy(
+        "node"
+    )
 
 
 def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3980,7 +4008,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
     "aligned_pairs_filtered", "kll_grouped_quantiles",
-    "nation_communities",
+    "nation_communities", "nation_kcore",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
     # r11 task-5 list): decontaminated_docs last proven r3, span_dedup
     # r5, corpus_admitted_indexed + scd2_orders r7, bm25_search_indexed
@@ -4019,7 +4047,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
     "c4_line_filtered_docs", "frame_near_dup_pairs",
-    "robust_winnow_matches", "winnow_retention_report",
+    # winnow_retention_report rotated out for nation_kcore (r12 second
+    # batch; driver-proven r11, unchanged)
+    "robust_winnow_matches",
     "packing_efficiency_report", "cross_source_dup_sweep",
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
@@ -4297,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_pagerank": q_nation_pagerank,
         "nation_triangles": q_nation_triangles,
         "nation_communities": q_nation_communities,
+        "nation_kcore": q_nation_kcore,
         "event_anomaly": q_event_anomaly,
         "corpus_curation": q_corpus_curation,
         "events_tumbling_window": q_events_tumbling_window,
@@ -5889,6 +5920,47 @@ _TEXT_STATS_SQL = rf"""
 """
 
 
+_STRONG_EDGES_SQL = """
+            e0 AS (
+                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       COUNT(*) AS cnt
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2),
+            und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                           SUM(cnt) AS w
+                    FROM e0 WHERE src != dst GROUP BY 1, 2),
+            tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM und),
+            ed AS MATERIALIZED (
+                SELECT und.u, und.v FROM und, tot
+                WHERE und.w * tot.np * 5 >= 7 * tot.tw)"""
+
+
+def _kcore_rounds_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peel for the nation_kcore oracle:
+    per round, survivor degrees over the previous round's edge set,
+    drop < k, induce. Monotone, integer-only — the engine's early
+    convergence exit equals any unroll at or past the fixpoint."""
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = "ed" if i == 1 else f"ke{i - 1}"
+        ctes.append(f"""
+            kd{i} AS MATERIALIZED (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                    SELECT u AS node FROM {prev}
+                    UNION ALL SELECT v AS node FROM {prev}
+                ) t GROUP BY node),
+            ks{i} AS MATERIALIZED (
+                SELECT node, degree FROM kd{i} WHERE degree >= {k}),
+            ke{i} AS MATERIALIZED (
+                SELECT p.u, p.v FROM {prev} p
+                JOIN ks{i} a ON p.u = a.node
+                JOIN ks{i} b ON p.v = b.node)""")
+    return ",".join(ctes)
+
+
 def _lpa_rounds_sql(n_iter: int) -> str:
     """Unrolled label-propagation rounds for the nation_communities
     oracle (the pagerank unroll precedent): per round, neighbor votes
@@ -7070,26 +7142,19 @@ def oracle_sql() -> dict[str, str]:
                        OR b.p_size > a.p_size))
         """,
         "nation_communities": f"""
-            WITH e0 AS (
-                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-                       COUNT(*) AS cnt
-                FROM lineitem l
-                JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                JOIN orders o ON l.l_orderkey = o.o_orderkey
-                JOIN customer c ON o.o_custkey = c.c_custkey
-                GROUP BY 1, 2),
-            und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
-                           SUM(cnt) AS w
-                    FROM e0 WHERE src != dst GROUP BY 1, 2),
-            tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM und),
-            ed AS (SELECT und.u, und.v FROM und, tot
-                   WHERE und.w * tot.np * 5 >= 7 * tot.tw),
+            WITH {_STRONG_EDGES_SQL},
             bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
             l0 AS (SELECT DISTINCT u AS node, u AS community FROM bi),
             {_lpa_rounds_sql(4)}
             SELECT CAST(node AS INTEGER) AS nationkey,
                    CAST(community AS INTEGER) AS community
             FROM l4 ORDER BY nationkey
+        """,
+        "nation_kcore": f"""
+            WITH {_STRONG_EDGES_SQL},
+            {_kcore_rounds_sql(4, 8)}
+            SELECT CAST(node AS INTEGER) AS node, degree
+            FROM ks8 ORDER BY node
         """,
         "nation_triangles": """
             WITH raw AS (

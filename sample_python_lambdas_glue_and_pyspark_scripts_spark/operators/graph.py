@@ -319,3 +319,82 @@ def label_propagation(
     finally:
         e.unpersist()
         nodes.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of an undirected simple graph (Seidman 1983): the
+    maximal subgraph in which every node has degree >= k, by synchronous
+    peeling — drop all nodes of degree < k, recompute degrees in the
+    survivor-induced subgraph, repeat. Coreness is the graph-shelf
+    member the others don't cover: a high-PageRank node can be a
+    pendant hub, a high-triangle node a one-clique wonder; surviving
+    the k-core peel needs k MUTUALLY-surviving neighbors (the standard
+    web-spam/link-farm signal and the densest-region prefilter).
+
+    Determinism is free (no ties, no floats: a node is dropped iff its
+    integer survivor-degree < k), so a FIXED-round run unrolls to an
+    exact SQL oracle (the pagerank precedent) — and because peeling is
+    monotone (survivor sets only shrink; a converged round is a no-op),
+    the engine may stop EARLY at a fixpoint and still equal the oracle's
+    full ``max_rounds`` unroll. Raises if the peel has not converged
+    after ``max_rounds`` (the bound is the oracle's unroll depth, not a
+    truncation — an unconverged cut would be a silent wrong answer).
+
+    Plan per round: one semi join of the edge table against survivors
+    on EACH endpoint + one keyed degree count — edge-sized shuffles,
+    AQE-splittable, nothing collects but the per-round survivor count
+    (one scalar driver read, the convergence test). Returns
+    ``(node, degree)`` of the k-core subgraph.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    u, v = F.col(src), F.col(dst)
+    e0 = (
+        ensure_parallelism(edges)
+        .where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+        .persist()
+    )
+    live = e0
+    try:
+        n_prev = None
+        for _ in range(max_rounds):
+            deg = (
+                live.select(F.explode(F.array("u", "v")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            )
+            keep = deg.filter(F.col("degree") >= k).localCheckpoint(
+                eager=True
+            )
+            n = keep.count()
+            if n_prev is not None and n == n_prev:
+                return keep
+            n_prev = n
+            if n == 0:
+                return keep
+            survivors = keep.select("node")
+            live = (
+                live.join(
+                    survivors.withColumnRenamed("node", "u"), "u", "left_semi"
+                )
+                .join(
+                    survivors.withColumnRenamed("node", "v"), "v", "left_semi"
+                )
+                .localCheckpoint(eager=False)
+            )
+        raise ValueError(
+            f"kcore: peel did not converge within max_rounds={max_rounds} "
+            "(raise max_rounds; the oracle unroll depth must match)"
+        )
+    finally:
+        e0.unpersist()

@@ -160,3 +160,48 @@ def test_label_propagation_hub_takes_majority(spark):
     assert out[20] == 1
     assert out[1] == out[2] == out[3] == 1
     assert out[10] == out[11] == out[12] == 10
+
+
+def test_kcore_hand_graphs(spark):
+    """Triangle + tail: the k=2 core is exactly the triangle (the tail
+    peels in two rounds — node 5 first, then 4); K4 minus an edge has a
+    3-core of nothing but a 2-core of everything; k exceeding max
+    degree peels to empty."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        kcore,
+    )
+
+    tri_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a BIGINT, b BIGINT"
+    )
+    assert sorted(tuple(r) for r in kcore(tri_tail, k=2).collect()) == [
+        (1, 2), (2, 2), (3, 2)
+    ]
+    # K4 minus edge (1,2): degrees 2,2,3,3 -> 3-core empty (peeling 1
+    # and 2 leaves a single edge), 2-core everything
+    k4m = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "a BIGINT, b BIGINT"
+    )
+    assert kcore(k4m, k=3).count() == 0
+    assert kcore(k4m, k=2).count() == 4
+    assert kcore(k4m, k=5).count() == 0
+
+
+def test_kcore_validation_and_convergence_guard(spark):
+    import pytest as _pytest
+
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        kcore,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a BIGINT, b BIGINT")
+    with _pytest.raises(ValueError, match="k must"):
+        kcore(df, k=0)
+    # a long path peels one node per end per round: 10 nodes at k=2
+    # need ~4 rounds to empty; max_rounds=1 must refuse, not truncate
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "a BIGINT, b BIGINT"
+    )
+    with _pytest.raises(ValueError, match="converge"):
+        kcore(path, k=2, max_rounds=1)
+    assert kcore(path, k=2, max_rounds=8).count() == 0
