@@ -3126,6 +3126,33 @@ def q_aligned_pairs_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_modal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval (the CLIP-style text→image search that
+    follows alignment filtering): 3 text-side query vectors served
+    against the IMAGE-side corpus (the md5-derived paired modality),
+    exact cosine top-5. Image ids live in an offset id space
+    (vec_id + 10^6, the real-pipeline shape — modalities never share
+    ids), which also keeps cosine_topk's self-match exclusion inert so
+    a query CAN retrieve its own pair (the success case: well-aligned
+    rows rank their own image first). Broadcast query side, map-side
+    scoring, one per-query top-k window."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as SM,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = MM.synthetic_paired_embeddings(emb).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.col("pair_embedding").alias("embedding"),
+    )
+    out = SM.cosine_topk(corpus, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select(
+        "query_id",
+        (F.col("neighbor_id") - F.lit(1000000)).alias("image_id"),
+        "sim",
+    )
+
+
 def q_token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy best-first training-mix assembly under a global token
     budget — two-phase distributed prefix sum (per-level windows +
@@ -4007,7 +4034,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # order_price_sampled_quantiles, prototype_pruned_docs and
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
-    "aligned_pairs_filtered", "kll_grouped_quantiles",
+    "aligned_pairs_filtered", "cross_modal_topk",
+    "kll_grouped_quantiles",
     "nation_communities", "nation_kcore",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
     # r11 task-5 list): decontaminated_docs last proven r3, span_dedup
@@ -4046,9 +4074,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
     # robust-winnowing match side + retention census
-    "c4_line_filtered_docs", "frame_near_dup_pairs",
-    # winnow_retention_report rotated out for nation_kcore (r12 second
-    # batch; driver-proven r11, unchanged)
+    "c4_line_filtered_docs",
+    # winnow_retention_report and frame_near_dup_pairs rotated out for
+    # the r12 second batch (nation_kcore, cross_modal_topk;
+    # driver-proven r11, unchanged)
     "robust_winnow_matches",
     "packing_efficiency_report", "cross_source_dup_sweep",
     # new in round 9: the cascade-level census (stage oracles composed
@@ -4314,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dup_stats": q_exactsubstr_dup_stats,
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "aligned_pairs_filtered": q_aligned_pairs_filtered,
+        "cross_modal_topk": q_cross_modal_topk,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sweep": q_semantic_dedup_sweep,
@@ -9142,6 +9172,29 @@ SELECT 'url_dedup' AS stage,
             SELECT vec_id, alignment FROM scored, thr
             WHERE alignment >= t
             ORDER BY vec_id
+        """,
+        "cross_modal_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            amp AS (SELECT vec_id, v,
+                           (('0x' || substr(md5('amp|' || vec_id), 1, 15))::BIGINT
+                            % 1000) / 500.0 AS amp
+                    FROM e),
+            img AS (SELECT vec_id AS image_id,
+                           list_transform(v, (x, i) -> x + amp *
+                               ((('0x' || substr(md5('xm|' || vec_id || '|' || (i-1)), 1, 15))::BIGINT
+                                 % 2001 - 1000) / 1000.0)) AS iv
+                    FROM amp),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, img.image_id,
+                       ROUND(list_cosine_similarity(q.v, img.iv), 6) AS sim
+                FROM q CROSS JOIN img)
+            SELECT query_id, image_id, sim FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, image_id) AS rn
+                FROM scored) t
+            WHERE rn <= 5
         """,
         "token_budget_subset": rf"""
             WITH s AS (

@@ -941,3 +941,43 @@ def test_cross_modal_alignment_is_map_side(spark, sf_dir):
     assert count_exchanges(scored) == 0
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_cross_modal_topk_retrieves_own_pair_when_aligned(spark, sf_dir):
+    """Retrieval sanity: a LOW-amp query (its image ≈ its text) must
+    rank its own paired image first; the offset id space keeps
+    cosine_topk's self-exclusion inert."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    out = e.q_cross_modal_topk(spark, sf_dir)
+    top1 = {
+        r["query_id"]: r["image_id"]
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("query_id")
+                .orderBy(F.desc("sim"), "image_id")
+            ),
+        ).filter(F.col("rn") == 1).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    amp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("amp|"), F.col("vec_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint") % 1000
+    ) / F.lit(500.0)
+    amps = {
+        r["vec_id"]: r["a"]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", amp.alias("a"))
+        .collect()
+    }
+    assert len(top1) == 3
+    hits = [qid for qid, a in amps.items() if a < 0.3]
+    for qid in hits:  # near-identical pair -> must be its own top-1
+        assert top1[qid] == qid, (qid, top1)
