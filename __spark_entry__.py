@@ -3126,6 +3126,50 @@ def q_aligned_pairs_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _annotation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-annotator label table derived from events: item =
+    event_id % 200 (so every item collects many ratings), annotator =
+    user_id, label = event_type — the (item, annotator, label) shape
+    of RLHF preference / gold-set labeling pipelines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"),
+    )
+
+
+def q_consensus_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote consensus label per item (ties to the
+    lexicographically smallest label — deterministic): the gold-label
+    step of every labeling pipeline. One (item, label) count + an
+    item-keyed max + a tie-resolving min; map-side partials, no
+    window."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    return AN.consensus_labels(
+        _annotation_table(spark, sf_dir), "item", "annotator", "label"
+    ).orderBy("item")
+
+
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the derived annotation table — do raters
+    agree more than chance? (Near 0 here by construction: event types
+    are independent of the synthetic item key, the 'random raters'
+    regime — the gate checks the EXACT arithmetic, the hand tests
+    check the agreement regimes.) Integer vote counts in, one 6dp
+    round per reported float."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    return AN.fleiss_kappa_report(
+        _annotation_table(spark, sf_dir), "item", "annotator", "label"
+    )
+
+
 def q_cross_modal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval (the CLIP-style text→image search that
     follows alignment filtering): 3 text-side query vectors served
@@ -4035,6 +4079,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
     "aligned_pairs_filtered", "cross_modal_topk",
+    "consensus_event_labels", "annotator_agreement",
     "kll_grouped_quantiles",
     "nation_communities", "nation_kcore",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
@@ -4079,7 +4124,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # the r12 second batch (nation_kcore, cross_modal_topk;
     # driver-proven r11, unchanged)
     "robust_winnow_matches",
-    "packing_efficiency_report", "cross_source_dup_sweep",
+    # packing_efficiency_report and cross_source_dup_sweep rotated out
+    # for the r12 annotation family (driver-proven r11, unchanged)
     # new in round 9: the cascade-level census (stage oracles composed
     # end-to-end over survivors), the quality-classifier calibration
     # report (per-rule precision/recall on the held-out split), and the
@@ -4344,6 +4390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "aligned_pairs_filtered": q_aligned_pairs_filtered,
         "cross_modal_topk": q_cross_modal_topk,
+        "consensus_event_labels": q_consensus_event_labels,
+        "annotator_agreement": q_annotator_agreement,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sweep": q_semantic_dedup_sweep,
@@ -9172,6 +9220,56 @@ SELECT 'url_dedup' AS stage,
             SELECT vec_id, alignment FROM scored, thr
             WHERE alignment >= t
             ORDER BY vec_id
+        """,
+        "consensus_event_labels": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       event_type AS label
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+                  FROM c GROUP BY 1, 2),
+            r AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_raters
+                  FROM c GROUP BY 1),
+            t AS (SELECT item, MAX(n_votes) AS n_votes FROM v GROUP BY 1),
+            w AS (SELECT v.item, v.n_votes, MIN(v.label) AS label
+                  FROM v JOIN t ON v.item = t.item AND v.n_votes = t.n_votes
+                  GROUP BY 1, 2)
+            SELECT w.item, w.label, w.n_votes, r.n_raters
+            FROM w JOIN r ON w.item = r.item
+            ORDER BY w.item
+        """,
+        "annotator_agreement": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       event_type AS label
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nij
+                  FROM c GROUP BY 1, 2),
+            it AS (SELECT item, SUM(nij) AS ni,
+                          SUM(nij * (nij - 1)) AS agree_pairs
+                   FROM v GROUP BY 1 HAVING SUM(nij) >= 2),
+            pi AS (SELECT CAST(agree_pairs AS DOUBLE)
+                          / CAST(ni * (ni - 1) AS DOUBLE) AS pi, ni
+                   FROM it),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                           CAST(SUM(ni) AS BIGINT) AS n_ratings,
+                           AVG(pi) AS p_bar_raw
+                    FROM pi),
+            qv AS (SELECT v.label, v.nij FROM v
+                   JOIN it ON v.item = it.item),
+            pe AS (SELECT SUM(POW(CAST(nj AS DOUBLE)
+                                  / CAST(tot.n_ratings AS DOUBLE), 2)) AS p_e_raw
+                   FROM (SELECT label, SUM(nij) AS nj FROM qv GROUP BY 1) s,
+                        tot)
+            SELECT n_items, n_ratings,
+                   ROUND(p_bar_raw, 6) AS p_bar,
+                   ROUND(p_e_raw, 6) AS p_e,
+                   ROUND((p_bar_raw - p_e_raw) / (1 - p_e_raw), 6) AS kappa
+            FROM tot, pe
         """,
         "cross_modal_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

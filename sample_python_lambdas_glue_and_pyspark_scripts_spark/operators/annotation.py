@@ -1,0 +1,156 @@
+"""Annotation / label-QA operators: consensus labels and inter-rater
+agreement — the label-pipeline side of training-data curation (RLHF
+preference data, classifier gold sets, eval benchmarks are all
+multi-annotator tables whose first two questions are "what is the
+consensus label?" and "do the raters agree more than chance?").
+
+The reference engine has no annotation surface (its unit is the CSV
+row); this extends the training-data shelf the same way the quality/
+dedup families do.
+
+Determinism contract: consensus is integer votes with a lexicographic
+tie-break (no floats anywhere); Fleiss' kappa is computed from integer
+vote counts with ONE 6dp round of each reported float (the float-sum
+contract — sums of per-item agreement ratios agree across engines far
+below 1e-6).
+
+Scale: both operators are one keyed aggregate over (item, label) plus
+item- or label-sized reductions — no joins against the raw table after
+the first groupBy, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def consensus_labels(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Majority-vote gold label per item: ``(item, label, n_votes,
+    n_raters)``, ties broken toward the lexicographically SMALLEST
+    label (deterministic, engine-independent). An annotator voting the
+    same label twice for one item counts once (duplicate submissions
+    collapse); NULL labels/items/annotators drop.
+
+    Plan: one distinct + one (item, label)-keyed count + one item-keyed
+    ``max(struct)`` pick — map-side partial aggregation throughout, no
+    per-item window.
+    """
+    clean = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(annotator_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    ).distinct()
+    votes = clean.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    raters = clean.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raters")
+    )
+    # max(struct(votes, reversed-label)) = most votes, smallest label on
+    # ties: labels are strings, so invert the order by negating byte
+    # ranks is unavailable — use a two-field struct with a descending
+    # trick: max over (n_votes, MIN-label) needs min on the second key,
+    # so pick via max(struct(n_votes)) then min(label) among the tied.
+    top = votes.groupBy("item").agg(F.max("n_votes").alias("n_votes"))
+    winner = (
+        votes.join(top, ["item", "n_votes"])
+        .groupBy("item", "n_votes")
+        .agg(F.min("label").alias("label"))
+    )
+    return winner.join(raters, "item").select(
+        "item", "label", "n_votes", "n_raters"
+    )
+
+
+def fleiss_kappa_report(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971, the varying-raters generalization)
+    over a multi-annotator label table: one row ``(n_items, n_ratings,
+    p_bar, p_e, kappa)``.
+
+    Per item i with n_i >= 2 ratings and n_ij votes for label j, the
+    observed agreement is ``P_i = Σ_j n_ij(n_ij − 1) / (n_i(n_i − 1))``
+    (the probability two distinct raters of the item agree); ``p_bar``
+    is the mean over qualifying items. Chance agreement ``p_e = Σ_j
+    p_j²`` uses the pooled label shares over those same items. ``kappa
+    = (p_bar − p_e)/(1 − p_e)``. Items with a single rating carry no
+    pairwise information and are excluded from BOTH sides (the standard
+    treatment). All inputs to the ratios are exact integer counts; each
+    reported float rounds once to 6dp.
+
+    Plan: the (item, label) vote table feeds (a) an item-keyed sum for
+    P_i and (b) a label-keyed sum for p_j — two bounded aggregates, no
+    rejoin against raw rows.
+    """
+    clean = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(annotator_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    ).distinct()
+    votes = clean.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    items = votes.groupBy("item").agg(
+        F.sum("nij").alias("ni"),
+        F.sum(F.col("nij") * (F.col("nij") - 1)).alias("agree_pairs"),
+    ).filter(F.col("ni") >= 2)
+    # keep only qualifying items' votes for the pooled label shares
+    qvotes = votes.join(items.select("item"), "item", "left_semi")
+    per_item = items.select(
+        (
+            F.col("agree_pairs").cast("double")
+            / (F.col("ni") * (F.col("ni") - 1)).cast("double")
+        ).alias("pi"),
+        F.col("ni"),
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("ni").cast("bigint").alias("n_ratings"),
+        F.avg("pi").alias("p_bar_raw"),
+    )
+    shares = qvotes.groupBy("label").agg(F.sum("nij").alias("nj"))
+    pe = shares.crossJoin(
+        F.broadcast(tot.select("n_ratings"))
+    ).agg(
+        F.sum(
+            F.pow(
+                F.col("nj").cast("double")
+                / F.col("n_ratings").cast("double"),
+                F.lit(2.0),
+            )
+        ).alias("p_e_raw")
+    )
+    out = tot.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        "n_ratings",
+        F.round(F.col("p_bar_raw"), 6).alias("p_bar"),
+        F.round(F.col("p_e_raw"), 6).alias("p_e"),
+        # try_divide: p_e = 1 (every rating one label) makes kappa
+        # undefined — NULL, not an ANSI divide-by-zero (Spark 4 rule)
+        F.round(
+            F.try_divide(
+                F.col("p_bar_raw") - F.col("p_e_raw"),
+                F.lit(1.0) - F.col("p_e_raw"),
+            ),
+            6,
+        ).alias("kappa"),
+    )
+    return out
