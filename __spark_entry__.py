@@ -3170,6 +3170,44 @@ def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over event types (Hunter 2004
+    MM, 3 iterations, 6dp per round — the arena-leaderboard fit): the
+    comparison table is derived deterministically from per-user event
+    SEQUENCES (consecutive events of one user, ordered by (ts,
+    event_id); the higher-`value` event's type beats the other; value
+    ties and same-type pairs drop). The heavy table is touched once to
+    build the item²-bounded (i, j, n_ij) aggregate; each MM round joins
+    only that."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+        & F.col("value").isNotNull()
+        & F.col("prev_value").isNotNull()
+        & (F.col("value") != F.col("prev_value"))
+    )
+    pairs = staged.select(
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("event_type")
+        ).otherwise(F.col("prev_type")).alias("winner"),
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("prev_type")
+        ).otherwise(F.col("event_type")).alias("loser"),
+    )
+    return AN.bradley_terry_strengths(pairs, n_iter=3).orderBy("item")
+
+
 def q_cross_modal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval (the CLIP-style text→image search that
     follows alignment filtering): 3 text-side query vectors served
@@ -4080,6 +4118,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged).
     "aligned_pairs_filtered", "cross_modal_topk",
     "consensus_event_labels", "annotator_agreement",
+    "event_type_strengths",
     "kll_grouped_quantiles",
     "nation_communities", "nation_kcore",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
@@ -4114,7 +4153,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
-    "curation_drop_ledger", "video_scene_changes", "cms_heavy_hitters",
+    # video_scene_changes rotated out for event_type_strengths (r12
+    # third batch; driver-proven r11, unchanged)
+    "curation_drop_ledger", "cms_heavy_hitters",
 
     # new in round 10: C4 line-level cleaning (Raffel et al. 2020 §2.2),
     # dHash multimodal near-dup (pigeonhole-exact hamming<=7), and the
@@ -4390,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "aligned_pairs_filtered": q_aligned_pairs_filtered,
         "cross_modal_topk": q_cross_modal_topk,
+        "event_type_strengths": q_event_type_strengths,
         "consensus_event_labels": q_consensus_event_labels,
         "annotator_agreement": q_annotator_agreement,
         "token_budget_subset": q_token_budget_subset,
@@ -6036,6 +6078,32 @@ def _kcore_rounds_sql(k: int, rounds: int) -> str:
                 SELECT p.u, p.v FROM {prev} p
                 JOIN ks{i} a ON p.u = a.node
                 JOIN ks{i} b ON p.v = b.node)""")
+    return ",".join(ctes)
+
+
+def _bt_rounds_sql(n_iter: int) -> str:
+    """Unrolled Bradley-Terry MM iterations for the
+    event_type_strengths oracle (expects CTEs ``comp(i, j, nij)`` —
+    both directions — and ``wins(item, w_total)``; ``bts0`` is the
+    uniform start). Mirrors annotation.bradley_terry_strengths: denom
+    join, win ratio, mean-normalize, ROUND 6dp per round."""
+    ctes = ["bts0 AS (SELECT DISTINCT i AS item, 1.0 AS s FROM comp)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+            btd{i} AS (
+                SELECT c.i AS item,
+                       SUM(CAST(c.nij AS DOUBLE) / (si.s + sj.s)) AS d
+                FROM comp c
+                JOIN bts{i - 1} si ON c.i = si.item
+                JOIN bts{i - 1} sj ON c.j = sj.item
+                GROUP BY c.i),
+            btu{i} AS (
+                SELECT d.item,
+                       CAST(COALESCE(w.w_total, 0) AS DOUBLE) / d.d AS s_raw
+                FROM btd{i} d LEFT JOIN wins w ON d.item = w.item),
+            btm{i} AS (SELECT AVG(s_raw) AS m FROM btu{i}),
+            bts{i} AS (SELECT item, ROUND(s_raw / m, 6) AS s
+                       FROM btu{i}, btm{i})""")
     return ",".join(ctes)
 
 
@@ -9270,6 +9338,35 @@ SELECT 'url_dedup' AS stage,
                    ROUND(p_e_raw, 6) AS p_e,
                    ROUND((p_bar_raw - p_e_raw) / (1 - p_e_raw), 6) AS kappa
             FROM tot, pe
+        """,
+        "event_type_strengths": f"""
+            WITH seq AS (
+                SELECT event_type, value,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       LAG(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_value
+                FROM events),
+            prefs AS (
+                SELECT CASE WHEN value > prev_value THEN event_type
+                            ELSE prev_type END AS winner,
+                       CASE WHEN value > prev_value THEN prev_type
+                            ELSE event_type END AS loser
+                FROM seq
+                WHERE prev_type IS NOT NULL AND prev_type != event_type
+                  AND value IS NOT NULL AND prev_value IS NOT NULL
+                  AND value != prev_value),
+            raw AS (SELECT winner AS wi, loser AS li,
+                           CAST(1 AS BIGINT) AS c FROM prefs),
+            wins AS (SELECT wi AS item, SUM(c) AS w_total
+                     FROM raw GROUP BY 1),
+            comp AS (
+                SELECT i, j, SUM(c) AS nij FROM (
+                    SELECT wi AS i, li AS j, c FROM raw
+                    UNION ALL SELECT li AS i, wi AS j, c FROM raw
+                ) t GROUP BY 1, 2),
+            {_bt_rounds_sql(3)}
+            SELECT item, s AS strength FROM bts3 ORDER BY item
         """,
         "cross_modal_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -154,3 +154,100 @@ def fleiss_kappa_report(
         ).alias("kappa"),
     )
     return out
+
+
+def bradley_terry_strengths(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    count_col: str | None = None,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Bradley-Terry preference strengths from pairwise comparisons —
+    the model behind reward-model data QA and LLM arena leaderboards:
+    P(i beats j) = s_i / (s_i + s_j), fit by ``n_iter`` rounds of the
+    classic MM update (Hunter 2004):
+
+        s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+
+    with W_i = total wins of i and n_ij = comparisons between i and j,
+    then normalized to mean 1 each round. Strengths round to 6dp per
+    iteration (the pagerank determinism contract), so a fixed-``n_iter``
+    run unrolls to an exact SQL oracle. Items with zero wins keep
+    strength 0 after one round (the MM fixed point for never-winners —
+    documented; add-one smoothing upstream if undesired).
+
+    Scale: the comparison table aggregates once to (i, j, n_ij) —
+    item²-bounded, NOT comparison-volume — and each iteration is one
+    join of that table against the current strengths plus two keyed
+    aggregates. Items are typically few (model variants, prompt
+    templates); the heavy side (raw comparisons) is touched once.
+    Returns ``(item, strength)``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w, l = F.col(winner_col), F.col(loser_col)
+    cnt = (
+        F.col(count_col).cast("bigint")
+        if count_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    raw = pairs.where(w.isNotNull() & l.isNotNull() & (w != l)).select(
+        w.alias("wi"), l.alias("li"), cnt.alias("c")
+    )
+    # undirected comparison counts n_ij (kept one row per direction for
+    # the per-item sum) + per-item win totals; both item²/item-bounded
+    wins = raw.groupBy(F.col("wi").alias("item")).agg(
+        F.sum("c").alias("w_total")
+    )
+    comp = (
+        raw.select(F.col("wi").alias("i"), F.col("li").alias("j"), "c")
+        .unionByName(
+            raw.select(F.col("li").alias("i"), F.col("wi").alias("j"), "c")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("nij"))
+        .persist()
+    )
+    items = comp.select(F.col("i").alias("item")).distinct().persist()
+    try:
+        s = items.select("item", F.lit(1.0).alias("s"))
+        for _ in range(n_iter):
+            sj = s.select(F.col("item").alias("j"), F.col("s").alias("sj"))
+            si = s.select(F.col("item").alias("i"), F.col("s").alias("si"))
+            denom = (
+                comp.join(si, "i")
+                .join(sj, "j")
+                .groupBy(F.col("i").alias("item"))
+                .agg(
+                    F.sum(
+                        F.col("nij").cast("double")
+                        / (F.col("si") + F.col("sj"))
+                    ).alias("d")
+                )
+            )
+            upd = (
+                denom.join(wins, "item", "left")
+                .select(
+                    "item",
+                    (
+                        F.coalesce(F.col("w_total"), F.lit(0)).cast("double")
+                        / F.col("d")
+                    ).alias("s_raw"),
+                )
+            )
+            mean = upd.agg(F.avg("s_raw").alias("m")).alias("mg")
+            s = (
+                upd.crossJoin(F.broadcast(mean))
+                .select(
+                    "item",
+                    F.round(F.col("s_raw") / F.col("mg.m"), 6).alias("s"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return s.select("item", F.col("s").alias("strength")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        comp.unpersist()
+        items.unpersist()

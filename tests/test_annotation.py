@@ -78,3 +78,45 @@ def test_fleiss_kappa_excludes_single_rating_items(spark):
     assert row["n_items"] == 1 and row["n_ratings"] == 2
     assert row["p_bar"] == 1.0 and row["p_e"] == 1.0
     assert row["kappa"] is None
+
+
+def test_bradley_terry_orders_strengths_and_counts(spark):
+    """a beats b beats c transitively -> strengths order a > b > c;
+    the counted form equals the exploded form; never-winners land at
+    the documented 0 fixed point; self-pairs and NULLs drop."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("a", "c"),
+         ("a", "a"), (None, "b"), ("a", None)],
+        "winner STRING, loser STRING",
+    )
+    out = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_strengths(pairs).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"] > out["b"] > out["c"] == 0.0
+    counted = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 2), ("a", "c", 1)],
+        "winner STRING, loser STRING, n BIGINT",
+    )
+    out2 = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_strengths(counted, count_col="n").collect()
+    }
+    assert out == out2
+    with pytest.raises(ValueError, match="n_iter"):
+        AN.bradley_terry_strengths(pairs, n_iter=0)
+
+
+def test_bradley_terry_balanced_is_uniform(spark):
+    """A perfectly balanced rock-paper-scissors cycle has no preference
+    signal: every strength is exactly 1 at every iteration count."""
+    pairs = spark.createDataFrame(
+        [("r", "s"), ("s", "p"), ("p", "r")], "winner STRING, loser STRING"
+    )
+    for it in (1, 3):
+        out = {
+            r["item"]: r["strength"]
+            for r in AN.bradley_terry_strengths(pairs, n_iter=it).collect()
+        }
+        assert out == {"r": 1.0, "s": 1.0, "p": 1.0}
