@@ -3476,7 +3476,12 @@ def q_nation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     strong = _strong_trade_edges(spark, sf_dir)
-    return GR.kcore(strong, k=4, src="u", dst="v", max_rounds=8).orderBy(
+    # max_rounds 24 > the 25-node worst case (a peel can remove one
+    # node per round on adversarial shapes; driver testdata regenerates
+    # between rounds, so the bound must hold for ANY strong-tie graph
+    # over 25 nations). Post-convergence rounds are no-ops on both
+    # engines; the oracle unrolls the same 24.
+    return GR.kcore(strong, k=4, src="u", dst="v", max_rounds=24).orderBy(
         "node"
     )
 
@@ -7298,9 +7303,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_kcore": f"""
             WITH {_STRONG_EDGES_SQL},
-            {_kcore_rounds_sql(4, 8)}
+            {_kcore_rounds_sql(4, 24)}
             SELECT CAST(node AS INTEGER) AS node, degree
-            FROM ks8 ORDER BY node
+            FROM ks24 ORDER BY node
         """,
         "nation_triangles": """
             WITH raw AS (
