@@ -516,3 +516,94 @@ def read_kll_state(
         return spark.createDataFrame([], _KLL_SCHEMA)
     state = spark.read.parquet(f"{work_dir}/kll")  # batch_id partition col
     return kll_merge_tagged(state, k=k, tag_col="batch_id")
+
+
+# --- streaming annotation vote state (consensus + agreement live reads) ------
+
+_VOTE_SCHEMA = "item bigint, annotator bigint, label string"
+
+
+def make_votes_batch_fn(
+    work_dir: str,
+    item_col: str = "item",
+    annotator_col: str = "annotator",
+    label_col: str = "label",
+):
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(item_col).cast("bigint").alias("item"),
+                F.col(annotator_col).cast("bigint").alias("annotator"),
+                F.col(label_col).cast("string").alias("label"),
+            )
+            .where(
+                F.col("item").isNotNull()
+                & F.col("annotator").isNotNull()
+                & F.col("label").isNotNull()
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{work_dir}/votes/batch_id={batch_id}")
+        )
+
+    return batch_fn
+
+
+def streaming_votes(
+    stream_df: DataFrame,
+    work_dir: str,
+    item_col: str = "item",
+    annotator_col: str = "annotator",
+    label_col: str = "label",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live annotation-vote state over a label stream (the
+    annotation shelf's streaming member): each epoch persists its
+    DISTINCT (item, annotator, label) triples — the vote LOG, not a
+    counter fold, because consensus dedups submissions GLOBALLY (an
+    annotator re-sending the same vote in a later epoch must not
+    double-count; counter epochs would). The merged reads re-distinct
+    across epochs, so read ≡ batch over everything seen EXACTLY
+    (distinct-union is associative — pinned by test), and replay is
+    safe twice over: layout (a replayed epoch rewrites its own dir)
+    AND semantics (distinct is idempotent). State is vote-sized — the
+    votes ARE the dataset here, there is nothing smaller that stays
+    exact. Retraction: the state is a plain id-keyed table — anti-join
+    hit epochs (the ``retract_doc_ids(corpus_tables=)`` pattern) or
+    rebuild from epoch sources; no lossy-fold refusal applies."""
+    return run_incremental(
+        stream_df,
+        make_votes_batch_fn(work_dir, item_col, annotator_col, label_col),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def _read_votes(spark: SparkSession, work_dir: str) -> DataFrame:
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{work_dir}/votes")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], _VOTE_SCHEMA)
+    return spark.read.schema(_VOTE_SCHEMA).parquet(f"{work_dir}/votes")
+
+
+def read_consensus_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Live consensus labels over every committed epoch (≡ batch
+    ``consensus_labels`` over everything seen). Empty-but-valid before
+    the first commit."""
+    from ..operators.annotation import consensus_labels
+
+    return consensus_labels(
+        _read_votes(spark, work_dir), "item", "annotator", "label"
+    )
+
+
+def read_agreement_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Live Fleiss' kappa over every committed epoch (≡ batch
+    ``fleiss_kappa_report`` over everything seen)."""
+    from ..operators.annotation import fleiss_kappa_report
+
+    return fleiss_kappa_report(
+        _read_votes(spark, work_dir), "item", "annotator", "label"
+    )

@@ -606,3 +606,62 @@ def test_cms_heavy_hitters_over_streamed_grid(spark, workdir, tmp_path):
     )
     assert live == batch
     assert {t[0] for t in live} == {"hot", "warm"}
+
+
+def test_streaming_votes_matches_batch_and_replay(spark, workdir, tmp_path):
+    """r12 annotation shelf streaming member: merged consensus/kappa
+    reads equal the batch operators over everything seen — including a
+    CROSS-EPOCH duplicate submission (the reason the state is the
+    distinct vote LOG, not a counter fold: counters would double-count
+    a re-sent vote). Replay of an epoch is a no-op twice over (own-dir
+    layout + distinct idempotence)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.annotation import (
+        consensus_labels,
+        fleiss_kappa_report,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_votes_batch_fn,
+        read_agreement_state,
+        read_consensus_state,
+        streaming_votes,
+    )
+
+    src = str(tmp_path / "votesrc")
+    SCHEMA = "item BIGINT, annotator BIGINT, label STRING"
+    b0 = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "x"), (2, 10, "y"), (2, 11, "x")], SCHEMA
+    )
+    # epoch 1 re-sends (1, 10, "x") — the cross-epoch duplicate — plus
+    # new votes
+    b1 = spark.createDataFrame(
+        [(1, 10, "x"), (1, 12, "y"), (2, 12, "x")], SCHEMA
+    )
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_votes(stream, workdir).awaitTermination(180)
+
+    union = b0.unionByName(b1)
+    batch_cons = sorted(
+        map(tuple, consensus_labels(union, "item", "annotator", "label").collect())
+    )
+    live_cons = sorted(map(tuple, read_consensus_state(spark, workdir).collect()))
+    assert live_cons == batch_cons
+    # the duplicate counted once: item 1 has 3 raters, not 4
+    assert [r for r in batch_cons if r[0] == 1][0][3] == 3
+
+    batch_kappa = fleiss_kappa_report(
+        union, "item", "annotator", "label"
+    ).first()
+    live_kappa = read_agreement_state(spark, workdir).first()
+    assert tuple(live_kappa) == tuple(batch_kappa)
+    assert live_kappa["n_ratings"] == 6  # 7 submissions, 1 duplicate
+
+    # replay epoch 0: merged reads unchanged
+    make_votes_batch_fn(workdir)(b0, 0)
+    again = sorted(map(tuple, read_consensus_state(spark, workdir).collect()))
+    assert again == batch_cons
