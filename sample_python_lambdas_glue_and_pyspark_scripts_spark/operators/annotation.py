@@ -37,10 +37,37 @@ def consensus_labels(
     same label twice for one item counts once (duplicate submissions
     collapse); NULL labels/items/annotators drop.
 
-    Plan: one distinct + one (item, label)-keyed count + one item-keyed
-    ``max(struct)`` pick — map-side partial aggregation throughout, no
-    per-item window.
+    Plan: ONE pass over the raw table (distinct + (item, label)-keyed
+    count, then an eager checkpoint of the vote table — Catalyst does
+    not reuse an aggregate subtree across branches, so without the pin
+    every downstream branch re-scans the raw table); everything after
+    is vote-table-sized, including ``n_raters`` (= Σ n_votes per item,
+    because the triples are distinct — no second raw scan). Winner pick
+    is max votes then a tie-resolving min(label); no per-item window.
     """
+    votes = _vote_table(df, item_col, annotator_col, label_col)
+    raters = votes.groupBy("item").agg(
+        F.sum("n_votes").cast("bigint").alias("n_raters")
+    )
+    top = votes.groupBy("item").agg(F.max("n_votes").alias("n_votes"))
+    winner = (
+        votes.join(top, ["item", "n_votes"])
+        .groupBy("item", "n_votes")
+        .agg(F.min("label").alias("label"))
+    )
+    return winner.join(raters, "item").select(
+        "item", "label", "n_votes", "n_raters"
+    )
+
+
+def _vote_table(
+    df: DataFrame, item_col: str, annotator_col: str, label_col: str
+) -> DataFrame:
+    """Distinct-triple vote counts ``(item, label, n_votes)`` — the one
+    raw-table pass both report operators branch from, pinned with an
+    eager localCheckpoint so the branches read the materialized table
+    instead of re-running the scan+distinct per reference (the
+    triangle_counts precedent). Item×label-bounded."""
     clean = df.where(
         F.col(item_col).isNotNull()
         & F.col(annotator_col).isNotNull()
@@ -50,25 +77,10 @@ def consensus_labels(
         F.col(annotator_col).alias("annotator"),
         F.col(label_col).alias("label"),
     ).distinct()
-    votes = clean.groupBy("item", "label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_votes")
-    )
-    raters = clean.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_raters")
-    )
-    # max(struct(votes, reversed-label)) = most votes, smallest label on
-    # ties: labels are strings, so invert the order by negating byte
-    # ranks is unavailable — use a two-field struct with a descending
-    # trick: max over (n_votes, MIN-label) needs min on the second key,
-    # so pick via max(struct(n_votes)) then min(label) among the tied.
-    top = votes.groupBy("item").agg(F.max("n_votes").alias("n_votes"))
-    winner = (
-        votes.join(top, ["item", "n_votes"])
-        .groupBy("item", "n_votes")
-        .agg(F.min("label").alias("label"))
-    )
-    return winner.join(raters, "item").select(
-        "item", "label", "n_votes", "n_raters"
+    return (
+        clean.groupBy("item", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -92,21 +104,13 @@ def fleiss_kappa_report(
     treatment). All inputs to the ratios are exact integer counts; each
     reported float rounds once to 6dp.
 
-    Plan: the (item, label) vote table feeds (a) an item-keyed sum for
-    P_i and (b) a label-keyed sum for p_j — two bounded aggregates, no
-    rejoin against raw rows.
+    Plan: ONE raw-table pass builds the checkpointed (item, label) vote
+    table (see ``_vote_table``); it then feeds (a) an item-keyed sum
+    for P_i and (b) a label-keyed sum for p_j — two bounded aggregates,
+    no rejoin against raw rows.
     """
-    clean = df.where(
-        F.col(item_col).isNotNull()
-        & F.col(annotator_col).isNotNull()
-        & F.col(label_col).isNotNull()
-    ).select(
-        F.col(item_col).alias("item"),
-        F.col(annotator_col).alias("annotator"),
-        F.col(label_col).alias("label"),
-    ).distinct()
-    votes = clean.groupBy("item", "label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nij")
+    votes = _vote_table(df, item_col, annotator_col, label_col).select(
+        "item", "label", F.col("n_votes").alias("nij")
     )
     items = votes.groupBy("item").agg(
         F.sum("nij").alias("ni"),

@@ -475,3 +475,17 @@ def test_triangle_counts_persists_shared_frames(spark, sf_dir):
     plan = _fmt_plan(spark, out)
     assert "Scan ExistingRDD" in plan
     assert "Location:" not in plan  # no file re-scan after the build
+
+
+def test_annotation_reports_scan_raw_table_once(spark, sf_dir):
+    """r12: consensus/kappa branch 2-4 ways off the vote table, and
+    Catalyst does not reuse an aggregate subtree across branches — the
+    operators pin the checkpointed vote table so the raw (event-volume)
+    table is scanned ONCE at build; every downstream plan reads the
+    materialized item x label rows."""
+    import __spark_entry__ as e
+
+    for q in ("consensus_event_labels", "annotator_agreement"):
+        plan = _fmt_plan(spark, e.queries()[q](spark, sf_dir))
+        assert "Location:" not in plan, q  # no raw re-scan
+        assert "Scan ExistingRDD" in plan, q
