@@ -9303,13 +9303,13 @@ SELECT 'url_dedup' AS stage,
                          AND event_type IS NOT NULL),
             v AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS n_votes
                   FROM c GROUP BY 1, 2),
-            r AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_raters
+            r AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ratings
                   FROM c GROUP BY 1),
             t AS (SELECT item, MAX(n_votes) AS n_votes FROM v GROUP BY 1),
             w AS (SELECT v.item, v.n_votes, MIN(v.label) AS label
                   FROM v JOIN t ON v.item = t.item AND v.n_votes = t.n_votes
                   GROUP BY 1, 2)
-            SELECT w.item, w.label, w.n_votes, r.n_raters
+            SELECT w.item, w.label, w.n_votes, r.n_ratings
             FROM w JOIN r ON w.item = r.item
             ORDER BY w.item
         """,

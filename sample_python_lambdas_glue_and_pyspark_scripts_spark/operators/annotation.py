@@ -32,22 +32,31 @@ def consensus_labels(
     label_col: str,
 ) -> DataFrame:
     """Majority-vote gold label per item: ``(item, label, n_votes,
-    n_raters)``, ties broken toward the lexicographically SMALLEST
+    n_ratings)``, ties broken toward the lexicographically SMALLEST
     label (deterministic, engine-independent). An annotator voting the
     same label twice for one item counts once (duplicate submissions
     collapse); NULL labels/items/annotators drop.
+
+    RATINGS, not raters: ``n_ratings`` counts distinct (annotator,
+    label) votes on the item, so one annotator submitting two DIFFERENT
+    labels contributes two ratings (same convention as Fleiss' n_i in
+    :func:`fleiss_kappa_report` — kappa's agreement pairs are pairs of
+    RATINGS). Under the one-label-per-annotator discipline real
+    pipelines enforce upstream the two counts coincide;
+    :func:`annotator_reliability`'s ``n_annotators`` is the
+    distinct-annotator census when they don't.
 
     Plan: ONE pass over the raw table (distinct + (item, label)-keyed
     count, then an eager checkpoint of the vote table — Catalyst does
     not reuse an aggregate subtree across branches, so without the pin
     every downstream branch re-scans the raw table); everything after
-    is vote-table-sized, including ``n_raters`` (= Σ n_votes per item,
+    is vote-table-sized, including ``n_ratings`` (= Σ n_votes per item,
     because the triples are distinct — no second raw scan). Winner pick
     is max votes then a tie-resolving min(label); no per-item window.
     """
     votes = _vote_table(df, item_col, annotator_col, label_col)
     raters = votes.groupBy("item").agg(
-        F.sum("n_votes").cast("bigint").alias("n_raters")
+        F.sum("n_votes").cast("bigint").alias("n_ratings")
     )
     top = votes.groupBy("item").agg(F.max("n_votes").alias("n_votes"))
     winner = (
@@ -56,7 +65,7 @@ def consensus_labels(
         .agg(F.min("label").alias("label"))
     )
     return winner.join(raters, "item").select(
-        "item", "label", "n_votes", "n_raters"
+        "item", "label", "n_votes", "n_ratings"
     )
 
 

@@ -237,7 +237,11 @@ def lsh_candidate_pairs(
 
     ``banding=(bands, rows_per_band)`` overrides the two scalar params
     in one shot — pass :func:`choose_banding`'s advisor-picked winner
-    here to close the advisor loop.
+    here to close the advisor loop. The product must equal the length
+    of the signature arrays (unverifiable from the schema here —
+    ``minhash_dedup_pairs`` validates it against its ``num_hashes``);
+    oversized products fail fast with an ANSI out-of-range error,
+    undersized ones band only a prefix of the hashes.
     """
     if banding is not None:
         bands, rows_per_band = banding
@@ -803,6 +807,17 @@ def minhash_dedup_pairs(
         banding = choose_banding(banding, num_hashes, threshold)
     if banding is not None:
         bands, rows_per_band = banding
+        # an explicit tuple must factorize the hash budget EXACTLY: a
+        # mismatch either indexes the signature array out of range
+        # (ANSI runtime error) or silently bands only a subset of the
+        # hashes (recall loss with no signal). choose_banding only
+        # emits exact factorizations, so the advisor path never trips.
+        if bands * rows_per_band != num_hashes:
+            raise ValueError(
+                f"minhash_dedup_pairs: banding {banding} does not "
+                f"factorize num_hashes={num_hashes} "
+                f"(bands*rows_per_band must equal num_hashes)"
+            )
     else:
         rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes)
@@ -2856,11 +2871,26 @@ def lsh_banding_plan(
         F.lit(1.0) - F.pow(j, F.col("rows_per_band").cast("double")),
         F.col("bands").cast("double"),
     )
-    w = (
-        F.col(weight_col).cast("bigint")
-        if weight_col is not None
-        else F.lit(1).cast("bigint")
-    )
+    if weight_col is not None:
+        # integer-multiplicity contract: a weight is a pair COUNT, so
+        # NULL / zero / negative weights are caller bugs that would
+        # silently skew (or NULL) the advisor output choose_banding
+        # collects and acts on — raise at evaluation instead (the
+        # ewma_scaled_value precedent)
+        w_raw = F.col(weight_col).cast("bigint")
+        w = F.when(w_raw.isNotNull() & (w_raw >= 1), w_raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "lsh_banding_plan: weight_col must be a "
+                        "non-NULL integer multiplicity >= 1, got "
+                    ),
+                    F.coalesce(w_raw.cast("string"), F.lit("NULL")),
+                )
+            ).cast("bigint")
+        )
+    else:
+        w = F.lit(1).cast("bigint")
     return (
         pairs.crossJoin(F.broadcast(bdf))
         .groupBy("bands", "rows_per_band")

@@ -139,7 +139,7 @@ def retract_from_lsh_corpus_index(
     retract_ids: DataFrame,
     id_col: str = "doc_id",
     fp_holders: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Remove ids from the LSH intake index ``(corpus_fp,
     corpus_bands)``. The id-keyed band table is always retracted
     exactly. ``corpus_fp`` is a distinct-md5 SET without ids, so by

@@ -21,7 +21,7 @@ def test_consensus_majority_ties_and_dedup(spark):
     ]
     df = spark.createDataFrame(rows, "item BIGINT, ann STRING, lab STRING")
     out = {
-        r["item"]: (r["label"], r["n_votes"], r["n_raters"])
+        r["item"]: (r["label"], r["n_votes"], r["n_ratings"])
         for r in AN.consensus_labels(df, "item", "ann", "lab").collect()
     }
     assert out == {1: ("b", 2, 3), 2: ("a", 1, 2), 3: ("c", 1, 1)}

@@ -1729,3 +1729,36 @@ def test_lsh_banding_plan_weighted_equals_replicated(spark):
         )
     )
     assert a == b
+
+
+def test_minhash_dedup_pairs_rejects_mismatched_banding(spark, docs):
+    """r12 advice fix: an explicit banding tuple that does not factorize
+    num_hashes raises instead of indexing out of range / silently
+    banding a subset of the hash budget."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="factorize"):
+        minhash_dedup_pairs(docs, num_hashes=16, banding=(3, 4))
+    with pytest.raises(ValueError, match="factorize"):
+        minhash_dedup_pairs(docs, num_hashes=16, banding=(16, 2))
+
+
+def test_lsh_banding_plan_rejects_bad_weights(spark):
+    """r12 advice fix: NULL / zero / negative weights violate the
+    integer-multiplicity contract and raise at evaluation instead of
+    silently skewing the advisor output choose_banding acts on."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.dedup import (
+        lsh_banding_plan,
+    )
+
+    for bad_w in (0, -2, None):
+        df = spark.createDataFrame(
+            [(0.6, 3), (0.3, bad_w)], "jaccard DOUBLE, w BIGINT"
+        )
+        with pytest.raises(
+            (SparkRuntimeException, Exception), match="multiplicity"
+        ):
+            lsh_banding_plan(df, num_hashes=8, weight_col="w").collect()
