@@ -3235,6 +3235,152 @@ def q_cross_modal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_annotator_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-annotator agreement-with-consensus census over the derived
+    annotation table — the question after annotator_agreement's kappa
+    comes back low: WHICH rater disagrees? One raw scan (checkpointed
+    distinct-triple vote log), item×label-bounded election, one
+    annotator-keyed aggregate; rate = n_agree/n_votes rounded 6dp."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    return AN.annotator_reliability(
+        _annotation_table(spark, sf_dir), "item", "annotator", "label"
+    ).orderBy("annotator")
+
+
+def _rating_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (Likert-shaped) variant of the annotation table for the
+    interval-metric alpha: rating = length(event_type) — an integer
+    score both engines derive identically, so interval δ² products
+    stay integral doubles (exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("user_id").alias("annotator"),
+        F.length("event_type").cast("int").alias("rating"),
+    )
+
+
+def q_annotation_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over the numeric rating table, BOTH metrics
+    (nominal + interval) as two rows keyed by ``metric`` — the
+    missing-data/ordinal generalization of Fleiss' kappa (raters need
+    not rate every item; interval weighs distance between scores).
+    Integer vote counts and integral-double δ² products in; each
+    reported float rounds once to 6dp."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    rat = _rating_table(spark, sf_dir)
+    out = None
+    for metric in ("interval", "nominal"):
+        row = AN.krippendorff_alpha(
+            rat, "item", "annotator", "rating", metric
+        ).select(F.lit(metric).alias("metric"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("metric")
+
+
+def q_event_type_win_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served pairwise win-probability matrix from the Bradley-Terry
+    fit (the leaderboard consumable): P(i beats j) = s_i/(s_i+s_j)
+    over event_type_strengths' 3-round MM strengths — item²-bounded
+    cross of the fitted strengths, broadcast right side, NULL (not an
+    ANSI error) on a never-winner head-to-head via try_divide."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+        & F.col("value").isNotNull()
+        & F.col("prev_value").isNotNull()
+        & (F.col("value") != F.col("prev_value"))
+    )
+    pairs = staged.select(
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("event_type")
+        ).otherwise(F.col("prev_type")).alias("winner"),
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("prev_type")
+        ).otherwise(F.col("event_type")).alias("loser"),
+    )
+    s = AN.bradley_terry_strengths(pairs, n_iter=3)
+    return AN.bt_win_probabilities(s).orderBy("i", "j")
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per LPA community of the strong-tie nation
+    trade graph — the quality signal for the community partition the
+    mixes weight by (Q near 0 = no better than chance; catches LPA's
+    one-giant-community convergence). Integer intra-edge/degree/m
+    counts on the normalized graph; only q_c rounds, once, to 6dp."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    strong = _strong_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = GR.label_propagation(strong, "u", "v", n_iter=4)
+    return GR.modularity_report(strong, labels, src="u", dst="v").orderBy(
+        "community"
+    )
+
+
+def q_cross_modal_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 acceptance gate for a CHEAP cross-modal serve tier
+    (32-of-64 prefix truncation on both sides) against the exact
+    full-precision cross-modal top-5 — the same measured-not-assumed
+    gate every other serve path has (int8/Matryoshka/IVF-PQ
+    precedent), closing the r12 gap for cross_modal_topk. The pass
+    flag is the rational integer compare 5·n_hits >= 4·5 (recall >=
+    4/5) — no float threshold anywhere."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as SM,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = MM.synthetic_paired_embeddings(emb).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.col("pair_embedding").alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = SM.cosine_topk(corpus, qs, k=5)
+    served = SM.cosine_topk(
+        SM.truncate_dims(corpus, 32), SM.truncate_dims(qs, 32), k=5
+    )
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            served.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6
+        ).alias("recall_at_5"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 5 >= F.lit(20)).alias(
+            "passed"
+        ),
+    ).orderBy("query_id")
+
+
 def q_token_budget_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy best-first training-mix assembly under a global token
     budget — two-phase distributed prefix sum (per-level windows +
@@ -4114,6 +4260,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # each round: names driver-proven last round and unchanged since —
 # noted in place below so the audit trail stays in the file.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 13: the annotation-shelf close-out (per-annotator
+    # reliability census, Krippendorff's alpha nominal+interval, the
+    # served Bradley-Terry win-probability matrix), Newman modularity
+    # over the LPA communities, and the cross-modal serve recall gate.
+    # consensus_event_labels CHANGED this round (n_raters -> n_ratings
+    # rename, r12 advice) and stays in-window for re-proof. Rotated out
+    # to make room (all driver-proven r12, unchanged):
+    # aligned_pairs_filtered, kll_grouped_quantiles, nation_kcore,
+    # span_dedup, decontaminated_docs.
+    "annotator_reliability", "annotation_alpha", "event_type_win_probs",
+    "community_modularity", "cross_modal_recall_gate",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4121,19 +4278,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # order_price_sampled_quantiles, prototype_pruned_docs and
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
-    "aligned_pairs_filtered", "cross_modal_topk",
+    "cross_modal_topk",
     "consensus_event_labels", "annotator_agreement",
     "event_type_strengths",
-    "kll_grouped_quantiles",
-    "nation_communities", "nation_kcore",
+    "nation_communities",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
-    # r11 task-5 list): decontaminated_docs last proven r3, span_dedup
-    # r5, corpus_admitted_indexed + scd2_orders r7, bm25_search_indexed
-    # r9, decontaminated_spans r10. Rotated out to make room (all
-    # driver-proven r11, unchanged this round): jl_projections,
-    # ann_jl_recall, datasheet_report, readability_report,
-    # kn_bigram_logprob, simhash_near_pairs.
-    "span_dedup", "decontaminated_docs", "decontaminated_spans",
+    # r11 task-5 list): corpus_admitted_indexed + scd2_orders last
+    # proven r7, bm25_search_indexed r9, decontaminated_spans r10
+    # (span_dedup and decontaminated_docs refreshed r12 and rotated out
+    # this round).
+    "decontaminated_spans",
     "corpus_admitted_indexed", "bm25_search_indexed", "scd2_orders",
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
@@ -4436,9 +4590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "aligned_pairs_filtered": q_aligned_pairs_filtered,
         "cross_modal_topk": q_cross_modal_topk,
+        "cross_modal_recall_gate": q_cross_modal_recall_gate,
         "event_type_strengths": q_event_type_strengths,
+        "event_type_win_probs": q_event_type_win_probs,
         "consensus_event_labels": q_consensus_event_labels,
         "annotator_agreement": q_annotator_agreement,
+        "annotator_reliability": q_annotator_reliability,
+        "annotation_alpha": q_annotation_alpha,
+        "community_modularity": q_community_modularity,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sweep": q_semantic_dedup_sweep,
@@ -7307,6 +7466,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS INTEGER) AS node, degree
             FROM ks24 ORDER BY node
         """,
+        "community_modularity": f"""
+            WITH {_STRONG_EDGES_SQL},
+            bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+            l0 AS (SELECT DISTINCT u AS node, u AS community FROM bi),
+            {_lpa_rounds_sql(4)},
+            lab AS (SELECT node, community FROM l4),
+            el AS MATERIALIZED (
+                SELECT e.u, e.v, lu.community AS cu, lv.community AS cv
+                FROM ed e JOIN lab lu ON e.u = lu.node
+                          JOIN lab lv ON e.v = lv.node),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM el),
+            intra AS (SELECT cu AS community,
+                             CAST(COUNT(*) AS BIGINT) AS intra_edges
+                      FROM el WHERE cu = cv GROUP BY 1),
+            deg AS (SELECT community,
+                           CAST(COUNT(*) AS BIGINT) AS degree_sum
+                    FROM (SELECT cu AS community FROM el
+                          UNION ALL SELECT cv FROM el) t
+                    GROUP BY 1),
+            nodes AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                      FROM lab GROUP BY 1)
+            SELECT CAST(n.community AS INTEGER) AS community, n.n_nodes,
+                   CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+                   CAST(COALESCE(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+                   ROUND(COALESCE(i.intra_edges, 0) / CAST(mm.m AS DOUBLE)
+                         - POW(COALESCE(d.degree_sum, 0)
+                               / (2.0 * CAST(mm.m AS DOUBLE)), 2),
+                         6) AS q_c
+            FROM nodes n
+            LEFT JOIN deg d ON n.community = d.community
+            LEFT JOIN intra i ON n.community = i.community, mm
+            ORDER BY community
+        """,
         "nation_triangles": """
             WITH raw AS (
                 SELECT s.s_nationkey AS a, c.c_nationkey AS b
@@ -9373,6 +9565,128 @@ SELECT 'url_dedup' AS stage,
             {_bt_rounds_sql(3)}
             SELECT item, s AS strength FROM bts3 ORDER BY item
         """,
+        "event_type_win_probs": f"""
+            WITH seq AS (
+                SELECT event_type, value,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       LAG(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_value
+                FROM events),
+            prefs AS (
+                SELECT CASE WHEN value > prev_value THEN event_type
+                            ELSE prev_type END AS winner,
+                       CASE WHEN value > prev_value THEN prev_type
+                            ELSE event_type END AS loser
+                FROM seq
+                WHERE prev_type IS NOT NULL AND prev_type != event_type
+                  AND value IS NOT NULL AND prev_value IS NOT NULL
+                  AND value != prev_value),
+            raw AS (SELECT winner AS wi, loser AS li,
+                           CAST(1 AS BIGINT) AS c FROM prefs),
+            wins AS (SELECT wi AS item, SUM(c) AS w_total
+                     FROM raw GROUP BY 1),
+            comp AS (
+                SELECT i, j, SUM(c) AS nij FROM (
+                    SELECT wi AS i, li AS j, c FROM raw
+                    UNION ALL SELECT li AS i, wi AS j, c FROM raw
+                ) t GROUP BY 1, 2),
+            {_bt_rounds_sql(3)},
+            btsf AS MATERIALIZED (SELECT item, s FROM bts3)
+            SELECT a.item AS i, b.item AS j,
+                   CASE WHEN a.s + b.s = 0 THEN NULL
+                        ELSE ROUND(a.s / (a.s + b.s), 6) END AS p_win
+            FROM btsf a JOIN btsf b ON a.item <> b.item
+            ORDER BY i, j
+        """,
+        "annotator_reliability": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       event_type AS label
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+                  FROM c GROUP BY 1, 2),
+            t AS (SELECT item, MAX(n_votes) AS n_votes FROM v GROUP BY 1),
+            w AS (SELECT v.item, MIN(v.label) AS consensus_label
+                  FROM v JOIN t ON v.item = t.item AND v.n_votes = t.n_votes
+                  GROUP BY 1)
+            SELECT c.annotator,
+                   CAST(COUNT(DISTINCT c.item) AS BIGINT) AS n_items,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes,
+                   CAST(SUM(CASE WHEN c.label = w.consensus_label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                   ROUND(SUM(CASE WHEN c.label = w.consensus_label
+                             THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS agreement_rate
+            FROM c JOIN w ON c.item = w.item
+            GROUP BY c.annotator
+            ORDER BY c.annotator
+        """,
+        "annotation_alpha": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       length(event_type) AS rating
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT item, rating AS label,
+                         CAST(COUNT(*) AS BIGINT) AS nij
+                  FROM c GROUP BY 1, 2),
+            it AS (SELECT item, SUM(nij) AS ni FROM v GROUP BY 1
+                   HAVING SUM(nij) >= 2),
+            qv AS (SELECT v.item, v.label, v.nij, it.ni
+                   FROM v JOIN it ON v.item = it.item),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                           CAST(SUM(ni) AS BIGINT) AS n_ratings
+                    FROM it),
+            marg AS (SELECT label, SUM(nij) AS nc FROM qv GROUP BY 1),
+            obs_nom AS (SELECT SUM(CAST(a.nij AS DOUBLE)
+                                   * CAST(b.nij AS DOUBLE)
+                                   * (CASE WHEN a.label <> b.label
+                                      THEN 1.0 ELSE 0.0 END)
+                                   / CAST(a.ni - 1 AS DOUBLE)) AS d_o_num
+                        FROM qv a JOIN qv b ON a.item = b.item),
+            exp_nom AS (SELECT SUM(CAST(a.nc AS DOUBLE)
+                                   * CAST(b.nc AS DOUBLE)
+                                   * (CASE WHEN a.label <> b.label
+                                      THEN 1.0 ELSE 0.0 END)) AS d_e_num
+                        FROM marg a, marg b),
+            obs_itv AS (SELECT SUM(CAST(a.nij AS DOUBLE)
+                                   * CAST(b.nij AS DOUBLE)
+                                   * POW(CAST(a.label AS DOUBLE)
+                                         - CAST(b.label AS DOUBLE), 2)
+                                   / CAST(a.ni - 1 AS DOUBLE)) AS d_o_num
+                        FROM qv a JOIN qv b ON a.item = b.item),
+            exp_itv AS (SELECT SUM(CAST(a.nc AS DOUBLE)
+                                   * CAST(b.nc AS DOUBLE)
+                                   * POW(CAST(a.label AS DOUBLE)
+                                         - CAST(b.label AS DOUBLE), 2)
+                                   ) AS d_e_num
+                        FROM marg a, marg b),
+            blocks AS (
+                SELECT 'nominal' AS metric, tot.n_items, tot.n_ratings,
+                       o.d_o_num / CAST(tot.n_ratings AS DOUBLE) AS d_o_raw,
+                       e.d_e_num / (CAST(tot.n_ratings AS DOUBLE)
+                                    * CAST(tot.n_ratings - 1 AS DOUBLE))
+                           AS d_e_raw
+                FROM tot, obs_nom o, exp_nom e
+                UNION ALL
+                SELECT 'interval' AS metric, tot.n_items, tot.n_ratings,
+                       o.d_o_num / CAST(tot.n_ratings AS DOUBLE) AS d_o_raw,
+                       e.d_e_num / (CAST(tot.n_ratings AS DOUBLE)
+                                    * CAST(tot.n_ratings - 1 AS DOUBLE))
+                           AS d_e_raw
+                FROM tot, obs_itv o, exp_itv e)
+            SELECT metric, n_items, n_ratings,
+                   ROUND(d_o_raw, 6) AS d_o,
+                   ROUND(d_e_raw, 6) AS d_e,
+                   CASE WHEN d_e_raw = 0 THEN NULL
+                        ELSE ROUND(1 - d_o_raw / d_e_raw, 6) END AS alpha
+            FROM blocks
+            ORDER BY metric
+        """,
         "cross_modal_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
@@ -9395,6 +9709,44 @@ SELECT 'url_dedup' AS stage,
                                              ORDER BY sim DESC, image_id) AS rn
                 FROM scored) t
             WHERE rn <= 5
+        """,
+        "cross_modal_recall_gate": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            amp AS (SELECT vec_id, v,
+                           (('0x' || substr(md5('amp|' || vec_id), 1, 15))::BIGINT
+                            % 1000) / 500.0 AS amp
+                    FROM e),
+            img AS (SELECT vec_id AS image_id,
+                           list_transform(v, (x, i) -> x + amp *
+                               ((('0x' || substr(md5('xm|' || vec_id || '|' || (i-1)), 1, 15))::BIGINT
+                                 % 2001 - 1000) / 1000.0)) AS iv
+                    FROM amp),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+            xsc AS (SELECT q.query_id, img.image_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.v, img.iv), 6) AS sim
+                    FROM q CROSS JOIN img),
+            xtop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM xsc) t
+                     WHERE rn <= 5),
+            tsc AS (SELECT q.query_id, img.image_id AS neighbor_id,
+                           ROUND(list_cosine_similarity(q.v[1:32],
+                                                        img.iv[1:32]), 6) AS sim
+                    FROM q CROSS JOIN img),
+            ttop AS (SELECT query_id, neighbor_id FROM (
+                         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn FROM tsc) t
+                     WHERE rn <= 5),
+            hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                     FROM xtop JOIN ttop USING (query_id, neighbor_id)
+                     GROUP BY query_id)
+            SELECT q2.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5,
+                   (COALESCE(h.n_hits, 0) * 5 >= 20) AS passed
+            FROM (SELECT DISTINCT query_id FROM xtop) q2
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY q2.query_id
         """,
         "token_budget_subset": rf"""
             WITH s AS (

@@ -42,9 +42,9 @@ def consensus_labels(
     labels contributes two ratings (same convention as Fleiss' n_i in
     :func:`fleiss_kappa_report` — kappa's agreement pairs are pairs of
     RATINGS). Under the one-label-per-annotator discipline real
-    pipelines enforce upstream the two counts coincide;
-    :func:`annotator_reliability`'s ``n_annotators`` is the
-    distinct-annotator census when they don't.
+    pipelines enforce upstream the two counts coincide; when they
+    don't, :func:`annotator_reliability` (one row per distinct
+    annotator) is the per-rater census.
 
     Plan: ONE pass over the raw table (distinct + (item, label)-keyed
     count, then an eager checkpoint of the vote table — Catalyst does
@@ -90,6 +90,84 @@ def _vote_table(
         clean.groupBy("item", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
         .localCheckpoint(eager=True)
+    )
+
+
+def annotator_reliability(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-annotator reliability: for each annotator, how often do
+    their votes match the consensus label of the items they rated? —
+    the first real QA question after kappa comes back low ("do raters
+    agree?" → "WHICH rater disagrees?"). One row per annotator:
+    ``(annotator, n_items, n_votes, n_agree, agreement_rate)`` with
+    ``agreement_rate = n_agree / n_votes`` rounded once to 6dp.
+
+    Consensus here is exactly :func:`consensus_labels`' winner (max
+    votes, ties to the lexicographically smallest label), computed
+    INCLUDING the annotator under report — the standard census read; a
+    leave-one-out variant would re-elect per annotator and is a
+    different (item×annotator-sized) operator. ``n_votes`` counts
+    distinct (item, label) votes (an annotator submitting two labels
+    for one item casts two votes but rates one item, so ``n_items`` ≤
+    ``n_votes``; at most one of the two can agree).
+
+    Plan: ONE raw-table pass builds the checkpointed distinct-triple
+    vote log (eager localCheckpoint — the consensus election and the
+    vote-side join both branch from it, and Catalyst does not reuse an
+    aggregate subtree across branches: without the pin each branch
+    re-scans the raw table, the r12 lesson); the election is
+    item×label-bounded, the final join is vote-log-sized against the
+    item-keyed winner table, then one annotator-keyed aggregate.
+    """
+    triples = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(annotator_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    votes = triples.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    top = votes.groupBy("item").agg(F.max("n_votes").alias("n_votes"))
+    winner = (
+        votes.join(top, ["item", "n_votes"])
+        .groupBy("item")
+        .agg(F.min("label").alias("consensus_label"))
+    )
+    return (
+        triples.join(winner, "item")
+        .groupBy("annotator")
+        .agg(
+            F.countDistinct("item").cast("bigint").alias("n_items"),
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.sum(
+                F.when(F.col("label") == F.col("consensus_label"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "annotator",
+            "n_items",
+            "n_votes",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double")
+                / F.col("n_votes").cast("double"),
+                6,
+            ).alias("agreement_rate"),
+        )
     )
 
 
@@ -165,6 +243,129 @@ def fleiss_kappa_report(
             ),
             6,
         ).alias("kappa"),
+    )
+    return out
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+    metric: str = "nominal",
+) -> DataFrame:
+    """Krippendorff's alpha (Krippendorff 2004 §11) — the missing-data
+    / non-nominal generalization of Fleiss' kappa: raters need not rate
+    every item (the norm for preference data), and the ``interval``
+    metric weighs HOW FAR two numeric ratings sit apart instead of
+    treating every mismatch equally (Likert scores, quality grades).
+    One row ``(n_items, n_ratings, d_o, d_e, alpha)`` with ``alpha =
+    1 − D_o/D_e``.
+
+    Computed from the coincidence matrix implicitly: per item u with
+    n_u >= 2 ratings, every ordered rating pair (c, k) contributes
+    ``n_uc·n_uk·δ²(c,k)/(n_u − 1)`` to the observed disagreement
+    (items with one rating carry no pair and drop from BOTH sides, the
+    standard treatment); expected disagreement pairs the pooled value
+    marginals: ``D_e = Σ_{c,k} n_c·n_k·δ²(c,k) / (n(n−1))``. Metrics:
+    ``nominal`` δ² = [c ≠ k]; ``interval`` δ² = (c − k)² with labels
+    cast to double (raises nothing here — a non-numeric label casts to
+    NULL under try semantics and would drop; pass numeric labels).
+    ``alpha`` is NULL when D_e = 0 (every rating one value — agreement
+    is undefined, not perfect; ``try_divide``, the kappa p_e=1 rule).
+    All counts are exact integers; each reported float rounds once to
+    6dp (nominal keeps D_o/D_e sums integral until the final division;
+    interval sums integer-valued doubles when labels are integral, the
+    float-sum contract otherwise).
+
+    Plan: ONE raw-table pass builds the checkpointed (item, label)
+    vote table (``_vote_table``); the observed side is an item-keyed
+    self-join of that table (item×labels²-bounded — label alphabets
+    are small), the expected side a labels²-sized cross of the value
+    marginals. Nothing data-sized collects.
+    """
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"krippendorff_alpha: metric must be 'nominal' or "
+            f"'interval', got {metric!r}"
+        )
+    votes = _vote_table(df, item_col, annotator_col, label_col).select(
+        "item", "label", F.col("n_votes").alias("nij")
+    )
+    items = (
+        votes.groupBy("item")
+        .agg(F.sum("nij").alias("ni"))
+        .filter(F.col("ni") >= 2)
+    )
+    # qualifying votes WITH their item's rating count attached — one
+    # inner join instead of a semi join plus a later re-join against
+    # the same items plan (which Spark 4 flags AMBIGUOUS_REFERENCE on
+    # the self-overlapping lineage)
+    qv = votes.join(items, "item")
+
+    def d2(c, k):
+        if metric == "nominal":
+            return F.when(c != k, F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.pow(c.cast("double") - k.cast("double"), F.lit(2.0))
+
+    pair = (
+        qv.alias("c")
+        .join(qv.alias("k"), F.col("c.item") == F.col("k.item"))
+        .select(
+            (
+                F.col("c.nij").cast("double")
+                * F.col("k.nij").cast("double")
+                * d2(F.col("c.label"), F.col("k.label"))
+                / (F.col("c.ni") - 1).cast("double")
+            ).alias("contrib")
+        )
+    )
+    obs = pair.agg(F.sum("contrib").alias("d_o_num"))
+    tot = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("ni").cast("bigint").alias("n_ratings"),
+    )
+    marg = qv.groupBy("label").agg(F.sum("nij").alias("nc"))
+    exp_num = (
+        marg.alias("c")
+        .crossJoin(marg.alias("k"))
+        .agg(
+            F.sum(
+                F.col("c.nc").cast("double")
+                * F.col("k.nc").cast("double")
+                * d2(F.col("c.label"), F.col("k.label"))
+            ).alias("d_e_num")
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(exp_num))
+        .select(
+            "n_items",
+            "n_ratings",
+            # try_divide: a table with NO qualifying item has
+            # n_ratings = 0 — the report row comes back NULL-valued
+            # instead of an ANSI divide-by-zero
+            F.try_divide(
+                F.col("d_o_num"), F.col("n_ratings").cast("double")
+            ).alias("d_o_raw"),
+            F.try_divide(
+                F.col("d_e_num"),
+                F.col("n_ratings").cast("double")
+                * (F.col("n_ratings") - 1).cast("double"),
+            ).alias("d_e_raw"),
+        )
+        .select(
+            "n_items",
+            "n_ratings",
+            F.round(F.col("d_o_raw"), 6).alias("d_o"),
+            F.round(F.col("d_e_raw"), 6).alias("d_e"),
+            F.round(
+                F.lit(1.0)
+                - F.try_divide(F.col("d_o_raw"), F.col("d_e_raw")),
+                6,
+            ).alias("alpha"),
+        )
     )
     return out
 
@@ -264,3 +465,49 @@ def bradley_terry_strengths(
     finally:
         comp.unpersist()
         items.unpersist()
+
+
+def bt_win_probabilities(
+    strengths: DataFrame,
+    item_col: str = "item",
+    strength_col: str = "strength",
+) -> DataFrame:
+    """Served pairwise win-probability matrix from fitted Bradley-Terry
+    strengths (:func:`bradley_terry_strengths`): one row per ORDERED
+    pair of distinct items, ``(i, j, p_win)`` with ``p_win = P(i beats
+    j) = s_i / (s_i + s_j)`` rounded once to 6dp — the consumable the
+    leaderboard/matchmaking caller actually wants from the fit (a
+    strength is only interpretable through this ratio; the model is
+    scale-invariant).
+
+    Edge cases carried over from the fit's documented fixed points: a
+    never-winner has strength 0, so it serves ``p_win = 0`` against any
+    positive-strength item (and 1 in the mirrored row); TWO
+    never-winners give 0/0 — NULL via ``try_divide`` (the model ranks
+    them equal-last but assigns their head-to-head no probability), not
+    an ANSI error. An empty or single-item strengths table serves an
+    empty matrix.
+
+    Scale: item²-bounded by construction (items are model variants /
+    prompt templates — few); the right side broadcasts. By symmetry
+    ``p(j,i) = 1 − p(i,j)`` except on the NULL diagonal cases; both
+    directions are emitted so point lookups need no branch."""
+    a = strengths.select(
+        F.col(item_col).alias("i"), F.col(strength_col).alias("si")
+    )
+    b = strengths.select(
+        F.col(item_col).alias("j"), F.col(strength_col).alias("sj")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(
+                    F.col("si"), F.col("si") + F.col("sj")
+                ),
+                6,
+            ).alias("p_win"),
+        )
+    )

@@ -398,3 +398,102 @@ def kcore(
         )
     finally:
         e0.unpersist()
+
+def modularity_report(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Community-quality report: Newman modularity contribution per
+    community (Newman & Girvan 2004), the quality signal the mixes
+    lacked when weighting by :func:`label_propagation` communities —
+    one row ``(community, n_nodes, intra_edges, degree_sum, q_c)``
+    where ``q_c = e_c/m − (D_c/(2m))²``; global ``Q = Σ_c q_c`` (read
+    it with one more aggregate). Q near 0 means the partition is no
+    better than chance; LPA occasionally converges to one giant
+    community, and this is the report that catches it.
+
+    Determinism/exactness: ``e_c`` (intra-community edges), ``D_c``
+    (endpoint-degree sum) and ``m`` (total edges) are exact integers on
+    the normalized undirected simple graph (the
+    :func:`label_propagation` edge contract: NULLs and self-loops drop,
+    duplicates collapse); only the final ``q_c`` ratio rounds, once, to
+    6dp — so a SQL oracle unrolls exactly.
+
+    Plan: ONE labeled-edge table (two broadcast-or-shuffle joins of the
+    edge projection against the node-keyed labels) eagerly checkpointed
+    — the report branches 3 ways off it (m, intra counts, degree sums)
+    and Catalyst reuses no subtree across branches (the r12 vote-table
+    lesson); every branch after the pin is edge- or community-sized.
+    Communities with no intra edge (singletons can't occur from LPA,
+    but sparse cuts can) surface with ``intra_edges = 0`` via the outer
+    join, not a dropped row.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        ensure_parallelism(edges)
+        .where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("c")
+    )
+    el = (
+        e.join(
+            lab.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = el.agg(F.count(F.lit(1)).cast("bigint").alias("m")).alias("tg")
+    intra = (
+        el.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    deg = (
+        el.select(F.col("cu").alias("community"))
+        .unionAll(el.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum"))
+    )
+    nodes = lab.groupBy(F.col("c").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return (
+        nodes.join(deg, "community", "left")
+        .join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint")
+            .alias("intra_edges"),
+            F.coalesce(F.col("degree_sum"), F.lit(0)).cast("bigint")
+            .alias("degree_sum"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("intra_edges"), F.lit(0))
+                    .cast("double"),
+                    F.col("tg.m").cast("double"),
+                )
+                - F.pow(
+                    F.try_divide(
+                        F.coalesce(F.col("degree_sum"), F.lit(0))
+                        .cast("double"),
+                        F.lit(2.0) * F.col("tg.m").cast("double"),
+                    ),
+                    F.lit(2.0),
+                ),
+                6,
+            ).alias("q_c"),
+        )
+    )

@@ -187,6 +187,7 @@ def retract_doc_ids(
     exactsubstr_state: tuple | None = None,
     bottomk_values_state: tuple | None = None,
     cc_state: str | None = None,
+    votes_state: tuple[str, str] | None = None,
     sketch_state_dirs: dict[str, str] | None = None,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
@@ -218,7 +219,10 @@ def retract_doc_ids(
     epochs to the full k, ``cc_state=work_dir`` (the ids are VERTEX
     ids; hit edge epochs anti-join, label snapshots rebuild forward —
     bridge removal splits components, so no label row is merely
-    filtered).
+    filtered), ``votes_state=(work_dir, key_col)`` with key_col
+    ``"annotator"`` (opt-out) or ``"item"`` (labeled-doc takedown) —
+    the vote log is doubly keyed, so the anti-join is exact in either
+    space.
 
     REFUSED up front, before anything mutates: ``sketch_state_dirs``
     ({name: dir} of HLL/CMS/Bloom register states) — registers are
@@ -343,6 +347,11 @@ def retract_doc_ids(
                 "of their survivors); pass epoch_sources to rebuild to "
                 "the full k"
             )
+    if votes_state is not None:
+        work_dir, key_col = votes_state
+        state_counts["votes_state"] = SR.retract_from_votes_state(
+            spark, work_dir, retract_ids, key_col
+        )
     if cc_state is not None:
         state_counts["cc_state"] = SR.retract_from_cc_state(
             spark, cc_state, retract_ids, id_col

@@ -2008,19 +2008,33 @@ def ivf_pq_residual_topk(
     if index is not None:
         centroids, corpus_cells, books, codes = index
     else:
+        # eager-checkpoint every shared build artifact (the
+        # nation_triangles fix, r13): the residualize, the Lloyd fit
+        # loop, the encode, the query assignment and the serve join
+        # all branch from these frames, and Catalyst reuses no subtree
+        # across branches — without the pins PLANS.md showed 10 scans /
+        # 12 shuffles for a 4-cell index (every branch re-ran the
+        # corpus scan + cell assignment). The index= serve path is
+        # untouched: persisted artifacts are already materialized.
         centroids, corpus_cells = build_ivf_index(
             corpus, id_col, vec_col, ncells
         )
-        res = residualize(corpus_cells, centroids, id_col, vec_col)
+        centroids = centroids.localCheckpoint(eager=True)
+        corpus_cells = corpus_cells.localCheckpoint(eager=True)
+        res = residualize(
+            corpus_cells, centroids, id_col, vec_col
+        ).localCheckpoint(eager=True)
         books = pq_fit(res, m_sub, k_codes, 2, id_col, vec_col)
         codes = pq_encode(res, books, id_col, vec_col)
+    books = books.localCheckpoint(eager=True)
     meta = books.agg(
         F.max("sub").alias("ms"), F.max("dim").alias("md")
     ).collect()[0]
     m_sub, sub_d = int(meta["ms"]) + 1, int(meta["md"]) + 1
+    # query-sized, read twice (LUT build + candidate join)
     query_cells = assign_cells(
         queries, centroids, id_col, vec_col, nprobe=nprobe
-    )
+    ).localCheckpoint(eager=True)
     qres = residualize(query_cells, centroids, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cell", vec_col
     )

@@ -568,9 +568,10 @@ def streaming_votes(
     safe twice over: layout (a replayed epoch rewrites its own dir)
     AND semantics (distinct is idempotent). State is vote-sized — the
     votes ARE the dataset here, there is nothing smaller that stays
-    exact. Retraction: the state is a plain id-keyed table — anti-join
-    hit epochs (the ``retract_doc_ids(corpus_tables=)`` pattern) or
-    rebuild from epoch sources; no lossy-fold refusal applies."""
+    exact. Retraction: the rows are DOUBLY keyed (item AND annotator),
+    so ``state_retraction.retract_from_votes_state`` anti-joins hit
+    epochs exactly in either key space (annotator opt-out or item
+    takedown); no lossy-fold refusal applies."""
     return run_incremental(
         stream_df,
         make_votes_batch_fn(work_dir, item_col, annotator_col, label_col),

@@ -2,7 +2,9 @@
 the per-epoch state dirs (the batch serving artifacts live in
 ``operators/retraction.py``).
 
-Six state families, three retraction stories:
+Every state family retracts; three retraction stories cover them all
+(exact anti-join for keyed rows, epoch rebuild for derived/keyless
+rows, replay-as-maintenance for irreversible registers):
 
 - **prefix-intake state** (``streaming/prefix_intake.py``: ``prefix/``,
   ``shingles/``, ``kept/``) is ID-KEYED — every state row carries the
@@ -45,6 +47,16 @@ Six state families, three retraction stories:
   hash by construction), so the shrunken state is still a valid uniform
   sample; ``epoch_sources`` rebuilds hit epochs to the full k
   (:func:`retract_from_bottomk_values_state`).
+- **annotation votes** (``streaming/sketch_state.py``: ``votes/``
+  per-epoch DISTINCT (item, annotator, label) rows) are DOUBLY keyed —
+  every row carries both the item AND the annotator it derives from —
+  so retraction is an exact per-epoch anti-join in EITHER key space
+  (annotator opt-out is the realistic GDPR case for preference data;
+  item takedown follows a retracted document). The vote log is a
+  distinct-row set, so the rewritten state is bit-equal to the state a
+  history without those votes would have written, and consensus/kappa
+  reads over it equal the batch operators on the surviving votes
+  (:func:`retract_from_votes_state`, pinned by test).
 - **connected-components labels** (``streaming/cc_state.py``:
   ``cc_edges/`` deltas + ``cc_labels/`` per-epoch snapshots) are a
   DERIVED chain: retracted vertex ids anti-join out of every hit edge
@@ -273,6 +285,58 @@ def retract_from_ewma_state(
             spark, table_dir, epoch, cur.join(ids, key_col, "left_anti")
         )
     return {"ewma": n_removed}
+
+
+def retract_from_votes_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_keys: DataFrame,
+    key_col: str = "annotator",
+) -> dict[str, int]:
+    """Exact retraction from the streaming annotation-vote state
+    (``votes/`` per-epoch DISTINCT (item, annotator, label) rows —
+    ``streaming/sketch_state.streaming_votes``): anti-join every epoch
+    on ``key_col`` — ``"annotator"`` for the realistic case (an
+    annotator opts out and their ratings must leave the preference
+    data) or ``"item"`` (the labeled document itself was taken down).
+
+    Exact by construction: the state is the distinct vote LOG, every
+    row carries both keys, so the rewritten state is bit-equal to the
+    state a history without the retracted annotator's (or item's)
+    votes would have written — and the derived reads
+    (``read_consensus_state`` / ``read_agreement_state``) then equal
+    the batch ``consensus_labels`` / ``fleiss_kappa_report`` over the
+    surviving votes (both pinned by test). A future vote from a
+    retracted annotator finds no prior and is admitted as if the
+    annotator were new (the module's non-re-adjudication contract:
+    consensus flips caused by the removed votes are recomputed at read
+    time, because consensus is DERIVED per read, never persisted).
+
+    Stream must be stopped. Returns the removed-row count."""
+    if key_col not in ("item", "annotator"):
+        raise ValueError(
+            f"retract_from_votes_state: key_col must be 'item' or "
+            f"'annotator', got {key_col!r}"
+        )
+    ids = (
+        _ids_df(retract_keys, key_col)
+        .select(F.col(key_col).cast("bigint").alias(key_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    table_dir = f"{work_dir}/votes"
+    n_removed = 0
+    for epoch in list_state_epochs(spark, table_dir):
+        cur = spark.read.parquet(f"{table_dir}/batch_id={epoch}")
+        hit = cur.join(ids, key_col, "left_semi").count()
+        if hit == 0:
+            continue
+        n_removed += hit
+        # keyed anti-joins move the join key to the FRONT of the
+        # column order (the r9 note) — restore the state schema
+        surv = cur.join(ids, key_col, "left_anti").select(*cur.columns)
+        _rewrite_epoch(spark, table_dir, epoch, surv)
+    return {"votes": n_removed}
 
 
 def retract_from_exactsubstr_state(

@@ -120,3 +120,139 @@ def test_bradley_terry_balanced_is_uniform(spark):
             for r in AN.bradley_terry_strengths(pairs, n_iter=it).collect()
         }
         assert out == {"r": 1.0, "s": 1.0, "p": 1.0}
+
+
+def _alpha_ref(rows, metric):
+    """Independent pure-Python Krippendorff reference (coincidence-
+    matrix definition iterated over individual rating pairs — a
+    different formulation from the operator's n_uc*n_uk products)."""
+    from collections import defaultdict
+
+    by_item = defaultdict(list)
+    for it, _ann, lab in set(rows):
+        by_item[it].append(lab)
+    units = {u: vs for u, vs in by_item.items() if len(vs) >= 2}
+
+    def d2(c, k):
+        if metric == "nominal":
+            return 0.0 if c == k else 1.0
+        return float((c - k) ** 2)
+
+    n = sum(len(vs) for vs in units.values())
+    do = 0.0
+    for vs in units.values():
+        nu = len(vs)
+        for c in vs:
+            for k in vs:
+                do += d2(c, k) / (nu - 1)
+    do /= n
+    vals = [v for vs in units.values() for v in vs]
+    de = sum(d2(c, k) for c in vals for k in vals) / (n * (n - 1))
+    if de == 0:
+        return None
+    return 1 - do / de
+
+
+def test_krippendorff_alpha_regimes_and_reference(spark):
+    sch = "item BIGINT, ann STRING, lab INT"
+    # perfect agreement -> alpha = 1 for both metrics
+    perfect = spark.createDataFrame(
+        [(i, r, i % 3) for i in range(4) for r in ("a", "b")], sch
+    )
+    for metric in ("nominal", "interval"):
+        row = AN.krippendorff_alpha(
+            perfect, "item", "ann", "lab", metric
+        ).first()
+        assert row["alpha"] == 1.0 and row["d_o"] == 0.0
+
+    # every rating one value -> D_e = 0 -> alpha NULL (undefined, not 1)
+    degenerate = spark.createDataFrame(
+        [(i, r, 7) for i in range(3) for r in ("a", "b")], sch
+    )
+    row = AN.krippendorff_alpha(degenerate, "item", "ann", "lab").first()
+    assert row["alpha"] is None and row["d_e"] == 0.0
+
+    # missing-data fixture (raters skip items; single-rating item 99
+    # drops from both sides) vs the independent reference, both metrics
+    rows = [
+        (1, "a", 1), (1, "b", 1), (1, "c", 2),
+        (2, "a", 2), (2, "b", 3),
+        (3, "b", 4), (3, "c", 4), (3, "a", 1),
+        (4, "a", 1), (4, "c", 5),
+        (99, "a", 3),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    for metric in ("nominal", "interval"):
+        row = AN.krippendorff_alpha(df, "item", "ann", "lab", metric).first()
+        want = round(_alpha_ref(rows, metric) + 1e-12, 6)
+        assert abs(row["alpha"] - want) <= 1e-6, (metric, row["alpha"], want)
+        assert row["n_items"] == 4 and row["n_ratings"] == 10
+
+    # metric validation
+    with pytest.raises(ValueError, match="metric"):
+        AN.krippendorff_alpha(df, "item", "ann", "lab", "ordinal")
+
+
+def test_krippendorff_interval_weighs_distance(spark):
+    """Interval alpha punishes a 1-vs-5 disagreement harder than a
+    1-vs-2 one; nominal treats them identically."""
+    sch = "item BIGINT, ann STRING, lab INT"
+    near = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "a", 1), (2, "b", 1),
+         (3, "a", 4), (3, "b", 4)], sch
+    )
+    far = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 5), (2, "a", 1), (2, "b", 1),
+         (3, "a", 4), (3, "b", 4)], sch
+    )
+    a_near = AN.krippendorff_alpha(near, "item", "ann", "lab", "interval").first()["alpha"]
+    a_far = AN.krippendorff_alpha(far, "item", "ann", "lab", "interval").first()["alpha"]
+    assert a_near > a_far
+    n_nom = AN.krippendorff_alpha(near, "item", "ann", "lab", "nominal").first()["alpha"]
+    f_nom = AN.krippendorff_alpha(far, "item", "ann", "lab", "nominal").first()["alpha"]
+    assert n_nom == f_nom
+
+
+def test_annotator_reliability_hand_fixture(spark):
+    rows = [
+        # item 1: consensus b (2-1)
+        (1, "r1", "b"), (1, "r2", "b"), (1, "r3", "a"),
+        # item 2: tie a/b -> a
+        (2, "r1", "a"), (2, "r2", "b"),
+        # item 3: r1 duplicate submission collapses
+        (3, "r1", "c"), (3, "r1", "c"),
+        # item 4: r1 submits TWO labels (2 votes, 1 item, <=1 can agree)
+        (4, "r1", "x"), (4, "r1", "y"), (4, "r2", "x"),
+        # NULLs drop
+        (None, "r1", "a"), (5, None, "a"), (5, "r1", None),
+    ]
+    df = spark.createDataFrame(rows, "item BIGINT, ann STRING, lab STRING")
+    out = {
+        r["annotator"]: (r["n_items"], r["n_votes"], r["n_agree"],
+                         r["agreement_rate"])
+        for r in AN.annotator_reliability(df, "item", "ann", "lab").collect()
+    }
+    assert out == {
+        "r1": (4, 5, 4, 0.8),
+        "r2": (3, 3, 2, 0.666667),
+        "r3": (1, 1, 0, 0.0),
+    }
+
+
+def test_bt_win_probabilities_edges(spark):
+    s = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0), ("z", 0.0), ("y", 0.0)],
+        "item STRING, strength DOUBLE",
+    )
+    out = {
+        (r["i"], r["j"]): r["p_win"]
+        for r in AN.bt_win_probabilities(s).collect()
+    }
+    assert len(out) == 12  # ordered pairs, no diagonal
+    assert out[("a", "b")] == 0.666667 and out[("b", "a")] == 0.333333
+    # never-winner serves 0 (and 1 mirrored)
+    assert out[("z", "a")] == 0.0 and out[("a", "z")] == 1.0
+    # two never-winners: 0/0 -> NULL, not an ANSI error
+    assert out[("z", "y")] is None and out[("y", "z")] is None
+    # empty strengths -> empty matrix
+    assert AN.bt_win_probabilities(s.limit(0)).count() == 0

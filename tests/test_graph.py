@@ -205,3 +205,71 @@ def test_kcore_validation_and_convergence_guard(spark):
     with _pytest.raises(ValueError, match="converge"):
         kcore(path, k=2, max_rounds=1)
     assert kcore(path, k=2, max_rounds=8).count() == 0
+
+
+def test_modularity_report_two_triangles_bridge(spark):
+    """Hand-checked Newman modularity on a bridged pair of triangles:
+    m = 7, each triangle community has 3 intra edges and degree sum 7,
+    so q_c = 3/7 - (7/14)^2 = 0.178571 each (Q = 0.357143 > 0 — a
+    genuine community structure)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        label_propagation,
+        modularity_report,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    labels = label_propagation(df)
+    out = {
+        r["community"]: (
+            r["n_nodes"], r["intra_edges"], r["degree_sum"], r["q_c"]
+        )
+        for r in modularity_report(df, labels).collect()
+    }
+    assert set(out) == {1, 4}
+    for c in (1, 4):
+        assert out[c] == (3, 3, 7, 0.178571)
+
+
+def test_modularity_report_zero_intra_community_and_chance(spark):
+    """A community with NO intra edge surfaces with intra_edges = 0
+    (outer join, not a dropped row); a custom anti-community labeling
+    of a path graph scores negative."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        modularity_report,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a BIGINT, b BIGINT"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 10)], "node BIGINT, community BIGINT"
+    )
+    out = {
+        r["community"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                         r["q_c"])
+        for r in modularity_report(edges, labels).collect()
+    }
+    # m=3; community 10 = {1,4}: no intra edge, degrees 1+1
+    assert out[10] == (2, 0, 2, -0.111111)
+    # community 20 = {2,3}: 1 intra edge, degrees 2+2
+    assert out[20] == (2, 1, 4, -0.111111)
+
+
+def test_modularity_report_single_community_is_zero(spark):
+    """All nodes one community: e_c = m and D_c = 2m, so
+    q_c = 1 - 1 = 0 exactly — the 'LPA collapsed to one giant
+    community' signature the report exists to catch."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        modularity_report,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a BIGINT, b BIGINT"
+    )
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "node BIGINT, community BIGINT"
+    )
+    rows = modularity_report(edges, labels).collect()
+    assert len(rows) == 1
+    assert rows[0]["q_c"] == 0.0 and rows[0]["intra_edges"] == 3

@@ -489,3 +489,47 @@ def test_annotation_reports_scan_raw_table_once(spark, sf_dir):
         plan = _fmt_plan(spark, e.queries()[q](spark, sf_dir))
         assert "Location:" not in plan, q  # no raw re-scan
         assert "Scan ExistingRDD" in plan, q
+
+
+def test_residual_ivfpq_serve_plan_reads_checkpoints_only(spark, sf_dir):
+    """r13 (VERDICT r12 #8): the inline-build residual IVF-PQ serve was
+    the heaviest plan in PLANS.md (10 parquet scans / 12 shuffles — the
+    fit loop, encode, query assignment and serve join each re-ran the
+    corpus scan + cell assignment). With every shared build artifact
+    eagerly checkpointed (the nation_triangles fix) the SERVE plan
+    reads materialized frames only: zero parquet scans."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["ann_ivfpq_residual_topk"](spark, sf_dir)
+    )
+    assert "Location:" not in plan  # no raw parquet scan anywhere
+    assert "Scan ExistingRDD" in plan
+
+
+def test_reliability_and_alpha_scan_raw_table_once(spark, sf_dir):
+    """r13: annotator_reliability branches off the checkpointed triple
+    log (election + vote-side join), krippendorff_alpha off the
+    checkpointed vote table (self-join + marginals) — both scan the
+    raw event-volume table exactly once at build, serve plans read the
+    materialized rows."""
+    import __spark_entry__ as e
+
+    for q in ("annotator_reliability", "annotation_alpha"):
+        plan = _fmt_plan(spark, e.queries()[q](spark, sf_dir))
+        assert "Location:" not in plan, q
+        assert "Scan ExistingRDD" in plan, q
+
+
+def test_modularity_report_single_labeled_edge_table(spark, sf_dir):
+    """r13: the modularity report branches 3 ways (m, intra, degrees)
+    off the labeled-edge table; the eager checkpoint pins ONE build of
+    it — the serve plan reads materialized frames only (the raw
+    lineitem-volume joins happen once, at checkpoint time)."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["community_modularity"](spark, sf_dir)
+    )
+    assert "Location:" not in plan
+    assert "Scan ExistingRDD" in plan

@@ -437,3 +437,82 @@ def test_bottomk_values_retraction_with_key_col_named_key(spark, workdir):
     assert victim not in {
         r["key"] for r in read_bottomk_values_state(spark, workdir, 10).collect()
     }
+
+
+def test_votes_state_retraction_equals_rebuilt_history(spark, workdir):
+    """r13: the annotation vote state retracts exactly in BOTH key
+    spaces (annotator opt-out and item takedown), and the derived
+    consensus/kappa reads equal the batch operators on the surviving
+    votes — closing the 'every state family retracts' invariant."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_votes_batch_fn,
+        read_agreement_state,
+        read_consensus_state,
+    )
+
+    sch = "item BIGINT, annotator BIGINT, label STRING"
+    rows0 = [(1, 10, "a"), (1, 11, "b"), (1, 12, "b"), (2, 10, "x"),
+             (2, 11, "x")]
+    rows1 = [(1, 13, "a"), (2, 12, "y"), (3, 10, "z"), (3, 11, "z")]
+    fn = make_votes_batch_fn(workdir)
+    fn(spark.createDataFrame(rows0, sch), 0)
+    fn(spark.createDataFrame(rows1, sch), 1)
+
+    removed = SR.retract_from_votes_state(
+        spark, workdir, spark.createDataFrame([(10,)], "annotator BIGINT"),
+        "annotator",
+    )
+    assert removed["votes"] == 3  # annotator 10 voted in both epochs
+
+    # retracted state == a history that never saw annotator 10
+    ref = f"{workdir}-ref"
+    try:
+        fn2 = make_votes_batch_fn(ref)
+        fn2(spark.createDataFrame(
+            [r for r in rows0 if r[1] != 10], sch), 0)
+        fn2(spark.createDataFrame(
+            [r for r in rows1 if r[1] != 10], sch), 1)
+        got = sorted(map(tuple, read_consensus_state(spark, workdir).collect()))
+        want = sorted(map(tuple, read_consensus_state(spark, ref).collect()))
+        assert got == want and got
+        ka = read_agreement_state(spark, workdir).first()
+        kb = read_agreement_state(spark, ref).first()
+        assert ka.asDict() == kb.asDict()
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+
+    # the reads also equal the BATCH operators on the surviving votes
+    surviving = spark.createDataFrame(
+        [r for r in rows0 + rows1 if r[1] != 10], sch
+    )
+    got = sorted(map(tuple, read_consensus_state(spark, workdir).collect()))
+    batch = sorted(map(tuple, AN.consensus_labels(
+        surviving, "item", "annotator", "label").collect()))
+    assert got == batch
+
+    # item takedown: the other key space
+    removed = SR.retract_from_votes_state(
+        spark, workdir, spark.createDataFrame([(1,)], "item BIGINT"), "item"
+    )
+    assert removed["votes"] == 3  # item 1's surviving votes (11, 12, 13)
+    left = {r["item"] for r in read_consensus_state(spark, workdir).collect()}
+    assert left == {2, 3}
+
+    # a future vote from the retracted annotator is admitted as new:
+    # item 3's surviving vote is z×1 (annotator 11; 10's original z was
+    # retracted), the fresh w×1 ties it, min-label tie-break -> "w"
+    fn(spark.createDataFrame([(3, 10, "w")], sch), 2)
+    out = {
+        r["item"]: (r["label"], r["n_votes"], r["n_ratings"])
+        for r in read_consensus_state(spark, workdir).collect()
+    }
+    assert out[3] == ("w", 1, 2)
+
+    with pytest.raises(ValueError, match="key_col"):
+        SR.retract_from_votes_state(
+            spark, workdir, spark.createDataFrame([(1,)], "x BIGINT"),
+            "label",
+        )
