@@ -3264,19 +3264,20 @@ def _rating_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_annotation_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Krippendorff's alpha over the numeric rating table, BOTH metrics
-    (nominal + interval) as two rows keyed by ``metric`` — the
-    missing-data/ordinal generalization of Fleiss' kappa (raters need
-    not rate every item; interval weighs distance between scores).
-    Integer vote counts and integral-double δ² products in; each
-    reported float rounds once to 6dp."""
+    """Krippendorff's alpha over the numeric rating table, ALL THREE
+    metrics (nominal + interval + ordinal) as rows keyed by ``metric``
+    — the missing-data generalization of Fleiss' kappa (raters need
+    not rate every item; interval weighs score distance, ordinal
+    weighs observed-data distance between ranks). Integer vote counts
+    and integral-double δ² products in; each reported float rounds
+    once to 6dp."""
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
         annotation as AN,
     )
 
     rat = _rating_table(spark, sf_dir)
     out = None
-    for metric in ("interval", "nominal"):
+    for metric in ("interval", "nominal", "ordinal"):
         row = AN.krippendorff_alpha(
             rat, "item", "annotator", "rating", metric
         ).select(F.lit(metric).alias("metric"), "*")
@@ -3333,6 +3334,117 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = _strong_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     labels = GR.label_propagation(strong, "u", "v", n_iter=4)
     return GR.modularity_report(strong, labels, src="u", dst="v").orderBy(
+        "community"
+    )
+
+
+def q_annotator_reliability_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-annotator-out reliability over the derived annotation
+    table — each vote scored against the consensus of the item's OTHER
+    raters, removing the self-vote bias of the census read (a sole
+    rater is unscoreable, not trivially 'agreeing'). Adjusted-count
+    table is item×rater×label-bounded; rate over scored votes only,
+    try_divide NULL when nothing scores."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    return AN.annotator_reliability_loo(
+        _annotation_table(spark, sf_dir), "item", "annotator", "label"
+    ).orderBy("annotator")
+
+
+def q_event_type_rk_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Bradley-Terry strengths under the Rao-Kupper model
+    (θ=1.5 fixed, 3 MM rounds, 6dp per round): the same per-user
+    event-sequence comparisons as event_type_strengths but value TIES
+    now contribute tie rows instead of dropping — the preference-data
+    reality the tie-free fit documents away. Heavy side touched once
+    into the item²-bounded (i, j, a_ij, b_ij) table."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+        & F.col("value").isNotNull()
+        & F.col("prev_value").isNotNull()
+    )
+    pairs = staged.select(
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("event_type")
+        ).otherwise(F.col("prev_type")).alias("winner"),
+        F.when(
+            F.col("value") > F.col("prev_value"), F.col("prev_type")
+        ).otherwise(F.col("event_type")).alias("loser"),
+        (F.col("value") == F.col("prev_value")).alias("is_tie"),
+    )
+    return AN.bradley_terry_rao_kupper(
+        pairs, theta=1.5, n_iter=3
+    ).orderBy("item")
+
+
+def q_community_modularity_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED Newman modularity per LPA community of the strong-tie
+    nation trade graph — the strong-edge derivation HAS integer trade
+    weights and the unweighted report discards them; here m/intra/
+    degree sums are weight sums (exact integers), same q_c formula.
+    Labels stay the unweighted LPA partition (same as
+    community_modularity), so the two reports are directly
+    comparable."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    strong_w = _strong_trade_edges(
+        spark, sf_dir, keep_weight=True
+    ).localCheckpoint(eager=True)
+    labels = GR.label_propagation(strong_w, "u", "v", n_iter=4)
+    return GR.modularity_report(
+        strong_w, labels, src="u", dst="v", weight_col="w"
+    ).orderBy("community")
+
+
+def q_annotator_pair_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa over a 30-rater slice of the annotation
+    table (which TWO raters systematically disagree — separates 'one
+    bad rater' from 'two annotation schools'): per-pair marginal
+    chance model, min 2 shared ratings. The rater cap bounds the
+    per-item quadratic pair table at any SF (distinct triples are
+    item×rater×label-bounded)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        annotation as AN,
+    )
+
+    ann = _annotation_table(spark, sf_dir).filter(F.col("annotator") < 30)
+    return AN.pairwise_cohen_kappa(
+        ann, "item", "annotator", "label", min_items=2
+    ).orderBy("annotator_a", "annotator_b")
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the LPA partition on the strong-tie
+    nation trade graph — the cut-quality companion to
+    community_modularity (dense insides vs leaky boundaries; a
+    partition can score well on one and badly on the other). Exact
+    integer cut/volume/m; only phi rounds, once, to 6dp."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    strong = _strong_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = GR.label_propagation(strong, "u", "v", n_iter=4)
+    return GR.conductance_report(strong, labels, src="u", dst="v").orderBy(
         "community"
     )
 
@@ -3549,12 +3661,15 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strong_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strong_trade_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Strong-tie nation trade graph shared by the community and
     coreness queries: undirected trade weight >= 1.4x the mean (the
     integer rational 5·w·n_pairs >= 7·total) — the raw graph is
     complete, so graph structure only appears after the strong-tie
-    cut."""
+    cut. ``keep_weight`` keeps the integer trade weight ``w`` (the
+    weighted-modularity input)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3580,10 +3695,11 @@ def _strong_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = und.agg(
         F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
     ).alias("tg")
-    return (
-        und.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") * F.col("tg.np") * 5 >= 7 * F.col("tg.tw"))
-        .select("u", "v")
+    strong = und.crossJoin(F.broadcast(tot)).filter(
+        F.col("w") * F.col("tg.np") * 5 >= 7 * F.col("tg.tw")
+    )
+    return strong.select("u", "v", "w") if keep_weight else strong.select(
+        "u", "v"
     )
 
 
@@ -4271,6 +4387,20 @@ _DRIVER_WINDOW_PRIORITY = [
     # span_dedup, decontaminated_docs.
     "annotator_reliability", "annotation_alpha", "event_type_win_probs",
     "community_modularity", "cross_modal_recall_gate",
+    # round-13 second batch: leave-one-out reliability (self-vote bias
+    # removed), Rao-Kupper tie-aware Bradley-Terry (θ=1.5), weighted
+    # Newman modularity over the trade weights. Rotated out (all
+    # driver-proven r12, unchanged): cross_modal_topk,
+    # event_type_strengths, nation_communities.
+    "annotator_reliability_loo", "event_type_rk_strengths",
+    "community_modularity_weighted",
+    # round-13 third batch: pairwise Cohen's kappa (which two raters
+    # disagree with each other) and per-community conductance (the
+    # cut-quality companion to modularity). annotation_alpha grew the
+    # ordinal metric this round and is already in-window. Rotated out
+    # (driver-proven r12, unchanged): events_hot_join,
+    # audio_near_dup_pairs.
+    "annotator_pair_kappa", "community_conductance",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4278,10 +4408,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # order_price_sampled_quantiles, prototype_pruned_docs and
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
-    "cross_modal_topk",
     "consensus_event_labels", "annotator_agreement",
-    "event_type_strengths",
-    "nation_communities",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
     # r11 task-5 list): corpus_admitted_indexed + scd2_orders last
     # proven r7, bm25_search_indexed r9, decontaminated_spans r10
@@ -4297,7 +4424,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # for re-proof; zipf_fit_report, source_vocab_divergence and
     # grouped_price_quantiles rotated out (driver-proven r10,
     # unchanged).
-    "events_hot_join", "audio_near_dup_pairs", "kll_price_quantiles",
+    "kll_price_quantiles",
     # round-11 second batch: intra-doc line dedup, vocab coverage
     # (chunking already shipped in round 1 as chunk_documents),
     # exact triangle counts / clustering coefficients.
@@ -4596,8 +4723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_event_labels": q_consensus_event_labels,
         "annotator_agreement": q_annotator_agreement,
         "annotator_reliability": q_annotator_reliability,
+        "annotator_reliability_loo": q_annotator_reliability_loo,
+        "annotator_pair_kappa": q_annotator_pair_kappa,
         "annotation_alpha": q_annotation_alpha,
+        "community_conductance": q_community_conductance,
+        "event_type_rk_strengths": q_event_type_rk_strengths,
         "community_modularity": q_community_modularity,
+        "community_modularity_weighted": q_community_modularity_weighted,
         "token_budget_subset": q_token_budget_subset,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_sweep": q_semantic_dedup_sweep,
@@ -6271,6 +6403,37 @@ def _bt_rounds_sql(n_iter: int) -> str:
     return ",".join(ctes)
 
 
+def _rk_rounds_sql(n_iter: int, theta_sql: str = "CAST(1.5 AS DOUBLE)") -> str:
+    """Unrolled Rao-Kupper MM iterations for the event_type_rk_strengths
+    oracle (expects CTEs ``comp_rk(i, j, aij, bij)`` — ordered-pair
+    coefficients with ties symmetrized — and ``wt(item, w_plus_t)``;
+    ``rk0`` is the uniform start). Mirrors
+    annotation.bradley_terry_rao_kupper: a_ij/(s_i+θ·s_j) +
+    θ·b_ij/(s_j+θ·s_i) denominators, win+tie ratio, mean-normalize,
+    ROUND 6dp per round."""
+    th = theta_sql
+    ctes = ["rk0 AS (SELECT DISTINCT i AS item, 1.0 AS s FROM comp_rk)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+            rkd{i} AS (
+                SELECT c.i AS item,
+                       SUM(CAST(c.aij AS DOUBLE) / (si.s + {th} * sj.s)
+                           + {th} * CAST(c.bij AS DOUBLE)
+                             / (sj.s + {th} * si.s)) AS d
+                FROM comp_rk c
+                JOIN rk{i - 1} si ON c.i = si.item
+                JOIN rk{i - 1} sj ON c.j = sj.item
+                GROUP BY c.i),
+            rku{i} AS (
+                SELECT d.item,
+                       CAST(COALESCE(w.w_plus_t, 0) AS DOUBLE) / d.d AS s_raw
+                FROM rkd{i} d LEFT JOIN wt w ON d.item = w.item),
+            rkm{i} AS (SELECT AVG(s_raw) AS m FROM rku{i}),
+            rk{i} AS (SELECT item, ROUND(s_raw / m, 6) AS s
+                      FROM rku{i}, rkm{i})""")
+    return ",".join(ctes)
+
+
 def _lpa_rounds_sql(n_iter: int) -> str:
     """Unrolled label-propagation rounds for the nation_communities
     oracle (the pagerank unroll precedent): per round, neighbor votes
@@ -7497,6 +7660,80 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN deg d ON n.community = d.community
             LEFT JOIN intra i ON n.community = i.community, mm
+            ORDER BY community
+        """,
+        "community_modularity_weighted": f"""
+            WITH {_STRONG_EDGES_SQL},
+            edw AS MATERIALIZED (
+                SELECT und.u, und.v, CAST(und.w AS BIGINT) AS w
+                FROM und, tot
+                WHERE und.w * tot.np * 5 >= 7 * tot.tw),
+            bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+            l0 AS (SELECT DISTINCT u AS node, u AS community FROM bi),
+            {_lpa_rounds_sql(4)},
+            lab AS (SELECT node, community FROM l4),
+            el AS MATERIALIZED (
+                SELECT e.u, e.v, e.w, lu.community AS cu, lv.community AS cv
+                FROM edw e JOIN lab lu ON e.u = lu.node
+                           JOIN lab lv ON e.v = lv.node),
+            mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM el),
+            intra AS (SELECT cu AS community,
+                             CAST(SUM(w) AS BIGINT) AS intra_edges
+                      FROM el WHERE cu = cv GROUP BY 1),
+            deg AS (SELECT community,
+                           CAST(SUM(w) AS BIGINT) AS degree_sum
+                    FROM (SELECT cu AS community, w FROM el
+                          UNION ALL SELECT cv, w FROM el) t
+                    GROUP BY 1),
+            nodes AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                      FROM lab GROUP BY 1)
+            SELECT CAST(n.community AS INTEGER) AS community, n.n_nodes,
+                   CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+                   CAST(COALESCE(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+                   ROUND(COALESCE(i.intra_edges, 0) / CAST(mm.m AS DOUBLE)
+                         - POW(COALESCE(d.degree_sum, 0)
+                               / (2.0 * CAST(mm.m AS DOUBLE)), 2),
+                         6) AS q_c
+            FROM nodes n
+            LEFT JOIN deg d ON n.community = d.community
+            LEFT JOIN intra i ON n.community = i.community, mm
+            ORDER BY community
+        """,
+        "community_conductance": f"""
+            WITH {_STRONG_EDGES_SQL},
+            bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+            l0 AS (SELECT DISTINCT u AS node, u AS community FROM bi),
+            {_lpa_rounds_sql(4)},
+            lab AS (SELECT node, community FROM l4),
+            el AS MATERIALIZED (
+                SELECT e.u, e.v, lu.community AS cu, lv.community AS cv
+                FROM ed e JOIN lab lu ON e.u = lu.node
+                          JOIN lab lv ON e.v = lv.node),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM el),
+            cut AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+                    FROM (SELECT cu AS community FROM el WHERE cu <> cv
+                          UNION ALL
+                          SELECT cv FROM el WHERE cu <> cv) t
+                    GROUP BY 1),
+            vol AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS volume
+                    FROM (SELECT cu AS community FROM el
+                          UNION ALL SELECT cv FROM el) t
+                    GROUP BY 1),
+            nodes AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                      FROM lab GROUP BY 1)
+            SELECT CAST(n.community AS INTEGER) AS community, n.n_nodes,
+                   CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+                   CAST(COALESCE(v.volume, 0) AS BIGINT) AS volume,
+                   CASE WHEN LEAST(COALESCE(v.volume, 0),
+                                   2 * mm.m - COALESCE(v.volume, 0)) = 0
+                        THEN NULL
+                        ELSE ROUND(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                             / CAST(LEAST(COALESCE(v.volume, 0),
+                                    2 * mm.m - COALESCE(v.volume, 0))
+                               AS DOUBLE), 6) END AS phi
+            FROM nodes n
+            LEFT JOIN vol v ON n.community = v.community
+            LEFT JOIN cut c ON n.community = c.community, mm
             ORDER BY community
         """,
         "nation_triangles": """
@@ -9599,6 +9836,129 @@ SELECT 'url_dedup' AS stage,
             FROM btsf a JOIN btsf b ON a.item <> b.item
             ORDER BY i, j
         """,
+        "event_type_rk_strengths": f"""
+            WITH seq AS (
+                SELECT event_type, value,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       LAG(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_value
+                FROM events),
+            prefs AS (
+                SELECT CASE WHEN value > prev_value THEN event_type
+                            ELSE prev_type END AS winner,
+                       CASE WHEN value > prev_value THEN prev_type
+                            ELSE event_type END AS loser,
+                       (value = prev_value) AS is_tie
+                FROM seq
+                WHERE prev_type IS NOT NULL AND prev_type != event_type
+                  AND value IS NOT NULL AND prev_value IS NOT NULL),
+            raw AS (SELECT winner AS wi, loser AS li, is_tie FROM prefs),
+            wt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS w_plus_t
+                   FROM (SELECT wi AS item FROM raw
+                         UNION ALL SELECT li FROM raw WHERE is_tie) t
+                   GROUP BY 1),
+            comp_rk AS (
+                SELECT i, j, CAST(SUM(a) AS BIGINT) AS aij,
+                       CAST(SUM(b) AS BIGINT) AS bij FROM (
+                    SELECT wi AS i, li AS j, 1 AS a,
+                           CASE WHEN is_tie THEN 1 ELSE 0 END AS b FROM raw
+                    UNION ALL
+                    SELECT li AS i, wi AS j,
+                           CASE WHEN is_tie THEN 1 ELSE 0 END AS a, 1 AS b
+                    FROM raw) t GROUP BY 1, 2),
+            {_rk_rounds_sql(3)}
+            SELECT item, s AS strength FROM rk3 ORDER BY item
+        """,
+        "annotator_reliability_loo": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       event_type AS label
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nij
+                  FROM c GROUP BY 1, 2),
+            r AS (SELECT DISTINCT item, annotator FROM c),
+            adj AS (SELECT r.item, r.annotator, v.label,
+                           v.nij - CASE WHEN o.label IS NOT NULL
+                                   THEN 1 ELSE 0 END AS adj
+                    FROM r JOIN v ON r.item = v.item
+                    LEFT JOIN c o ON o.item = r.item
+                                 AND o.annotator = r.annotator
+                                 AND o.label = v.label),
+            top AS (SELECT item, annotator, MAX(adj) AS adj
+                    FROM adj GROUP BY 1, 2 HAVING MAX(adj) >= 1),
+            loo AS (SELECT adj.item, adj.annotator,
+                           MIN(adj.label) AS loo_label
+                    FROM adj JOIN top ON adj.item = top.item
+                                     AND adj.annotator = top.annotator
+                                     AND adj.adj = top.adj
+                    GROUP BY 1, 2)
+            SELECT c.annotator,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes,
+                   CAST(SUM(CASE WHEN l.loo_label IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_votes_scored,
+                   CAST(SUM(CASE WHEN c.label = l.loo_label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                   ROUND(SUM(CASE WHEN c.label = l.loo_label
+                             THEN 1 ELSE 0 END)
+                         / CAST(NULLIF(SUM(CASE WHEN l.loo_label IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0) AS DOUBLE),
+                         6) AS loo_agreement_rate
+            FROM c LEFT JOIN loo l ON c.item = l.item
+                                  AND c.annotator = l.annotator
+            GROUP BY c.annotator
+            ORDER BY c.annotator
+        """,
+        "annotator_pair_kappa": """
+            WITH c AS (SELECT DISTINCT event_id % 200 AS item,
+                                       user_id AS annotator,
+                                       event_type AS label
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND event_type IS NOT NULL AND user_id < 30),
+            j AS (SELECT x.annotator AS a, y.annotator AS b,
+                         x.label AS la, y.label AS lb
+                  FROM c x JOIN c y ON x.item = y.item
+                                   AND x.annotator < y.annotator),
+            base AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+                            CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_agree
+                     FROM j GROUP BY 1, 2),
+            ca AS (SELECT a, b, la AS l, CAST(COUNT(*) AS BIGINT) AS cnt_a
+                   FROM j GROUP BY 1, 2, 3),
+            cb AS (SELECT a, b, lb AS l, CAST(COUNT(*) AS BIGINT) AS cnt_b
+                   FROM j GROUP BY 1, 2, 3),
+            pe AS (SELECT ca.a, ca.b, SUM(ca.cnt_a * cb.cnt_b) AS pe_num
+                   FROM ca JOIN cb ON ca.a = cb.a AND ca.b = cb.b
+                                  AND ca.l = cb.l
+                   GROUP BY 1, 2)
+            SELECT base.a AS annotator_a, base.b AS annotator_b,
+                   base.n_shared,
+                   ROUND(CAST(base.n_agree AS DOUBLE)
+                         / CAST(base.n_shared AS DOUBLE), 6) AS p_o,
+                   ROUND(CAST(COALESCE(pe.pe_num, 0) AS DOUBLE)
+                         / (CAST(base.n_shared AS DOUBLE)
+                            * CAST(base.n_shared AS DOUBLE)), 6) AS p_e,
+                   CASE WHEN 1.0 - CAST(COALESCE(pe.pe_num, 0) AS DOUBLE)
+                             / (CAST(base.n_shared AS DOUBLE)
+                                * CAST(base.n_shared AS DOUBLE)) = 0
+                        THEN NULL
+                        ELSE ROUND(
+                            (CAST(base.n_agree AS DOUBLE)
+                             / CAST(base.n_shared AS DOUBLE)
+                             - CAST(COALESCE(pe.pe_num, 0) AS DOUBLE)
+                               / (CAST(base.n_shared AS DOUBLE)
+                                  * CAST(base.n_shared AS DOUBLE)))
+                            / (1.0 - CAST(COALESCE(pe.pe_num, 0) AS DOUBLE)
+                               / (CAST(base.n_shared AS DOUBLE)
+                                  * CAST(base.n_shared AS DOUBLE))),
+                            6) END AS kappa
+            FROM base LEFT JOIN pe ON base.a = pe.a AND base.b = pe.b
+            WHERE base.n_shared >= 2
+            ORDER BY annotator_a, annotator_b
+        """,
         "annotator_reliability": """
             WITH c AS (SELECT DISTINCT event_id % 200 AS item,
                                        user_id AS annotator,
@@ -9665,6 +10025,27 @@ SELECT 'url_dedup' AS stage,
                                          - CAST(b.label AS DOUBLE), 2)
                                    ) AS d_e_num
                         FROM marg a, marg b),
+            margo AS (SELECT label, nc,
+                             SUM(nc) OVER (ORDER BY label
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM marg),
+            delta_o AS MATERIALIZED (
+                SELECT c.label AS lc, k.label AS lk,
+                       POW(CAST(2 * (k.cum - c.cum) + c.nc - k.nc
+                            AS DOUBLE), 2) / 4.0 AS d2
+                FROM margo c, margo k),
+            obs_ord AS (SELECT SUM(CAST(a.nij AS DOUBLE)
+                                   * CAST(b.nij AS DOUBLE) * d.d2
+                                   / CAST(a.ni - 1 AS DOUBLE)) AS d_o_num
+                        FROM qv a JOIN qv b ON a.item = b.item
+                        JOIN delta_o d ON a.label = d.lc
+                                      AND b.label = d.lk),
+            exp_ord AS (SELECT SUM(CAST(a.nc AS DOUBLE)
+                                   * CAST(b.nc AS DOUBLE) * d.d2)
+                            AS d_e_num
+                        FROM marg a
+                        JOIN delta_o d ON a.label = d.lc
+                        JOIN marg b ON b.label = d.lk),
             blocks AS (
                 SELECT 'nominal' AS metric, tot.n_items, tot.n_ratings,
                        o.d_o_num / CAST(tot.n_ratings AS DOUBLE) AS d_o_raw,
@@ -9678,7 +10059,14 @@ SELECT 'url_dedup' AS stage,
                        e.d_e_num / (CAST(tot.n_ratings AS DOUBLE)
                                     * CAST(tot.n_ratings - 1 AS DOUBLE))
                            AS d_e_raw
-                FROM tot, obs_itv o, exp_itv e)
+                FROM tot, obs_itv o, exp_itv e
+                UNION ALL
+                SELECT 'ordinal' AS metric, tot.n_items, tot.n_ratings,
+                       o.d_o_num / CAST(tot.n_ratings AS DOUBLE) AS d_o_raw,
+                       e.d_e_num / (CAST(tot.n_ratings AS DOUBLE)
+                                    * CAST(tot.n_ratings - 1 AS DOUBLE))
+                           AS d_e_raw
+                FROM tot, obs_ord o, exp_ord e)
             SELECT metric, n_items, n_ratings,
                    ROUND(d_o_raw, 6) AS d_o,
                    ROUND(d_e_raw, 6) AS d_e,

@@ -22,6 +22,7 @@ the first groupBy, nothing collects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 
@@ -270,24 +271,33 @@ def krippendorff_alpha(
     marginals: ``D_e = Σ_{c,k} n_c·n_k·δ²(c,k) / (n(n−1))``. Metrics:
     ``nominal`` δ² = [c ≠ k]; ``interval`` δ² = (c − k)² with labels
     cast to double (raises nothing here — a non-numeric label casts to
-    NULL under try semantics and would drop; pass numeric labels).
-    ``alpha`` is NULL when D_e = 0 (every rating one value — agreement
-    is undefined, not perfect; ``try_divide``, the kappa p_e=1 rule).
-    All counts are exact integers; each reported float rounds once to
-    6dp (nominal keeps D_o/D_e sums integral until the final division;
-    interval sums integer-valued doubles when labels are integral, the
-    float-sum contract otherwise).
+    NULL under try semantics and would drop; pass numeric labels);
+    ``ordinal`` δ²(c,k) = (Σ_{g=c..k} n_g − (n_c+n_k)/2)² over the
+    pooled marginals (Krippendorff's rank metric — distance is how
+    much DATA sits between the two ranks, so it adapts to the observed
+    score distribution where interval assumes equal spacing; computed
+    integer-exactly as D²/4 with D = 2·(cum_k − cum_c) + n_c − n_k
+    from a label-ordered cumulative sum, and for a two-value alphabet
+    it provably equals nominal — both sides scale by n²/4, pinned by
+    test). ``alpha`` is NULL when D_e = 0 (every rating one value —
+    agreement is undefined, not perfect; ``try_divide``, the kappa
+    p_e=1 rule). All counts are exact integers; each reported float
+    rounds once to 6dp (nominal keeps D_o/D_e sums integral until the
+    final division; interval/ordinal sum integer-valued doubles when
+    labels are integral, the float-sum contract otherwise).
 
     Plan: ONE raw-table pass builds the checkpointed (item, label)
     vote table (``_vote_table``); the observed side is an item-keyed
     self-join of that table (item×labels²-bounded — label alphabets
     are small), the expected side a labels²-sized cross of the value
-    marginals. Nothing data-sized collects.
+    marginals; ordinal adds a labels²-sized δ² table built off a
+    label-ordered cumulative window (single tiny partition — the
+    alphabet). Nothing data-sized collects.
     """
-    if metric not in ("nominal", "interval"):
+    if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
-            f"krippendorff_alpha: metric must be 'nominal' or "
-            f"'interval', got {metric!r}"
+            f"krippendorff_alpha: metric must be 'nominal', 'interval' "
+            f"or 'ordinal', got {metric!r}"
         )
     votes = _vote_table(df, item_col, annotator_col, label_col).select(
         "item", "label", F.col("n_votes").alias("nij")
@@ -303,40 +313,105 @@ def krippendorff_alpha(
     # the self-overlapping lineage)
     qv = votes.join(items, "item")
 
-    def d2(c, k):
-        if metric == "nominal":
-            return F.when(c != k, F.lit(1.0)).otherwise(F.lit(0.0))
-        return F.pow(c.cast("double") - k.cast("double"), F.lit(2.0))
-
-    pair = (
-        qv.alias("c")
-        .join(qv.alias("k"), F.col("c.item") == F.col("k.item"))
-        .select(
-            (
-                F.col("c.nij").cast("double")
-                * F.col("k.nij").cast("double")
-                * d2(F.col("c.label"), F.col("k.label"))
-                / (F.col("c.ni") - 1).cast("double")
-            ).alias("contrib")
-        )
-    )
-    obs = pair.agg(F.sum("contrib").alias("d_o_num"))
     tot = items.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("ni").cast("bigint").alias("n_ratings"),
     )
     marg = qv.groupBy("label").agg(F.sum("nij").alias("nc"))
-    exp_num = (
-        marg.alias("c")
-        .crossJoin(marg.alias("k"))
-        .agg(
-            F.sum(
-                F.col("c.nc").cast("double")
-                * F.col("k.nc").cast("double")
-                * d2(F.col("c.label"), F.col("k.label"))
-            ).alias("d_e_num")
+    if metric == "ordinal":
+        # labels²-sized δ² table off a label-ordered cumulative sum —
+        # single tiny window partition (the alphabet), eagerly
+        # checkpointed because BOTH disagreement sides join it
+        wlab = SparkWindow.orderBy("label").rowsBetween(
+            SparkWindow.unboundedPreceding, 0
         )
-    )
+        margc = marg.select(
+            "label", "nc", F.sum("nc").over(wlab).alias("cum")
+        )
+        delta = (
+            margc.alias("c")
+            .crossJoin(margc.alias("k"))
+            .select(
+                F.col("c.label").alias("lc"),
+                F.col("k.label").alias("lk"),
+                (
+                    F.pow(
+                        (
+                            2 * (F.col("k.cum") - F.col("c.cum"))
+                            + F.col("c.nc")
+                            - F.col("k.nc")
+                        ).cast("double"),
+                        F.lit(2.0),
+                    )
+                    / F.lit(4.0)
+                ).alias("d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pair = (
+            qv.alias("c")
+            .join(qv.alias("k"), F.col("c.item") == F.col("k.item"))
+            .join(
+                F.broadcast(delta),
+                (F.col("c.label") == F.col("lc"))
+                & (F.col("k.label") == F.col("lk")),
+            )
+            .select(
+                (
+                    F.col("c.nij").cast("double")
+                    * F.col("k.nij").cast("double")
+                    * F.col("d2")
+                    / (F.col("c.ni") - 1).cast("double")
+                ).alias("contrib")
+            )
+        )
+        exp_num = (
+            marg.alias("c")
+            .crossJoin(marg.alias("k"))
+            .join(
+                F.broadcast(delta),
+                (F.col("c.label") == F.col("lc"))
+                & (F.col("k.label") == F.col("lk")),
+            )
+            .agg(
+                F.sum(
+                    F.col("c.nc").cast("double")
+                    * F.col("k.nc").cast("double")
+                    * F.col("d2")
+                ).alias("d_e_num")
+            )
+        )
+    else:
+
+        def d2(c, k):
+            if metric == "nominal":
+                return F.when(c != k, F.lit(1.0)).otherwise(F.lit(0.0))
+            return F.pow(c.cast("double") - k.cast("double"), F.lit(2.0))
+
+        pair = (
+            qv.alias("c")
+            .join(qv.alias("k"), F.col("c.item") == F.col("k.item"))
+            .select(
+                (
+                    F.col("c.nij").cast("double")
+                    * F.col("k.nij").cast("double")
+                    * d2(F.col("c.label"), F.col("k.label"))
+                    / (F.col("c.ni") - 1).cast("double")
+                ).alias("contrib")
+            )
+        )
+        exp_num = (
+            marg.alias("c")
+            .crossJoin(marg.alias("k"))
+            .agg(
+                F.sum(
+                    F.col("c.nc").cast("double")
+                    * F.col("k.nc").cast("double")
+                    * d2(F.col("c.label"), F.col("k.label"))
+                ).alias("d_e_num")
+            )
+        )
+    obs = pair.agg(F.sum("contrib").alias("d_o_num"))
     out = (
         tot.crossJoin(F.broadcast(obs))
         .crossJoin(F.broadcast(exp_num))
@@ -509,5 +584,354 @@ def bt_win_probabilities(
                 ),
                 6,
             ).alias("p_win"),
+        )
+    )
+
+
+def annotator_reliability_loo(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Leave-one-annotator-out reliability: like
+    :func:`annotator_reliability`, but each vote is scored against the
+    consensus of the item's OTHER annotators — removing the self-vote
+    bias that inflates the census read on small-n_i items (a sole
+    rater always "agrees" with the consensus they themselves elected;
+    here they are unscoreable instead). One row per annotator:
+    ``(annotator, n_votes, n_votes_scored, n_agree,
+    loo_agreement_rate)`` with the rate over SCORED votes only,
+    rounded once to 6dp, NULL (try_divide) for an annotator whose
+    every item has no other rater.
+
+    Election per (item, annotator): the item's vote counts MINUS the
+    annotator's own votes, then the consensus_labels rule (max
+    adjusted count, ties to the smallest label); an item where every
+    adjusted count is 0 (the annotator was the only rater) yields no
+    LOO consensus and the vote is excluded from scoring (counted in
+    ``n_votes`` but not ``n_votes_scored``).
+
+    Scale: the adjusted-count table is Σ_items (raters × labels) —
+    item×annotator×label-bounded, the natural size of a per-rater QA
+    report (labels are a small alphabet; raters per item are tens).
+    One checkpointed distinct-triple log (single raw scan) feeds the
+    vote aggregate, the rater×label cross, and the scoring join.
+    """
+    triples = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(annotator_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    votes = triples.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    raters = triples.select("item", "annotator").distinct()
+    own = triples.select(
+        "item", "annotator", "label", F.lit(1).alias("own")
+    )
+    adj = (
+        raters.join(votes, "item")
+        .join(own, ["item", "annotator", "label"], "left")
+        .select(
+            "item",
+            "annotator",
+            "label",
+            (F.col("nij") - F.coalesce(F.col("own"), F.lit(0)))
+            .cast("bigint")
+            .alias("adj"),
+        )
+    )
+    top = adj.groupBy("item", "annotator").agg(
+        F.max("adj").alias("adj")
+    ).filter(F.col("adj") >= 1)
+    loo = (
+        adj.join(top, ["item", "annotator", "adj"])
+        .groupBy("item", "annotator")
+        .agg(F.min("label").alias("loo_label"))
+    )
+    scored = triples.join(loo, ["item", "annotator"], "left")
+    return (
+        scored.groupBy("annotator")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.sum(
+                F.when(F.col("loo_label").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_votes_scored"),
+            F.sum(
+                F.when(F.col("label") == F.col("loo_label"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "annotator",
+            "n_votes",
+            "n_votes_scored",
+            "n_agree",
+            F.round(
+                F.try_divide(
+                    F.col("n_agree").cast("double"),
+                    F.col("n_votes_scored").cast("double"),
+                ),
+                6,
+            ).alias("loo_agreement_rate"),
+        )
+    )
+
+
+def bradley_terry_rao_kupper(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    tie_col: str = "is_tie",
+    theta: float = 1.5,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Tie-aware Bradley-Terry strengths under the Rao-Kupper model
+    (Rao & Kupper 1967; MM updates from Hunter 2004 §5) — preference
+    data HAS ties and :func:`bradley_terry_strengths` drops them:
+    ``P(i beats j) = s_i/(s_i + θ·s_j)``, ``P(tie) =
+    s_i·s_j·(θ²−1)/((s_i+θ·s_j)(s_j+θ·s_i))`` with the tie threshold
+    ``θ > 1`` FIXED (caller-supplied; θ→1 recovers plain BT, pinned by
+    test). Tie rows (``tie_col`` true) may list the two items in either
+    order. The MM update, from minorizing each −ln(s_i + θ·s_j) term:
+
+        s_i ← (W_i + T_i) / Σ_j [ a_ij/(s_i + θ·s_j)
+                                  + θ·b_ij/(s_j + θ·s_i) ]
+
+    where a_ij = w_ij + t_ij (terms whose denominator is s_i + θ·s_j)
+    and b_ij = w_ji + t_ij (coefficient θ — s_i enters those
+    denominators scaled). Strengths round to 6dp and normalize to mean
+    1 per round (the pagerank unroll contract), so a fixed-``n_iter``
+    run unrolls to an exact SQL oracle. An item with zero wins AND
+    zero ties pins to the 0 fixed point after one round (documented,
+    as in the tie-free fit).
+
+    Scale: the comparison volume aggregates once to the item²-bounded
+    ``(i, j, a_ij, b_ij)`` table; each round joins only that.
+    Returns ``(item, strength)``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not theta >= 1.0:
+        raise ValueError(
+            f"rao_kupper: theta must be >= 1 (tie threshold; θ=1 makes "
+            f"ties probability-0 and reduces to plain BT), got {theta}"
+        )
+    w, l = F.col(winner_col), F.col(loser_col)
+    t = F.col(tie_col).cast("boolean")
+    raw = pairs.where(
+        w.isNotNull() & l.isNotNull() & (w != l) & t.isNotNull()
+    ).select(w.alias("wi"), l.alias("li"), t.alias("tie"))
+    # per-item win + tie totals
+    wt = (
+        raw.select(
+            F.explode(
+                F.when(
+                    F.col("tie"), F.array(F.col("wi"), F.col("li"))
+                ).otherwise(F.array(F.col("wi")))
+            ).alias("item")
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w_plus_t"))
+    )
+    # ordered-pair coefficient table: a_ij = w_ij + t_ij, b_ij = w_ji
+    # + t_ij (ties symmetrize into BOTH ordered directions)
+    dir1 = raw.select(
+        F.col("wi").alias("i"),
+        F.col("li").alias("j"),
+        F.lit(1).alias("a"),
+        F.when(F.col("tie"), 1).otherwise(0).alias("b"),
+    )
+    dir2 = raw.select(
+        F.col("li").alias("i"),
+        F.col("wi").alias("j"),
+        F.when(F.col("tie"), 1).otherwise(0).alias("a"),
+        F.lit(1).alias("b"),
+    )
+    comp = (
+        dir1.unionByName(dir2)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("a").cast("bigint").alias("aij"),
+            F.sum("b").cast("bigint").alias("bij"),
+        )
+        .persist()
+    )
+    items = comp.select(F.col("i").alias("item")).distinct().persist()
+    th = float(theta)
+    try:
+        s = items.select("item", F.lit(1.0).alias("s"))
+        for _ in range(n_iter):
+            sj = s.select(F.col("item").alias("j"), F.col("s").alias("sj"))
+            si = s.select(F.col("item").alias("i"), F.col("s").alias("si"))
+            denom = (
+                comp.join(si, "i")
+                .join(sj, "j")
+                .groupBy(F.col("i").alias("item"))
+                .agg(
+                    F.sum(
+                        F.col("aij").cast("double")
+                        / (F.col("si") + F.lit(th) * F.col("sj"))
+                        + F.lit(th)
+                        * F.col("bij").cast("double")
+                        / (F.col("sj") + F.lit(th) * F.col("si"))
+                    ).alias("d")
+                )
+            )
+            upd = denom.join(wt, "item", "left").select(
+                "item",
+                (
+                    F.coalesce(F.col("w_plus_t"), F.lit(0)).cast("double")
+                    / F.col("d")
+                ).alias("s_raw"),
+            )
+            mean = upd.agg(F.avg("s_raw").alias("m")).alias("mg")
+            s = (
+                upd.crossJoin(F.broadcast(mean))
+                .select(
+                    "item",
+                    F.round(F.col("s_raw") / F.col("mg.m"), 6).alias("s"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return s.select("item", F.col("s").alias("strength")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        comp.unpersist()
+        items.unpersist()
+
+
+def pairwise_cohen_kappa(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+    min_items: int = 1,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) for EVERY pair of annotators over the
+    items they both rated — the pair-level member of the agreement
+    family: Fleiss/alpha say whether the POOL agrees,
+    :func:`annotator_reliability` who disagrees with the consensus;
+    this says which two raters systematically disagree WITH EACH OTHER
+    (the signal that separates "one bad rater" from "two annotation
+    schools"). One row per unordered pair with at least ``min_items``
+    shared ratings: ``(annotator_a, annotator_b, n_shared, p_o, p_e,
+    kappa)``, ``annotator_a < annotator_b``.
+
+    Per pair: ``p_o`` = share of shared ratings with equal labels;
+    ``p_e = Σ_l share_a(l)·share_b(l)`` from the pair's OWN marginal
+    label distributions over the shared items (the Cohen chance model —
+    per-pair marginals, unlike Fleiss' pooled ones); ``kappa = (p_o −
+    p_e)/(1 − p_e)``, NULL via ``try_divide`` when p_e = 1 (both
+    raters constant on one label — undefined, the Fleiss p_e=1 rule).
+    An annotator with two labels on one item contributes one shared
+    rating per label pairing (the ratings convention of the shelf).
+    All inputs are exact integer counts; each reported float rounds
+    once to 6dp.
+
+    Scale: the paired-vote table is Σ_items (ratings-per-item)² — the
+    QUADRATIC-in-raters blowup is per item and label-bounded by the
+    distinct-triple dedup, the natural size of a pair-level QA report
+    (raters per item are tens); everything after is
+    annotator²×label-bounded. One checkpointed triple log, one raw
+    scan.
+    """
+    if min_items < 1:
+        raise ValueError("min_items must be >= 1")
+    triples = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(annotator_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        triples.alias("x")
+        .join(
+            triples.alias("y"),
+            (F.col("x.item") == F.col("y.item"))
+            & (F.col("x.annotator") < F.col("y.annotator")),
+        )
+        .select(
+            F.col("x.annotator").alias("a"),
+            F.col("y.annotator").alias("b"),
+            F.col("x.label").alias("la"),
+            F.col("y.label").alias("lb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = j.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+        ).cast("bigint").alias("n_agree"),
+    )
+    ca = j.groupBy("a", "b", F.col("la").alias("l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_a")
+    )
+    cb = j.groupBy("a", "b", F.col("lb").alias("l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_b")
+    )
+    pe = (
+        ca.join(cb, ["a", "b", "l"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("pe_num"))
+    )
+    return (
+        base.join(pe, ["a", "b"], "left")
+        .filter(F.col("n_shared") >= min_items)
+        .select(
+            F.col("a").alias("annotator_a"),
+            F.col("b").alias("annotator_b"),
+            "n_shared",
+            F.round(
+                F.col("n_agree").cast("double")
+                / F.col("n_shared").cast("double"),
+                6,
+            ).alias("p_o"),
+            F.round(
+                F.coalesce(F.col("pe_num"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_shared").cast("double")
+                    * F.col("n_shared").cast("double")
+                ),
+                6,
+            ).alias("p_e"),
+            F.round(
+                F.try_divide(
+                    F.col("n_agree").cast("double")
+                    / F.col("n_shared").cast("double")
+                    - F.coalesce(F.col("pe_num"), F.lit(0)).cast("double")
+                    / (
+                        F.col("n_shared").cast("double")
+                        * F.col("n_shared").cast("double")
+                    ),
+                    F.lit(1.0)
+                    - F.coalesce(F.col("pe_num"), F.lit(0)).cast("double")
+                    / (
+                        F.col("n_shared").cast("double")
+                        * F.col("n_shared").cast("double")
+                    ),
+                ),
+                6,
+            ).alias("kappa"),
         )
     )

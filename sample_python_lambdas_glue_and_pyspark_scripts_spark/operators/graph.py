@@ -406,6 +406,7 @@ def modularity_report(
     dst: str = "b",
     node_col: str = "node",
     community_col: str = "community",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community-quality report: Newman modularity contribution per
     community (Newman & Girvan 2004), the quality signal the mixes
@@ -431,14 +432,34 @@ def modularity_report(
     Communities with no intra edge (singletons can't occur from LPA,
     but sparse cuts can) surface with ``intra_edges = 0`` via the outer
     join, not a dropped row.
+
+    ``weight_col`` switches to the weighted Newman form (Newman 2004):
+    ``m``/``intra_edges``/``degree_sum`` become WEIGHT sums (exact when
+    weights are integers — the trade-count shape), same ``q_c``
+    formula over the sums. Duplicate orientations of one undirected
+    edge collapse by SUMMING their weights (pass one row per
+    undirected edge for the standard reading).
     """
     u, v = F.col(src), F.col(dst)
-    e = (
-        ensure_parallelism(edges)
-        .where(u.isNotNull() & v.isNotNull() & (u != v))
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
+    base = ensure_parallelism(edges).where(
+        u.isNotNull() & v.isNotNull() & (u != v)
     )
+    if weight_col is None:
+        e = base.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        ).distinct().select(
+            "u", "v", F.lit(1).cast("bigint").alias("w")
+        )
+    else:
+        e = (
+            base.select(
+                F.least(u, v).alias("u"),
+                F.greatest(u, v).alias("v"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+        )
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(community_col).alias("c")
     )
@@ -453,17 +474,17 @@ def modularity_report(
         )
         .localCheckpoint(eager=True)
     )
-    m = el.agg(F.count(F.lit(1)).cast("bigint").alias("m")).alias("tg")
+    m = el.agg(F.sum("w").cast("bigint").alias("m")).alias("tg")
     intra = (
         el.filter(F.col("cu") == F.col("cv"))
         .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+        .agg(F.sum("w").cast("bigint").alias("intra_edges"))
     )
     deg = (
-        el.select(F.col("cu").alias("community"))
-        .unionAll(el.select(F.col("cv").alias("community")))
+        el.select(F.col("cu").alias("community"), "w")
+        .unionAll(el.select(F.col("cv").alias("community"), "w"))
         .groupBy("community")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum"))
+        .agg(F.sum("w").cast("bigint").alias("degree_sum"))
     )
     nodes = lab.groupBy(F.col("c").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
@@ -495,5 +516,116 @@ def modularity_report(
                 ),
                 6,
             ).alias("q_c"),
+        )
+    )
+
+def conductance_report(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    community_col: str = "community",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-community conductance (Kannan-Vempala-Vetta 2004) — the
+    cut-quality companion to :func:`modularity_report`: ``phi_c =
+    cut_c / min(vol_c, 2m − vol_c)`` where ``cut_c`` is the (weighted)
+    number of edges leaving the community and ``vol_c`` its endpoint-
+    degree volume. Low phi = a well-separated community; modularity
+    rewards denser-than-chance INSIDES while conductance punishes leaky
+    BOUNDARIES, and a partition can score well on one and badly on the
+    other — quality reports read both. One row ``(community, n_nodes,
+    cut_edges, volume, phi)``.
+
+    Exactness: cut/volume/m are exact integer (weight) sums on the
+    normalized undirected simple graph (the modularity contract; same
+    duplicate-orientation weight-sum collapse); only ``phi`` rounds,
+    once, to 6dp. ``phi`` is NULL (``try_divide``) when the community
+    is the whole graph (2m − vol = 0 and cut = 0 — conductance of the
+    trivial cut is undefined, not 0).
+
+    Plan: the same ONE checkpointed labeled-edge table as modularity
+    (3 bounded branches: volume, cut, total), nothing data-sized
+    collects.
+    """
+    u, v = F.col(src), F.col(dst)
+    base = ensure_parallelism(edges).where(
+        u.isNotNull() & v.isNotNull() & (u != v)
+    )
+    if weight_col is None:
+        e = base.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        ).distinct().select(
+            "u", "v", F.lit(1).cast("bigint").alias("w")
+        )
+    else:
+        e = (
+            base.select(
+                F.least(u, v).alias("u"),
+                F.greatest(u, v).alias("v"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+        )
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("c")
+    )
+    el = (
+        e.join(
+            lab.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = el.agg(F.sum("w").cast("bigint").alias("m")).alias("tg")
+    cut = (
+        el.filter(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("community"), "w")
+        .unionAll(
+            el.filter(F.col("cu") != F.col("cv")).select(
+                F.col("cv").alias("community"), "w"
+            )
+        )
+        .groupBy("community")
+        .agg(F.sum("w").cast("bigint").alias("cut_edges"))
+    )
+    vol = (
+        el.select(F.col("cu").alias("community"), "w")
+        .unionAll(el.select(F.col("cv").alias("community"), "w"))
+        .groupBy("community")
+        .agg(F.sum("w").cast("bigint").alias("volume"))
+    )
+    nodes = lab.groupBy(F.col("c").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return (
+        nodes.join(vol, "community", "left")
+        .join(cut, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("cut_edges"), F.lit(0)).cast("bigint")
+            .alias("cut_edges"),
+            F.coalesce(F.col("volume"), F.lit(0)).cast("bigint")
+            .alias("volume"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("cut_edges"), F.lit(0))
+                    .cast("double"),
+                    F.least(
+                        F.coalesce(F.col("volume"), F.lit(0)),
+                        2 * F.col("tg.m")
+                        - F.coalesce(F.col("volume"), F.lit(0)),
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("phi"),
         )
     )

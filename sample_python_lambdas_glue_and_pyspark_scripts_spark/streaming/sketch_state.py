@@ -608,3 +608,27 @@ def read_agreement_state(spark: SparkSession, work_dir: str) -> DataFrame:
     return fleiss_kappa_report(
         _read_votes(spark, work_dir), "item", "annotator", "label"
     )
+
+
+def read_reliability_state(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Live per-annotator reliability census over every committed epoch
+    (≡ batch ``annotator_reliability`` over everything seen — the
+    distinct-union vote log makes every batch read exact)."""
+    from ..operators.annotation import annotator_reliability
+
+    return annotator_reliability(
+        _read_votes(spark, work_dir), "item", "annotator", "label"
+    )
+
+
+def read_alpha_state(
+    spark: SparkSession, work_dir: str, metric: str = "nominal"
+) -> DataFrame:
+    """Live Krippendorff's alpha over every committed epoch (≡ batch
+    ``krippendorff_alpha``; pass ``metric='interval'`` only when the
+    label column carries numeric scores)."""
+    from ..operators.annotation import krippendorff_alpha
+
+    return krippendorff_alpha(
+        _read_votes(spark, work_dir), "item", "annotator", "label", metric
+    )

@@ -188,9 +188,9 @@ def test_krippendorff_alpha_regimes_and_reference(spark):
         assert abs(row["alpha"] - want) <= 1e-6, (metric, row["alpha"], want)
         assert row["n_items"] == 4 and row["n_ratings"] == 10
 
-    # metric validation
+    # metric validation (ordinal became a real metric in r13)
     with pytest.raises(ValueError, match="metric"):
-        AN.krippendorff_alpha(df, "item", "ann", "lab", "ordinal")
+        AN.krippendorff_alpha(df, "item", "ann", "lab", "ratio")
 
 
 def test_krippendorff_interval_weighs_distance(spark):
@@ -256,3 +256,218 @@ def test_bt_win_probabilities_edges(spark):
     assert out[("z", "y")] is None and out[("y", "z")] is None
     # empty strengths -> empty matrix
     assert AN.bt_win_probabilities(s.limit(0)).count() == 0
+
+
+def test_annotator_reliability_loo_hand_fixture(spark):
+    rows = [
+        # item 1: r1:b r2:b r3:a — LOO(r1)={b,a} tie -> a (disagree);
+        # LOO(r2) same; LOO(r3)={b:2} -> b (disagree)
+        (1, "r1", "b"), (1, "r2", "b"), (1, "r3", "a"),
+        # item 2: r1:a r2:b — each LOO is the other's label: disagree
+        (2, "r1", "a"), (2, "r2", "b"),
+        # item 3: r1 alone -> unscoreable
+        (3, "r1", "c"),
+        # item 4: unanimous x -> every LOO agrees
+        (4, "r1", "x"), (4, "r2", "x"), (4, "r3", "x"),
+        # r9 votes ONLY on a solo item -> nothing scores, rate NULL
+        (9, "r9", "q"),
+    ]
+    df = spark.createDataFrame(rows, "item BIGINT, ann STRING, lab STRING")
+    out = {
+        r["annotator"]: (r["n_votes"], r["n_votes_scored"], r["n_agree"],
+                         r["loo_agreement_rate"])
+        for r in AN.annotator_reliability_loo(
+            df, "item", "ann", "lab"
+        ).collect()
+    }
+    assert out == {
+        "r1": (4, 3, 1, 0.333333),
+        "r2": (3, 3, 1, 0.333333),
+        "r3": (2, 2, 1, 0.5),
+        "r9": (1, 0, 0, None),
+    }
+
+
+def test_loo_removes_self_vote_bias_vs_census(spark):
+    """A sole rater reads 100% in the census but is unscoreable under
+    LOO — the operator's reason to exist."""
+    df = spark.createDataFrame(
+        [(1, "solo", "z"), (2, "solo", "z")],
+        "item BIGINT, ann STRING, lab STRING",
+    )
+    census = AN.annotator_reliability(df, "item", "ann", "lab").first()
+    loo = AN.annotator_reliability_loo(df, "item", "ann", "lab").first()
+    assert census["agreement_rate"] == 1.0
+    assert loo["n_votes_scored"] == 0 and loo["loo_agreement_rate"] is None
+
+
+def test_rao_kupper_theta_one_no_ties_equals_plain_bt(spark):
+    """θ=1 with no tie rows reduces exactly to the tie-free MM fit —
+    the model-reduction pin."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"), ("c", "b")],
+        "winner STRING, loser STRING",
+    )
+    plain = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_strengths(pairs, n_iter=3).collect()
+    }
+    rk = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_rao_kupper(
+            pairs.withColumn("is_tie", F.lit(False)), theta=1.0, n_iter=3
+        ).collect()
+    }
+    assert rk == plain and len(rk) == 3
+
+
+def test_rao_kupper_ties_and_edges(spark):
+    sch = "winner STRING, loser STRING, is_tie BOOLEAN"
+    # all-tie input: symmetric -> every strength 1.0
+    all_tie = spark.createDataFrame(
+        [("a", "b", True), ("b", "c", True), ("a", "c", True)], sch
+    )
+    out = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_rao_kupper(all_tie, n_iter=3).collect()
+    }
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+    # never-winner-never-tier pins to the 0 fixed point; a tie-only
+    # participant keeps positive strength (ties ARE evidence)
+    mixed = spark.createDataFrame(
+        [("a", "z", False), ("a", "b", False), ("b", "z", False),
+         ("b", "c", True)], sch
+    )
+    out = {
+        r["item"]: r["strength"]
+        for r in AN.bradley_terry_rao_kupper(mixed, n_iter=3).collect()
+    }
+    assert out["z"] == 0.0
+    assert out["c"] > 0.0  # tie-only participant keeps positive strength
+    # the undefeated player is the clear top of the fit
+    assert out["a"] == max(out.values())
+
+    with pytest.raises(ValueError, match="theta"):
+        AN.bradley_terry_rao_kupper(all_tie, theta=0.9)
+
+
+def _alpha_ref_ordinal(rows):
+    """Independent ordinal reference: δ²(c,k) = (Σ_{g=c..k} n_g −
+    (n_c+n_k)/2)² over the pooled marginals of qualifying units."""
+    from collections import Counter, defaultdict
+
+    by_item = defaultdict(list)
+    for it, _ann, lab in set(rows):
+        by_item[it].append(lab)
+    units = {u: vs for u, vs in by_item.items() if len(vs) >= 2}
+    vals = [v for vs in units.values() for v in vs]
+    n = len(vals)
+    marg = Counter(vals)
+    order = sorted(marg)
+
+    def d2(c, k):
+        lo, hi = min(c, k), max(c, k)
+        between = sum(marg[g] for g in order if lo <= g <= hi)
+        return (between - (marg[c] + marg[k]) / 2.0) ** 2
+
+    do = 0.0
+    for vs in units.values():
+        nu = len(vs)
+        for c in vs:
+            for k in vs:
+                do += d2(c, k) / (nu - 1)
+    do /= n
+    de = sum(d2(c, k) for c in vals for k in vals) / (n * (n - 1))
+    if de == 0:
+        return None
+    return 1 - do / de
+
+
+def test_krippendorff_ordinal_reference_and_binary_equivalence(spark):
+    sch = "item BIGINT, ann STRING, lab INT"
+    rows = [
+        (1, "a", 1), (1, "b", 1), (1, "c", 2),
+        (2, "a", 2), (2, "b", 3),
+        (3, "b", 4), (3, "c", 4), (3, "a", 1),
+        (4, "a", 1), (4, "c", 5),
+        (99, "a", 3),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    row = AN.krippendorff_alpha(df, "item", "ann", "lab", "ordinal").first()
+    want = round(_alpha_ref_ordinal(rows) + 1e-12, 6)
+    assert abs(row["alpha"] - want) <= 1e-6, (row["alpha"], want)
+
+    # two-value alphabet: ordinal == nominal exactly (both sides scale
+    # by the same n²/4 constant)
+    binary = [
+        (1, "a", 0), (1, "b", 1), (2, "a", 1), (2, "b", 1),
+        (3, "a", 0), (3, "b", 0), (4, "a", 1), (4, "b", 0),
+    ]
+    bdf = spark.createDataFrame(binary, sch)
+    nom = AN.krippendorff_alpha(bdf, "item", "ann", "lab", "nominal").first()
+    ord_ = AN.krippendorff_alpha(bdf, "item", "ann", "lab", "ordinal").first()
+    assert ord_["alpha"] == nom["alpha"]
+
+    # ordinal adapts to the observed distribution: with skewed
+    # marginals it diverges from interval
+    itv = AN.krippendorff_alpha(df, "item", "ann", "lab", "interval").first()
+    assert row["alpha"] != itv["alpha"]
+
+
+def test_pairwise_cohen_kappa_worked_example(spark):
+    """The classic 2x2 Cohen fixture: 20 yes-yes, 5 yes-no, 10 no-yes,
+    15 no-no over 50 items -> p_o = 0.7, p_e = 0.5, kappa = 0.4
+    exactly."""
+    rows = []
+    i = 0
+    for cnt, (la, lb) in [(20, ("y", "y")), (5, ("y", "n")),
+                          (10, ("n", "y")), (15, ("n", "n"))]:
+        for _ in range(cnt):
+            rows += [(i, "a", la), (i, "b", lb)]
+            i += 1
+    df = spark.createDataFrame(rows, "item BIGINT, ann STRING, lab STRING")
+    out = AN.pairwise_cohen_kappa(df, "item", "ann", "lab").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["annotator_a"], r["annotator_b"]) == ("a", "b")
+    assert r["n_shared"] == 50 and r["p_o"] == 0.7 and r["p_e"] == 0.5
+    assert r["kappa"] == 0.4
+
+
+def test_pairwise_cohen_kappa_edges(spark):
+    sch = "item BIGINT, ann STRING, lab STRING"
+    # both raters constant on ONE label: p_e = 1 -> kappa NULL
+    const = spark.createDataFrame(
+        [(i, r, "x") for i in range(3) for r in ("a", "b")], sch
+    )
+    r = AN.pairwise_cohen_kappa(const, "item", "ann", "lab").first()
+    assert r["p_o"] == 1.0 and r["p_e"] == 1.0 and r["kappa"] is None
+
+    # perfect non-constant agreement: kappa = 1
+    perfect = spark.createDataFrame(
+        [(i, r, "x" if i % 2 else "y") for i in range(4) for r in ("a", "b")],
+        sch,
+    )
+    r = AN.pairwise_cohen_kappa(perfect, "item", "ann", "lab").first()
+    assert r["kappa"] == 1.0
+
+    # min_items filters thin pairs; three raters -> three ordered pairs
+    tri = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (1, "c", "y"),
+         (2, "a", "x"), (2, "b", "y")], sch
+    )
+    pairs = {
+        (r["annotator_a"], r["annotator_b"]): r["n_shared"]
+        for r in AN.pairwise_cohen_kappa(tri, "item", "ann", "lab").collect()
+    }
+    assert pairs == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    pairs2 = {
+        (r["annotator_a"], r["annotator_b"])
+        for r in AN.pairwise_cohen_kappa(
+            tri, "item", "ann", "lab", min_items=2
+        ).collect()
+    }
+    assert pairs2 == {("a", "b")}
+    with pytest.raises(ValueError, match="min_items"):
+        AN.pairwise_cohen_kappa(tri, "item", "ann", "lab", min_items=0)

@@ -273,3 +273,79 @@ def test_modularity_report_single_community_is_zero(spark):
     rows = modularity_report(edges, labels).collect()
     assert len(rows) == 1
     assert rows[0]["q_c"] == 0.0 and rows[0]["intra_edges"] == 3
+
+
+def test_modularity_report_weighted(spark):
+    """Weighted Newman form: unit weights equal the unweighted report;
+    skewing weight onto intra-community edges raises q_c (exact
+    integer weight sums, hand-checked)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        modularity_report,
+    )
+
+    edges_w1 = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "a BIGINT, b BIGINT, w BIGINT"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "node BIGINT, community BIGINT"
+    )
+    unw = sorted(map(tuple, modularity_report(
+        edges_w1.select("a", "b"), labels).collect()))
+    w1 = sorted(map(tuple, modularity_report(
+        edges_w1, labels, weight_col="w").collect()))
+    assert unw == w1
+
+    # weight 8 on each intra edge, 1 on the bridge: W=17,
+    # intra_10 = 8, deg_10 = 8+8+1 = 17 -> q = 8/17 - (17/34)^2
+    heavy = spark.createDataFrame(
+        [(1, 2, 8), (2, 3, 1), (3, 4, 8)], "a BIGINT, b BIGINT, w BIGINT"
+    )
+    out = {
+        r["community"]: (r["intra_edges"], r["degree_sum"], r["q_c"])
+        for r in modularity_report(heavy, labels, weight_col="w").collect()
+    }
+    assert out[10] == (8, 17, round(8 / 17 - 0.25, 6))
+    assert out[20] == (8, 17, round(8 / 17 - 0.25, 6))
+    # duplicate orientations collapse by SUMMING weights
+    dup = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 5)], "a BIGINT, b BIGINT, w BIGINT"
+    )
+    lab2 = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node BIGINT, community BIGINT"
+    )
+    row = modularity_report(dup, lab2, weight_col="w").first()
+    assert row["intra_edges"] == 8 and row["q_c"] == 0.0
+
+
+def test_conductance_report_hand_graph(spark):
+    """Bridged triangles: each community cuts exactly the bridge (1),
+    volume 7, m=7 -> phi = 1/min(7,7) = 0.142857; a whole-graph
+    community has no cut and phi NULL (undefined trivial cut); unit
+    weights equal the unweighted form."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
+        conductance_report,
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    labels = label_propagation(df)
+    out = {
+        r["community"]: (r["n_nodes"], r["cut_edges"], r["volume"], r["phi"])
+        for r in conductance_report(df, labels).collect()
+    }
+    assert out[1] == (3, 1, 7, 0.142857)
+    assert out[4] == (3, 1, 7, 0.142857)
+
+    one = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9), (5, 9), (6, 9)],
+        "node BIGINT, community BIGINT",
+    )
+    r = conductance_report(df, one).first()
+    assert r["cut_edges"] == 0 and r["phi"] is None
+
+    dfw = df.withColumn("w", F.lit(1))
+    a = sorted(map(tuple, conductance_report(df, labels).collect()))
+    b = sorted(map(tuple, conductance_report(
+        dfw, labels, weight_col="w").collect()))
+    assert a == b

@@ -665,3 +665,38 @@ def test_streaming_votes_matches_batch_and_replay(spark, workdir, tmp_path):
     make_votes_batch_fn(workdir)(b0, 0)
     again = sorted(map(tuple, read_consensus_state(spark, workdir).collect()))
     assert again == batch_cons
+
+
+def test_streaming_reliability_and_alpha_reads_match_batch(spark, workdir):
+    """r13: the reliability census and Krippendorff's alpha read live
+    off the same vote log — both equal the batch operators over
+    everything seen (the distinct-union exactness carries to every
+    derived read)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.annotation import (
+        annotator_reliability,
+        krippendorff_alpha,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        make_votes_batch_fn,
+        read_alpha_state,
+        read_reliability_state,
+    )
+
+    SCHEMA = "item BIGINT, annotator BIGINT, label STRING"
+    b0 = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "x"), (2, 10, "y"), (2, 11, "x")], SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, "x"), (1, 12, "y"), (2, 12, "x"), (3, 10, "z")], SCHEMA
+    )
+    fn = make_votes_batch_fn(workdir)
+    fn(b0, 0)
+    fn(b1, 1)
+    union = b0.unionByName(b1)
+    got = sorted(map(tuple, read_reliability_state(spark, workdir).collect()))
+    want = sorted(map(tuple, annotator_reliability(
+        union, "item", "annotator", "label").collect()))
+    assert got == want and got
+    ga = read_alpha_state(spark, workdir).first()
+    wa = krippendorff_alpha(union, "item", "annotator", "label").first()
+    assert ga.asDict() == wa.asDict()
