@@ -3415,6 +3415,49 @@ def q_community_modularity_weighted(
     ).orderBy("community")
 
 
+def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over customer's (nationkey, mktsegment)
+    quasi-identifier tuple (Sweeney 2002) — the structured-data
+    compliance companion to the text-side PII scrub: is any equivalence
+    class small enough to re-identify, and what would suppression
+    cost? Exact integer class counts, one 6dp ratio."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def q_customer_k_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Below-k suppression (the standard k-anonymity mitigation): drop
+    every row whose quasi-identifier class has < 5 members — the output
+    is 5-anonymous by construction, and the rows removed are exactly
+    the census's n_rows_below_k (pinned by test). NULL-safe equality on
+    the quasi-identifier keys (NULL is a linkable value, not a drop)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.suppress_below_k(
+        c, ["c_nationkey", "c_mktsegment"], k=5
+    ).select("c_custkey", "c_nationkey", "c_mktsegment").orderBy("c_custkey")
+
+
+def q_customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity census (Machanavajjhala 2007): k-anonymity
+    alone misses attribute disclosure when a class is uniform on the
+    sensitive column — per nationkey class, how many carry >= 3
+    distinct market segments? Exact integers, one 6dp ratio."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.l_diversity_report(c, ["c_nationkey"], "c_mktsegment", l=3)
+
+
 def q_annotator_pair_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa over a 30-rater slice of the annotation
     table (which TWO raters systematically disagree — separates 'one
@@ -4401,6 +4444,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # (driver-proven r12, unchanged): events_hot_join,
     # audio_near_dup_pairs.
     "annotator_pair_kappa", "community_conductance",
+    # round-13 fourth batch: the privacy/compliance shelf (k-anonymity
+    # census, below-k suppression, distinct l-diversity) over the
+    # customer quasi-identifiers. Rotated out (driver-proven r12,
+    # unchanged): kll_price_quantiles, doc_line_dedup, vocab_coverage.
+    "customer_k_anonymity", "customer_k_suppressed",
+    "customer_l_diversity",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4424,14 +4473,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # for re-proof; zipf_fit_report, source_vocab_divergence and
     # grouped_price_quantiles rotated out (driver-proven r10,
     # unchanged).
-    "kll_price_quantiles",
-    # round-11 second batch: intra-doc line dedup, vocab coverage
-    # (chunking already shipped in round 1 as chunk_documents),
-    # exact triangle counts / clustering coefficients.
-    # mmr_diverse_topk, tokenizer_fertility_report, pii_report,
-    # packing_strategy_compare rotated out (driver-proven r10,
-    # unchanged).
-    "doc_line_dedup", "vocab_coverage", "nation_triangles",
+    # round-11 second batch: exact triangle counts / clustering
+    # coefficients. mmr_diverse_topk, tokenizer_fertility_report,
+    # pii_report, packing_strategy_compare rotated out (driver-proven
+    # r10, unchanged).
+    "nation_triangles",
     "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
@@ -4725,6 +4771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_reliability": q_annotator_reliability,
         "annotator_reliability_loo": q_annotator_reliability_loo,
         "annotator_pair_kappa": q_annotator_pair_kappa,
+        "customer_k_anonymity": q_customer_k_anonymity,
+        "customer_k_suppressed": q_customer_k_suppressed,
+        "customer_l_diversity": q_customer_l_diversity,
         "annotation_alpha": q_annotation_alpha,
         "community_conductance": q_community_conductance,
         "event_type_rk_strengths": q_event_type_rk_strengths,
@@ -9910,6 +9959,52 @@ SELECT 'url_dedup' AS stage,
                                   AND c.annotator = l.annotator
             GROUP BY c.annotator
             ORDER BY c.annotator
+        """,
+        "customer_k_anonymity": """
+            WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                                CAST(COUNT(*) AS BIGINT) AS csize
+                         FROM customer GROUP BY 1, 2)
+            SELECT CAST(5 AS INTEGER) AS k,
+                   CAST(COALESCE(SUM(csize), 0) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   MIN(csize) AS min_class_size,
+                   CAST(COALESCE(SUM(CASE WHEN csize < 5 THEN csize END),
+                                 0) AS BIGINT) AS n_rows_below_k,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN csize < 5
+                                       THEN csize END), 0) AS DOUBLE)
+                         / CAST(SUM(csize) AS DOUBLE), 6)
+                       AS pct_rows_below_k
+            FROM cls
+        """,
+        "customer_k_suppressed": """
+            WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                                CAST(COUNT(*) AS BIGINT) AS csize
+                         FROM customer GROUP BY 1, 2),
+            ok AS (SELECT c_nationkey, c_mktsegment FROM cls
+                   WHERE csize >= 5)
+            SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+            FROM customer c
+            JOIN ok ON c.c_nationkey IS NOT DISTINCT FROM ok.c_nationkey
+                   AND c.c_mktsegment IS NOT DISTINCT FROM ok.c_mktsegment
+            ORDER BY c.c_custkey
+        """,
+        "customer_l_diversity": """
+            WITH pc AS (SELECT c_nationkey,
+                               CAST(COUNT(DISTINCT c_mktsegment)
+                                    + MAX(CASE WHEN c_mktsegment IS NULL
+                                          THEN 1 ELSE 0 END)
+                                AS BIGINT) AS nsens
+                        FROM customer GROUP BY 1)
+            SELECT CAST(3 AS INTEGER) AS l,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   MIN(nsens) AS min_distinct_sensitive,
+                   CAST(COALESCE(SUM(CASE WHEN nsens < 3 THEN 1 END), 0)
+                        AS BIGINT) AS n_classes_below_l,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN nsens < 3 THEN 1 END),
+                                       0) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS pct_classes_below_l
+            FROM pc
         """,
         "annotator_pair_kappa": """
             WITH c AS (SELECT DISTINCT event_id % 200 AS item,
