@@ -3458,6 +3458,83 @@ def q_customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PV.l_diversity_report(c, ["c_nationkey"], "c_mktsegment", l=3)
 
 
+def q_customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (Li 2007), categorical metric: per nationkey
+    class, total-variation distance between the class's market-segment
+    distribution and the global one — the attribute-disclosure check
+    l-diversity misses (a class can carry l distinct values and still
+    be wildly skewed toward one). Rational threshold 1/5; the above-t
+    cut is all-integer."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.t_closeness_report(c, ["c_nationkey"], "c_mktsegment", 1, 5)
+
+
+def q_orders_t_closeness_ordinal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-closeness under the ORDINAL ground metric (rank EMD off
+    per-class cumulative marginals) over orders: per order-status
+    class, how far the priority distribution drifts from global.
+    Exercises the fact-table path and the cumsum window; rational
+    threshold 1/100."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return PV.t_closeness_report(
+        o, ["o_orderstatus"], "o_orderpriority", 1, 100,
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+def q_dp_nation_customer_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded Laplace release of per-nation customer counts at
+    epsilon=1 — the releasable form of a group census. The md5-seeded
+    inverse-CDF noise is engine-exact (the uniform is a 1e6-grid
+    rational; one ln, final 6dp round), which is exactly what makes a
+    deterministic release oracle-checkable."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.dp_count_per_group(
+        c, ["c_nationkey"], 1, 1, seed="dpr13|"
+    ).orderBy("c_nationkey")
+
+
+def q_customer_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Samarati-style generalization ladder census over
+    (nationkey, mktsegment): raw -> nation binned by 5 -> segment
+    starred -> all starred, k=25. One scan (rows explode into
+    (step, key) pairs), one aggregate; the first k-anonymous step is
+    chosen inside the plan."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    ladder = [
+        {"c_nationkey": F.col("c_nationkey"),
+         "c_mktsegment": F.col("c_mktsegment")},
+        {"c_nationkey": F.expr("c_nationkey div 5"),
+         "c_mktsegment": F.col("c_mktsegment")},
+        {"c_nationkey": F.expr("c_nationkey div 5"),
+         "c_mktsegment": F.lit("*")},
+        {"c_nationkey": F.lit("*"), "c_mktsegment": F.lit("*")},
+    ]
+    return PV.generalization_ladder_census(c, ladder, k=25)
+
+
 def q_annotator_pair_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa over a 30-rater slice of the annotation
     table (which TWO raters systematically disagree — separates 'one
@@ -4450,6 +4527,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged): kll_price_quantiles, doc_line_dedup, vocab_coverage.
     "customer_k_anonymity", "customer_k_suppressed",
     "customer_l_diversity",
+    # round-13 fifth batch: t-closeness (categorical + ordinal rank
+    # EMD), the seeded Laplace group-count release, and the
+    # generalization-ladder census. Rotated out (all driver-proven r12,
+    # unchanged — the oldest-proof refresh tranche, refresh complete):
+    # decontaminated_spans, corpus_admitted_indexed,
+    # bm25_search_indexed, scd2_orders.
+    "customer_t_closeness", "orders_t_closeness_ordinal",
+    "dp_nation_customer_counts", "customer_generalization_ladder",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4462,9 +4547,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # r11 task-5 list): corpus_admitted_indexed + scd2_orders last
     # proven r7, bm25_search_indexed r9, decontaminated_spans r10
     # (span_dedup and decontaminated_docs refreshed r12 and rotated out
-    # this round).
-    "decontaminated_spans",
-    "corpus_admitted_indexed", "bm25_search_indexed", "scd2_orders",
+    # this round; decontaminated_spans, corpus_admitted_indexed,
+    # bm25_search_indexed and scd2_orders refreshed r12 and rotated out
+    # for the r13 fifth batch).
     # new in round 11: skew-split two-path fact-fact join (identity
     # oracle), audio band-energy-sign near-dup fingerprints, and the
     # deterministic-compaction KLL bounded-error quantile gate.
@@ -4774,6 +4859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_k_anonymity": q_customer_k_anonymity,
         "customer_k_suppressed": q_customer_k_suppressed,
         "customer_l_diversity": q_customer_l_diversity,
+        "customer_t_closeness": q_customer_t_closeness,
+        "orders_t_closeness_ordinal": q_orders_t_closeness_ordinal,
+        "dp_nation_customer_counts": q_dp_nation_customer_counts,
+        "customer_generalization_ladder": q_customer_generalization_ladder,
         "annotation_alpha": q_annotation_alpha,
         "community_conductance": q_community_conductance,
         "event_type_rk_strengths": q_event_type_rk_strengths,
@@ -10005,6 +10094,139 @@ SELECT 'url_dedup' AS stage,
                          / CAST(COUNT(*) AS DOUBLE), 6)
                        AS pct_classes_below_l
             FROM pc
+        """,
+        "customer_t_closeness": """
+            WITH cv AS (SELECT c_nationkey AS q, c_mktsegment AS v,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM customer GROUP BY 1, 2),
+            cls AS (SELECT q, CAST(SUM(cnt) AS BIGINT) AS nc
+                    FROM cv GROUP BY 1),
+            gv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS nv
+                   FROM cv GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cv),
+            grid AS (SELECT cls.q, cls.nc, gv.v, gv.nv, tot.n,
+                            CAST(COALESCE(x.cnt, 0) AS BIGINT) AS cnt
+                     FROM cls CROSS JOIN gv CROSS JOIN tot
+                     LEFT JOIN cv x ON x.q = cls.q AND x.v = gv.v),
+            per AS (SELECT q, nc, n,
+                           CAST(SUM(ABS(cnt * n - nv * nc)) AS BIGINT)
+                               AS numer
+                    FROM grid GROUP BY 1, 2, 3)
+            SELECT 'categorical' AS metric,
+                   CAST(1 AS INTEGER) AS t_num,
+                   CAST(5 AS INTEGER) AS t_den,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   ROUND(MAX(CAST(numer AS DOUBLE)
+                             / CAST(2 * nc * n AS DOUBLE)), 6) AS max_emd,
+                   CAST(COALESCE(SUM(CASE WHEN 5 * numer > 2 * nc * n
+                                     THEN 1 END), 0) AS BIGINT)
+                       AS n_classes_above_t,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN 5 * numer
+                                           > 2 * nc * n THEN 1 END), 0)
+                              AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS pct_classes_above_t
+            FROM per
+        """,
+        "orders_t_closeness_ordinal": """
+            WITH cv AS (SELECT o_orderstatus AS q, o_orderpriority AS v,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM orders GROUP BY 1, 2),
+            cls AS (SELECT q, CAST(SUM(cnt) AS BIGINT) AS nc
+                    FROM cv GROUP BY 1),
+            gv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS nv,
+                          CASE v WHEN '1-URGENT' THEN 1
+                                 WHEN '2-HIGH' THEN 2
+                                 WHEN '3-MEDIUM' THEN 3
+                                 WHEN '4-NOT SPECIFIED' THEN 4
+                                 WHEN '5-LOW' THEN 5 END AS r
+                   FROM cv GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cv),
+            grid AS (SELECT cls.q, cls.nc, gv.r, gv.nv, tot.n,
+                            CAST(COALESCE(x.cnt, 0) AS BIGINT) AS cnt
+                     FROM cls CROSS JOIN gv CROSS JOIN tot
+                     LEFT JOIN cv x ON x.q = cls.q AND x.v = gv.v),
+            cum AS (SELECT q, nc, n,
+                           CAST(SUM(cnt) OVER (PARTITION BY q ORDER BY r)
+                                AS BIGINT) AS ccnt,
+                           CAST(SUM(nv) OVER (PARTITION BY q ORDER BY r)
+                                AS BIGINT) AS cnv,
+                           CAST(COUNT(*) OVER (PARTITION BY q)
+                                AS BIGINT) AS m
+                    FROM grid),
+            per AS (SELECT q, nc, n,
+                           CAST(SUM(ABS(ccnt * n - cnv * nc)) AS BIGINT)
+                               AS numer,
+                           CAST(GREATEST(MAX(m) - 1, 1) AS BIGINT) AS mm1
+                    FROM cum GROUP BY 1, 2, 3)
+            SELECT 'ordinal' AS metric,
+                   CAST(1 AS INTEGER) AS t_num,
+                   CAST(100 AS INTEGER) AS t_den,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   ROUND(MAX(CAST(numer AS DOUBLE)
+                             / CAST(nc * n * mm1 AS DOUBLE)), 6)
+                       AS max_emd,
+                   CAST(COALESCE(SUM(CASE WHEN 100 * numer
+                                     > nc * n * mm1 THEN 1 END), 0)
+                        AS BIGINT) AS n_classes_above_t,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN 100 * numer
+                                           > nc * n * mm1 THEN 1 END), 0)
+                              AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS pct_classes_above_t
+            FROM per
+        """,
+        "dp_nation_customer_counts": """
+            WITH g AS (SELECT c_nationkey,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM customer GROUP BY 1),
+            h AS (SELECT c_nationkey, cnt,
+                         (('0x' || substr(md5('dpr13|'
+                              || CAST(c_nationkey AS VARCHAR)), 1, 15)
+                          )::BIGINT % 1000000) AS hb
+                  FROM g),
+            u AS (SELECT c_nationkey, cnt,
+                         (CAST(hb AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS v
+                  FROM h)
+            SELECT c_nationkey,
+                   ROUND(CAST(cnt AS DOUBLE)
+                         + (-1.0) * SIGN(v)
+                           * LN(1.0 - 2.0 * ABS(v)), 6) AS noisy_count
+            FROM u ORDER BY c_nationkey
+        """,
+        "customer_generalization_ladder": """
+            WITH ex AS (
+              SELECT 0 AS step, CAST(c_nationkey AS VARCHAR) || chr(31)
+                     || c_mktsegment AS kk FROM customer
+              UNION ALL
+              SELECT 1, CAST(c_nationkey // 5 AS VARCHAR) || chr(31)
+                     || c_mktsegment FROM customer
+              UNION ALL
+              SELECT 2, CAST(c_nationkey // 5 AS VARCHAR) || chr(31)
+                     || '*' FROM customer
+              UNION ALL
+              SELECT 3, '*' || chr(31) || '*' FROM customer
+            ),
+            cls AS (SELECT step, kk, CAST(COUNT(*) AS BIGINT) AS csize
+                    FROM ex GROUP BY 1, 2),
+            cen AS (SELECT step,
+                           CAST(COUNT(*) AS BIGINT) AS n_classes,
+                           MIN(csize) AS min_class_size,
+                           CAST(COALESCE(SUM(CASE WHEN csize < 25
+                                             THEN csize END), 0)
+                                AS BIGINT) AS n_rows_below_k
+                    FROM cls GROUP BY 1),
+            sel AS (SELECT *, MIN(CASE WHEN min_class_size >= 25
+                                  THEN step END) OVER () AS first_ok
+                    FROM cen)
+            SELECT CAST(step AS INTEGER) AS step, n_classes,
+                   min_class_size, n_rows_below_k,
+                   CAST(CASE WHEN min_class_size >= 25 THEN 1 ELSE 0 END
+                        AS INTEGER) AS k_anonymous,
+                   CAST(CASE WHEN first_ok IS NOT NULL
+                             AND step = first_ok THEN 1 ELSE 0 END
+                        AS INTEGER) AS chosen
+            FROM sel ORDER BY step
         """,
         "annotator_pair_kappa": """
             WITH c AS (SELECT DISTINCT event_id % 200 AS item,

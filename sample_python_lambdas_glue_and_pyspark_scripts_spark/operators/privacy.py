@@ -24,8 +24,18 @@ groupBy-partial-agg friendly; nothing collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+# sentinel standing in for NULL when a nullable column folds into a
+# string key (concat_ws SKIPS nulls, which would collide ('a', NULL)
+# with (NULL, 'a')); control chars keep accidental collision with real
+# values implausible. Oracle mirror: chr(31) || 'NULL' || chr(31).
+_NULL_SENT = "\x1fNULL\x1f"
+# unit separator between key parts (oracle mirror: chr(31))
+_SEP = "\x1f"
 
 
 def _classes(df: DataFrame, qi_cols: list[str]) -> DataFrame:
@@ -159,3 +169,392 @@ def l_diversity_report(
             6,
         ).alias("pct_classes_below_l"),
     )
+
+
+def _key_expr(cols: list[Column]) -> Column:
+    """NULL-safe injective string key from a tuple of columns."""
+    parts = [
+        F.coalesce(c.cast("string"), F.lit(_NULL_SENT)) for c in cols
+    ]
+    return F.concat_ws(_SEP, *parts)
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+    ordered_values: list | None = None,
+) -> DataFrame:
+    """t-closeness census (Li 2007): l-diversity still leaks when a
+    class's sensitive DISTRIBUTION is far from the table's (a class
+    that is 90% one diagnosis in a 1% base-rate table discloses, even
+    with l distinct values present), so this measures, per
+    quasi-identifier equivalence class, the Earth Mover's Distance
+    between the class's sensitive distribution and the global one:
+
+    - **categorical** (``ordered_values=None``): EMD under the
+      equal-distance ground metric = total variation distance
+      ``0.5 * sum_v |q_v - p_v|``; NULL sensitive values are their own
+      category (same convention as :func:`l_diversity_report`).
+    - **ordinal** (``ordered_values=[v1 < v2 < ...]``): EMD under the
+      rank metric = ``sum_i |cumQ_i - cumP_i| / (m - 1)``; a sensitive
+      value not in the list (including NULL) raises at runtime —
+      ordinal distance over unranked values is undefined.
+
+    One row: ``(metric, t_num, t_den, n_classes, max_emd,
+    n_classes_above_t, pct_classes_above_t)``. The threshold is the
+    RATIONAL ``t_num/t_den`` and the above-t cut is ALL-INTEGER
+    (``t_den * numer > 2 * t_num * n_c * n`` for categorical, the
+    ``(m-1)``-scaled analogue for ordinal) — per-class EMD has exact
+    integer numerator ``sum_v |cnt_cv*n - cnt_v*n_c|`` over the common
+    denominator, so no float enters the count. ``max_emd`` and the pct
+    round once to 6dp.
+
+    Plan: ONE scan of the raw table into the (class, value) count
+    table, eagerly checkpointed (three downstream branches — the r12
+    report-operator rule); everything after is (classes x alphabet)-
+    sized: class and global marginals re-aggregate the checkpoint, and
+    the dense grid is a cross join of the two marginals (alphabet is
+    assumed small — it is a sensitive CATEGORY column). Integer
+    products bound n < ~3e9 rows in int64; past that, cast the numer
+    chain to decimal(38,0) — documented, not silently lossy.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    if t_num < 0 or t_den < 1:
+        raise ValueError("threshold must be a rational t_num/t_den "
+                         "with t_num >= 0, t_den >= 1")
+    ordinal = ordered_values is not None
+    if ordinal:
+        vals = [str(v) for v in ordered_values]
+        if not vals or len(set(vals)) != len(vals):
+            raise ValueError("ordered_values must be non-empty and "
+                             "free of duplicates")
+        pos = F.array_position(
+            F.array(*[F.lit(v) for v in vals]), F.col(sensitive_col).cast("string")
+        )
+        sval = F.when(
+            pos == 0,
+            F.raise_error(F.concat(
+                F.lit("t_closeness: sensitive value not in "
+                      "ordered_values: "),
+                F.coalesce(F.col(sensitive_col).cast("string"),
+                           F.lit("NULL")),
+            )),
+        ).otherwise(F.col(sensitive_col).cast("string"))
+    else:
+        sval = F.coalesce(
+            F.col(sensitive_col).cast("string"), F.lit(_NULL_SENT)
+        )
+
+    cv = (
+        df.groupBy(*qi_cols, sval.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cls = cv.groupBy(*qi_cols).agg(
+        F.sum("__cnt").cast("bigint").alias("__nc")
+    )
+    gv = cv.groupBy("__v").agg(F.sum("__cnt").cast("bigint").alias("__nv"))
+    if ordinal:
+        gv = gv.withColumn(
+            "__r",
+            F.array_position(
+                F.array(*[F.lit(v) for v in [str(x) for x in ordered_values]]),
+                F.col("__v"),
+            ).cast("bigint"),
+        )
+    tot = gv.agg(
+        F.coalesce(F.sum("__nv"), F.lit(0)).cast("bigint").alias("__n")
+    )
+
+    grid = (
+        cls.alias("__c")
+        .crossJoin(gv.alias("__g"))
+        .crossJoin(tot.alias("__t"))
+        .join(
+            cv.alias("__x"),
+            [
+                F.col(f"__c.{c}").eqNullSafe(F.col(f"__x.{c}"))
+                for c in qi_cols
+            ]
+            + [F.col("__g.__v") == F.col("__x.__v")],
+            "left",
+        )
+        .select(
+            *[F.col(f"__c.{c}") for c in qi_cols],
+            F.col("__c.__nc").alias("__nc"),
+            F.col("__t.__n").alias("__n"),
+            *([F.col("__g.__r").alias("__r")] if ordinal else []),
+            F.col("__g.__nv").alias("__nv"),
+            F.coalesce(F.col("__x.__cnt"), F.lit(0)).cast("bigint")
+            .alias("__cnt"),
+        )
+    )
+
+    if ordinal:
+        w = (
+            Window.partitionBy(*qi_cols)
+            .orderBy("__r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy(*qi_cols)
+        grid = grid.select(
+            *qi_cols,
+            "__nc",
+            "__n",
+            F.sum("__cnt").over(w).cast("bigint").alias("__ccnt"),
+            F.sum("__nv").over(w).cast("bigint").alias("__cnv"),
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("__m"),
+        )
+        per = grid.groupBy(*qi_cols, "__nc", "__n").agg(
+            F.sum(F.abs(
+                F.col("__ccnt") * F.col("__n")
+                - F.col("__cnv") * F.col("__nc")
+            )).cast("bigint").alias("__numer"),
+            F.greatest(F.max("__m") - F.lit(1), F.lit(1))
+            .cast("bigint").alias("__mm1"),
+        )
+        den = F.col("__nc") * F.col("__n") * F.col("__mm1")
+        metric = "ordinal"
+    else:
+        per = grid.groupBy(*qi_cols, "__nc", "__n").agg(
+            F.sum(F.abs(
+                F.col("__cnt") * F.col("__n")
+                - F.col("__nv") * F.col("__nc")
+            )).cast("bigint").alias("__numer"),
+        )
+        den = F.lit(2) * F.col("__nc") * F.col("__n")
+        metric = "categorical"
+
+    per = per.select(
+        (F.col("__numer").cast("double") / den.cast("double"))
+        .alias("__emd"),
+        (F.lit(t_den) * F.col("__numer") > F.lit(t_num) * den)
+        .alias("__above"),
+    )
+    return per.agg(
+        F.lit(metric).alias("metric"),
+        F.lit(t_num).cast("int").alias("t_num"),
+        F.lit(t_den).cast("int").alias("t_den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.max("__emd"), 6).alias("max_emd"),
+        F.coalesce(F.sum(F.when(F.col("__above"), 1)), F.lit(0))
+        .cast("bigint").alias("n_classes_above_t"),
+    ).select(
+        "metric",
+        "t_num",
+        "t_den",
+        "n_classes",
+        "max_emd",
+        "n_classes_above_t",
+        F.round(
+            F.try_divide(
+                F.col("n_classes_above_t").cast("double"),
+                F.col("n_classes").cast("double"),
+            ),
+            6,
+        ).alias("pct_classes_above_t"),
+    )
+
+
+def cap_user_rows(
+    df: DataFrame, user_col: str, cap: int, id_col: str,
+    seed: str = "capu|",
+) -> DataFrame:
+    """Deterministic per-user contribution bound: keep at most ``cap``
+    rows per user, chosen by the seeded md5 hash of the row id (a
+    reproducible uniform subsample of each user's rows, not
+    first-seen-wins — arrival order is not meaningful at 100 TB).
+    The bounded-contribution preprocessing step for any
+    privacy-accounted release: after capping, one user's presence
+    changes any downstream count by at most ``cap``.
+
+    One keyed shuffle on the user column; the window ranks within each
+    user only. Column order preserved."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(
+        hash60(F.col(id_col).cast("string"), seed=seed),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+        .select(*df.columns)
+    )
+
+
+def dp_count_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    eps_num: int = 1,
+    eps_den: int = 1,
+    seed: str = "dp|",
+) -> DataFrame:
+    """Seeded Laplace-noised group counts — the releasable form of a
+    per-group census (per-domain document counts, per-source mix
+    shares) calibrated to epsilon = ``eps_num/eps_den`` differential
+    privacy for a unit-sensitivity count: noise ~ Laplace(1/eps) via
+    inverse-CDF over a seeded md5 uniform, ``noisy_count = round(cnt -
+    (1/eps) * sign(u-1/2) * ln(1 - 2|u-1/2|), 6)``.
+
+    DETERMINISM IS A TRADE, stated plainly: the uniform is
+    ``(md5(seed||key) % 1e6 + 0.5) / 1e6`` — reproducible across runs
+    and engines (that is what makes the release oracle-checkable), and
+    quantized to a 1e6 grid, so the noise is the discretized, tail-
+    truncated Laplace (|noise| <= ln(1e6)/eps ~ 13.8/eps). A real
+    privacy release must treat the seed as a one-time SECRET (a public
+    seed reveals the noise, hence the count): fresh secret seed per
+    release, never re-released under a new seed. Per-USER epsilon
+    additionally requires bounding contribution first —
+    :func:`cap_user_rows`, which scales sensitivity (and hence eps)
+    by the cap.
+
+    One keyed aggregate; the noise is a map-side projection on the
+    group row. NULL group values key via the NULL sentinel."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if eps_num < 1 or eps_den < 1:
+        raise ValueError("epsilon must be a positive rational "
+                         "eps_num/eps_den with both >= 1")
+    b = float(eps_den) / float(eps_num)
+    grp = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    h = hash60(_key_expr([F.col(c) for c in group_cols]), seed=seed)
+    u = (
+        (h % F.lit(1_000_000)).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    v = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return grp.select(
+        *group_cols,
+        F.round(F.col("__cnt").cast("double") + noise, 6)
+        .alias("noisy_count"),
+    )
+
+
+def _ladder_steps(ladder: list[dict]) -> tuple[list[str], list[dict]]:
+    if not ladder:
+        raise ValueError("ladder must have at least one step")
+    cols = list(ladder[0].keys())
+    if not cols:
+        raise ValueError("ladder steps must map at least one column")
+    steps = []
+    for i, step in enumerate(ladder):
+        if list(step.keys()) != cols:
+            raise ValueError(
+                f"ladder step {i} must map exactly the same columns "
+                f"as step 0 ({cols})"
+            )
+        steps.append({
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in step.items()
+        })
+    return cols, steps
+
+
+def generalization_ladder_census(
+    df: DataFrame, ladder: list[dict], k: int = 5
+) -> DataFrame:
+    """Census of a Samarati-style generalization ladder: given a fixed
+    climb schedule (step 0 = the raw quasi-identifiers, each later
+    step a coarser recoding — bin the age, truncate the zip, star the
+    column out), report per step ``(step, n_classes, min_class_size,
+    n_rows_below_k, k_anonymous, chosen)`` where ``chosen`` marks the
+    FIRST step that reaches k-anonymity (all zero if none does). The
+    data-dependent choice is made inside the plan, so the whole ladder
+    is one declarative query (and one DuckDB-oracle unroll), not a
+    driver loop of censuses.
+
+    Each ``ladder`` entry maps quasi-identifier column name -> recode
+    expression (a Column or a SQL string; evaluated against ``df``).
+    Every step must map the same column set.
+
+    Plan: ONE scan — each row explodes into (step, generalized-key)
+    pairs (rows x steps, steps is a small constant), then a single
+    (step, key) aggregate; the per-step census and the chosen-step
+    window run over step-counted rows. This beats a per-step census
+    loop by steps-1 scans and shuffles."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols, steps = _ladder_steps(ladder)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("step"),
+            _key_expr([step[c] for c in cols]).alias("key"),
+        )
+        for i, step in enumerate(steps)
+    ])
+    ex = df.select(F.explode(pairs).alias("__e")).select(
+        F.col("__e.step").alias("__step"), F.col("__e.key").alias("__key")
+    )
+    cls = ex.groupBy("__step", "__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__csize")
+    )
+    cen = cls.groupBy("__step").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__csize").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("__csize") < k, F.col("__csize"))),
+            F.lit(0),
+        ).cast("bigint").alias("n_rows_below_k"),
+    )
+    first_ok = F.min(
+        F.when(F.col("min_class_size") >= k, F.col("__step"))
+    ).over(Window.partitionBy())
+    return cen.select(
+        F.col("__step").alias("step"),
+        "n_classes",
+        "min_class_size",
+        "n_rows_below_k",
+        F.when(F.col("min_class_size") >= k, 1).otherwise(0)
+        .cast("int").alias("k_anonymous"),
+        F.when(
+            first_ok.isNotNull() & (F.col("__step") == first_ok), 1
+        ).otherwise(0).cast("int").alias("chosen"),
+    ).orderBy("step")
+
+
+def apply_generalization(
+    df: DataFrame, ladder: list[dict], step: int
+) -> DataFrame:
+    """Recode the quasi-identifier columns to ladder step ``step``,
+    preserving every other column and the original column order (the
+    generalized column keeps its NAME; its type may coarsen — a
+    starred-out int column becomes a string)."""
+    cols, steps = _ladder_steps(ladder)
+    if not (0 <= step < len(steps)):
+        raise ValueError(f"step must be in [0, {len(steps)})")
+    chosen = steps[step]
+    return df.select(*[
+        (chosen[c].alias(c) if c in chosen else F.col(c))
+        for c in df.columns
+    ])
+
+
+def generalize_to_k(
+    df: DataFrame, ladder: list[dict], k: int = 5
+) -> tuple[DataFrame, int | None]:
+    """Full k-anonymization: climb the ladder to the first step whose
+    recoding is k-anonymous (one bounded collect of the census — a
+    steps-sized frame), apply that recoding, and suppress any residual
+    below-k classes (a no-op when a step passed; the safety net when
+    NO step does — then the LAST step is applied and suppression does
+    the rest). Returns ``(anonymized_df, chosen_step)`` with
+    ``chosen_step=None`` when suppression had to finish the job. The
+    output is k-anonymous by construction either way."""
+    cols, _ = _ladder_steps(ladder)
+    census = generalization_ladder_census(df, ladder, k).collect()
+    chosen = next((r["step"] for r in census if r["chosen"] == 1), None)
+    step = chosen if chosen is not None else len(ladder) - 1
+    out = apply_generalization(df, ladder, step)
+    return suppress_below_k(out, cols, k=k), chosen

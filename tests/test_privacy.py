@@ -69,3 +69,160 @@ def test_l_diversity_report_hand_census(spark):
 
     with pytest.raises(ValueError, match="l must"):
         PV.l_diversity_report(df, ["zip"], "diag", l=0)
+
+
+def test_t_closeness_categorical_hand(spark):
+    # global: flu 4, cold 4; class A all-flu, class B all-cold -> TV 0.5
+    rows = [("A", "flu")] * 4 + [("B", "cold")] * 4
+    df = spark.createDataFrame(rows, "cls STRING, diag STRING")
+    r = PV.t_closeness_report(df, ["cls"], "diag", 2, 10).first()
+    assert r["metric"] == "categorical"
+    assert (r["t_num"], r["t_den"], r["n_classes"]) == (2, 10, 2)
+    assert r["max_emd"] == 0.5
+    assert r["n_classes_above_t"] == 2 and r["pct_classes_above_t"] == 1.0
+    # the cut is strict and integer-exact: at t = 1/2 exactly, 0.5 is
+    # NOT above (t_den*numer = 2*32 = 64 == t_num*2*nc*n = 64)
+    r2 = PV.t_closeness_report(df, ["cls"], "diag", 1, 2).first()
+    assert r2["n_classes_above_t"] == 0 and r2["max_emd"] == 0.5
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    rows = [("A", "flu"), ("A", None), ("B", "flu"), ("B", "flu")]
+    df = spark.createDataFrame(rows, "cls STRING, diag STRING")
+    # global (flu .75, NULL .25); A (.5, .5) -> TV .25; B (1, 0) -> .25
+    r = PV.t_closeness_report(df, ["cls"], "diag", 1, 5).first()
+    assert r["max_emd"] == 0.25 and r["n_classes_above_t"] == 2
+
+
+def test_t_closeness_ordinal_hand(spark):
+    rows = [("A", "lo")] * 2 + [("B", "mid")] * 2 + [("C", "hi")] * 2
+    df = spark.createDataFrame(rows, "cls STRING, sev STRING")
+    order = ["lo", "mid", "hi"]
+    # cum global (1/3, 2/3, 1); A (1,1,1) -> (2/3+1/3)/2 = .5
+    # B (0,1,1) -> (1/3+1/3)/2 = 1/3; C (0,0,1) -> (1/3+2/3)/2 = .5
+    r = PV.t_closeness_report(df, ["cls"], "sev", 2, 5, order).first()
+    assert r["metric"] == "ordinal" and r["n_classes"] == 3
+    assert r["max_emd"] == 0.5
+    assert r["n_classes_above_t"] == 2  # A and C at t = 0.4; B is 1/3
+
+
+def test_t_closeness_two_value_ordinal_equals_categorical(spark):
+    # on a two-value alphabet the rank metric == total variation
+    # (single cumulative term, m-1 = 1 vs half the two equal |diffs|)
+    rows = [("A", "y")] * 3 + [("A", "n")] * 1 + [("B", "n")] * 4
+    df = spark.createDataFrame(rows, "cls STRING, v STRING")
+    rc = PV.t_closeness_report(df, ["cls"], "v", 1, 3).first()
+    ro = PV.t_closeness_report(df, ["cls"], "v", 1, 3, ["n", "y"]).first()
+    assert rc["max_emd"] == ro["max_emd"]
+    assert rc["n_classes_above_t"] == ro["n_classes_above_t"]
+
+
+def test_t_closeness_ordinal_unlisted_value_raises(spark):
+    df = spark.createDataFrame([("A", "lo"), ("A", "??")], "c STRING, v STRING")
+    with pytest.raises(Exception, match="not in ordered_values"):
+        PV.t_closeness_report(df, ["c"], "v", 1, 5, ["lo", "hi"]).collect()
+    with pytest.raises(ValueError, match="ordered_values"):
+        PV.t_closeness_report(df, ["c"], "v", 1, 5, ["lo", "lo"])
+    with pytest.raises(ValueError, match="threshold"):
+        PV.t_closeness_report(df, ["c"], "v", 1, 0)
+
+
+def test_dp_count_per_group_deterministic_and_calibrated(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "g INT, id INT"
+    )
+    out = {r["g"]: r["noisy_count"]
+           for r in PV.dp_count_per_group(df, ["g"], 1, 1, "s1|").collect()}
+    again = {r["g"]: r["noisy_count"]
+             for r in PV.dp_count_per_group(df, ["g"], 1, 1, "s1|").collect()}
+    assert out == again  # seeded release is reproducible
+    other = {r["g"]: r["noisy_count"]
+             for r in PV.dp_count_per_group(df, ["g"], 1, 1, "s2|").collect()}
+    assert out != other  # fresh seed -> fresh noise
+    for g, v in out.items():
+        # |noise| <= ln(1e6)/eps ~ 13.816 (grid-truncated Laplace)
+        assert abs(v - 10) <= 13.82
+    # noise scales exactly as 1/eps (same uniform draw)
+    half = {r["g"]: r["noisy_count"]
+            for r in PV.dp_count_per_group(df, ["g"], 2, 1, "s1|").collect()}
+    for g in out:
+        assert abs((out[g] - 10) - 2 * (half[g] - 10)) < 5e-6
+    with pytest.raises(ValueError, match="epsilon"):
+        PV.dp_count_per_group(df, ["g"], 0, 1)
+    with pytest.raises(ValueError, match="group_cols"):
+        PV.dp_count_per_group(df, [], 1, 1)
+
+
+def test_cap_user_rows(spark):
+    df = spark.createDataFrame(
+        [(i % 4, i, f"d{i}") for i in range(40)],
+        "user INT, id INT, payload STRING",
+    )
+    out = PV.cap_user_rows(df, "user", 3, "id")
+    assert out.columns == df.columns
+    counts = {r["user"]: r["n"] for r in
+              out.groupBy("user").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+    # deterministic: same kept set on a rerun
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in PV.cap_user_rows(df, "user", 3, "id").collect()}
+    assert ids1 == ids2
+    # cap >= rows per user -> identity
+    assert PV.cap_user_rows(df, "user", 100, "id").count() == 40
+    with pytest.raises(ValueError, match="cap"):
+        PV.cap_user_rows(df, "user", 0, "id")
+
+
+LADDER_SCH = "zip STRING, age INT, diag STRING"
+LADDER_ROWS = [
+    ("90210", 30, "flu"), ("90210", 30, "flu"), ("90210", 30, "cold"),
+    ("90210", 40, "flu"),
+    ("10001", 30, "covid"), ("10001", 30, "covid"),
+    (None, 50, "flu"), (None, 50, None),
+]
+
+
+def _ladder():
+    return [
+        {"zip": F.col("zip"), "age": F.col("age")},
+        {"zip": F.col("zip"), "age": F.expr("age div 20")},
+        {"zip": F.lit("*"), "age": F.expr("age div 20")},
+        {"zip": F.lit("*"), "age": F.lit("*")},
+    ]
+
+
+def test_generalization_ladder_census(spark):
+    df = spark.createDataFrame(LADDER_ROWS, LADDER_SCH)
+    rows = PV.generalization_ladder_census(df, _ladder(), k=3).collect()
+    by_step = {r["step"]: r for r in rows}
+    assert sorted(by_step) == [0, 1, 2, 3]
+    # step 0: classes 3/1/2/2; step 1 merges nothing (age 30->1, 40->2,
+    # 50->2 but zips differ); step 2 stars the zip: (*,1)=5, (*,2)=3
+    assert by_step[0]["min_class_size"] == 1
+    assert by_step[0]["k_anonymous"] == 0 and by_step[0]["chosen"] == 0
+    assert by_step[1]["min_class_size"] == 1
+    assert by_step[2]["n_classes"] == 2
+    assert by_step[2]["min_class_size"] == 3
+    assert by_step[2]["k_anonymous"] == 1 and by_step[2]["chosen"] == 1
+    # step 3 also passes but is NOT chosen (first passing step wins)
+    assert by_step[3]["k_anonymous"] == 1 and by_step[3]["chosen"] == 0
+    assert by_step[0]["n_rows_below_k"] == 8 - 3  # only the 3-class passes
+
+
+def test_generalize_to_k_end_to_end(spark):
+    df = spark.createDataFrame(LADDER_ROWS, LADDER_SCH)
+    anon, step = PV.generalize_to_k(df, _ladder(), k=3)
+    assert step == 2
+    assert anon.count() == 8  # chosen step passed; suppression a no-op
+    assert anon.columns == df.columns
+    r = PV.k_anonymity_report(anon, ["zip", "age"], k=3).first()
+    assert r["n_rows_below_k"] == 0
+    # no step reaches k=10 (n=8): last step + suppression empties it
+    anon10, step10 = PV.generalize_to_k(df, _ladder(), k=10)
+    assert step10 is None and anon10.count() == 0
+    with pytest.raises(ValueError, match="same columns"):
+        PV.generalization_ladder_census(
+            df, [{"zip": F.col("zip")}, {"age": F.col("age")}], k=2
+        )
+    with pytest.raises(ValueError, match="step must"):
+        PV.apply_generalization(df, _ladder(), 9)
