@@ -632,3 +632,242 @@ def read_alpha_state(
     return krippendorff_alpha(
         _read_votes(spark, work_dir), "item", "annotator", "label", metric
     )
+
+
+# --- k-anonymity census state: streaming privacy compliance ---------------
+#
+# The privacy shelf's streaming member (`operators/privacy.py` is the
+# batch side): a continuously-arriving table keeps a LIVE k-anonymity
+# census without re-scanning history. State is the per-epoch CLASS
+# COUNT table over the quasi-identifier tuple — class-bounded, not
+# row-bounded (the whole point: the census never needs the rows).
+# SUM-merge across epochs; like the CMS twin, SUM is not idempotent so
+# the per-epoch dir LAYOUT alone carries replay safety (a replayed
+# epoch overwrites its own dir).
+#
+# Retraction (the GDPR-delete case) is a NEGATIVE-COUNT epoch under a
+# SEPARATE `retractions/` counter (the stream's checkpoint counter
+# knows nothing about retraction events — sharing `classes/` would let
+# a replayed stream epoch overwrite one): sum-merge then yields exactly
+# the census a history without the retracted rows would have produced
+# (counts are abelian — order never matters). The writer guards
+# over-retraction per class; reads raise if a negative net ever
+# appears anyway.
+
+_KANON_CNT = "__cnt"
+
+
+def _kanon_count_classes(df: DataFrame, qi_cols: list[str]) -> DataFrame:
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias(_KANON_CNT)
+    )
+
+
+def make_kanon_batch_fn(work_dir: str, qi_cols: list[str]):
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        _kanon_count_classes(batch_df, qi_cols).write.mode(
+            "overwrite"
+        ).parquet(f"{work_dir}/classes/batch_id={batch_id}")
+
+    return batch_fn
+
+
+def streaming_kanon(
+    stream_df: DataFrame,
+    work_dir: str,
+    qi_cols: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a live k-anonymity class-count state over a stream.
+    Layout under ``work_dir``: ``classes/batch_id=N`` (per-epoch class
+    counts), ``retractions/batch_id=M`` (negative-count retraction
+    epochs, written by ``state_retraction.retract_from_kanon_state``),
+    ``ckpt/`` (stream checkpoint)."""
+    return run_incremental(
+        stream_df,
+        make_kanon_batch_fn(work_dir, qi_cols),
+        f"{work_dir}/ckpt",
+        available_now=available_now,
+    )
+
+
+def _read_kanon_parts(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(work_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    # a compacted-away retractions/ root may exist but hold no epoch
+    # dirs — parquet schema inference fails on an empty root, so only
+    # roots with at least one batch_id child count as present
+    parts = [
+        p
+        for p in (f"{work_dir}/classes", f"{work_dir}/retractions")
+        if fs.exists(hpath(p))
+        and any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(hpath(p))
+        )
+    ]
+    if not parts:
+        return None
+    out = None
+    for p in parts:
+        cur = spark.read.parquet(p).drop("batch_id")
+        out = cur if out is None else out.unionByName(cur)
+    return out
+
+
+def read_kanon_state(
+    spark: SparkSession, work_dir: str, qi_cols: list[str]
+) -> DataFrame | None:
+    """The net per-class count table across every committed epoch and
+    retraction (classes with net count 0 — fully retracted — are
+    dropped; a NEGATIVE net means rows were retracted that were never
+    ingested and raises at action time). ``None`` before the first
+    commit (the state's schema is the stream's, unknowable earlier)."""
+    parts = _read_kanon_parts(spark, work_dir)
+    if parts is None:
+        return None
+    merged = parts.groupBy(*qi_cols).agg(
+        F.sum(_KANON_CNT).cast("bigint").alias(_KANON_CNT)
+    )
+    guard = F.when(
+        F.col(_KANON_CNT) < 0,
+        F.raise_error(F.concat(
+            F.lit("kanon state: negative net class count "),
+            F.col(_KANON_CNT).cast("string"),
+            F.lit(" — rows were retracted that were never ingested"),
+        )),
+    ).otherwise(F.lit(True))
+    return merged.filter(guard & (F.col(_KANON_CNT) != 0))
+
+
+def read_kanon_census(
+    spark: SparkSession, work_dir: str, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Live k-anonymity census over everything seen minus everything
+    retracted — identical columns to the batch
+    ``privacy.k_anonymity_report`` and pinned ≡ it over the surviving
+    rows. One row even before the first commit (0 classes, NULL
+    min/pct)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    state = read_kanon_state(spark, work_dir, qi_cols)
+    if state is None:
+        return spark.createDataFrame(
+            [(k, 0, 0, None, 0, None)],
+            "k int, n_rows bigint, n_classes bigint, "
+            "min_class_size bigint, n_rows_below_k bigint, "
+            "pct_rows_below_k double",
+        )
+    return state.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.coalesce(F.sum(_KANON_CNT), F.lit(0)).cast("bigint")
+        .alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min(_KANON_CNT).alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col(_KANON_CNT) < k, F.col(_KANON_CNT))),
+            F.lit(0),
+        ).cast("bigint").alias("n_rows_below_k"),
+    ).select(
+        "k",
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_rows_below_k",
+        F.round(
+            F.try_divide(
+                F.col("n_rows_below_k").cast("double"),
+                F.col("n_rows").cast("double"),
+            ),
+            6,
+        ).alias("pct_rows_below_k"),
+    )
+
+
+def read_kanon_below_k(
+    spark: SparkSession, work_dir: str, qi_cols: list[str], k: int = 5
+) -> DataFrame | None:
+    """The currently-risky classes (net count in (0, k)), with their
+    TYPED quasi-identifier values — the worklist a suppression or
+    generalization pass consumes. ``None`` before the first commit."""
+    state = read_kanon_state(spark, work_dir, qi_cols)
+    if state is None:
+        return None
+    return state.filter(F.col(_KANON_CNT) < k).select(
+        *qi_cols, F.col(_KANON_CNT).alias("class_size")
+    )
+
+
+def compact_kanon_state(
+    spark: SparkSession,
+    work_dir: str,
+    qi_cols: list[str],
+    upto_batch: int,
+) -> tuple[int, int]:
+    """Offline maintenance: fold every ``classes/batch_id < upto_batch``
+    epoch AND every retraction epoch into ONE net partition named
+    ``batch_id=<upto_batch - 1>`` (the compact_claimed naming rule, so
+    any later epoch still reads as newer), dropping net-zero classes.
+    MUST run while the stream is stopped with ``upto_batch`` = last
+    committed batch + 1 (compacting an unsealed epoch would let its
+    replay wipe merged history — the SUM-state rule shared with the
+    EWMA compactor). Raises on a negative net (over-retraction is
+    corruption, never silently folded away). Checked-rename promote;
+    retraction dirs are deleted only after the swap lands (a crash
+    re-merges them — sum of an already-folded zero-delta is safe
+    because the folded partition replaced the dirs it covered).
+    Returns ``(dirs_merged_away, rows_after)``."""
+    from .state_retraction import list_state_epochs
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(work_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_backup(
+        spark,
+        f"{work_dir}/classes/batch_id={upto_batch - 1}",
+        backup=f"{work_dir}/.kanon_compact_bak",
+    )
+    class_epochs = [
+        e for e in list_state_epochs(spark, f"{work_dir}/classes")
+        if e < upto_batch
+    ]
+    retr_epochs = list_state_epochs(spark, f"{work_dir}/retractions")
+    if len(class_epochs) + len(retr_epochs) <= 1:
+        return (0, 0)
+    parts = None
+    for d in (
+        [f"{work_dir}/classes/batch_id={e}" for e in class_epochs]
+        + [f"{work_dir}/retractions/batch_id={e}" for e in retr_epochs]
+    ):
+        cur = spark.read.parquet(d)
+        parts = cur if parts is None else parts.unionByName(cur)
+    net = (
+        parts.groupBy(*qi_cols)
+        .agg(F.sum(_KANON_CNT).cast("bigint").alias(_KANON_CNT))
+    ).localCheckpoint(eager=True)
+    if net.filter(F.col(_KANON_CNT) < 0).limit(1).count() > 0:
+        raise ValueError(
+            "compact_kanon_state: negative net class count — rows were "
+            "retracted that were never ingested; refusing to fold the "
+            "corruption away"
+        )
+    net = net.filter(F.col(_KANON_CNT) != 0)
+    promote_swap(
+        spark,
+        f"{work_dir}/classes/batch_id={upto_batch - 1}",
+        lambda tmp: net.coalesce(1).write.mode("overwrite").parquet(tmp),
+        tmp=f"{work_dir}/.kanon_compact_tmp",
+        backup=f"{work_dir}/.kanon_compact_bak",
+    )
+    removed = 0
+    for e in class_epochs:
+        if e != upto_batch - 1:
+            fs.delete(hpath(f"{work_dir}/classes/batch_id={e}"), True)
+            removed += 1
+    for e in retr_epochs:
+        fs.delete(hpath(f"{work_dir}/retractions/batch_id={e}"), True)
+        removed += 1
+    return (removed, net.count())

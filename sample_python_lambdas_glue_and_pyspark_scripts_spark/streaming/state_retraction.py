@@ -57,6 +57,13 @@ rows, replay-as-maintenance for irreversible registers):
   history without those votes would have written, and consensus/kappa
   reads over it equal the batch operators on the surviving votes
   (:func:`retract_from_votes_state`, pinned by test).
+- **k-anonymity class counts** (``streaming/sketch_state.py``:
+  ``classes/`` per-epoch SUM-merged counts over the quasi-identifier
+  tuple) are an abelian fold — the ONE family where retraction needs
+  no epoch rewrite at all: the deleted rows' class counts append as a
+  NEGATIVE-COUNT epoch under the state's own ``retractions/`` counter
+  and the sum-merged census equals a history without those rows
+  (:func:`retract_from_kanon_state`, over-retraction guarded).
 - **connected-components labels** (``streaming/cc_state.py``:
   ``cc_edges/`` deltas + ``cc_labels/`` per-epoch snapshots) are a
   DERIVED chain: retracted vertex ids anti-join out of every hit edge
@@ -574,3 +581,85 @@ def retract_from_cc_state(
         out["label_epochs_rebuilt"] += 1
         prev = labels
     return out
+
+
+def retract_from_kanon_state(
+    spark: SparkSession,
+    work_dir: str,
+    retract_rows: DataFrame,
+    qi_cols: list[str],
+) -> dict[str, int]:
+    """Exact retraction from the streaming k-anonymity census state
+    (``sketch_state.streaming_kanon``): the deleted rows' class counts
+    are appended as a NEGATIVE-COUNT epoch under the state's own
+    ``retractions/`` counter, so the SUM-merged reads equal the census
+    a history without those rows would have produced (counts are
+    abelian — this is the one state family where retraction needs no
+    rewrite of existing epochs at all; the class-count fold loses the
+    rows but keeps exactly the statistic being served).
+
+    ``retract_rows`` carries the deleted rows' quasi-identifier VALUES
+    (the deletion request knows them — it is deleting the rows).
+    Over-retraction guard: every retracted class must have net count
+    >= its retraction in the CURRENT state, else ValueError and
+    nothing is written (a silently-negative class would poison every
+    later census). NOT idempotent by design — each call is a new
+    deletion event; calling twice with the same rows retracts twice
+    (and the guard catches it when the counts run out). Stream must be
+    stopped. Returns ``{"classes_decremented": ..., "rows_retracted":
+    ...}``."""
+    from .sketch_state import _KANON_CNT, read_kanon_state
+
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    dec = (
+        retract_rows.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__dec"))
+        .localCheckpoint(eager=True)
+    )
+    state = read_kanon_state(spark, work_dir, qi_cols)
+    if state is None:
+        raise ValueError(
+            "retract_from_kanon_state: no committed state to retract "
+            "from"
+        )
+    cond = None
+    for c in qi_cols:
+        piece = F.col(f"__s.{c}").eqNullSafe(F.col(f"__d.{c}"))
+        cond = piece if cond is None else cond & piece
+    short = (
+        dec.alias("__d")
+        .join(state.alias("__s"), cond, "left")
+        .filter(
+            F.coalesce(F.col(f"__s.{_KANON_CNT}"), F.lit(0))
+            < F.col("__d.__dec")
+        )
+        .limit(1)
+        .count()
+    )
+    if short > 0:
+        raise ValueError(
+            "retract_from_kanon_state: retraction exceeds the net "
+            "count of at least one class (rows retracted that were "
+            "never ingested, or the same deletion submitted twice); "
+            "nothing was written"
+        )
+    epochs = list_state_epochs(spark, f"{work_dir}/retractions")
+    nxt = (max(epochs) + 1) if epochs else 0
+    neg = dec.select(
+        *qi_cols, (-F.col("__dec")).cast("bigint").alias(_KANON_CNT)
+    )
+    promote_swap(
+        spark,
+        f"{work_dir}/retractions/batch_id={nxt}",
+        lambda tmp: neg.write.mode("overwrite").parquet(tmp),
+        tmp=f"{work_dir}/{_TMP_PREFIX}kanon_{nxt}",
+        backup=f"{work_dir}/{_BAK_PREFIX}kanon_{nxt}",
+    )
+    stats = dec.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("__dec").alias("r")
+    ).collect()[0]
+    return {
+        "classes_decremented": int(stats["k"] or 0),
+        "rows_retracted": int(stats["r"] or 0),
+    }
