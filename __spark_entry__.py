@@ -3781,6 +3781,43 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank / personalized PageRank over the nation trade graph:
+    teleport mass returns to the EUROPE nations (the vetted seed set)
+    instead of uniform — the web-curation trust propagator (Gyongyi
+    2004). Same unroll contract as nation_pagerank (6dp per
+    iteration); a nation with no trade path from any seed ranks
+    exactly 0."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        graph as GR,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    return GR.personalized_pagerank(
+        edges, seeds, "src", "dst", "w", n_iter=3
+    ).select(F.col("node").alias("nationkey"), "rank")
+
+
 def _strong_trade_edges(
     spark: SparkSession, sf_dir: str, keep_weight: bool = False
 ) -> DataFrame:
@@ -4535,6 +4572,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # bm25_search_indexed, scd2_orders.
     "customer_t_closeness", "orders_t_closeness_ordinal",
     "dp_nation_customer_counts", "customer_generalization_ladder",
+    # round-13 sixth batch: TrustRank (seeded personalized PageRank)
+    # over the trade graph. Rotated out (driver-proven r12, unchanged
+    # in r13): nation_triangles.
+    "nation_trustrank",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4561,8 +4602,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-11 second batch: exact triangle counts / clustering
     # coefficients. mmr_diverse_topk, tokenizer_fertility_report,
     # pii_report, packing_strategy_compare rotated out (driver-proven
-    # r10, unchanged).
-    "nation_triangles",
+    # r10, unchanged; nation_triangles refreshed r12 and rotated out
+    # for the r13 sixth batch).
     "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
@@ -4879,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "skyline_brand_fronts": q_skyline_brand_fronts,
         "nation_pagerank": q_nation_pagerank,
+        "nation_trustrank": q_nation_trustrank,
         "nation_triangles": q_nation_triangles,
         "nation_communities": q_nation_communities,
         "nation_kcore": q_nation_kcore,
@@ -5712,6 +5754,56 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
                FROM e JOIN ow ON e.u = ow.u),
         r0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS rank
                FROM nodes CROSS JOIN nn),{",".join(iters)}
+        SELECT node AS nationkey, rank FROM {prev}
+    """
+
+
+def _ppr_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank over the nation trade graph with
+    the EUROPE nations as the seed set — mirrors
+    graph.personalized_pagerank (6dp per-iteration rounds, seed-
+    distribution start, per-node teleport base (1-d)*p_seed, lost-mass
+    dangling handling)."""
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            c{k} AS (
+                SELECT tr.v, SUM({prev}.rank * tr.p) AS i
+                FROM tr JOIN {prev} ON tr.u = {prev}.node GROUP BY tr.v),
+            r{k} AS (
+                SELECT bs.node,
+                       ROUND(bs.b + {damping} * COALESCE(c{k}.i, 0.0), 6)
+                           AS rank
+                FROM bs LEFT JOIN c{k} ON bs.node = c{k}.v)""")
+        prev = f"r{k}"
+    return f"""
+        WITH e AS (
+            SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+        seeds AS (
+            SELECT n.n_nationkey AS node, SUM(1.0) AS sw
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE' GROUP BY 1),
+        tw AS (SELECT SUM(sw) AS tw FROM seeds),
+        p0 AS (SELECT node, ROUND(sw / tw.tw, 6) AS p
+               FROM seeds CROSS JOIN tw),
+        nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e
+                  UNION SELECT node FROM p0),
+        bs AS (SELECT nodes.node,
+                      COALESCE(p0.p, 0.0) AS p,
+                      ROUND((1.0 - {damping}) * COALESCE(p0.p, 0.0), 6)
+                          AS b
+               FROM nodes LEFT JOIN p0 ON nodes.node = p0.node),
+        ow AS (SELECT u, SUM(w) AS ow FROM e GROUP BY u),
+        tr AS (SELECT e.u, e.v, ROUND(e.w / ow.ow, 6) AS p
+               FROM e JOIN ow ON e.u = ow.u),
+        r0 AS (SELECT node, p AS rank FROM bs),{",".join(iters)}
         SELECT node AS nationkey, rank FROM {prev}
     """
 
@@ -7918,6 +8010,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN cnt ON deg.node = cnt.node
         """,
         "nation_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "nation_trustrank": _ppr_oracle(n_iter=3, damping=0.85),
         "event_anomaly": """
             WITH s AS (
                 SELECT user_id, AVG(value) AS mu,

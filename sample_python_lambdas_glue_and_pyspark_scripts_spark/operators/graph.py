@@ -127,6 +127,158 @@ def pagerank(
             trans.unpersist()
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    seed_node_col: str = "node",
+    seed_weight_col: str | None = None,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank / TrustRank (Haveliwala 2002; Gyongyi
+    2004): damped power iteration where ALL teleport mass returns to
+    the ``seeds`` distribution instead of uniform — the web-curation
+    trust propagator (seed a vetted allowlist of hosts, walk the link
+    graph, read off per-host trust; documents from rank-0 hosts have NO
+    path from any trusted seed). Same execution shape and determinism
+    contract as :func:`pagerank`: per-iteration 6dp rounds, lost-mass
+    dangling handling, per-iteration lazy lineage truncation — so a
+    fixed-``n_iter`` run unrolls to the DuckDB oracle.
+
+    ``seeds`` is a ``(node [, weight])`` DataFrame (duplicate seed rows
+    sum their weight); weights must be positive and non-NULL — raises
+    otherwise, because a silently-dropped seed changes every rank. The
+    start vector IS the seed distribution (rounded 6dp per seed).
+    Reduction pin: seeds = every node at equal weight makes this
+    EXACTLY :func:`pagerank` (base (1-d)/n, start 1/n).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    sw = (
+        F.col(seed_weight_col).cast("double")
+        if seed_weight_col
+        else F.lit(1.0)
+    )
+    sd = seeds.select(
+        F.col(seed_node_col).alias("node"), sw.alias("__sw")
+    )
+    if (
+        sd.filter(
+            F.col("__sw").isNull() | (F.col("__sw") <= 0)
+            | F.col("node").isNull()
+        ).limit(1).count()
+        > 0
+    ):
+        raise ValueError(
+            "personalized_pagerank: seed nodes must be non-NULL with "
+            "positive non-NULL weights"
+        )
+    sd = sd.groupBy("node").agg(F.sum("__sw").alias("__sw"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = ensure_parallelism(edges).select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v"), w.alias("__w")
+    ).persist()
+    # seed total via an alias-qualified cross join (sd appears on both
+    # sides — the self-join lineage rule)
+    p0 = (
+        sd.alias("__s")
+        .crossJoin(
+            sd.agg(F.sum("__sw").alias("__tw")).alias("__t")
+        )
+        .select(
+            F.col("__s.node").alias("node"),
+            F.round(F.col("__s.__sw") / F.col("__t.__tw"), 6)
+            .alias("__p"),
+        )
+    )
+    nodes = (
+        e.select(F.col("__u").alias("node"))
+        .union(e.select(F.col("__v").alias("node")))
+        .union(p0.select("node"))
+        .distinct()
+        .persist()
+    )
+    trans = None
+    basev = None
+    try:
+        if p0.limit(1).count() == 0:
+            raise ValueError("personalized_pagerank: empty seed table")
+        # populate the e/nodes caches BEFORE the iteration chain builds
+        # on them (pagerank gets this for free from its n = count();
+        # without it the first real action executes the whole unrolled
+        # loop with cold caches and the upstream edge pipeline re-runs
+        # per reference — measured 3.5x on the trade-graph query)
+        nodes.count()
+        outw = e.groupBy("__u").agg(F.sum("__w").alias("__ow"))
+        trans = (
+            e.join(outw, "__u")
+            .select(
+                "__u", "__v",
+                F.round(F.col("__w") / F.col("__ow"), 6).alias("__p"),
+            )
+            .persist()
+        )
+        # per-node teleport base (1-d)*p_seed, 0 off-seed; carried with
+        # the node table so every iteration is one extra column, not an
+        # extra join
+        basev = (
+            nodes.join(p0, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__p"), F.lit(0.0)).alias("__p0"),
+                F.round(
+                    F.lit(1.0 - damping)
+                    * F.coalesce(F.col("__p"), F.lit(0.0)),
+                    6,
+                ).alias("__b"),
+            )
+            .persist()
+        )
+        ranks = basev.select("node", F.col("__p0").alias("rank"))
+        for _ in range(n_iter):
+            contrib = (
+                trans.join(
+                    ranks.select(F.col("node").alias("__u"), "rank"), "__u"
+                )
+                .groupBy("__v")
+                .agg(F.sum(F.col("rank") * F.col("__p")).alias("__in"))
+            )
+            ranks = (
+                basev.join(
+                    contrib.select(F.col("__v").alias("node"), "__in"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.round(
+                        F.col("__b")
+                        + F.lit(damping)
+                        * F.coalesce(F.col("__in"), F.lit(0.0)),
+                        6,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+        e.unpersist()
+        if trans is not None:
+            trans.unpersist()
+        if basev is not None:
+            basev.unpersist()
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "a", dst: str = "b"
 ) -> DataFrame:

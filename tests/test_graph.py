@@ -3,6 +3,9 @@
 import pytest
 from pyspark.sql import functions as F
 
+from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+    graph as GR,
+)
 from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.graph import (
     pagerank,
 )
@@ -349,3 +352,82 @@ def test_conductance_report_hand_graph(spark):
     b = sorted(map(tuple, conductance_report(
         dfw, labels, weight_col="w").collect()))
     assert a == b
+
+
+def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
+    # reduction pin: uniform seeds over every node == plain pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)], "src INT, dst INT"
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node INT")
+    pr = {r["node"]: r["rank"]
+          for r in GR.pagerank(edges, n_iter=3).collect()}
+    ppr = {r["node"]: r["rank"]
+           for r in GR.personalized_pagerank(
+               edges, seeds, n_iter=3).collect()}
+    assert ppr == pr
+
+
+def test_personalized_pagerank_unreachable_component_is_zero(spark):
+    # two disjoint cycles; seed only in the first -> no trust path to
+    # the second (rank exactly 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src INT, dst INT"
+    )
+    seeds = spark.createDataFrame([(1,)], "node INT")
+    ranks = {r["node"]: r["rank"]
+             for r in GR.personalized_pagerank(
+                 edges, seeds, n_iter=4).collect()}
+    assert ranks[10] == 0.0 and ranks[11] == 0.0
+    assert ranks[1] > 0.0 and ranks[2] > 0.0
+    # seed holds more mass than its neighbor under damping
+    assert ranks[1] > ranks[2]
+
+
+def test_personalized_pagerank_weighted_seeds_shift_mass(spark):
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1), (3, 2)], "src INT, dst INT"
+    )
+    heavy1 = spark.createDataFrame(
+        [(1, 9.0), (2, 1.0)], "node INT, w DOUBLE"
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in GR.personalized_pagerank(
+                 edges, heavy1, seed_weight_col="w", n_iter=3
+             ).collect()}
+    assert ranks[1] > ranks[2]
+    # duplicate seed rows SUM their weight: (2, 1.0) three times ≡ (2, 3.0)
+    dup = spark.createDataFrame(
+        [(1, 9.0), (2, 1.0), (2, 1.0), (2, 1.0)], "node INT, w DOUBLE"
+    )
+    tri = spark.createDataFrame([(1, 9.0), (2, 3.0)], "node INT, w DOUBLE")
+    r_dup = {r["node"]: r["rank"]
+             for r in GR.personalized_pagerank(
+                 edges, dup, seed_weight_col="w", n_iter=3).collect()}
+    r_tri = {r["node"]: r["rank"]
+             for r in GR.personalized_pagerank(
+                 edges, tri, seed_weight_col="w", n_iter=3).collect()}
+    assert r_dup == r_tri
+
+
+def test_personalized_pagerank_guards(spark):
+    edges = spark.createDataFrame([(1, 2)], "src INT, dst INT")
+    with pytest.raises(ValueError, match="positive"):
+        GR.personalized_pagerank(
+            edges,
+            spark.createDataFrame([(1, 0.0)], "node INT, w DOUBLE"),
+            seed_weight_col="w",
+        )
+    with pytest.raises(ValueError, match="positive"):
+        GR.personalized_pagerank(
+            edges,
+            spark.createDataFrame([(None,)], "node INT"),
+        )
+    with pytest.raises(ValueError, match="empty seed"):
+        GR.personalized_pagerank(
+            edges, spark.createDataFrame([], "node INT")
+        )
+    with pytest.raises(ValueError, match="n_iter"):
+        GR.personalized_pagerank(
+            edges, spark.createDataFrame([(1,)], "node INT"), n_iter=0
+        )
