@@ -3535,6 +3535,25 @@ def q_customer_generalization_ladder(
     return PV.generalization_ladder_census(c, ladder, k=25)
 
 
+def q_dp_nation_acctbal_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Released per-nation account-balance means: noisy count + noisy
+    clipped sum (clip [-1000, 10000], epsilon 5 each under derived
+    sub-seeds) with the mean as post-processing — the full DP release
+    family in one query. Engine-exact: grid uniforms, one ln per draw,
+    6dp rounds; the mean divides two already-rounded doubles."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.dp_mean_per_group(
+        c, ["c_nationkey"], "c_acctbal", -1000.0, 10000.0, 5, 1,
+        seed="dpm13|",
+    ).orderBy("c_nationkey")
+
+
 def q_annotator_pair_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa over a 30-rater slice of the annotation
     table (which TWO raters systematically disagree — separates 'one
@@ -4576,6 +4595,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # over the trade graph. Rotated out (driver-proven r12, unchanged
     # in r13): nation_triangles.
     "nation_trustrank",
+    # round-13 seventh batch: the composed DP release (count + clipped
+    # sum + post-processed mean). Rotated out (driver-proven r12,
+    # unchanged in r13): events_key_skew.
+    "dp_nation_acctbal_mean",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4607,7 +4630,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "lsh_banding_report",
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
-    "events_key_skew",
+    # events_key_skew refreshed r12 (it changed in r11) and rotated
+    # out for the r13 seventh batch.
     "semantic_dedup_sweep",
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
@@ -4903,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_t_closeness": q_customer_t_closeness,
         "orders_t_closeness_ordinal": q_orders_t_closeness_ordinal,
         "dp_nation_customer_counts": q_dp_nation_customer_counts,
+        "dp_nation_acctbal_mean": q_dp_nation_acctbal_mean,
         "customer_generalization_ladder": q_customer_generalization_ladder,
         "annotation_alpha": q_annotation_alpha,
         "community_conductance": q_community_conductance,
@@ -10187,6 +10212,39 @@ SELECT 'url_dedup' AS stage,
                          / CAST(COUNT(*) AS DOUBLE), 6)
                        AS pct_classes_below_l
             FROM pc
+        """,
+        "dp_nation_acctbal_mean": """
+            WITH g AS (SELECT c_nationkey,
+                              CAST(COUNT(*) AS BIGINT) AS cnt,
+                              COALESCE(SUM(LEAST(GREATEST(
+                                  CAST(c_acctbal AS DOUBLE), -1000.0),
+                                  10000.0)), 0.0) AS s
+                       FROM customer GROUP BY 1),
+            n1 AS (SELECT c_nationkey, cnt, s,
+                          (('0x' || substr(md5('dpm13|cnt|'
+                               || CAST(c_nationkey AS VARCHAR)), 1, 15)
+                           )::BIGINT % 1000000) AS hc,
+                          (('0x' || substr(md5('dpm13|sum|'
+                               || CAST(c_nationkey AS VARCHAR)), 1, 15)
+                           )::BIGINT % 1000000) AS hs
+                   FROM g),
+            u AS (SELECT c_nationkey, cnt, s,
+                         (CAST(hc AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS vc,
+                         (CAST(hs AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS vs
+                  FROM n1),
+            r AS (SELECT c_nationkey,
+                         ROUND(CAST(cnt AS DOUBLE) + (-0.2) * SIGN(vc)
+                               * LN(1.0 - 2.0 * ABS(vc)), 6)
+                             AS noisy_count,
+                         ROUND(s + (-2000.0) * SIGN(vs)
+                               * LN(1.0 - 2.0 * ABS(vs)), 6)
+                             AS noisy_sum
+                  FROM u)
+            SELECT c_nationkey, noisy_count, noisy_sum,
+                   ROUND(CASE WHEN noisy_count > 0
+                         THEN noisy_sum / noisy_count END, 6)
+                       AS noisy_mean
+            FROM r ORDER BY c_nationkey
         """,
         "customer_t_closeness": """
             WITH cv AS (SELECT c_nationkey AS q, c_mktsegment AS v,

@@ -558,3 +558,114 @@ def generalize_to_k(
     step = chosen if chosen is not None else len(ladder) - 1
     out = apply_generalization(df, ladder, step)
     return suppress_below_k(out, cols, k=k), chosen
+
+
+def _laplace_noise(key: Column, b: float, seed: str) -> Column:
+    """Seeded inverse-CDF Laplace(b) draw off the md5-grid uniform
+    (the dp_count_per_group recipe, factored for the sum/mean
+    releases)."""
+    h = hash60(key, seed=seed)
+    u = (
+        (h % F.lit(1_000_000)).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    v = u - F.lit(0.5)
+    return (
+        F.lit(-b)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+
+
+def dp_sum_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    eps_num: int = 1,
+    eps_den: int = 1,
+    seed: str = "dps|",
+) -> DataFrame:
+    """Seeded Laplace-noised group SUMS with contribution clipping —
+    the second member of the release family. Values clip to
+    ``[lo, hi]`` FIRST (unbounded values make the sum's sensitivity
+    unbounded, so clipping is not optional; NULL values contribute
+    nothing), then noise ~ Laplace(max(|lo|, |hi|)/eps) calibrates to
+    the add/remove-one-row sensitivity of the clipped sum.
+
+    Same determinism trade as :func:`dp_count_per_group` (seeded
+    md5-grid uniform, one ln, final 6dp round — engine-exact and
+    reproducible; the seed must be a one-time secret for real
+    privacy), same epsilon-as-rational contract. One keyed aggregate;
+    noise is a map-side projection."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if eps_num < 1 or eps_den < 1:
+        raise ValueError("epsilon must be a positive rational "
+                         "eps_num/eps_den with both >= 1")
+    if not lo < hi:
+        raise ValueError("clip range must satisfy lo < hi")
+    sens = max(abs(lo), abs(hi))
+    b = sens * float(eps_den) / float(eps_num)
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    grp = df.groupBy(*group_cols).agg(
+        F.coalesce(F.sum(clipped), F.lit(0.0)).alias("__sum")
+    )
+    noise = _laplace_noise(
+        _key_expr([F.col(c) for c in group_cols]), b, seed
+    )
+    return grp.select(
+        *group_cols,
+        F.round(F.col("__sum") + noise, 6).alias("noisy_sum"),
+    )
+
+
+def dp_mean_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    eps_num: int = 1,
+    eps_den: int = 2,
+    seed: str = "dpm|",
+) -> DataFrame:
+    """Released group means as POST-PROCESSING of a noisy count and a
+    noisy clipped sum (each under ``eps_num/eps_den``, so the total
+    budget is ``2 * eps_num/eps_den`` by sequential composition —
+    hence the halved default; the two draws use derived sub-seeds so
+    they are independent). Returns ``(group, noisy_count, noisy_sum,
+    noisy_mean)`` with ``noisy_mean = noisy_sum / noisy_count`` 6dp,
+    NULL when the noisy count lands <= 0 (a tiny group whose count
+    noise swallowed it — reporting a mean there would be noise
+    masquerading as signal)."""
+    cnt = dp_count_per_group(
+        df, group_cols, eps_num, eps_den, seed + "cnt|"
+    )
+    sm = dp_sum_per_group(
+        df, group_cols, value_col, lo, hi, eps_num, eps_den,
+        seed + "sum|",
+    )
+    cond = None
+    for c in group_cols:
+        piece = F.col(f"__c.{c}").eqNullSafe(F.col(f"__s.{c}"))
+        cond = piece if cond is None else cond & piece
+    return (
+        cnt.alias("__c")
+        .join(sm.alias("__s"), cond)
+        .select(
+            *[F.col(f"__c.{c}") for c in group_cols],
+            F.col("__c.noisy_count").alias("noisy_count"),
+            F.col("__s.noisy_sum").alias("noisy_sum"),
+            F.round(
+                F.when(
+                    F.col("__c.noisy_count") > 0,
+                    F.col("__s.noisy_sum") / F.col("__c.noisy_count"),
+                ),
+                6,
+            ).alias("noisy_mean"),
+        )
+    )

@@ -226,3 +226,44 @@ def test_generalize_to_k_end_to_end(spark):
         )
     with pytest.raises(ValueError, match="step must"):
         PV.apply_generalization(df, _ladder(), 9)
+
+
+def test_dp_sum_per_group_clipping_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(0, 5.0), (0, 500.0), (0, -50.0), (1, 2.0), (1, 3.0)],
+        "g INT, v DOUBLE",
+    )
+    out = {r["g"]: r["noisy_sum"]
+           for r in PV.dp_sum_per_group(
+               df, ["g"], "v", 0.0, 10.0, 1, 1, "t|").collect()}
+    again = {r["g"]: r["noisy_sum"]
+             for r in PV.dp_sum_per_group(
+                 df, ["g"], "v", 0.0, 10.0, 1, 1, "t|").collect()}
+    assert out == again
+    # clipped sums: g0 = 5 + 10 + 0 = 15; g1 = 5. noise bounded by
+    # sens * ln(1e6) = 10 * 13.816
+    assert abs(out[0] - 15.0) <= 138.2 and abs(out[1] - 5.0) <= 138.2
+    # NULL values contribute nothing
+    dfn = spark.createDataFrame([(0, None), (0, 4.0)], "g INT, v DOUBLE")
+    r = PV.dp_sum_per_group(dfn, ["g"], "v", 0.0, 10.0, 1, 1, "t|").first()
+    assert abs(r["noisy_sum"] - 4.0) <= 138.2
+    with pytest.raises(ValueError, match="lo < hi"):
+        PV.dp_sum_per_group(df, ["g"], "v", 5.0, 5.0)
+
+
+def test_dp_mean_per_group_post_processing(spark):
+    df = spark.createDataFrame(
+        [(0, float(i % 10)) for i in range(200)] + [(1, 5.0)],
+        "g INT, v DOUBLE",
+    )
+    out = {r["g"]: r for r in PV.dp_mean_per_group(
+        df, ["g"], "v", 0.0, 10.0, 1, 2, "m|").collect()}
+    # big group: mean of 0..9 uniform = 4.5, noise/200 is small
+    r0 = out[0]
+    assert r0["noisy_mean"] == round(
+        r0["noisy_sum"] / r0["noisy_count"], 6
+    )
+    assert abs(r0["noisy_mean"] - 4.5) < 2.0
+    # sub-seeds differ: count noise != sum noise pattern (they are
+    # independent draws, so equality would be a seed-derivation bug)
+    assert (r0["noisy_count"] - 200.0) != (r0["noisy_sum"] - 900.0)
