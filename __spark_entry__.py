@@ -3535,6 +3535,48 @@ def q_customer_generalization_ladder(
     return PV.generalization_ladder_census(c, ladder, k=25)
 
 
+def q_region_nation_rank_rbo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-biased overlap between two nation rankings per region
+    (by total supplier account balance vs by customer count, depth 5,
+    p = 9/10) — the top-weighted ranking-agreement eval (Webber 2010)
+    the serving recall gates lack: RBO sees WHERE two rankings
+    disagree, not just how many ids they share."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        retrieval as RT,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    wa = Window.partitionBy("n_regionkey").orderBy(
+        F.col("m").desc(), F.col("n_nationkey").asc()
+    )
+    run_a = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.sum("s_acctbal").alias("m"))
+        .select(
+            "n_regionkey", "n_nationkey",
+            F.row_number().over(wa).alias("rank"),
+        )
+    )
+    run_b = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            "n_regionkey", "n_nationkey",
+            F.row_number().over(wa).alias("rank"),
+        )
+    )
+    return RT.rbo_report(
+        run_a, run_b, "n_regionkey", "n_nationkey", "rank",
+        depth=5, p_num=9, p_den=10,
+    ).orderBy("n_regionkey")
+
+
 def q_dp_nation_acctbal_mean(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4599,6 +4641,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # sum + post-processed mean). Rotated out (driver-proven r12,
     # unchanged in r13): events_key_skew.
     "dp_nation_acctbal_mean",
+    # round-13 eighth batch: rank-biased overlap (top-weighted ranking
+    # agreement). Rotated out (driver-proven r12, unchanged in r13):
+    # semantic_dedup_sweep.
+    "region_nation_rank_rbo",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4631,8 +4677,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 10 (second batch): prototypicality pruning (Sorscher
     # 2022), MMR diverse reranking, tokenizer fertility census
     # events_key_skew refreshed r12 (it changed in r11) and rotated
-    # out for the r13 seventh batch.
-    "semantic_dedup_sweep",
+    # out for the r13 seventh batch; semantic_dedup_sweep refreshed
+    # r12 and rotated out for the r13 eighth batch.
     "dedup_clusters_extended", "bm25_hard_negatives",
     "ccnet_buckets_by_source", "training_mix_sweep",
     # video_scene_changes rotated out for event_type_strengths (r12
@@ -4928,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_t_closeness_ordinal": q_orders_t_closeness_ordinal,
         "dp_nation_customer_counts": q_dp_nation_customer_counts,
         "dp_nation_acctbal_mean": q_dp_nation_acctbal_mean,
+        "region_nation_rank_rbo": q_region_nation_rank_rbo,
         "customer_generalization_ladder": q_customer_generalization_ladder,
         "annotation_alpha": q_annotation_alpha,
         "community_conductance": q_community_conductance,
@@ -5830,6 +5877,62 @@ def _ppr_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
                FROM e JOIN ow ON e.u = ow.u),
         r0 AS (SELECT node, p AS rank FROM bs),{",".join(iters)}
         SELECT node AS nationkey, rank FROM {prev}
+    """
+
+
+def _rbo_oracle(depth: int = 5, p_num: int = 9, p_den: int = 10) -> str:
+    """Mirror of retrieval.rbo_report over the region nation-rankings
+    fixture — the geometric weights are the SAME Python-computed
+    doubles the operator joins in (repr round-trips exactly), never a
+    SQL POWER() (libm parity is the one thing the 6dp contract cannot
+    promise)."""
+    pr = float(p_num) / float(p_den)
+    wvals = ", ".join(
+        f"({d}, {(1.0 - pr) * pr ** (d - 1)!r})"
+        for d in range(1, depth + 1)
+    )
+    dvals = ", ".join(f"({d})" for d in range(1, depth + 1))
+    return f"""
+        WITH wa AS (
+            SELECT n.n_regionkey AS g, n.n_nationkey AS i,
+                   ROW_NUMBER() OVER (PARTITION BY n.n_regionkey
+                       ORDER BY SUM(s.s_acctbal) DESC,
+                                n.n_nationkey ASC) AS ra
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey, n.n_nationkey),
+        wb AS (
+            SELECT n.n_regionkey AS g, n.n_nationkey AS i,
+                   ROW_NUMBER() OVER (PARTITION BY n.n_regionkey
+                       ORDER BY COUNT(*) DESC,
+                                n.n_nationkey ASC) AS rb
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey, n.n_nationkey),
+        hist AS (SELECT wa.g, GREATEST(wa.ra, wb.rb) AS m
+                 FROM wa JOIN wb ON wa.g = wb.g AND wa.i = wb.i
+                 WHERE wa.ra <= {depth} AND wb.rb <= {depth}),
+        groups AS (SELECT g FROM wa WHERE ra <= {depth}
+                   UNION SELECT g FROM wb WHERE rb <= {depth}),
+        grid AS (SELECT g, d FROM groups
+                 CROSS JOIN (VALUES {dvals}) AS t(d)),
+        xd AS (SELECT grid.g, grid.d,
+                      CAST(COUNT(hist.m) AS BIGINT) AS x
+               FROM grid LEFT JOIN hist
+                 ON hist.g = grid.g AND hist.m <= grid.d
+               GROUP BY grid.g, grid.d),
+        w AS (SELECT * FROM (VALUES {wvals}) AS t(d, w))
+        SELECT xd.g AS n_regionkey,
+               CAST({depth} AS INTEGER) AS depth,
+               ROUND(SUM(w.w * CAST(xd.x AS DOUBLE)
+                         / CAST(xd.d AS DOUBLE)), 6) AS rbo,
+               CAST(MAX(CASE WHEN xd.d = {depth} THEN xd.x END)
+                    AS BIGINT) AS overlap_at_depth,
+               ROUND(CAST(MAX(CASE WHEN xd.d = {depth} THEN xd.x END)
+                          AS DOUBLE) / {depth}.0, 6)
+                   AS agreement_at_depth
+        FROM xd JOIN w ON xd.d = w.d
+        GROUP BY xd.g ORDER BY xd.g
     """
 
 
@@ -10213,6 +10316,7 @@ SELECT 'url_dedup' AS stage,
                        AS pct_classes_below_l
             FROM pc
         """,
+        "region_nation_rank_rbo": _rbo_oracle(depth=5, p_num=9, p_den=10),
         "dp_nation_acctbal_mean": """
             WITH g AS (SELECT c_nationkey,
                               CAST(COUNT(*) AS BIGINT) AS cnt,

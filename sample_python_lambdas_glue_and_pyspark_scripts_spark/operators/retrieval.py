@@ -322,3 +322,109 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(query_col, id_col, "neg_rank", score_col)
     )
+
+
+def rbo_report(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    group_col: str,
+    id_col: str,
+    rank_col: str,
+    depth: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap (Webber 2010) between two rank lists per
+    group, truncated at ``depth`` (the bounded RBO@d, no
+    extrapolation): ``(1-p) * sum_{d=1..depth} p^(d-1) * X_d / d``
+    where ``X_d`` is the size of the prefix intersection at depth d.
+    THE ranking-eval companion to the recall@k acceptance gates: recall
+    treats the top-k as a SET, RBO weights agreement toward the top
+    (p = 0.9 puts ~86% of the mass in the first 10 ranks), which is
+    what serving quality actually degrades by when a quantized or IVF
+    index reorders the tail.
+
+    Per group: ``(group, depth, rbo, overlap_at_depth,
+    agreement_at_depth)``; rbo/agreement round once to 6dp. A group
+    present in only one run scores 0 overlap everywhere (standard
+    top-weighted reading: nothing agrees).
+
+    Determinism: an id enters the intersection at d = max(rank_a,
+    rank_b), so every X_d is an exact integer off the max-rank
+    histogram; the geometric weights are computed ONCE driver-side in
+    Python floats and joined as a depth-sized literal table (never
+    ``pow()`` inside the plan — float pow is libm-implementation
+    territory, the one piece the 6dp contract cannot guarantee across
+    engines; repr'd doubles round-trip exactly into both).
+
+    Scale: both runs filter to rank <= depth first, so everything
+    after is (groups x depth)-sized; the depth-grid join is
+    depth^2-bounded per group. Ranks must be 1-based; callers produce
+    them with the parity-kit (rounded score DESC, id ASC) window
+    (:func:`rank_list`)."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if not (0 < p_num < p_den):
+        raise ValueError("p must be a rational in (0, 1): 0 < p_num "
+                         "< p_den")
+    p = float(p_num) / float(p_den)
+    spark = run_a.sparkSession
+    weights = spark.createDataFrame(
+        [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)],
+        "d int, w double",
+    )
+    a = run_a.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+        F.col(rank_col).cast("int").alias("ra"),
+    ).filter(F.col("ra") <= depth)
+    b = run_b.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+        F.col(rank_col).cast("int").alias("rb"),
+    ).filter(F.col("rb") <= depth)
+    hist = (
+        a.join(b, ["g", "i"])
+        .select("g", F.greatest("ra", "rb").alias("m"))
+        .groupBy("g", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    groups = a.select("g").union(b.select("g")).distinct()
+    grid = groups.select(
+        "g", F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("d")
+    )
+    xd = (
+        grid.alias("__g")
+        .join(
+            hist.alias("__h"),
+            (F.col("__g.g").eqNullSafe(F.col("__h.g")))
+            & (F.col("__h.m") <= F.col("__g.d")),
+            "left",
+        )
+        .groupBy(F.col("__g.g").alias("g"), F.col("__g.d").alias("d"))
+        .agg(F.coalesce(F.sum("__h.c"), F.lit(0)).cast("bigint")
+             .alias("x"))
+    )
+    return (
+        xd.join(weights, "d")
+        .groupBy("g")
+        .agg(
+            F.lit(depth).cast("int").alias("depth"),
+            F.round(
+                F.sum(
+                    F.col("w") * F.col("x").cast("double")
+                    / F.col("d").cast("double")
+                ),
+                6,
+            ).alias("rbo"),
+            F.max(F.when(F.col("d") == depth, F.col("x")))
+            .cast("bigint").alias("overlap_at_depth"),
+            F.round(
+                F.max(F.when(F.col("d") == depth, F.col("x")))
+                .cast("double") / F.lit(float(depth)),
+                6,
+            ).alias("agreement_at_depth"),
+        )
+        .select(
+            F.col("g").alias(group_col), "depth", "rbo",
+            "overlap_at_depth", "agreement_at_depth",
+        )
+    )

@@ -774,3 +774,75 @@ def test_hard_negatives_drops_positives_and_reranks(spark):
 
     with _pt.raises(ValueError):
         R.hard_negatives(ranked, pos, k=0)
+
+
+def _runs(spark, rows_a, rows_b):
+    sch = "q INT, doc STRING, rank INT"
+    return (
+        spark.createDataFrame(rows_a, sch),
+        spark.createDataFrame(rows_b, sch),
+    )
+
+
+def _rbo_py(depth, p, xs):
+    return round(sum(
+        (1.0 - p) * p ** (d - 1) * xs[d - 1] / d
+        for d in range(1, depth + 1)
+    ), 6)
+
+
+def test_rbo_identical_lists_is_one_minus_p_to_d(spark):
+    rows = [(1, f"d{i}", i) for i in range(1, 6)]
+    a, b = _runs(spark, rows, rows)
+    r = R.rbo_report(a, b, "q", "doc", "rank", depth=5, p_num=9,
+                     p_den=10).first()
+    # identical prefixes: X_d = d, bounded RBO@d = 1 - p^d
+    assert r["rbo"] == _rbo_py(5, 0.9, [1, 2, 3, 4, 5])
+    assert r["rbo"] == round(1.0 - 0.9 ** 5, 6)
+    assert r["overlap_at_depth"] == 5 and r["agreement_at_depth"] == 1.0
+
+
+def test_rbo_disjoint_and_swapped_and_missing_group(spark):
+    a, b = _runs(
+        spark,
+        [(1, "x", 1), (1, "y", 2), (2, "a", 1)],
+        [(1, "y", 1), (1, "x", 2), (3, "z", 1)],
+    )
+    out = {r["q"]: r for r in R.rbo_report(
+        a, b, "q", "doc", "rank", depth=2, p_num=9, p_den=10
+    ).collect()}
+    # swapped pair: X_1 = 0 (different heads), X_2 = 2
+    assert out[1]["rbo"] == _rbo_py(2, 0.9, [0, 2])
+    assert out[1]["agreement_at_depth"] == 1.0
+    # groups present in only one run score 0 everywhere
+    assert out[2]["rbo"] == 0.0 and out[2]["overlap_at_depth"] == 0
+    assert out[3]["rbo"] == 0.0
+    # top-weighting: agreeing on the HEAD beats agreeing on the tail
+    a2, b2 = _runs(
+        spark,
+        [(1, "x", 1), (1, "y", 2)],
+        [(1, "x", 1), (1, "z", 2)],  # head agrees
+    )
+    a3, b3 = _runs(
+        spark,
+        [(1, "x", 1), (1, "y", 2)],
+        [(1, "z", 1), (1, "y", 2)],  # only tail agrees
+    )
+    head = R.rbo_report(a2, b2, "q", "doc", "rank", depth=2).first()
+    tail = R.rbo_report(a3, b3, "q", "doc", "rank", depth=2).first()
+    assert head["rbo"] > tail["rbo"]
+
+
+def test_rbo_ranks_beyond_depth_ignored_and_guards(spark):
+    a, b = _runs(
+        spark,
+        [(1, "x", 1), (1, "deep", 9)],
+        [(1, "x", 1), (1, "deep", 9)],
+    )
+    r = R.rbo_report(a, b, "q", "doc", "rank", depth=3).first()
+    assert r["overlap_at_depth"] == 1  # rank-9 agreement is invisible
+    with pytest.raises(ValueError, match="depth"):
+        R.rbo_report(a, b, "q", "doc", "rank", depth=0)
+    with pytest.raises(ValueError, match="rational"):
+        R.rbo_report(a, b, "q", "doc", "rank", depth=3, p_num=10,
+                     p_den=10)
