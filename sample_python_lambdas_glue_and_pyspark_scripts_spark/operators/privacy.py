@@ -249,22 +249,62 @@ def t_closeness_report(
             F.col(sensitive_col).cast("string"), F.lit(_NULL_SENT)
         )
 
-    cv = (
-        df.groupBy(*qi_cols, sval.alias("__v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
-        .localCheckpoint(eager=True)
+    cv = df.groupBy(*qi_cols, sval.alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
+    return t_closeness_from_counts(
+        cv, qi_cols, t_num, t_den, ordered_values
+    )
+
+
+def t_closeness_from_counts(
+    cv: DataFrame,
+    qi_cols: list[str],
+    t_num: int,
+    t_den: int,
+    ordered_values: list | None = None,
+) -> DataFrame:
+    """:func:`t_closeness_report` from a pre-aggregated
+    ``(qi..., __v string, __cnt bigint)`` count table instead of rows —
+    the entry point for histogram-shaped inputs: the streaming
+    k-anonymity state built over ``qi_cols + [sensitive]``
+    (``streaming.sketch_state.read_kanon_tcloseness_census``), or any
+    per-class sensitive-value census. Rows with the same ``__v`` sum;
+    the input is eagerly checkpointed here (three marginal branches
+    read it — the r12 report-operator rule). For the ordinal metric,
+    a ``__v`` that is NULL or not in ``ordered_values`` raises at
+    action time (checked on the value MARGINAL, value-alphabet-sized,
+    not per row)."""
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    if t_num < 0 or t_den < 1:
+        raise ValueError("threshold must be a rational t_num/t_den "
+                         "with t_num >= 0, t_den >= 1")
+    ordinal = ordered_values is not None
+    if ordinal:
+        vals = [str(v) for v in ordered_values]
+        if not vals or len(set(vals)) != len(vals):
+            raise ValueError("ordered_values must be non-empty and "
+                             "free of duplicates")
+    cv = cv.localCheckpoint(eager=True)
     cls = cv.groupBy(*qi_cols).agg(
         F.sum("__cnt").cast("bigint").alias("__nc")
     )
     gv = cv.groupBy("__v").agg(F.sum("__cnt").cast("bigint").alias("__nv"))
     if ordinal:
+        pos = F.array_position(
+            F.array(*[F.lit(v) for v in vals]), F.col("__v")
+        )
         gv = gv.withColumn(
             "__r",
-            F.array_position(
-                F.array(*[F.lit(v) for v in [str(x) for x in ordered_values]]),
-                F.col("__v"),
-            ).cast("bigint"),
+            F.when(
+                F.col("__v").isNull() | (pos == 0),
+                F.raise_error(F.concat(
+                    F.lit("t_closeness: sensitive value not in "
+                          "ordered_values: "),
+                    F.coalesce(F.col("__v"), F.lit("NULL")),
+                )),
+            ).otherwise(pos).cast("bigint"),
         )
     tot = gv.agg(
         F.coalesce(F.sum("__nv"), F.lit(0)).cast("bigint").alias("__n")

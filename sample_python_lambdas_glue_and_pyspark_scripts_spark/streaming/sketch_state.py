@@ -871,3 +871,99 @@ def compact_kanon_state(
         fs.delete(hpath(f"{work_dir}/retractions/batch_id={e}"), True)
         removed += 1
     return (removed, net.count())
+
+
+def read_kanon_ldiv_census(
+    spark: SparkSession,
+    work_dir: str,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Live distinct l-diversity census off a kanon state built over
+    ``qi_cols + [sensitive_col]`` (one state, every privacy census):
+    the net (class, sensitive) count rows ARE the distinct sensitive
+    values per class (NULL included — it keys its own state row, the
+    batch operator's NULL-is-a-value convention), so the census is one
+    aggregate over the state. Identical columns to and pinned ≡ the
+    batch ``privacy.l_diversity_report`` over the surviving rows."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    state = read_kanon_state(
+        spark, work_dir, qi_cols + [sensitive_col]
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [(l, 0, None, 0, None)],
+            "l int, n_classes bigint, min_distinct_sensitive bigint, "
+            "n_classes_below_l bigint, pct_classes_below_l double",
+        )
+    per_class = state.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nsens")
+    )
+    return per_class.agg(
+        F.lit(l).cast("int").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__nsens").alias("min_distinct_sensitive"),
+        F.coalesce(
+            F.sum(F.when(F.col("__nsens") < l, 1)), F.lit(0)
+        ).cast("bigint").alias("n_classes_below_l"),
+    ).select(
+        "l",
+        "n_classes",
+        "min_distinct_sensitive",
+        "n_classes_below_l",
+        F.round(
+            F.try_divide(
+                F.col("n_classes_below_l").cast("double"),
+                F.col("n_classes").cast("double"),
+            ),
+            6,
+        ).alias("pct_classes_below_l"),
+    )
+
+
+def read_kanon_tcloseness_census(
+    spark: SparkSession,
+    work_dir: str,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+    ordered_values: list | None = None,
+) -> DataFrame:
+    """Live t-closeness census off the same sensitive-augmented kanon
+    state: the state rows regroup into the (class, value-string) count
+    table and feed ``privacy.t_closeness_from_counts`` — pinned ≡ the
+    batch ``t_closeness_report`` over the surviving rows, both
+    metrics. The categorical read maps NULL sensitive values to the
+    batch operator's NULL sentinel; the ordinal read raises on NULL or
+    unlisted values exactly like batch."""
+    from ..operators.privacy import (
+        _NULL_SENT,
+        t_closeness_from_counts,
+    )
+
+    state = read_kanon_state(
+        spark, work_dir, qi_cols + [sensitive_col]
+    )
+    if state is None:
+        metric = "ordinal" if ordered_values is not None else "categorical"
+        return spark.createDataFrame(
+            [(metric, t_num, t_den, 0, None, 0, None)],
+            "metric string, t_num int, t_den int, n_classes bigint, "
+            "max_emd double, n_classes_above_t bigint, "
+            "pct_classes_above_t double",
+        )
+    if ordered_values is not None:
+        sval = F.col(sensitive_col).cast("string")
+    else:
+        sval = F.coalesce(
+            F.col(sensitive_col).cast("string"), F.lit(_NULL_SENT)
+        )
+    cv = state.groupBy(*qi_cols, sval.alias("__v")).agg(
+        F.sum(_KANON_CNT).cast("bigint").alias("__cnt")
+    )
+    return t_closeness_from_counts(
+        cv, qi_cols, t_num, t_den, ordered_values
+    )

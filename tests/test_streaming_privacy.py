@@ -160,3 +160,94 @@ def test_kanon_compact_preserves_census(spark, workdir):
     state = {(r["zip"], r["age"]): r["__cnt"]
              for r in read_kanon_state(spark, workdir, QI).collect()}
     assert state == {("90210", 30): 6, ("10001", 40): 1}
+
+
+SSCH = "zip STRING, age INT, diag STRING, doc_id BIGINT"
+SQI = ["zip", "age"]
+
+
+def _sbatch0(spark):
+    rows = [
+        ("90210", 30, "flu", 1), ("90210", 30, "flu", 2),
+        ("90210", 30, "cold", 3), ("10001", 40, "covid", 4),
+    ]
+    return spark.createDataFrame(rows, SSCH)
+
+
+def _sbatch1(spark):
+    rows = [
+        ("10001", 40, "covid", 5), ("10001", 40, None, 6),
+        (None, 50, "flu", 7),
+    ]
+    return spark.createDataFrame(rows, SSCH)
+
+
+def test_streaming_ldiv_and_tcloseness_match_batch(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        read_kanon_ldiv_census,
+        read_kanon_tcloseness_census,
+    )
+
+    fn = make_kanon_batch_fn(workdir, SQI + ["diag"])
+    fn(_sbatch0(spark), 0)
+    fn(_sbatch1(spark), 1)
+    whole = _sbatch0(spark).unionByName(_sbatch1(spark))
+
+    got = _census_dict(
+        read_kanon_ldiv_census(spark, workdir, SQI, "diag", l=2)
+    )
+    want = _census_dict(PV.l_diversity_report(whole, SQI, "diag", l=2))
+    assert got == want
+
+    gt = _census_dict(read_kanon_tcloseness_census(
+        spark, workdir, SQI, "diag", 1, 5))
+    wt = _census_dict(PV.t_closeness_report(whole, SQI, "diag", 1, 5))
+    assert gt == wt
+
+    # and after a retraction, both reads still equal batch-on-survivors
+    gone = spark.createDataFrame(
+        [("10001", 40, None, 6), (None, 50, "flu", 7)], SSCH
+    )
+    retract_from_kanon_state(spark, workdir, gone, SQI + ["diag"])
+    surv = whole.join(gone.select("doc_id"), "doc_id", "left_anti")
+    assert _census_dict(
+        read_kanon_ldiv_census(spark, workdir, SQI, "diag", l=2)
+    ) == _census_dict(PV.l_diversity_report(surv, SQI, "diag", l=2))
+    assert _census_dict(read_kanon_tcloseness_census(
+        spark, workdir, SQI, "diag", 1, 5)
+    ) == _census_dict(PV.t_closeness_report(surv, SQI, "diag", 1, 5))
+    # the k-census over the FULL tuple still reads off the same state
+    assert _census_dict(
+        read_kanon_census(spark, workdir, SQI + ["diag"], k=2)
+    ) == _census_dict(PV.k_anonymity_report(surv, SQI + ["diag"], k=2))
+
+
+def test_streaming_tcloseness_ordinal_and_empty(spark, workdir):
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.streaming.sketch_state import (
+        read_kanon_ldiv_census,
+        read_kanon_tcloseness_census,
+    )
+
+    # empty-but-valid reads before the first commit
+    e1 = _census_dict(read_kanon_ldiv_census(spark, workdir, SQI, "diag"))
+    assert e1["n_classes"] == 0 and e1["min_distinct_sensitive"] is None
+    e2 = _census_dict(read_kanon_tcloseness_census(
+        spark, workdir, SQI, "diag", 1, 5, ["a", "b"]))
+    assert e2["metric"] == "ordinal" and e2["n_classes"] == 0
+
+    fn = make_kanon_batch_fn(workdir, ["zip", "diag"])
+    rows = spark.createDataFrame(
+        [("A", 0, "lo", 1), ("A", 0, "lo", 2), ("B", 0, "hi", 3),
+         ("B", 0, "lo", 4)], SSCH,
+    )
+    fn(rows, 0)
+    got = _census_dict(read_kanon_tcloseness_census(
+        spark, workdir, ["zip"], "diag", 1, 5, ["lo", "hi"]))
+    want = _census_dict(PV.t_closeness_report(
+        rows, ["zip"], "diag", 1, 5, ["lo", "hi"]))
+    assert got == want and got["metric"] == "ordinal"
+    # unlisted value raises on the ordinal read
+    with pytest.raises(Exception, match="not in ordered_values"):
+        read_kanon_tcloseness_census(
+            spark, workdir, ["zip"], "diag", 1, 5, ["lo"]
+        ).collect()
