@@ -243,6 +243,11 @@ def personalized_pagerank(
             )
             .persist()
         )
+        # basev is referenced by EVERY iteration of the unrolled loop —
+        # an unmaterialized cache gets recomputed per reference inside
+        # the one big final job (nodes.count() above cannot reach it);
+        # node-sized, so the extra action is cheap
+        basev.count()
         ranks = basev.select("node", F.col("__p0").alias("rank"))
         for _ in range(n_iter):
             contrib = (
