@@ -373,14 +373,19 @@ def rbo_report(
         [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)],
         "d int, w double",
     )
+    # eager checkpoints: each depth-cut list is (groups x depth)-sized
+    # and read by THREE branches (hist, groups, grid) — without the pin
+    # every branch re-runs the caller's ranking pipeline (8 raw scans /
+    # 15 shuffles in the contract query's plan, the r12
+    # report-operator rule)
     a = run_a.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("i"),
         F.col(rank_col).cast("int").alias("ra"),
-    ).filter(F.col("ra") <= depth)
+    ).filter(F.col("ra") <= depth).localCheckpoint(eager=True)
     b = run_b.select(
         F.col(group_col).alias("g"), F.col(id_col).alias("i"),
         F.col(rank_col).cast("int").alias("rb"),
-    ).filter(F.col("rb") <= depth)
+    ).filter(F.col("rb") <= depth).localCheckpoint(eager=True)
     hist = (
         a.join(b, ["g", "i"])
         .select("g", F.greatest("ra", "rb").alias("m"))

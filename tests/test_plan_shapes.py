@@ -533,3 +533,18 @@ def test_modularity_report_single_labeled_edge_table(spark, sf_dir):
     )
     assert "Location:" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_rbo_report_reads_checkpointed_rank_lists(spark, sf_dir):
+    """r13: rbo_report's depth-cut rank lists feed THREE branches
+    (max-rank histogram, group set, depth grid) — without the eager
+    checkpoints every branch re-ran the caller's whole ranking
+    pipeline (8 raw scans / 15 shuffles in the contract query's
+    plan). The serve plan reads materialized rows only."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["region_nation_rank_rbo"](spark, sf_dir)
+    )
+    assert "Location:" not in plan
+    assert "Scan ExistingRDD" in plan
