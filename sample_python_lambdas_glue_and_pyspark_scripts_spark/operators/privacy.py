@@ -682,30 +682,48 @@ def dp_mean_per_group(
     NULL when the noisy count lands <= 0 (a tiny group whose count
     noise swallowed it — reporting a mean there would be noise
     masquerading as signal)."""
-    cnt = dp_count_per_group(
-        df, group_cols, eps_num, eps_den, seed + "cnt|"
+    # FUSED single aggregate (count + clipped sum in one groupBy, one
+    # input scan) rather than composing dp_count + dp_sum through a
+    # join — the released values are bit-identical (same counts, same
+    # sums, same sub-seeded draws), the input is read once
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if eps_num < 1 or eps_den < 1:
+        raise ValueError("epsilon must be a positive rational "
+                         "eps_num/eps_den with both >= 1")
+    if not lo < hi:
+        raise ValueError("clip range must satisfy lo < hi")
+    b_cnt = float(eps_den) / float(eps_num)
+    b_sum = max(abs(lo), abs(hi)) * float(eps_den) / float(eps_num)
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))),
+        F.lit(float(hi)),
     )
-    sm = dp_sum_per_group(
-        df, group_cols, value_col, lo, hi, eps_num, eps_den,
-        seed + "sum|",
+    grp = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.coalesce(F.sum(clipped), F.lit(0.0)).alias("__sum"),
     )
-    cond = None
-    for c in group_cols:
-        piece = F.col(f"__c.{c}").eqNullSafe(F.col(f"__s.{c}"))
-        cond = piece if cond is None else cond & piece
-    return (
-        cnt.alias("__c")
-        .join(sm.alias("__s"), cond)
-        .select(
-            *[F.col(f"__c.{c}") for c in group_cols],
-            F.col("__c.noisy_count").alias("noisy_count"),
-            F.col("__s.noisy_sum").alias("noisy_sum"),
-            F.round(
-                F.when(
-                    F.col("__c.noisy_count") > 0,
-                    F.col("__s.noisy_sum") / F.col("__c.noisy_count"),
-                ),
-                6,
-            ).alias("noisy_mean"),
-        )
+    key = _key_expr([F.col(c) for c in group_cols])
+    return grp.select(
+        *group_cols,
+        F.round(
+            F.col("__cnt").cast("double")
+            + _laplace_noise(key, b_cnt, seed + "cnt|"),
+            6,
+        ).alias("noisy_count"),
+        F.round(
+            F.col("__sum") + _laplace_noise(key, b_sum, seed + "sum|"),
+            6,
+        ).alias("noisy_sum"),
+    ).select(
+        *group_cols,
+        "noisy_count",
+        "noisy_sum",
+        F.round(
+            F.when(
+                F.col("noisy_count") > 0,
+                F.col("noisy_sum") / F.col("noisy_count"),
+            ),
+            6,
+        ).alias("noisy_mean"),
     )
