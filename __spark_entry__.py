@@ -3458,6 +3458,21 @@ def q_customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PV.l_diversity_report(c, ["c_nationkey"], "c_mktsegment", l=3)
 
 
+def q_customer_entropy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity census (the stronger diversity reading —
+    distinct-l admits a 98%-one-value class, the entropy cut does
+    not): per nationkey class, is the market-segment entropy at least
+    ln(3)? Rounded-vs-rounded threshold compare (the r4 rule)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        privacy as PV,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return PV.entropy_l_diversity_report(
+        c, ["c_nationkey"], "c_mktsegment", l=3
+    )
+
+
 def q_customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness census (Li 2007), categorical metric: per nationkey
     class, total-variation distance between the class's market-segment
@@ -4623,8 +4638,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # census, below-k suppression, distinct l-diversity) over the
     # customer quasi-identifiers. Rotated out (driver-proven r12,
     # unchanged): kll_price_quantiles, doc_line_dedup, vocab_coverage.
+    # Ninth batch adds the entropy l-diversity cut (rotated out:
+    # bottomk_user_sample, driver-proven r12, unchanged in r13).
     "customer_k_anonymity", "customer_k_suppressed",
-    "customer_l_diversity",
+    "customer_l_diversity", "customer_entropy_ldiv",
     # round-13 fifth batch: t-closeness (categorical + ordinal rank
     # EMD), the seeded Laplace group-count release, and the
     # generalization-ladder census. Rotated out (all driver-proven r12,
@@ -4722,7 +4739,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # decontaminated_docs_bloom rotated (driver-proven r9, unchanged)
     # dedup_rate_report + prefix_jaccard_pairs rotated
     # (driver-proven r9, unchanged)
-    "prefix_intake_admitted", "bottomk_user_sample",
+    # bottomk_user_sample refreshed r12 and rotated out for the r13
+    # ninth batch.
+    "prefix_intake_admitted",
     "bottomk_cardinality_report", "priority_user_sample",
     # priority_subset_estimate + join_size_estimate rotated
     # (driver-proven r9, unchanged)
@@ -4970,6 +4989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_k_anonymity": q_customer_k_anonymity,
         "customer_k_suppressed": q_customer_k_suppressed,
         "customer_l_diversity": q_customer_l_diversity,
+        "customer_entropy_ldiv": q_customer_entropy_ldiv,
         "customer_t_closeness": q_customer_t_closeness,
         "orders_t_closeness_ordinal": q_orders_t_closeness_ordinal,
         "dp_nation_customer_counts": q_dp_nation_customer_counts,
@@ -10349,6 +10369,34 @@ SELECT 'url_dedup' AS stage,
                          THEN noisy_sum / noisy_count END, 6)
                        AS noisy_mean
             FROM r ORDER BY c_nationkey
+        """,
+        "customer_entropy_ldiv": """
+            WITH cv AS (SELECT c_nationkey, c_mktsegment AS v,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM customer GROUP BY 1, 2),
+            cls AS (SELECT c_nationkey, CAST(SUM(cnt) AS BIGINT) AS nc
+                    FROM cv GROUP BY 1),
+            per AS (SELECT cv.c_nationkey,
+                           ROUND(-SUM((CAST(cv.cnt AS DOUBLE)
+                                       / CAST(cls.nc AS DOUBLE))
+                                      * LN(CAST(cv.cnt AS DOUBLE)
+                                           / CAST(cls.nc AS DOUBLE))),
+                                 6) AS h
+                    FROM cv JOIN cls
+                      ON cv.c_nationkey = cls.c_nationkey
+                    GROUP BY cv.c_nationkey)
+            SELECT CAST(3 AS INTEGER) AS l,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   MIN(h) AS min_entropy,
+                   CAST(COALESCE(SUM(CASE WHEN h < ROUND(LN(3.0), 6)
+                                     THEN 1 END), 0) AS BIGINT)
+                       AS n_classes_below_l,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN h
+                                           < ROUND(LN(3.0), 6)
+                                           THEN 1 END), 0) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS pct_classes_below_l
+            FROM per
         """,
         "customer_t_closeness": """
             WITH cv AS (SELECT c_nationkey AS q, c_mktsegment AS v,

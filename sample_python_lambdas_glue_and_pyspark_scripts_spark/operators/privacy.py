@@ -727,3 +727,80 @@ def dp_mean_per_group(
             6,
         ).alias("noisy_mean"),
     )
+
+
+def entropy_l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Entropy l-diversity census (Machanavajjhala 2007 §3.2), the
+    stronger diversity reading: a class passes iff the ENTROPY of its
+    sensitive distribution is at least ``ln(l)`` — distinct
+    l-diversity admits a class that is 98% one diagnosis plus two
+    trace values; the entropy form does not. One row ``(l, n_classes,
+    min_entropy, n_classes_below_l, pct_classes_below_l)``.
+
+    NULL sensitive values are a category (the family convention).
+    Float contract: per-class entropy is a sum of at most
+    alphabet-many ``-(p ln p)`` doubles off exact integer ratios,
+    rounded ONCE to 6dp, and the pass cut compares the ROUNDED entropy
+    against the ROUNDED ``ln(l)`` (both engines round the same ln —
+    the r4 threshold-compare rule). Plan: one scan into the
+    (class, value) count table, class marginal joined back — both
+    class-bounded."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    sval = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit(_NULL_SENT)
+    )
+    cv = df.groupBy(*qi_cols, sval.alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    ).localCheckpoint(eager=True)
+    cls = cv.groupBy(*qi_cols).agg(
+        F.sum("__cnt").cast("bigint").alias("__nc")
+    )
+    cond = None
+    for c in qi_cols:
+        piece = F.col(f"__x.{c}").eqNullSafe(F.col(f"__c.{c}"))
+        cond = piece if cond is None else cond & piece
+    p_ratio = (
+        F.col("__x.__cnt").cast("double")
+        / F.col("__c.__nc").cast("double")
+    )
+    per_class = (
+        cv.alias("__x")
+        .join(cls.alias("__c"), cond)
+        .groupBy(*[F.col(f"__c.{c}") for c in qi_cols])
+        .agg(
+            F.round(
+                -F.sum(p_ratio * F.log(p_ratio)), 6
+            ).alias("__h")
+        )
+    )
+    # threshold rounded IN-ENGINE (F.round is HALF_UP; Python round()
+    # is banker's — the parity-kit rule), oracle mirrors ROUND(LN(l),6)
+    lnl = F.round(F.log(F.lit(float(l))), 6)
+    return per_class.agg(
+        F.lit(l).cast("int").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__h").alias("min_entropy"),
+        F.coalesce(
+            F.sum(F.when(F.col("__h") < lnl, 1)), F.lit(0)
+        ).cast("bigint").alias("n_classes_below_l"),
+    ).select(
+        "l",
+        "n_classes",
+        "min_entropy",
+        "n_classes_below_l",
+        F.round(
+            F.try_divide(
+                F.col("n_classes_below_l").cast("double"),
+                F.col("n_classes").cast("double"),
+            ),
+            6,
+        ).alias("pct_classes_below_l"),
+    )

@@ -267,3 +267,26 @@ def test_dp_mean_per_group_post_processing(spark):
     # sub-seeds differ: count noise != sum noise pattern (they are
     # independent draws, so equality would be a seed-derivation bug)
     assert (r0["noisy_count"] - 200.0) != (r0["noisy_sum"] - 900.0)
+
+
+def test_entropy_l_diversity_hand_census(spark):
+    import math
+    # class A: uniform over 2 values -> H = ln 2 (passes l=2 at equality)
+    # class B: 98-1-1 style skew: 8-1-1 over 10 -> H ~ 0.639 < ln 2,
+    #   even though it has THREE distinct values (distinct-l admits it)
+    rows = (
+        [("A", "x"), ("A", "y")] * 2
+        + [("B", "x")] * 8 + [("B", "y"), ("B", "z")]
+    )
+    df = spark.createDataFrame(rows, "cls STRING, v STRING")
+    r = PV.entropy_l_diversity_report(df, ["cls"], "v", l=2).first()
+    assert (r["l"], r["n_classes"]) == (2, 2)
+    h_b = round(-(0.8 * math.log(0.8) + 2 * 0.1 * math.log(0.1)), 6)
+    assert r["min_entropy"] == h_b
+    assert r["n_classes_below_l"] == 1  # B fails, A passes at ln 2
+    # distinct l-diversity ADMITS class B (3 distinct values >= 2)
+    d = PV.l_diversity_report(df, ["cls"], "v", l=2).first()
+    assert d["n_classes_below_l"] == 0
+    # uniform-at-equality is a PASS (rounded H == rounded ln l, strict <)
+    with pytest.raises(ValueError, match="l must"):
+        PV.entropy_l_diversity_report(df, ["cls"], "v", l=0)
