@@ -589,12 +589,33 @@ def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (ordered-set aggregates)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    """Exact interpolated percentiles per group (ordered-set aggregates).
+
+    r13 opt (guide §1.2/§2.5): ONE ``percentile(col, array(...))``
+    aggregate instead of one aggregate PER fraction — three separate
+    `percentile` calls each build their own ~583k-entry value-counts
+    map over the same column (measured 3.8 s vs 1.6 s combined); the
+    array form builds the counts map once and reads all three
+    fractions off the same sorted counts, value-identical per
+    fraction. ``ensure_parallelism`` fans the single-file scan out so
+    the partial aggregation uses every core (counts-map aggregation is
+    partition-order-insensitive — exact same result)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
+    ps = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        ).alias("__ps")
+    )
+    return ps.select(
+        "l_returnflag",
+        F.round(F.col("__ps")[0], 4).alias("p50"),
+        F.round(F.col("__ps")[1], 4).alias("p90"),
+        F.round(F.col("__ps")[2], 4).alias("p99"),
     )
 
 
@@ -610,15 +631,39 @@ def q_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact per-group sort buffers alongside the sketch so the oracle can
     band the sketch error, and those buffers OOMed an 8 GiB heap at the
     64x sweep tier (BASELINE.md r7). At corpus scale run the sketch
-    alone — bounded state per group, 7.4x the exact sort at 64x."""
-    li = _t(spark, sf_dir, "lineitem")
+    alone — bounded state per group, 7.4x the exact sort at 64x.
+
+    r13 opt (guide §1.2): one ``percentile(array)`` + one
+    ``approx_percentile(array)`` aggregate instead of SIX separate
+    aggregates — each separate call built its own per-group state
+    (counts map / QuantileSummaries) over the same column. Exact
+    values are identical (same counts map, same per-fraction read);
+    approx values come from one sketch instead of three identical
+    ones. ``ensure_parallelism`` fans the single-file scan out
+    (exact unchanged; approx stays inside its 1e-4 rank band, which
+    only feeds the 2% flags)."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("__a90"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("__a99"),
+        F.percentile(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        ).alias("__ps"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("__as"),
+    )
+    agg = agg.select(
+        "l_returnflag",
+        F.round(F.col("__ps")[0], 4).alias("p50"),
+        F.round(F.col("__ps")[1], 4).alias("p90"),
+        F.round(F.col("__ps")[2], 4).alias("p99"),
+        F.col("__as")[0].alias("__a50"),
+        F.col("__as")[1].alias("__a90"),
+        F.col("__as")[2].alias("__a99"),
     )
     return agg.select(
         "l_returnflag",
@@ -1041,11 +1086,25 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle match would prove nothing about the fence arithmetic
     (VERDICT r6 #2); k = 0.5 returns rows at sf0.001 and sf0.01."""
     o = _t(spark, sf_dir, "orders")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    # r13 opt (guide §1.2/§2.5): one percentile(array) counts map
+    # instead of two, partial-aggregated on every core — exact values
+    # unchanged (same counts map, same per-fraction interpolation).
     fences = (
-        o.groupBy("o_orderpriority")
+        ensure_parallelism(o)
+        .groupBy("o_orderpriority")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+            F.percentile(
+                F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.75))
+            ).alias("__ps")
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("__ps")[0], 6).alias("p25"),
+            F.round(F.col("__ps")[1], 6).alias("p75"),
         )
         .select(
             "o_orderpriority",
@@ -3276,10 +3335,15 @@ def q_annotation_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rat = _rating_table(spark, sf_dir)
+    # r13 opt (guide §1.2): the three metrics share ONE checkpointed
+    # vote table instead of each call re-running the raw scan +
+    # distinct + count + checkpoint (3 identical builds → 1; the
+    # per-metric work downstream is item×label-bounded).
+    votes = AN.krippendorff_vote_table(rat, "item", "annotator", "rating")
     out = None
     for metric in ("interval", "nominal", "ordinal"):
         row = AN.krippendorff_alpha(
-            rat, "item", "annotator", "rating", metric
+            rat, "item", "annotator", "rating", metric, votes=votes
         ).select(F.lit(metric).alias("metric"), "*")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("metric")
@@ -4372,7 +4436,15 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact values hash-match, and the sketch-vs-exact error flags (within
     HLL rsd=5% → ±3σ≈15%; percentile within 2%) must be true on the
     Spark side where the oracle emits literal true."""
-    li = _t(spark, sf_dir, "lineitem")
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    # r13 opt (guide §2.5): fan the single-file scan out so the exact
+    # percentile/countDistinct partials use every core (both are
+    # partition-order-insensitive; approx sketch values shift within
+    # their error bands, which only feed the _ok flags).
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("exact_supps"),
         F.approx_count_distinct("l_suppkey", rsd=0.05).alias("__approx_supps"),

@@ -248,12 +248,26 @@ def fleiss_kappa_report(
     return out
 
 
+def krippendorff_vote_table(
+    df: DataFrame, item_col: str, annotator_col: str, label_col: str
+) -> DataFrame:
+    """The checkpointed ``(item, label, n_votes)`` vote table
+    :func:`krippendorff_alpha` derives from the raw rating frame —
+    exposed so a caller computing alpha under SEVERAL metrics over the
+    same ratings (the standard reliability report) pays the raw-table
+    scan + distinct + count ONCE and passes the result to each call via
+    ``votes=`` instead of re-materializing it per metric (r13 opt,
+    guide §1.2: three identical scan+aggregate+checkpoint jobs → one)."""
+    return _vote_table(df, item_col, annotator_col, label_col)
+
+
 def krippendorff_alpha(
     df: DataFrame,
     item_col: str,
     annotator_col: str,
     label_col: str,
     metric: str = "nominal",
+    votes: DataFrame | None = None,
 ) -> DataFrame:
     """Krippendorff's alpha (Krippendorff 2004 §11) — the missing-data
     / non-nominal generalization of Fleiss' kappa: raters need not rate
@@ -299,9 +313,9 @@ def krippendorff_alpha(
             f"krippendorff_alpha: metric must be 'nominal', 'interval' "
             f"or 'ordinal', got {metric!r}"
         )
-    votes = _vote_table(df, item_col, annotator_col, label_col).select(
-        "item", "label", F.col("n_votes").alias("nij")
-    )
+    if votes is None:
+        votes = _vote_table(df, item_col, annotator_col, label_col)
+    votes = votes.select("item", "label", F.col("n_votes").alias("nij"))
     items = (
         votes.groupBy("item")
         .agg(F.sum("nij").alias("ni"))
@@ -484,15 +498,27 @@ def bradley_terry_strengths(
     raw = pairs.where(w.isNotNull() & l.isNotNull() & (w != l)).select(
         w.alias("wi"), l.alias("li"), cnt.alias("c")
     )
-    # undirected comparison counts n_ij (kept one row per direction for
-    # the per-item sum) + per-item win totals; both item²/item-bounded
-    wins = raw.groupBy(F.col("wi").alias("item")).agg(
+    # r13 opt (guide §1.2, the CLAUDE.md branch-fan-out rule): the raw
+    # comparison volume previously fed THREE lazy branches (wins once,
+    # comp twice through the direction union), so the heavy upstream
+    # derivation ran three times inside the final job. Aggregate it
+    # ONCE to the item²-bounded directed count table, eagerly
+    # checkpoint that, and derive wins/comp from it — sums of sums,
+    # integer-exact, identical results.
+    dirc = (
+        raw.groupBy(F.col("wi").alias("i"), F.col("li").alias("j"))
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wins = dirc.groupBy(F.col("i").alias("item")).agg(
         F.sum("c").alias("w_total")
     )
     comp = (
-        raw.select(F.col("wi").alias("i"), F.col("li").alias("j"), "c")
+        dirc.select("i", "j", "c")
         .unionByName(
-            raw.select(F.col("li").alias("i"), F.col("wi").alias("j"), "c")
+            dirc.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
         )
         .groupBy("i", "j")
         .agg(F.sum("c").alias("nij"))
@@ -732,34 +758,54 @@ def bradley_terry_rao_kupper(
     raw = pairs.where(
         w.isNotNull() & l.isNotNull() & (w != l) & t.isNotNull()
     ).select(w.alias("wi"), l.alias("li"), t.alias("tie"))
-    # per-item win + tie totals
-    wt = (
-        raw.select(
-            F.explode(
-                F.when(
-                    F.col("tie"), F.array(F.col("wi"), F.col("li"))
-                ).otherwise(F.array(F.col("wi")))
-            ).alias("item")
+    # r13 opt (guide §1.2, the CLAUDE.md branch-fan-out rule): the raw
+    # comparison volume previously fed THREE lazy branches (the
+    # win+tie explode once, the coefficient union twice), re-running
+    # the upstream derivation three times inside the final job.
+    # Aggregate it ONCE to the item²-bounded directed (wins, ties)
+    # table, eagerly checkpoint, and derive both tables from it —
+    # integer sums of sums, identical results.
+    dirc = (
+        raw.groupBy(F.col("wi").alias("wi"), F.col("li").alias("li"))
+        .agg(
+            F.sum(F.when(~F.col("tie"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+            F.sum(F.when(F.col("tie"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("t"),
         )
+        .localCheckpoint(eager=True)
+    )
+    # per-item win + tie totals: wins as wi (non-tie) + ties from
+    # either side; zero-total rows are dropped to keep the exact row
+    # set of the explode formulation (items with no win and no tie
+    # had no row there)
+    wt = (
+        dirc.select(F.col("wi").alias("item"), (F.col("w") + F.col("t")).alias("n"))
+        .unionByName(dirc.select(F.col("li").alias("item"), F.col("t").alias("n")))
         .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w_plus_t"))
+        .agg(F.sum("n").cast("bigint").alias("w_plus_t"))
+        .filter(F.col("w_plus_t") > 0)
     )
     # ordered-pair coefficient table: a_ij = w_ij + t_ij, b_ij = w_ji
-    # + t_ij (ties symmetrize into BOTH ordered directions)
-    dir1 = raw.select(
-        F.col("wi").alias("i"),
-        F.col("li").alias("j"),
-        F.lit(1).alias("a"),
-        F.when(F.col("tie"), 1).otherwise(0).alias("b"),
-    )
-    dir2 = raw.select(
-        F.col("li").alias("i"),
-        F.col("wi").alias("j"),
-        F.when(F.col("tie"), 1).otherwise(0).alias("a"),
-        F.lit(1).alias("b"),
-    )
+    # + t_ij (ties symmetrize into BOTH ordered directions):
+    # a_ij = w(i,j) + t(i,j) + t(j,i), b_ij = w(j,i) + t(i,j) + t(j,i)
     comp = (
-        dir1.unionByName(dir2)
+        dirc.select(
+            F.col("wi").alias("i"),
+            F.col("li").alias("j"),
+            (F.col("w") + F.col("t")).alias("a"),
+            F.col("t").alias("b"),
+        )
+        .unionByName(
+            dirc.select(
+                F.col("li").alias("i"),
+                F.col("wi").alias("j"),
+                F.col("t").alias("a"),
+                (F.col("w") + F.col("t")).alias("b"),
+            )
+        )
         .groupBy("i", "j")
         .agg(
             F.sum("a").cast("bigint").alias("aij"),

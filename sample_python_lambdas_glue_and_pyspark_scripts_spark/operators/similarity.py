@@ -1095,6 +1095,10 @@ def pca_power_iteration(
         )
         .persist()
     )
+    # r13 opt (guide §5 + CLAUDE.md PPR lesson): materialize before the
+    # loop — persist alone lets independent iteration stages race to
+    # recompute the centered long form inside the one final job.
+    lf.count()
     try:
         comp = mu.select(
             F.col("dim"), F.round(F.lit(1.0 / d**0.5), 6).alias("v")
@@ -1428,7 +1432,12 @@ def pca_top_components(
     if first is None:
         raise ValueError("pca_top_components: empty input")
     d = int(first["d"])
+    # r13 opt (guide §5 + CLAUDE.md PPR lesson): persist alone lets the
+    # independent per-iteration stages of the single final job race to
+    # recompute the centered long form; MATERIALIZE it before the loop
+    # so every reference reads the cached blocks.
     lf = _pca_centered_lf(vectors, id_col, vec_col).persist()
+    lf.count()
     try:
         out = None
         cur = lf
