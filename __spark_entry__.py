@@ -682,22 +682,68 @@ def q_depth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-cut buckets hash-match the oracle; the flag asserts the
     approx-cut bucket sits within 2% of total rows of its exact sibling
     (rank error 1/accuracy = 1e-4 per boundary, so 2% is loose).
-    Missing approx buckets (duplicate cuts) count as 0."""
-    li = _t(spark, sf_dir, "lineitem")
-    exact = PF.equi_depth_histogram(li, "l_extendedprice", n_buckets=10)
-    approx = PF.equi_depth_histogram(
-        li, "l_extendedprice", n_buckets=10, approx_accuracy=10000
+    Missing approx buckets (duplicate cuts) count as 0.
+
+    r13 opt (guide §1.2/§2.3): two separate ``equi_depth_histogram``
+    runs (each 2 passes) plus a total re-derivation made ~6 scans of
+    lineitem. Now ONE aggregate computes BOTH cut arrays (exact
+    percentile + approx sketch over the same fanned-out scan — exactly
+    the per-call arithmetic of the two originals), ONE assignment pass
+    groups by the (exact, approx) bucket PAIR, and the exact histogram,
+    the approx counts and the total are all marginals of that ≤100-row
+    pair table (checkpointed): 2 scans total. Values are identical —
+    min/max/count compose over the pair partition, rounding stays at
+    the per-exact-bucket level."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators.util import (
+        ensure_parallelism,
     )
-    total = exact.agg(F.sum("n").alias("total")).alias("tg")
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    vals = ensure_parallelism(li.filter(x.isNotNull()).select(x.alias("__x")))
+    fracs = [i / 10 for i in range(1, 10)]
+    frac_arr = F.array(*[F.lit(f) for f in fracs])
+    cuts = vals.agg(
+        F.transform(
+            F.percentile(F.col("__x"), frac_arr), lambda q: F.round(q, 4)
+        ).alias("__ce"),
+        F.transform(
+            F.expr(
+                f"approx_percentile(__x, array({', '.join(map(str, fracs))}),"
+                f" 10000)"
+            ),
+            lambda q: F.round(q, 4),
+        ).alias("__ca"),
+    )
+    staged = vals.crossJoin(F.broadcast(cuts))
+    be = F.size(
+        F.filter(F.col("__ce"), lambda q: F.col("__x") >= q)
+    ).cast("integer")
+    ba = F.size(
+        F.filter(F.col("__ca"), lambda q: F.col("__x") >= q)
+    ).cast("integer")
+    pair = (
+        staged.select(be.alias("bucket"), ba.alias("__ab"), "__x")
+        .groupBy("bucket", "__ab")
+        .agg(
+            F.min("__x").alias("__lo"),
+            F.max("__x").alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = pair.groupBy("bucket").agg(
+        F.round(F.min("__lo"), 6).alias("lo"),
+        F.round(F.max("__hi"), 6).alias("hi"),
+        F.sum("__n").alias("n"),
+    )
+    approxm = pair.groupBy(F.col("__ab").alias("bucket")).agg(
+        F.sum("__n").alias("__n_approx")
+    )
+    total = pair.agg(F.sum("__n").alias("total")).alias("tg")
     joined = (
         exact.alias("e")
-        .join(
-            approx.select(
-                F.col("bucket"), F.col("n").alias("__n_approx")
-            ).alias("a"),
-            "bucket",
-            "left",
-        )
+        .join(approxm.alias("a"), "bucket", "left")
         .crossJoin(F.broadcast(total))
     )
     return joined.select(
@@ -4272,7 +4318,17 @@ def q_dedup_clusters_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import clustering
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_dedup_pairs(docs, threshold=0.2).select("a", "b")
+    # r13 opt (guide §1.2): the MinHash pair pipeline feeds THREE
+    # consumers — the old-graph CC build (eager edges checkpoint) and
+    # extend_components' two references to the new-edge filter (the
+    # super-node contraction and the fresh-id explode) — so the full
+    # LSH band + verify stack ran 3x. Materialize the pair list once;
+    # both filters read cached blocks. Result identical (same pairs).
+    pairs = (
+        DD.minhash_dedup_pairs(docs, threshold=0.2)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     both_old = (F.col("a") % 4 != 0) & (F.col("b") % 4 != 0)
     old_labels = clustering.connected_components(pairs.filter(both_old))
     ext = clustering.extend_components(old_labels, pairs.filter(~both_old))

@@ -83,6 +83,11 @@ def logreg_fit(
     ).persist()
     try:
         n = float(lab.count())
+        # r13 opt (guide §5; CLAUDE.md PPR lesson): persist alone lets
+        # the GD loop's per-iteration references (it-1 grads, it-2
+        # margins, it-2 grads) race to recompute the feature hashing
+        # inside the one fit job — materialize before the loop.
+        feats.count()
         weights: DataFrame | None = None
         for _ in range(n_iter):
             if weights is None:
@@ -127,7 +132,13 @@ def logreg_fit(
                     )
                 )
             weights = weights.localCheckpoint(eager=False)
-        return weights
+        # r13 opt (guide §1.2/§5): run the fit ONCE, now, while feats/
+        # lab are still cached — the finally below unpersists them
+        # BEFORE a lazily-returned weight table would ever execute, so
+        # every consumer used to re-run the whole uncached GD chain
+        # (logreg_predict's broadcast build, each report branch). The
+        # weight table is ≤ dim+1 rows; materializing it is the fit.
+        return weights.localCheckpoint(eager=True)
     finally:
         feats.unpersist()
         lab.unpersist()

@@ -532,12 +532,21 @@ def build_prefix_index(
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("build_prefix_index: need 0 < num <= den")
     corpus = ensure_parallelism(corpus)
+    # r13 opt (guide §1.2): make the docstring's "shingled ONCE" true in
+    # the plan. Lazy index tables re-derived the corpus shingling per
+    # reference (pref consumes sh AND dfreq, the probe reads all three)
+    # — ~4 shingle passes in one intake job. Eager checkpoints build
+    # each table exactly once off the previous one's cached blocks.
     sh = corpus.select(
         F.col(id_col), _hashed_shingles(text_col, shingle_n).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     shx = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    dfreq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
-    pref = _prefix_rows(sh, dfreq, threshold_num, threshold_den, id_col)
+    dfreq = shx.groupBy("s").agg(
+        F.count(F.lit(1)).alias("sdf")
+    ).localCheckpoint(eager=True)
+    pref = _prefix_rows(
+        sh, dfreq, threshold_num, threshold_den, id_col
+    ).localCheckpoint(eager=True)
     return dfreq, pref, sh
 
 

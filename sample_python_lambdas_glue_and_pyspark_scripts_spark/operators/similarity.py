@@ -1780,6 +1780,11 @@ def pq_fit(
             .localCheckpoint(eager=False)
         )
         cents = m_step(assign).localCheckpoint(eager=False)
+    # NOTE (r13 probe): do NOT add an outer eager checkpoint here — the
+    # loop's lazy checkpoint above already backs every consumer with ONE
+    # shared RDD (materialized on first use, reused after), so an extra
+    # checkpoint only re-materializes the ~1k-row table and measured
+    # 1.1-1.2x SLOWER on pq_codes/ann_pq_topk (alternating-arm probes).
     return cents.select("sub", "label", "dim", "c")
 
 
@@ -2170,11 +2175,24 @@ def ivf_pq_topk(
     if index is not None:
         centroids, corpus_cells, books, codes = index
     else:
+        # r13 opt (guide §1.2; the residual form's r13-build fix applied
+        # to the flat form): eager-checkpoint every shared build
+        # artifact. Catalyst reuses no subtree across branches, and the
+        # serve references books 4x (two meta collects + two codeword-
+        # array builds in pq_encode / pq_adc_topk), corpus_cells and
+        # codes once each — without the pins the whole Lloyd fit and
+        # the cell assignment re-ran per reference inside the final
+        # job. The index= serve path is untouched: persisted artifacts
+        # are already materialized.
         centroids, corpus_cells = build_ivf_index(
             corpus, id_col, vec_col, ncells
         )
+        centroids = centroids.localCheckpoint(eager=True)
+        corpus_cells = corpus_cells.localCheckpoint(eager=True)
         books = pq_fit(corpus, m_sub, k_codes, 2, id_col, vec_col)
-        codes = pq_encode(corpus, books, id_col, vec_col)
+        codes = pq_encode(corpus, books, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
     query_cells = assign_cells(
         queries, centroids, id_col, vec_col, nprobe=nprobe
     )
@@ -2600,6 +2618,12 @@ def semantic_dedup_sweep(
         ),
         id_col,
     )
+    # r13 opt (guide §1.2/§5): labeled feeds TWO consumers (the n_total
+    # aggregate's broadcast build and the max-sim scan), and the k-means
+    # fit behind `assign` truncates lineage with LAZY checkpoints — so
+    # each consumer re-ran the whole assignment chain. Materialize the
+    # vector-sized labeled frame once; both reads hit cached blocks.
+    labeled = labeled.localCheckpoint(eager=True)
     if engine == "vectorized":
         maxs = _semantic_maxsim_vectorized(
             labeled, thr_min, id_col, vec_col

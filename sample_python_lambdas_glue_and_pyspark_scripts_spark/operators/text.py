@@ -497,13 +497,36 @@ def build_bm25_index(
         F.col(id_col),
         words(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     )
-    doclen = tokd.select(
-        F.col(id_col), F.size("__toks").cast("double").alias("dl")
-    )
+    # r13 opt (guide §1.2): ONE tokenize pass. The serve side references
+    # the index tables several times (postings twice through the term
+    # prune + df aggregate, doclen once, stats once), and each lazy
+    # table re-ran the corpus tokenize — an inline build+serve paid it
+    # 4-5x. postings materializes off the single tokenize;
+    # doclen derives from the CACHED postings (dl = Σ tf over the doc's
+    # terms — tf values are integral doubles, their sum is exact and
+    # order-independent, so dl is value-identical to size(__toks)) plus
+    # an id-only left join so zero-token docs keep their dl=0 row; stats
+    # reads cached doclen. Eager checkpoints = the build runs once,
+    # every serve reference reads cached blocks (the persisted-index
+    # posture this docstring already prescribes, applied in-session).
     postings = (
         tokd.select(F.col(id_col), F.explode("__toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = (
+        df.select(id_col)
+        .join(
+            postings.groupBy(id_col).agg(F.sum("tf").alias("__dl")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__dl"), F.lit(0.0)).alias("dl"),
+        )
+        .localCheckpoint(eager=True)
     )
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

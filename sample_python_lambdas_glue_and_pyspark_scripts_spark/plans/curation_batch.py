@@ -87,7 +87,20 @@ def curate_corpus(
     cur = docs
 
     def _mark(name: str, df: DataFrame) -> DataFrame:
-        out = df.localCheckpoint(eager=False)
+        # r13 opt (guide §1.2/§5; the CLAUDE.md PPR materialize-before-
+        # the-loop lesson): stage boundaries must MATERIALIZE in order.
+        # A lazy checkpoint alone let the census (and the ledger) fan
+        # out into one final job whose per-stage branches all race to
+        # recompute the whole upstream cascade from the raw scan —
+        # stage k's count re-ran stages 1..k, so the census paid a
+        # quadratic number of stage evaluations ("Block rdd_N already
+        # exists" warnings in the bench log). Eager checkpointing runs
+        # each stage exactly once, every consumer (next stage, census
+        # row, ledger anti-join) reads the cached blocks. When an
+        # on_stage hook is present the hook's own force() does the
+        # in-order materialization — keep the checkpoint lazy there so
+        # the hook still measures the stage's true cost.
+        out = df.localCheckpoint(eager=on_stage is None)
         stages.append((name, out))
         if on_stage is not None:
             # observation hook (scale probes time each stage by forcing
