@@ -668,6 +668,14 @@ def verify_jaccard_on_candidates(
     )
     needed = df.join(cand_ids, on=id_col, how="left_semi")
     sh = needed.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    # r13 opt probe (guide §1.2) — measured DEAD END, left as-was: sh
+    # feeds both sides of the verify join (no subtree reuse), so the
+    # candidate-doc shingling runs twice, but an eager checkpoint here
+    # probed NEUTRAL-to-slightly-slower (alternating arms, 4 dedup
+    # reports: before 14.9 s summed mins vs after 15.7 s) — the
+    # duplicate pass fully overlaps on idle cores while the checkpoint
+    # adds a serial job boundary, and the projection is candidate-
+    # restricted (never corpus-sized) so the waste is bounded at 2x.
     sh = ensure_parallelism(sh)
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -991,6 +999,14 @@ def verify_containment_on_candidates(
     )
     needed = df.join(cand_ids, on=id_col, how="left_semi")
     sh = needed.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    # r13 opt probe (guide §1.2) — measured DEAD END, left as-was: sh
+    # feeds both sides of the verify join (no subtree reuse), so the
+    # candidate-doc shingling runs twice, but an eager checkpoint here
+    # probed NEUTRAL-to-slightly-slower (alternating arms, 4 dedup
+    # reports: before 14.9 s summed mins vs after 15.7 s) — the
+    # duplicate pass fully overlaps on idle cores while the checkpoint
+    # adds a serial job boundary, and the projection is candidate-
+    # restricted (never corpus-sized) so the waste is bounded at 2x.
     sh = ensure_parallelism(sh)
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -2697,6 +2713,11 @@ def exactsubstr_decon_rewrite(
     # checkpointed ONCE, consumed by the anchor count, the benchmark
     # probe, and the rewrite tail — the materialization is what makes
     # "one corpus tokenize" structural, not just a plan-dedup hope
+    # r13 probe: eager=True here measured SLOWER (alternating arms,
+    # min 7.5 s lazy vs 9.5 s eager) — the exploded frame is token-
+    # level (~100 MB at sf0.1) so the serialization outweighs the
+    # overlapped duplicate evaluation of the 4 consumer branches; the
+    # lazy checkpoint keeps one shared RDD with race-overlap instead.
     exploded = _fused_position_entries(
         corpus, text_col, id_col, L, D
     ).localCheckpoint(eager=False)

@@ -548,3 +548,72 @@ def test_rbo_report_reads_checkpointed_rank_lists(spark, sf_dir):
     )
     assert "Location:" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+# --- round-13 optimization shape pins ---------------------------------
+
+
+def test_flat_ivfpq_serve_plan_scan_bounded(spark, sf_dir):
+    """r13 opt: the flat ivf_pq_topk inline build re-ran the Lloyd fit
+    and cell assignment per consumer branch (12 parquet scans / 40
+    exchanges before). With centroids/corpus_cells/codes eagerly
+    checkpointed the serve plan reads materialized frames plus at most
+    the query-side scans."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(spark, e.queries()["ann_ivfpq_topk"](spark, sf_dir))
+    assert plan.count("Location:") <= 4
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bm25_inline_build_serve_scans_nothing(spark, sf_dir):
+    """r13 opt: build_bm25_index materializes postings/doclen off ONE
+    corpus tokenize; an inline build+serve (bm25_batch_topk) reads the
+    checkpointed index tables only — zero parquet scans in the serve
+    plan (8 before)."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(spark, e.queries()["bm25_batch_topk"](spark, sf_dir))
+    assert "Location:" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_prefix_index_build_shingles_once(spark, sf_dir):
+    """r13 opt: build_prefix_index's (dfreq, pref, sh) tables each
+    re-derived the corpus shingling per reference (10 parquet scans in
+    prefix_intake_admitted before). Eager checkpoints build each table
+    once off the previous one's blocks — the probe plan keeps only the
+    new-batch scans."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["prefix_intake_admitted"](spark, sf_dir)
+    )
+    assert plan.count("Location:") <= 2
+    assert "Scan ExistingRDD" in plan
+
+
+def test_dedup_clusters_extended_builds_pairs_once(spark, sf_dir):
+    """r13 opt: the MinHash pair list feeds the old-graph CC build and
+    both extend_components references — checkpointed once, the plan
+    keeps only the singleton-labeling scans (6 parquet scans before)."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["dedup_clusters_extended"](spark, sf_dir)
+    )
+    assert plan.count("Location:") <= 2
+    assert "Scan ExistingRDD" in plan
+
+
+def test_depth_histogram_approx_reads_pair_table(spark, sf_dir):
+    """r13 opt: exact histogram, approx counts and total are marginals
+    of ONE checkpointed (exact, approx) bucket-pair table — 2 corpus
+    passes at build (6 before), zero parquet scans in the serve plan."""
+    import __spark_entry__ as e
+
+    plan = _fmt_plan(
+        spark, e.queries()["depth_histogram_approx"](spark, sf_dir)
+    )
+    assert "Location:" not in plan
+    assert "Scan ExistingRDD" in plan
