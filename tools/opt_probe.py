@@ -35,6 +35,12 @@ def main() -> None:
     suffix = os.environ.get("PROBE_SUFFIX", "")
     best_of = max(1, int(os.environ.get("PROBE_BEST_OF", "3")))
     spark = get_spark(app_name="opt-probe")
+    # PROBE_CONF="k=v;k2=v2": runtime-settable SQL confs for A/B arms
+    # (e.g. AQE thresholds) without touching session.py between runs
+    for kv in filter(None, os.environ.get("PROBE_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
+        print(f"PROBE-CONF {k.strip()}={v.strip()}", file=sys.stderr)
     qs = entrymod.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
