@@ -1045,6 +1045,100 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _pca_base(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared fit front end: ``(__id, __v)`` with NULL vectors dropped,
+    parallelism ensured. Persist-safe for the sequential fit passes
+    (mean, Gram) — each pass is a driver-blocking collect, so the first
+    populates the cache and the rest read it (no intra-job race)."""
+    return (
+        ensure_parallelism(vectors)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _dbl(vec_col).alias("__v"))
+    )
+
+
+def _pca_mu_list(base: DataFrame, d: int) -> list[float]:
+    """Per-dim 6dp-rounded means of ``base.__v``, collected as an ordered
+    list (dim-bounded — the same class as the dim probes / banding rows
+    the engine already collects). Raises on mixed-width vectors, which
+    the old per-dim join silently mis-centered."""
+    rows = (
+        base.select(F.posexplode("__v").alias("dim", "__raw"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("__raw"), 6).alias("__mu"))
+        .collect()
+    )
+    if len(rows) != d:
+        raise ValueError(
+            f"pca fit: vectors are not uniformly {d}-dimensional "
+            f"({len(rows)} distinct dims found)"
+        )
+    mu = [0.0] * d
+    for r in rows:
+        mu[r["dim"]] = float(r["__mu"])
+    return mu
+
+
+def _pca_collect_gram(cw: DataFrame, d: int):
+    """ONE pass over the centered wide frame ``(__id, __cv)`` → the d×d
+    Gram matrix ``G[i][j] = Σ_rows cv_i·cv_j``, collected to the driver
+    (dim²-bounded: 64² doubles for the embedding corpus — NOT data-sized).
+    Shape: posexplode to (d1, x1) carrying the array, then d partial-
+    aggregatable sums per d1 — the shuffle moves d² values per map task,
+    never rows (guide §2.3 "shuffle metadata, not payloads"; §8 "decide
+    with small rows"). d aggregate expressions keep codegen far under
+    the 64 KB method limit (the r10 wide-expression lesson caps this
+    design at d of a few hundred — the embedding contract is d=64)."""
+    import numpy as np
+
+    aggs = [
+        F.sum(F.col("__x") * F.col("__cv").getItem(j)).alias(f"g{j}")
+        for j in range(d)
+    ]
+    rows = (
+        cw.select("__cv", F.posexplode("__cv").alias("__d1", "__x"))
+        .groupBy("__d1")
+        .agg(*aggs)
+        .collect()
+    )
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        i = int(r["__d1"])
+        for j in range(d):
+            v = r[f"g{j}"]
+            if v is not None:
+                G[i, j] = v
+    return G
+
+
+def _gram_power_iterate(G, d: int, n_iter: int) -> list[float]:
+    """Driver-side power iteration on the collected Gram matrix:
+    ``v ← round6(Gv / ||Gv||)`` from the fixed ``round6(1/sqrt(d))``
+    start — the same per-iteration 6dp-rounded values as the unrolled
+    SQL oracle (``w_d = Σ_i x'_{id}(Σ_{d'} x'_{id'}v_{d'}) = (Gv)_d``
+    algebraically; float sum orders differ at ~1e-12 relative, far
+    below the 6dp round, the same cross-engine tolerance the oracle
+    contract already rests on). Rounding is
+    ``_np_round_half_up_like_spark`` (parity test-pinned)."""
+    import numpy as np
+
+    v = np.full(
+        d,
+        float(
+            _np_round_half_up_like_spark(
+                np.array([1.0 / d**0.5]), 1e6
+            )[0]
+        ),
+    )
+    for _ in range(n_iter):
+        w = G @ v
+        nrm = float(np.sqrt(np.sum(w * w)))
+        v = _np_round_half_up_like_spark(w / nrm, 1e6)
+    return [float(x) for x in v]
+
+
 def pca_power_iteration(
     vectors: DataFrame,
     n_iter: int = 3,
@@ -1056,19 +1150,21 @@ def pca_power_iteration(
     behind every large-scale PCA). Returns ``(dim, v)`` — the unit
     component, one row per dimension.
 
-    Each iteration is two keyed aggregations over the LONG form
-    ``(id, dim, val)``: ``dot_i = Σ_d x'_{id} v_d`` (groupBy id, with the
-    ≤ d-row component broadcast) and ``w_d = Σ_i x'_{id} dot_i``
-    (groupBy dim), then one broadcast scalar normalization — i.e. the
-    matrix A^T(Av) product without ever materializing the d×d
-    covariance. Shuffled volume per iteration is |rows| + d after
-    map-side partial aggregation; nothing is ever collected.
+    r13 restructure (guide §1.2 step 1 / §8): the data-pass loop
+    (two keyed aggregations over the (id, dim, val) long form PER
+    iteration — 2·n_iter shuffles of |rows|-sized dot tables) is
+    replaced by ONE Gram pass — a single d-group aggregate whose
+    shuffle carries d² partial sums per map task — plus a driver-side
+    iteration on the collected d×d proxy (``_gram_power_iterate``).
+    Data passes: 2 (mean + Gram), independent of ``n_iter``; nothing
+    data-sized is ever collected (the Gram is dim²-bounded).
 
-    Determinism contract: the per-dim mean and the component after each
-    normalization are rounded to 6dp, and the start vector is the fixed
-    ``1/sqrt(d)``; a fixed-``n_iter`` run therefore unrolls to plain SQL
-    (the kmeans_fit pattern) and the sign is pinned by the identical
-    arithmetic on both engines — no sign convention needed.
+    Determinism contract (unchanged): the per-dim mean and the
+    component after each normalization are rounded to 6dp, and the
+    start vector is the fixed ``1/sqrt(d)``; a fixed-``n_iter`` run
+    unrolls to plain SQL (the kmeans_fit pattern) and the sign is
+    pinned by arithmetic that agrees with the oracle far below the 6dp
+    round — no sign convention needed.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -1076,57 +1172,22 @@ def pca_power_iteration(
     if first is None:
         raise ValueError("pca_power_iteration: empty input")
     d = int(first["d"])
-    lf = (
-        ensure_parallelism(vectors)
-        .filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(_dbl(vec_col)).alias("dim", "__raw"),
-        )
-    )
-    mu = lf.groupBy("dim").agg(F.round(F.avg("__raw"), 6).alias("__mu")).alias("mu")
-    lf = (
-        lf.alias("lf")
-        .join(F.broadcast(mu), F.col("lf.dim") == F.col("mu.dim"))
-        .select(
-            F.col("lf.__id").alias("__id"),
-            F.col("lf.dim").alias("dim"),
-            (F.col("lf.__raw") - F.col("mu.__mu")).alias("__val"),
-        )
-        .persist()
-    )
-    # r13 opt (guide §5 + CLAUDE.md PPR lesson): materialize before the
-    # loop — persist alone lets independent iteration stages race to
-    # recompute the centered long form inside the one final job.
-    lf.count()
+    spark = vectors.sparkSession
+    base = _pca_base(vectors, id_col, vec_col).persist()
     try:
-        comp = mu.select(
-            F.col("dim"), F.round(F.lit(1.0 / d**0.5), 6).alias("v")
+        mu = _pca_mu_list(base, d)
+        mu_arr = F.array(*[F.lit(m) for m in mu])
+        cw = base.select(
+            "__id",
+            F.zip_with("__v", mu_arr, lambda x, m: x - m).alias("__cv"),
         )
-        for _ in range(n_iter):
-            dots = (
-                lf.join(F.broadcast(comp), "dim")
-                .groupBy("__id")
-                .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
-            )
-            nxt = (
-                lf.join(dots, "__id")
-                .groupBy("dim")
-                .agg(F.sum(F.col("__val") * F.col("__dot")).alias("__w"))
-            )
-            nrm = nxt.agg(
-                F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
-            )
-            comp = (
-                nxt.crossJoin(F.broadcast(nrm))
-                .select(
-                    "dim", F.round(F.col("__w") / F.col("__n"), 6).alias("v")
-                )
-                .localCheckpoint(eager=False)
-            )
-        return comp
+        G = _pca_collect_gram(cw, d)
+        v = _gram_power_iterate(G, d, n_iter)
+        return spark.createDataFrame(
+            [(i, v[i]) for i in range(d)], "dim INT, v DOUBLE"
+        )
     finally:
-        lf.unpersist()
+        base.unpersist()
 
 
 def pca_project(
@@ -1381,31 +1442,6 @@ def _pca_centered_lf(
     )
 
 
-def _power_iterate_lf(lf: DataFrame, d: int, n_iter: int) -> DataFrame:
-    """Power iteration over a long-form matrix: ``(dim, v)`` unit
-    component, the A^T(Av) loop of :func:`pca_power_iteration`."""
-    dims = lf.select("dim").distinct()
-    comp = dims.select(F.col("dim"), F.round(F.lit(1.0 / d**0.5), 6).alias("v"))
-    for _ in range(n_iter):
-        dots = (
-            lf.join(F.broadcast(comp), "dim")
-            .groupBy("__id")
-            .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
-        )
-        nxt = (
-            lf.join(dots, "__id")
-            .groupBy("dim")
-            .agg(F.sum(F.col("__val") * F.col("__dot")).alias("__w"))
-        )
-        nrm = nxt.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
-        comp = (
-            nxt.crossJoin(F.broadcast(nrm))
-            .select("dim", F.round(F.col("__w") / F.col("__n"), 6).alias("v"))
-            .localCheckpoint(eager=False)
-        )
-    return comp
-
-
 def pca_top_components(
     vectors: DataFrame,
     n_components: int = 2,
@@ -1420,11 +1456,20 @@ def pca_top_components(
     residual. Returns ``(component, dim, v)`` — component 0 is the
     dominant axis.
 
-    Same per-round cost as :func:`pca_power_iteration`; deflation adds
-    one projection join per extra component. Components are orthogonal
-    up to the rounding contract (|v_i·v_j| ≲ 1e-4), which is what a
-    corpus-diagnostic scatter needs — for a tight orthonormal basis at
-    higher k, re-orthogonalize the small (k × d) table driver-side.
+    r13 restructure (guide §1.2 step 1 / §8, same as
+    :func:`pca_power_iteration`): one Gram pass + driver-side iteration
+    per component instead of 2·n_iter data-pass shuffles per component.
+    The deflation residual keeps its element-wise 6dp round IN SPARK
+    (``round(val − dot·v, 6)`` — the SQL-unroll contract), computed
+    map-side off the cached base (the per-row dot is a sequential
+    zip_with/aggregate fold — the same left-to-right add order the
+    long-form hash aggregate produced). Data passes: mean + n_components
+    Gram passes + (n_components−1) map-side residual derivations.
+
+    Components are orthogonal up to the rounding contract
+    (|v_i·v_j| ≲ 1e-4), which is what a corpus-diagnostic scatter needs
+    — for a tight orthonormal basis at higher k, re-orthogonalize the
+    small (k × d) table driver-side.
     """
     if n_components < 1 or n_iter < 1:
         raise ValueError("n_components and n_iter must be >= 1")
@@ -1432,42 +1477,52 @@ def pca_top_components(
     if first is None:
         raise ValueError("pca_top_components: empty input")
     d = int(first["d"])
-    # r13 opt (guide §5 + CLAUDE.md PPR lesson): persist alone lets the
-    # independent per-iteration stages of the single final job race to
-    # recompute the centered long form; MATERIALIZE it before the loop
-    # so every reference reads the cached blocks.
-    lf = _pca_centered_lf(vectors, id_col, vec_col).persist()
-    lf.count()
+    spark = vectors.sparkSession
+    base = _pca_base(vectors, id_col, vec_col).persist()
     try:
-        out = None
-        cur = lf
+        mu = _pca_mu_list(base, d)
+        mu_arr = F.array(*[F.lit(m) for m in mu])
+        cw = base.select(
+            "__id",
+            F.zip_with("__v", mu_arr, lambda x, m: x - m).alias("__cv"),
+        )
+        rows: list[tuple[int, int, float]] = []
         for c in range(n_components):
-            comp = _power_iterate_lf(cur, d, n_iter)
-            tagged = comp.select(
-                F.lit(c).alias("component"), F.col("dim"), F.col("v")
-            )
-            out = tagged if out is None else out.unionByName(tagged)
+            G = _pca_collect_gram(cw, d)
+            v = _gram_power_iterate(G, d, n_iter)
+            rows += [(c, i, v[i]) for i in range(d)]
             if c < n_components - 1:
-                dots = (
-                    cur.join(F.broadcast(comp), "dim")
-                    .groupBy("__id")
-                    .agg(F.sum(F.col("__val") * F.col("v")).alias("__dot"))
+                v_arr = F.array(*[F.lit(x) for x in v])
+                # staging projection: the per-row dot is emitted ONCE
+                # (the nested-higher-order CSE caveat), then the
+                # residual rounds element-wise in Spark — identical
+                # arithmetic to the long-form deflation it replaces
+                staged = cw.select(
+                    "__id",
+                    "__cv",
+                    F.aggregate(
+                        F.zip_with(
+                            "__cv", v_arr, lambda x, vv: x * vv
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("__dot"),
                 )
-                cur = (
-                    cur.join(dots, "__id")
-                    .join(F.broadcast(comp), "dim")
-                    .select(
-                        "__id",
-                        "dim",
-                        F.round(
-                            F.col("__val") - F.col("__dot") * F.col("v"), 6
-                        ).alias("__val"),
-                    )
-                    .localCheckpoint(eager=False)
+                cw = staged.select(
+                    "__id",
+                    F.zip_with(
+                        "__cv",
+                        v_arr,
+                        lambda x, vv: F.round(
+                            x - F.col("__dot") * vv, 6
+                        ),
+                    ).alias("__cv"),
                 )
-        return out
+        return spark.createDataFrame(
+            rows, "component INT, dim INT, v DOUBLE"
+        )
     finally:
-        lf.unpersist()
+        base.unpersist()
 
 
 def pca_project_components(
