@@ -4737,6 +4737,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # each round: names driver-proven last round and unchanged since —
 # noted in place below so the audit trail stays in the file.
 _DRIVER_WINDOW_PRIORITY = [
+    # round 14 (optimization): the PCA family landed a Gram-matrix
+    # restructure in the r13 snapshot commit AFTER the last driver
+    # proof (VERDICT r13 item 1) and this round adds the
+    # posexplode_outer fix + mixed-width guard — all 5 rotate in for
+    # driver-recorded proof of the new shape. Rotated out to make room
+    # (all driver-proven green in CORRECTNESS_r13, unchanged this
+    # round): customer_k_anonymity, customer_k_suppressed,
+    # customer_l_diversity, customer_entropy_ldiv, customer_t_closeness.
+    "pca_component", "pca_projections", "pca_project_heldout",
+    "pca_top2_projections", "pca_top2_sampled",
     # new in round 13: the annotation-shelf close-out (per-annotator
     # reliability census, Krippendorff's alpha nominal+interval, the
     # served Bradley-Terry win-probability matrix), Newman modularity
@@ -4768,15 +4778,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged): kll_price_quantiles, doc_line_dedup, vocab_coverage.
     # Ninth batch adds the entropy l-diversity cut (rotated out:
     # bottomk_user_sample, driver-proven r12, unchanged in r13).
-    "customer_k_anonymity", "customer_k_suppressed",
-    "customer_l_diversity", "customer_entropy_ldiv",
+    # r14: customer_k_anonymity, customer_k_suppressed,
+    # customer_l_diversity, customer_entropy_ldiv, customer_t_closeness
+    # rotated out for the pca_* batch (driver-proven r13, unchanged).
     # round-13 fifth batch: t-closeness (categorical + ordinal rank
     # EMD), the seeded Laplace group-count release, and the
     # generalization-ladder census. Rotated out (all driver-proven r12,
     # unchanged — the oldest-proof refresh tranche, refresh complete):
     # decontaminated_spans, corpus_admitted_indexed,
     # bm25_search_indexed, scd2_orders.
-    "customer_t_closeness", "orders_t_closeness_ordinal",
+    "orders_t_closeness_ordinal",
     "dp_nation_customer_counts", "customer_generalization_ladder",
     # round-13 sixth batch: TrustRank (seeded personalized PageRank)
     # over the trade graph. Rotated out (driver-proven r12, unchanged

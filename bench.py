@@ -311,18 +311,31 @@ def main() -> None:
                 fh.write("\n")
         except OSError as exc:
             print(f"BENCH-WARN could not write {full_path}: {exc}", file=sys.stderr)
-    # compact summary LAST: the driver's bench record keeps only the
-    # tail of the output, and the big per-query line above overflows it
-    # (BENCH_r04.json lost the headline total) — this line survives any
-    # tail truncation
-    print(json.dumps({
+    summary_line = json.dumps({
         "metric": "headline_total",
         "value": result["value"],
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-    }))
+    })
+    print(summary_line)
+    # r14 (VERDICT r13 item 3, additions only): the single big
+    # per-query map line above overflows the driver's retained stdout
+    # tail, so PERF's round-over-round per-query comparison came back
+    # empty two rounds running (n_common: 0). Re-emit the map as one
+    # COMPACT line per query — each line is complete, parseable JSON on
+    # its own, so whatever suffix of stdout the driver keeps carries as
+    # many whole per-query entries as fit.
+    for name in sorted(timings):
+        print(json.dumps({"q": name, "sec": timings[name]}))
+    for name in sorted(errors):
+        print(json.dumps({"q": name, "error": errors[name][:120]}))
+    # compact summary LAST: the driver's bench record keeps only the
+    # tail of the output (BENCH_r04.json lost the headline total) —
+    # repeating this line at the very end guarantees it survives any
+    # tail truncation regardless of how many per-query lines fit.
+    print(summary_line)
     sys.exit(1 if errors else 0)
 
 

@@ -1063,11 +1063,19 @@ def _pca_mu_list(base: DataFrame, d: int) -> list[float]:
     """Per-dim 6dp-rounded means of ``base.__v``, collected as an ordered
     list (dim-bounded — the same class as the dim probes / banding rows
     the engine already collects). Raises on mixed-width vectors, which
-    the old per-dim join silently mis-centered."""
+    the old per-dim join silently mis-centered: the dim-count check
+    catches any width != d, and the per-dim COUNT check catches the
+    mixed-width case where every dim 0..d-1 still occurs (shorter
+    vectors are prefixes, so dim d-1's count would drop below dim 0's —
+    left unguarded, zip_with would pad short vectors with NULLs that
+    silently NULL the centered row)."""
     rows = (
         base.select(F.posexplode("__v").alias("dim", "__raw"))
         .groupBy("dim")
-        .agg(F.round(F.avg("__raw"), 6).alias("__mu"))
+        .agg(
+            F.round(F.avg("__raw"), 6).alias("__mu"),
+            F.count("__raw").alias("__n"),
+        )
         .collect()
     )
     if len(rows) != d:
@@ -1075,10 +1083,38 @@ def _pca_mu_list(base: DataFrame, d: int) -> list[float]:
             f"pca fit: vectors are not uniformly {d}-dimensional "
             f"({len(rows)} distinct dims found)"
         )
+    counts = {int(r["__n"]) for r in rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "pca fit: vectors are mixed-width (per-dim counts "
+            f"{sorted(counts)}) — every vector must have exactly {d} dims"
+        )
     mu = [0.0] * d
     for r in rows:
         mu[r["dim"]] = float(r["__mu"])
     return mu
+
+
+def _pca_gram_frame(cw: DataFrame, d: int) -> DataFrame:
+    """The d-row Gram aggregate frame over the centered wide frame
+    ``(__id, __cv)``. ``posexplode_outer`` + explicit null filter, NOT
+    plain ``posexplode``: the optimizer infers ``size(__cv)>0 AND
+    isnotnull(__cv)`` from a plain posexplode and pushes it below the
+    staging projection, re-inlining the whole ``__cv`` construction
+    (for deflated components, the nested zip_with/aggregate chain) into
+    a per-row Filter — a full duplicate evaluation of the deflation
+    arithmetic per row (the span_dedup lesson; plan-pinned in
+    tests/test_plan_shapes.py)."""
+    aggs = [
+        F.sum(F.col("__x") * F.col("__cv").getItem(j)).alias(f"g{j}")
+        for j in range(d)
+    ]
+    return (
+        cw.select("__cv", F.posexplode_outer("__cv").alias("__d1", "__x"))
+        .filter(F.col("__x").isNotNull())
+        .groupBy("__d1")
+        .agg(*aggs)
+    )
 
 
 def _pca_collect_gram(cw: DataFrame, d: int):
@@ -1093,16 +1129,7 @@ def _pca_collect_gram(cw: DataFrame, d: int):
     design at d of a few hundred — the embedding contract is d=64)."""
     import numpy as np
 
-    aggs = [
-        F.sum(F.col("__x") * F.col("__cv").getItem(j)).alias(f"g{j}")
-        for j in range(d)
-    ]
-    rows = (
-        cw.select("__cv", F.posexplode("__cv").alias("__d1", "__x"))
-        .groupBy("__d1")
-        .agg(*aggs)
-        .collect()
-    )
+    rows = _pca_gram_frame(cw, d).collect()
     G = np.zeros((d, d), dtype=np.float64)
     for r in rows:
         i = int(r["__d1"])
@@ -1118,10 +1145,14 @@ def _gram_power_iterate(G, d: int, n_iter: int) -> list[float]:
     ``v ← round6(Gv / ||Gv||)`` from the fixed ``round6(1/sqrt(d))``
     start — the same per-iteration 6dp-rounded values as the unrolled
     SQL oracle (``w_d = Σ_i x'_{id}(Σ_{d'} x'_{id'}v_{d'}) = (Gv)_d``
-    algebraically; float sum orders differ at ~1e-12 relative, far
-    below the 6dp round, the same cross-engine tolerance the oracle
-    contract already rests on). Rounding is
-    ``_np_round_half_up_like_spark`` (parity test-pinned)."""
+    algebraically; float sum orders differ at ~1e-12 relative).
+    Caveat (the r8 EWMA lesson): a per-step 6dp round in a recursion is
+    a PROBABILISTIC cross-engine tolerance, not a guarantee — a step
+    value landing within ~1e-12 of a 7th-digit .5 boundary could split
+    one ulp between numpy and the unrolled SQL. The pin is the
+    correctness-gate re-run of the pca_* queries on every testdata
+    regeneration (CLAUDE.md rule), not the arithmetic alone. Rounding
+    is ``_np_round_half_up_like_spark`` (parity test-pinned)."""
     import numpy as np
 
     v = np.full(
@@ -1518,6 +1549,12 @@ def pca_top_components(
                         ),
                     ).alias("__cv"),
                 )
+                if n_components > 2:
+                    # one staged zip_with/aggregate layer nests per
+                    # deflation round; truncate lineage so analyzer/
+                    # codegen cost stays flat at higher k (the old
+                    # long-form loop checkpointed each round too)
+                    cw = cw.localCheckpoint(eager=False)
         return spark.createDataFrame(
             rows, "component INT, dim INT, v DOUBLE"
         )

@@ -1337,12 +1337,26 @@ def dsir_select(
     """
     if k < 1 or dim < 1:
         raise ValueError("k and dim must be >= 1")
-    rf = _dsir_features(raw, text_col, id_col, dim)
+    # r14 (guide §1.2; the r13 small-artifact eager-checkpoint rule):
+    # rf feeds BOTH the per-bucket marginal chain (rawc → nr_tot →
+    # ratio) and the scoring join (weights), and tf_ feeds tgt which is
+    # read by ratio AND nt_tot — left lazy, the heavy ngram explode +
+    # md5 hashing re-ran 3× for raw and 2× for target (6 parquet scans
+    # / 44 Exchanges in the before plan). rf is the doc×bucket
+    # aggregate (≤ |docs|·dim rows, far smaller than the token stream)
+    # and tgt is ≤ dim rows — both are the "small shared artifact, many
+    # consumers" shape the r13 probes proved wins.
+    rf = _dsir_features(raw, text_col, id_col, dim).localCheckpoint(eager=True)
     tf_ = _dsir_features(target, text_col, id_col, dim)
     # totals derive from the same aggregates they cross-join back onto —
     # qualify every reference or Spark flags the lineage ambiguous (the
     # unigram_logprob pattern)
-    tgt = tf_.groupBy("bucket").agg(F.sum("cnt").alias("__nt")).alias("tg")
+    tgt = (
+        tf_.groupBy("bucket")
+        .agg(F.sum("cnt").alias("__nt"))
+        .localCheckpoint(eager=True)
+        .alias("tg")
+    )
     rawc = rf.groupBy("bucket").agg(F.sum("cnt").alias("__nr")).alias("rw")
     nt_tot = tgt.agg(F.sum("__nt").cast("double").alias("__NT")).alias("tt")
     nr_tot = rawc.agg(F.sum("__nr").cast("double").alias("__NR")).alias("rt")

@@ -617,3 +617,45 @@ def test_depth_histogram_approx_reads_pair_table(spark, sf_dir):
     )
     assert "Location:" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_pca_gram_frame_evaluates_deflated_array_once(spark):
+    """r14 opt: _pca_gram_frame must not let the optimizer push an
+    inferred size(__cv)>0/isnotnull(__cv) filter below the staging
+    projections — with plain posexplode that re-inlines the whole
+    deflated zip_with/aggregate chain (incl. the O(d) dot fold) into a
+    per-row Filter, a full duplicate evaluation (the span_dedup
+    lesson). posexplode_outer + explicit null filter keeps exactly one
+    copy of the dot-fold `aggregate(` in the plan."""
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.operators import (
+        similarity as S,
+    )
+
+    d = 8
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(d)]) for i in range(6)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    base = S._pca_base(vecs, "vec_id", "embedding")
+    mu_arr = F.array(*[F.lit(0.0)] * d)
+    cw = base.select(
+        "__id", F.zip_with("__v", mu_arr, lambda x, m: x - m).alias("__cv")
+    )
+    v_arr = F.array(*[F.lit(0.1)] * d)
+    staged = cw.select(
+        "__id",
+        "__cv",
+        F.aggregate(
+            F.zip_with("__cv", v_arr, lambda x, vv: x * vv),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__dot"),
+    )
+    deflated = staged.select(
+        "__id",
+        F.zip_with(
+            "__cv", v_arr, lambda x, vv: F.round(x - F.col("__dot") * vv, 6)
+        ).alias("__cv"),
+    )
+    plan = _fmt_plan(spark, S._pca_gram_frame(deflated, d))
+    assert plan.count("aggregate(") == 1, plan.count("aggregate(")
