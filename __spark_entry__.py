@@ -830,10 +830,34 @@ def q_price_zone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("eff_from_dttm"),
     )
     active = [f"{i:03d}" for i in range(50) if i != 7]  # quarantine opco 007
-    result = run_price_zone_transform(staged, active_opcos=active)
-    return result.output.groupBy("opco_id").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.date_format(F.min("effective_date"), "yyyy-MM-dd HH:mm:ss").alias("min_eff"),
+    # r14 (guide §1.2; the depth_histogram marginal precedent): the
+    # rollup aggregates fold into the SAME pass as the validation
+    # matrix — quarantine drops whole opcos, never rows, so per-group
+    # count/min over the raw rows ≡ the same aggregates over
+    # result.output (oracle-pinned). One corpus pass instead of
+    # validate + rollup (2 passes + a 5-column persist).
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark import (
+        schemas as _S,
+    )
+    from sample_python_lambdas_glue_and_pyspark_scripts_spark.functions import (
+        parse_timestamp_lenient,
+    )
+
+    result = run_price_zone_transform(
+        staged,
+        active_opcos=active,
+        group_aggs={
+            "__min_eff": F.min(
+                parse_timestamp_lenient(
+                    F.col("eff_from_dttm"), _S.INPUT_DATE_FORMAT
+                )
+            )
+        },
+    )
+    return result.group_report.select(
+        "opco_id",
+        F.col("__n").alias("n_rows"),
+        F.date_format("__min_eff", "yyyy-MM-dd HH:mm:ss").alias("min_eff"),
     )
 
 

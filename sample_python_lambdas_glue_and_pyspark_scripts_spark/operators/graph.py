@@ -25,10 +25,33 @@ small.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .util import ensure_parallelism
+
+# r14 (guide §8; the similarity.py Gram precedent): graphs whose edge
+# count fits under this bound run their fixed-round iteration (PPR,
+# LPA) driver-side — Spark still computes the transition probabilities and
+# teleport base (so w/Σw and every pre-iteration 6dp round keep their
+# exact engine arithmetic); only the iteration's multiply-add-round
+# moves to the driver, replacing n_iter unrolled join+aggregate stages
+# and their serial materialization jobs with zero Spark jobs. 1M edges
+# ≈ a few tens of MB collected — the broadcast-relation class. Large
+# graphs take the distributed loop unchanged.
+_GRAPH_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES", "1000000")
+)
+
+
+def _round6(x):
+    """Scalar/array Spark-parity HALF_UP 6dp round (the pinned numpy
+    twin from operators.similarity)."""
+    from .similarity import _np_round_half_up_like_spark
+
+    return _np_round_half_up_like_spark(x, 1e6)
 
 
 def pagerank(
@@ -127,6 +150,36 @@ def pagerank(
             trans.unpersist()
 
 
+def _ppr_driver_iterate(
+    spark, trans_rows, base_rows, n_iter: int, damping: float, node_type: str
+) -> DataFrame:
+    """Driver-side damped power iteration over collected transition
+    rows ``(__u, __v, __p)`` and base rows ``(node, __p0, __b)`` — the
+    exact per-iteration formula of the distributed loop:
+    ``rank_v ← round6(b_v + d·Σ_u rank_u·p_uv)`` from ``rank = p0``.
+    Rounding is the pinned Spark-parity HALF_UP helper; summation runs
+    in collected edge order (the distributed form's own partial-sum
+    order is partition-dependent — both live under the contract's 6dp
+    tolerance)."""
+    import numpy as np
+
+    nodes = [r["node"] for r in base_rows]
+    idx = {x: i for i, x in enumerate(nodes)}
+    b = np.array([r["__b"] for r in base_rows], dtype=np.float64)
+    ranks = np.array([r["__p0"] for r in base_rows], dtype=np.float64)
+    ui = np.array([idx[r["__u"]] for r in trans_rows], dtype=np.int64)
+    vi = np.array([idx[r["__v"]] for r in trans_rows], dtype=np.int64)
+    p = np.array([r["__p"] for r in trans_rows], dtype=np.float64)
+    for _ in range(n_iter):
+        inflow = np.zeros(len(nodes), dtype=np.float64)
+        np.add.at(inflow, vi, ranks[ui] * p)
+        ranks = _round6(b + damping * inflow)
+    return spark.createDataFrame(
+        [(nodes[i], float(ranks[i])) for i in range(len(nodes))],
+        f"node {node_type}, rank double",
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -167,13 +220,22 @@ def personalized_pagerank(
     sd = seeds.select(
         F.col(seed_node_col).alias("node"), sw.alias("__sw")
     )
-    if (
-        sd.filter(
-            F.col("__sw").isNull() | (F.col("__sw") <= 0)
-            | F.col("node").isNull()
-        ).limit(1).count()
-        > 0
-    ):
+    # ONE aggregate replaces the filter-count guard AND the later
+    # empty-seed limit-count (r14: two serial driver jobs fused — §1.2)
+    seed_stats = sd.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(
+                F.col("__sw").isNull()
+                | (F.col("__sw") <= 0)
+                | F.col("node").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("__bad"),
+    ).first()
+    if int(seed_stats["__n"]) == 0:
+        raise ValueError("personalized_pagerank: empty seed table")
+    if int(seed_stats["__bad"] or 0) > 0:
         raise ValueError(
             "personalized_pagerank: seed nodes must be non-NULL with "
             "positive non-NULL weights"
@@ -210,27 +272,21 @@ def personalized_pagerank(
     trans = None
     basev = None
     try:
-        if p0.limit(1).count() == 0:
-            raise ValueError("personalized_pagerank: empty seed table")
-        # populate the e/nodes caches BEFORE the iteration chain builds
-        # on them (pagerank gets this for free from its n = count();
-        # without it the first real action executes the whole unrolled
-        # loop with cold caches and the upstream edge pipeline re-runs
-        # per reference — measured 3.5x on the trade-graph query)
-        nodes.count()
+        # materialize the e cache first (an aggregate-only job — no
+        # data to the driver); its count is the size-adaptive branch
+        n_edges = e.count()
         outw = e.groupBy("__u").agg(F.sum("__w").alias("__ow"))
-        trans = (
+        trans_expr = (
             e.join(outw, "__u")
             .select(
                 "__u", "__v",
                 F.round(F.col("__w") / F.col("__ow"), 6).alias("__p"),
             )
-            .persist()
         )
         # per-node teleport base (1-d)*p_seed, 0 off-seed; carried with
         # the node table so every iteration is one extra column, not an
         # extra join
-        basev = (
+        basev_expr = (
             nodes.join(p0, "node", "left")
             .select(
                 "node",
@@ -241,8 +297,27 @@ def personalized_pagerank(
                     6,
                 ).alias("__b"),
             )
-            .persist()
         )
+        if n_edges <= _GRAPH_DRIVER_MAX_EDGES:
+            # r14 driver contraction: SPARK computed every
+            # pre-iteration quantity above (w/Σw transition probs, the
+            # 6dp-rounded seed distribution and teleport base), so the
+            # only arithmetic that moves engines is the iteration's
+            # Σ rank·p multiply-add — the same ≤6dp-tolerance exposure
+            # the distributed form already has across its own
+            # nondeterministic partial-sum orders (and the PCA Gram
+            # precedent, oracle-verified). Zero Spark jobs per
+            # iteration instead of an unrolled join+aggregate chain.
+            return _ppr_driver_iterate(
+                seeds.sparkSession,
+                trans_expr.collect(),
+                basev_expr.collect(),
+                n_iter,
+                damping,
+                dict(nodes.dtypes)["node"],
+            )
+        trans = trans_expr.persist()
+        basev = basev_expr.persist()
         # basev is referenced by EVERY iteration of the unrolled loop —
         # an unmaterialized cache gets recomputed per reference inside
         # the one big final job (nodes.count() above cannot reach it);
@@ -391,6 +466,32 @@ def triangle_counts(
             orient.unpersist()
 
 
+def _lpa_driver_iterate(
+    spark, edge_rows, n_iter: int, node_type: str
+) -> DataFrame:
+    """Driver-side synchronous LPA over collected canonical undirected
+    edges — the exact integer twin of the distributed loop: per round
+    every node's ballot is its neighbors' labels plus ONE self-vote,
+    winner by (count desc, label asc)."""
+    nbrs: dict = {}
+    for u, v in edge_rows:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {x: x for x in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for node, ns in nbrs.items():
+            votes: dict = {labels[node]: 1}  # the self-vote
+            for nb in ns:
+                lbl = labels[nb]
+                votes[lbl] = votes.get(lbl, 0) + 1
+            new[node] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    return spark.createDataFrame(
+        list(labels.items()), f"node {node_type}, community {node_type}"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "a",
@@ -437,6 +538,24 @@ def label_propagation(
         e.select(F.col("v").alias("node"))
     ).distinct().persist()
     try:
+        # r14 driver contraction (guide §8; the CC/PPR pattern): LPA is
+        # INTEGER-exact (vote counts, smallest-label tie-break), so the
+        # driver twin is arithmetic-identical, not merely
+        # tolerance-equal. The canonical edge list is already
+        # materialized by the count; small graphs skip n_iter unrolled
+        # join+aggregate rounds entirely.
+        dtypes = dict(e.dtypes)
+        if dtypes["u"] == dtypes["v"] and dtypes["u"] in (
+            "bigint", "int", "smallint", "tinyint"
+        ):
+            n_edges = e.count()
+            if n_edges <= _GRAPH_DRIVER_MAX_EDGES:
+                return _lpa_driver_iterate(
+                    edges.sparkSession,
+                    [(r["u"], r["v"]) for r in e.collect()],
+                    n_iter,
+                    dtypes["u"],
+                )
         both = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )

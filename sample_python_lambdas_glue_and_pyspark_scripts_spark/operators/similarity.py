@@ -632,6 +632,15 @@ def cosine_pairs(
     override); at scale, pre-bucket with ``assign_cells`` and join on
     cell (the IVF trick) or random-hyperplane LSH (``cosine_pairs_lsh``)
     before verifying.
+
+    r14 probe note: a chunked-BLAS applyInPandas engine (the r10
+    SemDeDup recipe) was built, proven value-identical, and REVERTED —
+    the all-pairs scan lands in ONE dim-keyed group (no per-cluster
+    parallelism to exploit), and a single-task numpy kernel measured
+    SLOWER than the 32-core codegen join at every probed size (4.1 s vs
+    2.1 s at sf0.1's 2000×64; the per-cluster SemDeDup form keeps its
+    BLAS win because its groups parallelize). The scale path for pair
+    mining stays ``cosine_pairs_lsh``.
     """
     guard_quadratic(
         vectors, "cosine_pairs",

@@ -192,7 +192,19 @@ def validate(
         r.asDict()
         for r in flagged.groupBy(group_col).agg(*matrix_aggs(rules)).collect()
     ]
+    report = report_from_matrix(matrix_rows, rules, group_col)
+    clean = quarantine(df, report.invalid_groups, group_col)
+    return clean, report
 
+
+def report_from_matrix(
+    matrix_rows: list[dict], rules: list[Rule], group_col: str
+) -> ValidationReport:
+    """Matrix rows (one dict per group: ``{group, __n, <rule>: bool}``)
+    → the ValidationReport (per-rule invalid sets, counts, fail-fast).
+    Shared by :func:`validate` and the single-pass callers that fold
+    extra group aggregates into the same matrix scan (extra keys in the
+    row dicts are carried through untouched)."""
     per_rule: dict[str, set] = {r.name: set() for r in rules}
     invalid_groups: set = set()
     total = valid = 0
@@ -212,7 +224,7 @@ def validate(
         else:
             valid += row["__n"]
 
-    report = ValidationReport(
+    return ValidationReport(
         group_col=group_col,
         matrix=matrix_rows,
         rule_names=[r.name for r in rules],
@@ -221,8 +233,6 @@ def validate(
         invalid_groups=invalid_groups,
         per_rule_invalid_groups=per_rule,
     )
-    clean = quarantine(df, invalid_groups, group_col)
-    return clean, report
 
 
 def quarantine(df: DataFrame, bad_groups: set, group_col: str = "opco_id") -> DataFrame:

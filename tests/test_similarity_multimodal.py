@@ -981,3 +981,4 @@ def test_cross_modal_topk_retrieves_own_pair_when_aligned(spark, sf_dir):
     hits = [qid for qid, a in amps.items() if a < 0.3]
     for qid in hits:  # near-identical pair -> must be its own top-1
         assert top1[qid] == qid, (qid, top1)
+
