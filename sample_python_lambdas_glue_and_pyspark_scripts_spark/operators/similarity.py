@@ -1105,24 +1105,35 @@ def _pca_mu_list(base: DataFrame, d: int) -> list[float]:
 
 
 def _pca_gram_frame(cw: DataFrame, d: int) -> DataFrame:
-    """The d-row Gram aggregate frame over the centered wide frame
-    ``(__id, __cv)``. ``posexplode_outer`` + explicit null filter, NOT
-    plain ``posexplode``: the optimizer infers ``size(__cv)>0 AND
-    isnotnull(__cv)`` from a plain posexplode and pushes it below the
-    staging projection, re-inlining the whole ``__cv`` construction
-    (for deflated components, the nested zip_with/aggregate chain) into
-    a per-row Filter — a full duplicate evaluation of the deflation
-    arithmetic per row (the span_dedup lesson; plan-pinned in
-    tests/test_plan_shapes.py)."""
-    aggs = [
-        F.sum(F.col("__x") * F.col("__cv").getItem(j)).alias(f"g{j}")
-        for j in range(d)
-    ]
-    return (
-        cw.select("__cv", F.posexplode_outer("__cv").alias("__d1", "__x"))
+    """The d²-row Gram aggregate frame ``(__d1, __d2, g)`` over the
+    centered wide frame ``(__id, __cv)``.
+
+    Two design points, both plan-pinned in tests/test_plan_shapes.py:
+    - ``posexplode_outer`` + explicit null filter, NOT plain
+      ``posexplode``: the optimizer infers ``size(__cv)>0 AND
+      isnotnull(__cv)`` from a plain posexplode and pushes it below the
+      staging projection, re-inlining the whole ``__cv`` construction
+      (for deflated components, the nested zip_with/aggregate chain)
+      into a per-row Filter — a full duplicate evaluation of the
+      deflation arithmetic per row (the span_dedup lesson).
+    - pair-explode + ONE narrow sum, not d wide agg expressions
+      (``sum(__x * __cv[j])`` × d): the r10 wide-expression lesson —
+      the d-sum HashAggregate measured 2.2× slower at d=64 (codegen
+      width), while this form's shuffle stays d²-per-partition partial
+      sums and the per-(d1,d2) add order matches the wide form's
+      (probed bit-identical at sf0.1). The first Generate carries
+      ``__cv`` through as a materialized column, so the second explode
+      reads it — the deflation chain still evaluates once per row."""
+    lf = (
+        cw.select(F.posexplode_outer("__cv").alias("__d1", "__x"), "__cv")
         .filter(F.col("__x").isNotNull())
-        .groupBy("__d1")
-        .agg(*aggs)
+        .select(
+            "__d1", "__x", F.posexplode_outer("__cv").alias("__d2", "__y")
+        )
+        .filter(F.col("__y").isNotNull())
+    )
+    return lf.groupBy("__d1", "__d2").agg(
+        F.sum(F.col("__x") * F.col("__y")).alias("g")
     )
 
 
@@ -1141,11 +1152,8 @@ def _pca_collect_gram(cw: DataFrame, d: int):
     rows = _pca_gram_frame(cw, d).collect()
     G = np.zeros((d, d), dtype=np.float64)
     for r in rows:
-        i = int(r["__d1"])
-        for j in range(d):
-            v = r[f"g{j}"]
-            if v is not None:
-                G[i, j] = v
+        if r["g"] is not None:
+            G[int(r["__d1"]), int(r["__d2"])] = r["g"]
     return G
 
 
