@@ -4771,6 +4771,23 @@ _DRIVER_WINDOW_PRIORITY = [
     # customer_l_diversity, customer_entropy_ldiv, customer_t_closeness.
     "pca_component", "pca_projections", "pca_project_heldout",
     "pca_top2_projections", "pca_top2_sampled",
+    # round 14 second batch — queries whose execution restructured this
+    # round (driver contraction of tiny-graph CC/LPA iterations; the
+    # dsir feature-table checkpoints; the price_zone single-pass matrix
+    # +rollup fusion) and that were NOT already in-window
+    # (dedup_canonical_docs, dedup_clusters_extended, nation_trustrank
+    # and the community_* family also changed but already hold slots).
+    # Rotated out to make room (all driver-proven green in
+    # CORRECTNESS_r13, untouched this round): annotator_reliability,
+    # annotator_reliability_loo, annotator_pair_kappa,
+    # event_type_win_probs, event_type_rk_strengths,
+    # orders_t_closeness_ordinal.
+    "dsir_selected_docs", "price_zone_pipeline", "dedup_clusters",
+    "dedup_clusters_star", "dedup_rate_report", "nation_communities",
+    # round 14 third batch: nation_pagerank (plain pagerank shares the
+    # PPR driver contraction). Rotated out: cross_modal_recall_gate
+    # (driver-proven r13, unchanged this round).
+    "nation_pagerank",
     # new in round 13: the annotation-shelf close-out (per-annotator
     # reliability census, Krippendorff's alpha nominal+interval, the
     # served Bradley-Terry win-probability matrix), Newman modularity
@@ -4780,14 +4797,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # to make room (all driver-proven r12, unchanged):
     # aligned_pairs_filtered, kll_grouped_quantiles, nation_kcore,
     # span_dedup, decontaminated_docs.
-    "annotator_reliability", "annotation_alpha", "event_type_win_probs",
-    "community_modularity", "cross_modal_recall_gate",
+    "annotation_alpha",
+    "community_modularity",
     # round-13 second batch: leave-one-out reliability (self-vote bias
     # removed), Rao-Kupper tie-aware Bradley-Terry (θ=1.5), weighted
     # Newman modularity over the trade weights. Rotated out (all
     # driver-proven r12, unchanged): cross_modal_topk,
     # event_type_strengths, nation_communities.
-    "annotator_reliability_loo", "event_type_rk_strengths",
     "community_modularity_weighted",
     # round-13 third batch: pairwise Cohen's kappa (which two raters
     # disagree with each other) and per-community conductance (the
@@ -4795,7 +4811,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # ordinal metric this round and is already in-window. Rotated out
     # (driver-proven r12, unchanged): events_hot_join,
     # audio_near_dup_pairs.
-    "annotator_pair_kappa", "community_conductance",
+    "community_conductance",
     # round-13 fourth batch: the privacy/compliance shelf (k-anonymity
     # census, below-k suppression, distinct l-diversity) over the
     # customer quasi-identifiers. Rotated out (driver-proven r12,
@@ -4811,7 +4827,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged — the oldest-proof refresh tranche, refresh complete):
     # decontaminated_spans, corpus_admitted_indexed,
     # bm25_search_indexed, scd2_orders.
-    "orders_t_closeness_ordinal",
     "dp_nation_customer_counts", "customer_generalization_ladder",
     # round-13 sixth batch: TrustRank (seeded personalized PageRank)
     # over the trade graph. Rotated out (driver-proven r12, unchanged

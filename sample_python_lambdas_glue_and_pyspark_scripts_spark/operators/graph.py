@@ -101,14 +101,34 @@ def pagerank(
         # per-source transition probabilities: one groupBy + join back
         # (out-degree tables are node-sized, not edge-sized)
         outw = e.groupBy("__u").agg(F.sum("__w").alias("__ow"))
-        trans = (
+        trans_expr = (
             e.join(outw, "__u")
             .select(
                 "__u", "__v",
                 F.round(F.col("__w") / F.col("__ow"), 6).alias("__p"),
             )
-            .persist()
         )
+        # r14 driver contraction — same branch as personalized_pagerank
+        # (nodes.count() above already materialized the e cache, so the
+        # edge count is one cheap aggregate); uniform base/start are
+        # the same 6dp rounds via the pinned HALF_UP twin of F.round
+        n_edges = e.count()
+        if n_edges <= _GRAPH_DRIVER_MAX_EDGES:
+            r1n = float(_round6(1.0 / n))
+            b0 = float(_round6((1.0 - damping) / n))
+            base_rows = [
+                {"node": r["node"], "__p0": r1n, "__b": b0}
+                for r in nodes.collect()
+            ]
+            return _ppr_driver_iterate(
+                edges.sparkSession,
+                trans_expr.collect(),
+                base_rows,
+                n_iter,
+                damping,
+                dict(nodes.dtypes)["node"],
+            )
+        trans = trans_expr.persist()
         # HALF_UP via F.round, never Python round() (banker's) — the
         # parity-kit rule for every literal that reaches a comparison
         base = F.round(F.lit((1.0 - damping) / n), 6)

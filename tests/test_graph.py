@@ -476,3 +476,24 @@ def test_lpa_driver_contraction_equals_distributed_loop(spark, monkeypatch):
         for r in GR.label_propagation(edges, n_iter=4).collect()
     }
     assert driver == loop
+
+
+def test_pagerank_driver_contraction_equals_distributed_loop(spark, monkeypatch):
+    """r14: plain pagerank shares the PPR driver contraction; ranks
+    must be IDENTICAL to the distributed unrolled loop (weighted
+    edges, dangling node, self-loop)."""
+    edges = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 2.0), (3, 4, 1.0),
+         (4, 4, 1.0), (5, 1, 2.5)],
+        "src INT, dst INT, w DOUBLE",
+    )
+    driver = {
+        (r["node"], r["rank"])
+        for r in GR.pagerank(edges, weight_col="w", n_iter=4).collect()
+    }
+    monkeypatch.setattr(GR, "_GRAPH_DRIVER_MAX_EDGES", -1)
+    loop = {
+        (r["node"], r["rank"])
+        for r in GR.pagerank(edges, weight_col="w", n_iter=4).collect()
+    }
+    assert driver == loop
