@@ -4788,6 +4788,19 @@ _DRIVER_WINDOW_PRIORITY = [
     # PPR driver contraction). Rotated out: cross_modal_recall_gate
     # (driver-proven r13, unchanged this round).
     "nation_pagerank",
+    # round 14 fourth batch: the Lloyd-fit driver contraction touches
+    # every kmeans_fit / pq_fit consumer — all 12 rotate in for
+    # driver-recorded proof of the new execution (semantic_dedup was
+    # already in-window and stays). Rotated out (all driver-proven
+    # green in CORRECTNESS_r13, unchanged this round): annotation_alpha,
+    # dp_nation_customer_counts, dp_nation_acctbal_mean,
+    # customer_generalization_ladder, region_nation_rank_rbo,
+    # consensus_event_labels, annotator_agreement, pz_quarantine_rollup,
+    # pz_validation_matrix, transform_typed, route_clusters.
+    "ann_ivf_trained_topk", "ann_ivfpq_residual_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "centroid_assign", "kmeans_clusters",
+    "pq_codebooks", "pq_codes", "prototype_pruned_docs",
+    "quantization_error_report", "semantic_dedup_sweep",
     # new in round 13: the annotation-shelf close-out (per-annotator
     # reliability census, Krippendorff's alpha nominal+interval, the
     # served Bradley-Terry win-probability matrix), Newman modularity
@@ -4797,7 +4810,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # to make room (all driver-proven r12, unchanged):
     # aligned_pairs_filtered, kll_grouped_quantiles, nation_kcore,
     # span_dedup, decontaminated_docs.
-    "annotation_alpha",
     "community_modularity",
     # round-13 second batch: leave-one-out reliability (self-vote bias
     # removed), Rao-Kupper tie-aware Bradley-Terry (θ=1.5), weighted
@@ -4827,7 +4839,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged — the oldest-proof refresh tranche, refresh complete):
     # decontaminated_spans, corpus_admitted_indexed,
     # bm25_search_indexed, scd2_orders.
-    "dp_nation_customer_counts", "customer_generalization_ladder",
     # round-13 sixth batch: TrustRank (seeded personalized PageRank)
     # over the trade graph. Rotated out (driver-proven r12, unchanged
     # in r13): nation_triangles.
@@ -4835,11 +4846,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-13 seventh batch: the composed DP release (count + clipped
     # sum + post-processed mean). Rotated out (driver-proven r12,
     # unchanged in r13): events_key_skew.
-    "dp_nation_acctbal_mean",
     # round-13 eighth batch: rank-biased overlap (top-weighted ranking
     # agreement). Rotated out (driver-proven r12, unchanged in r13):
     # semantic_dedup_sweep.
-    "region_nation_rank_rbo",
     # new in round 12: cross-modal pair alignment cut (LAION CLIP-score
     # recipe over md5-derived second-modality embeddings), the grouped
     # KLL serve gate (per order priority), and label-propagation
@@ -4847,7 +4856,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # order_price_sampled_quantiles, prototype_pruned_docs and
     # fertility_report_merged rotated out (driver-proven r11,
     # unchanged).
-    "consensus_event_labels", "annotator_agreement",
     # oldest-proof refresh tranche (rotation rule clause 3, the VERDICT
     # r11 task-5 list): corpus_admitted_indexed + scd2_orders last
     # proven r7, bm25_search_indexed r9, decontaminated_spans r10
@@ -4905,8 +4913,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # domain_capped_docs, url_dedup_docs, domain_split_assign,
     # decontaminated_spans, user_value_ewma, exactsubstr_dup_stats.
     "dedup_minhash_lsh", "semantic_dedup",
-    "pz_quarantine_rollup", "pz_validation_matrix",
-    "transform_typed", "route_clusters",
     "region_rollup", "admission_topk",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —

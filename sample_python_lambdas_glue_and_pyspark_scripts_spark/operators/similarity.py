@@ -17,10 +17,26 @@ bit-comparable with a DuckDB oracle using
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import ensure_parallelism, guard_quadratic
+
+# r14 (guide §8; the CC/PPR/Gram precedent applied to the Lloyd fits):
+# corpora under this row bound run kmeans_fit / pq_fit driver-side —
+# the fits make their discrete decisions (argmin, tie-break) on
+# 6dp-ROUNDED distances and emit 6dp-rounded means, so the driver twin
+# reproduces the same values under the contract's existing sum-order
+# tolerance (the per-dim fold is replicated in the exact left-to-right
+# order of the Spark aggregate). Inputs with NULL/ragged vectors or
+# non-integral ids fall through to the distributed loops unchanged, as
+# does anything over the bound (100k×64 doubles ≈ 51 MB collected —
+# the broadcast-relation class).
+_KMEANS_DRIVER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_MAX_ROWS", "100000")
+)
 
 
 def _dbl(col: Column | str) -> Column:
@@ -745,6 +761,106 @@ def assign_nearest_centroid(
     )
 
 
+def _collect_vectors_bounded(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int
+):
+    """Driver-contraction probe: collect ``(id, double-vector)`` rows
+    iff the input fits under ``max_rows`` (limit max_rows+1 — Spark
+    short-circuits the scan, so an over-the-bound corpus pays a few
+    partitions, not a full pass), ids are integral, and every vector is
+    non-NULL, uniform-width, with no NULL elements. Returns
+    ``(ids, vecs, d, id_type)`` or None (caller falls through to the
+    distributed form)."""
+    t = dict(df.dtypes).get(id_col)
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        return None
+    rows = (
+        df.select(F.col(id_col).alias("__id"), _dbl(vec_col).alias("__v"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        return None
+    ids, vecs, d = [], [], None
+    for r in rows:
+        v = r["__v"]
+        if v is None:
+            return None
+        if d is None:
+            d = len(v)
+        if len(v) != d or any(x is None for x in v):
+            return None
+        ids.append(r["__id"])
+        vecs.append(v)
+    if not ids:
+        return None
+    return ids, vecs, d, t
+
+
+def _lloyd_driver(ids, vecs, k: int, n_iter: int, early_stop: bool):
+    """Driver twin of the kmeans_fit loop over id-sorted rows: E-step
+    distances fold left-to-right per dim (the exact order of the Spark
+    ``aggregate``), round 6dp, argmin with smallest-label tie-break;
+    M-step means accumulate in id order and round 6dp. Returns
+    ``(assign rows, centroid rows)`` matching the distributed outputs.
+    Labels whose cluster empties drop out, exactly like the
+    distributed M-step."""
+    import numpy as np
+
+    ids_a = np.array(ids, dtype=np.int64)
+    order = np.argsort(ids_a, kind="stable")
+    ids_a = ids_a[order]
+    X = np.array(vecs, dtype=np.float64)[order]
+    n, d = X.shape
+    k = min(k, n)
+
+    def round6(a):
+        return _np_round_half_up_like_spark(a, 1e6)
+
+    # seeds: first k rows by id; label_centroids over one row = round6(x)
+    labels_now = list(range(k))
+    C = round6(X[:k].copy())
+
+    def e_step():
+        kc = C.shape[0]
+        acc = np.zeros((n, kc), dtype=np.float64)
+        for j in range(d):  # sequential fold over dims — Spark's order
+            diff = X[:, j][:, None] - C[:, j][None, :]
+            acc = acc + diff * diff
+        dist = round6(acc)
+        pick = np.argmin(dist, axis=1)  # first min = smallest label
+        return np.array(labels_now)[pick], dist[np.arange(n), pick]
+
+    def m_step(asg):
+        new_labels, rows_c = [], []
+        for lbl in sorted(set(int(x) for x in asg)):
+            members = np.nonzero(asg == lbl)[0]  # id-sorted row order
+            acc = np.zeros(d, dtype=np.float64)
+            for i in members:
+                acc = acc + X[i]
+            new_labels.append(lbl)
+            rows_c.append(round6(acc / len(members)))
+        return new_labels, np.array(rows_c, dtype=np.float64)
+
+    asg = dist2 = None
+    prev = None
+    for _ in range(max(1, n_iter)):
+        asg, dist2 = e_step()
+        if early_stop and prev is not None and (asg == prev).all():
+            break
+        labels_now, C = m_step(asg)
+        prev = asg
+    assign_rows = [
+        (int(ids_a[i]), int(asg[i]), float(dist2[i])) for i in range(n)
+    ]
+    cent_rows = [
+        (int(labels_now[ci]), j, float(C[ci, j]))
+        for ci in range(len(labels_now))
+        for j in range(d)
+    ]
+    return assign_rows, cent_rows
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -777,6 +893,22 @@ def kmeans_fit(
     the whole history (see operators/clustering.py for the same
     pattern).
     """
+    got = _collect_vectors_bounded(
+        vectors, id_col, vec_col, _KMEANS_DRIVER_MAX_ROWS
+    )
+    if got is not None:
+        ids, vecs, _d, id_t = got
+        assign_rows, cent_rows = _lloyd_driver(
+            ids, vecs, k, n_iter, early_stop
+        )
+        spark = vectors.sparkSession
+        return (
+            spark.createDataFrame(
+                assign_rows,
+                f"vec_id {id_t}, assigned_label INT, dist2 DOUBLE",
+            ),
+            spark.createDataFrame(cent_rows, "label INT, dim INT, c DOUBLE"),
+        )
     v = ensure_parallelism(vectors).select(id_col, vec_col)
     w0 = Window.orderBy(F.col(id_col).asc())
     seeds = (
@@ -1847,6 +1979,25 @@ def pq_fit(
     codebook table is oracle-checkable.
     """
     sub_d = _pq_dims(corpus, vec_col, m_sub)
+    # r14 driver contraction (the kmeans_fit twin, per subspace): the
+    # per-sub E/M arithmetic is identical to _lloyd_driver's (rounded
+    # dist2 argmin with label tie-break ≡ min_by(label, struct(dist2,
+    # label)); round6(avg) M-step), so each subspace runs the same
+    # kernel on its dim slice. Over-the-bound / NULL / ragged corpora
+    # fall through to the distributed loop unchanged.
+    got = _collect_vectors_bounded(
+        corpus, id_col, vec_col, _KMEANS_DRIVER_MAX_ROWS
+    )
+    if got is not None:
+        ids, vecs, _d, _t = got
+        rows_out = []
+        for s in range(m_sub):
+            sl = [v[s * sub_d:(s + 1) * sub_d] for v in vecs]
+            _asg, cent_rows = _lloyd_driver(ids, sl, k_codes, n_iter, False)
+            rows_out += [(s, lbl, dim, c) for (lbl, dim, c) in cent_rows]
+        return corpus.sparkSession.createDataFrame(
+            rows_out, "sub INT, label INT, dim INT, c DOUBLE"
+        )
     lf = _pq_long(corpus, id_col, vec_col, m_sub, sub_d, "vec_id")
     lf = lf.localCheckpoint(eager=False)
     w0 = Window.orderBy(F.col(id_col).asc())
