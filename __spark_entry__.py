@@ -4801,6 +4801,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_pq_topk", "centroid_assign", "kmeans_clusters",
     "pq_codebooks", "pq_codes", "prototype_pruned_docs",
     "quantization_error_report", "semantic_dedup_sweep",
+    # round 14 fifth batch: logreg_fit driver contraction touches the
+    # langid scorer (quality_calibration_report already in-window).
+    # Rotated out: dedup_minhash_lsh (driver-proven r13, unchanged —
+    # the LSH admission pipeline is untouched by the clustering
+    # contraction).
+    "langid_classifier_scores",
     # new in round 13: the annotation-shelf close-out (per-annotator
     # reliability census, Krippendorff's alpha nominal+interval, the
     # served Bradley-Terry win-probability matrix), Newman modularity
@@ -4912,7 +4918,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged in r11): exactsubstr_rewrite, exactsubstr_removals,
     # domain_capped_docs, url_dedup_docs, domain_split_assign,
     # decontaminated_spans, user_value_ewma, exactsubstr_dup_stats.
-    "dedup_minhash_lsh", "semantic_dedup",
+    "semantic_dedup",
     "region_rollup", "admission_topk",
     # new in round 7 (third batch): residual IVF-PQ — codebooks fit on
     # per-cell residuals, per-(query, probed cell) ADC lookup tables —

@@ -23,11 +23,25 @@ counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import hashed_tf
 from .util import ensure_parallelism
+
+# r14 (guide §8; the kmeans/pq Lloyd-fit precedent): fits whose hashed
+# long-form feature table fits under this row bound run the GD loop
+# driver-side — the feature hashing still happens in Spark (the
+# collect pulls the hashed (id, bucket, tf) rows), gradients/weights
+# round 6dp per iteration via the pinned HALF_UP twin, and σ lives in
+# the same ≤1-ulp exp band the Spark↔DuckDB contract already tolerates
+# under the gradient round. Over-the-bound corpora keep the
+# distributed loop (the limit-probe short-circuits their scan).
+_LOGREG_DRIVER_MAX_FEATURE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_LOGREG_DRIVER_MAX_FEATURE_ROWS", "1000000")
+)
 
 #: bias term lives in a reserved slot below the hash range so every doc
 #: (even one with no tokens) has at least one feature row
@@ -50,6 +64,72 @@ def logreg_features(
         F.lit(1).cast("bigint").alias("tf"),
     )
     return tf.unionByName(bias)
+
+
+def _logreg_fit_driver(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    n_iter: int,
+    lr: float,
+):
+    """Driver twin of the logreg_fit GD loop over the collected hashed
+    feature rows; returns the ``(bucket, w)`` weight table or None
+    (over the bound / NULL labels → caller runs the distributed loop).
+    Per-iteration arithmetic mirrors the DataFrame form: unrounded
+    margins/residuals, 6dp-rounded mean gradient and weights
+    (``_np_round_half_up_like_spark``); accumulation order is collected
+    row order — the same partial-sum tolerance the distributed form's
+    partition order already lives under."""
+    import numpy as np
+
+    from .similarity import _np_round_half_up_like_spark
+
+    frows = (
+        logreg_features(docs, text_col, id_col, dim)
+        .limit(_LOGREG_DRIVER_MAX_FEATURE_ROWS + 1)
+        .collect()
+    )
+    if len(frows) > _LOGREG_DRIVER_MAX_FEATURE_ROWS:
+        return None
+    lrows = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+    ).collect()
+    if not lrows or any(r["__y"] is None for r in lrows):
+        return None  # empty/NULL-label inputs keep the distributed form
+    ids = [r["__id"] for r in lrows]
+    idx = {x: i for i, x in enumerate(ids)}
+    y = np.array([r["__y"] for r in lrows], dtype=np.float64)
+    n = float(len(ids))
+    di = np.array([idx[r[id_col]] for r in frows], dtype=np.int64)
+    buckets = sorted({int(r["bucket"]) for r in frows})
+    bidx = {b: i for i, b in enumerate(buckets)}
+    bi = np.array([bidx[int(r["bucket"])] for r in frows], dtype=np.int64)
+    tf = np.array([float(r["tf"]) for r in frows], dtype=np.float64)
+    nb = len(buckets)
+
+    def round6(a):
+        return _np_round_half_up_like_spark(a, 1e6)
+
+    w = None
+    for _ in range(max(1, n_iter)):
+        if w is None:
+            r_ = 0.5 - y
+        else:
+            m = np.zeros(len(ids), dtype=np.float64)
+            np.add.at(m, di, tf * w[bi])
+            r_ = 1.0 / (1.0 + np.exp(-m)) - y
+        g = np.zeros(nb, dtype=np.float64)
+        np.add.at(g, bi, r_[di] * tf)
+        g = round6(g / n)
+        w = round6(-lr * g) if w is None else round6(w - lr * g)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(buckets[i], float(w[i])) for i in range(nb)], "bucket BIGINT, w DOUBLE"
+    )
 
 
 def logreg_fit(
@@ -75,6 +155,11 @@ def logreg_fit(
         raise ValueError("n_iter must be >= 1")
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    driver_w = _logreg_fit_driver(
+        docs, label_col, text_col, id_col, dim, n_iter, lr
+    )
+    if driver_w is not None:
+        return driver_w
     feats = ensure_parallelism(
         logreg_features(docs, text_col, id_col, dim)
     ).persist()
